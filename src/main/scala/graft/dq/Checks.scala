@@ -1,0 +1,96 @@
+package graft.dq
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators (SURVEY.md §2.7, A25–A28), recreated as engine
+  * functions that return the VIOLATING rows — a check passes iff its
+  * DataFrame is empty, mirroring dbt's `SELECT count(*) FROM (violations)`
+  * contract (reference: models/silver/iot_events/iot_events_models.yml:7-32,
+  * models/gold/core/_gold_core_models.yml:7-23, tests/pos_sensor_values.sql:1-6).
+  *
+  * All checks are single-pass scans or single hash aggregates — at 100 TB
+  * each is one job with predicate/column pushdown into the parquet scan.
+  */
+object Checks {
+
+  /** A25 `not_null`: rows where any of the columns is null. */
+  def notNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
+
+  /** A26 `unique`: key values appearing more than once. */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") > 1)
+
+  /** A27 `accepted_values`: non-null values outside the accepted set. */
+  def acceptedValues(df: DataFrame, c: String, accepted: Seq[String]): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).isin(accepted: _*))
+
+  /** A28 singular test: caller supplies the violating-rows query. */
+  def singular(violations: DataFrame): DataFrame = violations
+
+  /** Run a set of named checks; returns (name, violationCount). */
+  def run(checks: Seq[(String, DataFrame)]): Seq[(String, Long)] =
+    checks.map { case (n, df) => n -> df.count() }
+
+  private def acceptedList(vs: Seq[String]): String =
+    vs.map(s => s"'$s'").mkString(", ")
+
+  // The accepted event_type domain EXCLUDES 'error' so the check is
+  // exercised on real violations in the driver data (cf. the reference's
+  // quality_flag accepted_values, iot_events_models.yml:28-32).
+  private val okTypes = Seq("click", "view", "purchase", "signup")
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dq_not_null",
+      (sp, dir) =>
+        notNull(Tables.events(sp, dir), Seq("event_id", "user_id", "event_type"))
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id"),
+      Some(
+        """SELECT event_id, user_id, event_type FROM events
+          |WHERE event_id IS NULL OR user_id IS NULL OR event_type IS NULL
+          |ORDER BY event_id""".stripMargin),
+    ),
+    QueryDef(
+      "dq_unique",
+      (sp, dir) =>
+        unique(Tables.documents(sp, dir), Seq("doc_id")).orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, count(*) AS n_dup FROM documents
+          |GROUP BY doc_id HAVING count(*) > 1 ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "dq_accepted_values",
+      (sp, dir) =>
+        acceptedValues(Tables.events(sp, dir), "event_type", okTypes)
+          .groupBy("event_type").agg(count(lit(1)).as("n_bad"))
+          .orderBy("event_type"),
+      Some(
+        s"""SELECT event_type, count(*) AS n_bad FROM events
+           |WHERE event_type IS NOT NULL
+           |  AND event_type NOT IN (${acceptedList(okTypes)})
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+    // A28/A11/A17: the reference's singular test verbatim — devices whose
+    // value sum is negative (tests/pos_sensor_values.sql:1-6). HAVING binds
+    // the aggregate, sidestepping the alias-shadowing hazard (SURVEY §7.4.2).
+    QueryDef(
+      "dq_pos_values",
+      (sp, dir) =>
+        Tables.events(sp, dir)
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("total_cents"))
+          .filter(col("total_cents") < 0L)
+          .orderBy("user_id"),
+      Some(
+        """SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+          |FROM events GROUP BY user_id
+          |HAVING sum(CAST(round(value * 100) AS BIGINT)) < 0
+          |ORDER BY user_id""".stripMargin),
+    ),
+  )
+}
