@@ -10,7 +10,8 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     graft.model.IotModels.all ++
-      graft.dq.Checks.all
+      graft.dq.Checks.all ++
+      graft.relational.Relational.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -76,7 +76,11 @@ object IotModels {
     s.join(broadcast(d), Seq("event_date"), "left_outer")
       .groupBy(col("user_id"), col("event_type"), col("yr"), col("mo"))
       .agg(
-        round(avg(col("value")), 4).as("avg_value"),
+        // avg from exact cents: integer sums are order-independent, and the
+        // long/long/100.0 double quotient is bit-identical across engines —
+        // round(avg(double)) would flip at .xxxx5 boundaries.
+        (sum(round(col("value") * 100).cast("long")) / count(lit(1)) / 100.0)
+          .as("avg_value"),
         count(lit(1)).as("n_events"),
       )
   }
@@ -128,7 +132,7 @@ object IotModels {
            |  FROM events
            |)
            |SELECT s.user_id, s.event_type, d.yr, d.mo,
-           |       round(avg(s.value), 4) AS avg_value,
+           |       sum(CAST(round(s.value * 100) AS BIGINT)) / count(*) / 100.0 AS avg_value,
            |       count(*) AS n_events
            |FROM silver s LEFT JOIN dim_date d ON s.event_date = d.event_date
            |GROUP BY s.user_id, s.event_type, d.yr, d.mo
