@@ -11,7 +11,11 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     graft.model.IotModels.all ++
       graft.dq.Checks.all ++
-      graft.relational.Relational.all
+      graft.relational.Relational.all ++
+      graft.ext.TextAnalysis.all ++
+      graft.ext.Dedup.all ++
+      graft.ext.Similarity.all ++
+      graft.ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

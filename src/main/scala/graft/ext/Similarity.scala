@@ -1,0 +1,173 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (tier C): brute-force cosine
+  * top-k as the exact baseline, random-hyperplane LSH bucketing as the
+  * scale path.
+  *
+  * Scale design (100 TB): brute force broadcasts the QUERY side (small) and
+  * streams the corpus — one narrow pass, no shuffle, top-k via
+  * per-partition heaps then a tiny final merge (Spark's sort+limit already
+  * does exactly this: TakeOrderedAndProject). The LSH path replaces the
+  * full scan with a bucket equi-join on signature keys — the corpus side
+  * shuffles once on (bucket), queries probe their own bucket plus 1-bit
+  * flips (multiprobe) to recover recall.
+  */
+object Similarity {
+
+  /** Double-precision dot product via higher-order functions — stays inside
+    * whole-stage codegen, no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `corpus` against every row of `queries`
+    * (both need columns (idCol, vecCol)). Returns (query_id, vec_id, cos)
+    * with rank <= k per query. Query side is broadcast.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("c_vec"), col("q_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("rn"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits of dot(v, r_i),
+    * hyperplane components derived from seeded xxhash64 → deterministic,
+    * identical on every executor with zero driver-side state.
+    */
+  def lshSignature(vec: Column, nBits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, i) => {
+        val d = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x.cast("double") *
+              ((pmod(xxhash64(lit("hp"), i, j), lit(1000L)).cast("double") / 499.5) - 1.0)),
+          lit(0.0), (s, v) => s + v)
+        acc + when(d > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)
+      },
+    )
+
+  /** LSH-bucketed ANN: candidates share a signature bucket with the query
+    * (multiprobe: the query also probes all 1-bit-flipped buckets), then
+    * exact cosine ranks the candidates. Output schema matches `topK`.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      lshSignature(col(vecCol), nBits).as("bucket"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        lshSignature(col(vecCol), nBits).as("sig"))
+      .withColumn("bucket", explode(concat(
+        array(col("sig")),
+        transform(sequence(lit(0), lit(nBits - 1)),
+          i => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")))))))
+      .select("query_id", "q_vec", "bucket")
+    val scored = c.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("c_vec"), col("q_vec")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("rn"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qe),
+      |           z -> z[1] * z[2]))
+      |         / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+      |            * sqrt(list_sum(list_transform(q.qe, x -> x * x))))""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    // Single-query brute-force top-10 against vec_id = 0.
+    QueryDef(
+      "ann_topk",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir)
+        topK(emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 10)
+          .select("vec_id", "rn", "cos_r")
+          .orderBy("rn")
+      },
+      Some(
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qe
+           |           FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, rn, cos_r FROM (
+           |  SELECT e.vec_id,
+           |         row_number() OVER (ORDER BY $cosSql DESC, e.vec_id) AS rn,
+           |         round($cosSql, 4) AS cos_r
+           |  FROM embeddings e, q WHERE e.vec_id <> 0)
+           |WHERE rn <= 10 ORDER BY rn""".stripMargin),
+    ),
+    // Multi-query knn: every 100th vector probes the corpus, top-5 each.
+    QueryDef(
+      "ann_knn_sample",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir)
+        topK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
+          .orderBy("query_id", "rn")
+      },
+      Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qe
+           |           FROM embeddings WHERE vec_id % 100 = 0)
+           |SELECT query_id, vec_id, rn, cos_r FROM (
+           |  SELECT q.query_id, e.vec_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosSql DESC, e.vec_id) AS rn,
+           |         round($cosSql, 4) AS cos_r
+           |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+    ),
+    // Vector-column aggregate: per-label mean squared norm.
+    QueryDef(
+      "embedding_norms",
+      (sp, dir) =>
+        Tables.embeddings(sp, dir)
+          .select(col("label"),
+            aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+              lit(0.0), (acc, v) => acc + v).as("sq_norm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), round(avg(col("sq_norm")), 4).as("avg_sq_norm"))
+          .orderBy("label"),
+      Some(
+        """SELECT label, count(*) AS n,
+          |       round(avg(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+          |                                         x -> x * x))), 4) AS avg_sq_norm
+          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
+    ),
+    // LSH-bucketed ANN over the same sample queries (the scale path).
+    QueryDef(
+      "ann_lsh",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir)
+        lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
+          .orderBy("query_id", "rn")
+      },
+      None, // xxhash64-derived hyperplanes; recall vs topK checked in ScalaTest
+    ),
+  )
+}

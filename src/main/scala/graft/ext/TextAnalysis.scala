@@ -1,0 +1,176 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.11
+  * tier C): tokenization, quality scoring, stopword ratios, language-ID,
+  * document fingerprinting. Everything is per-row narrow work (no shuffle
+  * except final aggregates) built from codegen'd `functions._` — at 100 TB
+  * these run at scan speed with full column pruning.
+  *
+  * Determinism contract with the DuckDB oracle: token counts and ratio
+  * denominators are exact integers; ratios are single double divisions of
+  * identical integers (bit-identical across engines); fingerprints use md5
+  * (identical algorithm in both engines).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space split, matching the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (n >= 1); empty array when the doc is shorter
+    * than n tokens. Used by fuzzy dedup (Dedup.scala) as well.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array())
+  }
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Stopword count via a higher-order filter over the token array. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(Stopwords)))
+
+  /** Simple quality features: exact integer counts + exact-division ratios
+    * (length/punct/stopword heuristics a pretraining pipeline filters on).
+    */
+  def qualityFeatures(df: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    df.withColumn("n_tokens", size(w))
+      .withColumn("n_uniq_tokens", size(array_distinct(w)))
+      .withColumn("n_spaces", length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_vowels", length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+      .withColumn("n_stopwords", stopwordCount(col("text")))
+      .withColumn("uniq_ratio", col("n_uniq_tokens") * 1.0 / col("n_tokens"))
+      .withColumn("stopword_ratio", col("n_stopwords") * 1.0 / col("n_tokens"))
+      .withColumn("avg_word_len",
+        (length(col("text")) - col("n_spaces")) * 1.0 / col("n_tokens"))
+  }
+
+  /** Language ID by character-trigram profiles LEARNED FROM THE CORPUS
+    * (per-lang top-k trigram sets), then each doc scored by overlap. Fully
+    * distributed: one explode+count per profile build (tiny result,
+    * broadcast back), one narrow pass to score. On synthetic word-soup text
+    * the signal is weak — the mechanism is what's exercised (ScalaTest
+    * checks it beats random on separable fixtures).
+    */
+  def trigramsOf(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3)))))
+      .otherwise(array())
+
+  def langId(docs: DataFrame, topK: Int = 40): DataFrame = {
+    val tri = docs
+      .select(col("lang"), explode(trigramsOf(col("text"))).as("tri"))
+      .groupBy("lang", "tri").count()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("tri"))
+    val profiles = tri
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .groupBy("lang").agg(collect_set(col("tri")).as("profile"))
+      .withColumnRenamed("lang", "profile_lang")
+    docs
+      .withColumn("doc_tris", trigramsOf(col("text")))
+      .crossJoin(broadcast(profiles))
+      .withColumn("score", size(array_intersect(col("doc_tris"), col("profile"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("profile_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted_lang"),
+        col("score"))
+  }
+
+  /** Rolling polynomial fingerprint over tokens (Rabin-Karp style), exact
+    * long arithmetic — used as a cheap content signature that is stable
+    * under formatting-only changes (tokenization normalizes whitespace).
+    */
+  def rollingFingerprint(text: Column): Column =
+    // polynomial hash mod 1e9+7 — keeps every intermediate < 2^51 so ANSI
+    // overflow checking (Spark 4 default) never trips
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(1000000007L)),
+        lit(1000000007L)))
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "doc_token_stats",
+      (sp, dir) =>
+        Tables.documents(sp, dir)
+          .select(col("lang"), size(tokens(col("text"))).as("n_tok"),
+            col("n_chars"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok").cast("long")).as("total_tokens"),
+            (sum(col("n_tok").cast("long")) / count(lit(1))).as("avg_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+          )
+          .orderBy("lang"),
+      Some(
+        """SELECT lang, count(*) AS n_docs,
+          |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+          |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) / count(*) AS avg_tokens,
+          |       sum(n_chars) AS total_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+    QueryDef(
+      "doc_quality",
+      (sp, dir) =>
+        qualityFeatures(Tables.documents(sp, dir))
+          .select("doc_id", "n_tokens", "n_uniq_tokens", "n_vowels",
+            "n_stopwords", "uniq_ratio", "stopword_ratio", "avg_word_len")
+          .orderBy("doc_id"),
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id,
+          |         len(string_split(text, ' ')) AS n_tokens,
+          |         len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+          |         length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+          |         len(list_filter(string_split(text, ' '),
+          |             t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS n_stopwords,
+          |         length(text) - length(replace(text, ' ', '')) AS n_spaces,
+          |         length(text) AS n_len
+          |  FROM documents)
+          |SELECT doc_id, n_tokens, n_uniq_tokens, n_vowels, n_stopwords,
+          |       n_uniq_tokens * 1.0 / n_tokens AS uniq_ratio,
+          |       n_stopwords * 1.0 / n_tokens AS stopword_ratio,
+          |       (n_len - n_spaces) * 1.0 / n_tokens AS avg_word_len
+          |FROM f ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "doc_fingerprint",
+      (sp, dir) =>
+        Tables.documents(sp, dir)
+          .select(col("doc_id"), md5(col("text")).as("fp"),
+            array_min(transform(tokens(col("text")), t => md5(t))).as("min_token_fp"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, md5(text) AS fp,
+          |       list_min(list_transform(string_split(text, ' '), t -> md5(t))) AS min_token_fp
+          |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "doc_lang_id",
+      (sp, dir) => langId(Tables.documents(sp, dir)).orderBy("doc_id"),
+      None, // trigram-profile scoring is not reasonably SQL-expressible
+    ),
+    QueryDef(
+      "doc_rolling_fp",
+      (sp, dir) =>
+        Tables.documents(sp, dir)
+          .select(col("doc_id"), rollingFingerprint(col("text")).as("rfp"))
+          .orderBy("doc_id"),
+      None, // xxhash64-based; no DuckDB twin
+    ),
+  )
+}
