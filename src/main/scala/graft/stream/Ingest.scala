@@ -1,0 +1,107 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming ingestion: the Spark-native twin of the reference's Auto
+  * Loader medallion flow (SURVEY.md §2.1 A1–A4, §2.8 A29–A30):
+  *
+  *  - bronze: `STREAM read_files(path, format => 'json')`
+  *    (models/bronze/iot_events/bronze_iot_events.sql:12-15) →
+  *    `spark.readStream.schema(...).json(dir)` — OSS FileStreamSource
+  *    discovers new files, checkpointed for exactly-once.
+  *  - silver: `STREAM(ref('bronze_iot_events'))` with projection/cast/filter
+  *    (models/silver/iot_events/silver_iot_events.sql:11-22) → chained
+  *    transforms on the streaming DataFrame (stateless, append-mode, no
+  *    state store).
+  *  - Triggered (not continuous) pipeline mode (README_DBT.md:213) →
+  *    `Trigger.AvailableNow` drains what exists, then stops.
+  *
+  * Scale notes: file-source ingestion parallelism = files × partitions;
+  * `maxFilesPerTrigger` bounds micro-batch size so 100 TB backfills proceed
+  * in bounded memory; the silver transform is narrow (scan-speed).
+  */
+object Ingest {
+
+  /** Raw IoT event schema at the landing zone. Timestamps arrive as strings
+    * (JSON inference would do the same) and are cast at silver — the
+    * reference's exact bronze/silver split (SURVEY.md §7.4 hazard 4).
+    */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("device_id", StringType),
+    StructField("location_id", StringType),
+    StructField("timestamp", StringType),
+    StructField("sensor_type", StringType),
+    StructField("quality_flag", StringType),
+    StructField("unit", StringType),
+    StructField("value", DoubleType),
+  ))
+
+  /** Bronze: streaming JSON file source, schema supplied (OSS streaming
+    * requires one), `SELECT *` passthrough (A7).
+    */
+  def bronzeStream(spark: SparkSession, landingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(rawEventSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(landingDir)
+  }
+
+  /** Batch twin of bronze for stream≡batch equivalence tests. */
+  def bronzeBatch(spark: SparkSession, landingDir: String): DataFrame =
+    spark.read.schema(rawEventSchema).json(landingDir)
+
+  /** Silver transform, usable on both the streaming and batch bronze frame:
+    * projection (A8), timestamp cast (A9), normalized IN-list quality filter
+    * that PROJECTS THE RAW flag (A10 + hazard 3: ' Good ' passes the filter
+    * but keeps its raw spelling).
+    */
+  def silverTransform(bronze: DataFrame): DataFrame =
+    bronze
+      .select(
+        col("device_id"), col("location_id"),
+        col("timestamp").cast("timestamp").as("timestamp"),
+        col("sensor_type"), col("quality_flag"), col("unit"), col("value"))
+      .filter(lower(trim(col("quality_flag"))).isin("good", "suspect"))
+
+  /** Run bronze→silver as a triggered streaming pipeline: drain all
+    * available input (Trigger.AvailableNow ≙ the reference's triggered DLT
+    * mode), append silver rows as parquet with a checkpoint for
+    * exactly-once, and block until drained.
+    */
+  def runSilverPipeline(spark: SparkSession, landingDir: String,
+      silverDir: String, checkpointDir: String): StreamingQuery = {
+    val q = silverTransform(bronzeStream(spark, landingDir))
+      .writeStream
+      .format("parquet")
+      .option("path", silverDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Gold refresh after a streaming drain (A30): batch recompute over the
+    * silver table — materialized-view semantics.
+    */
+  def refreshGold(spark: SparkSession, silverDir: String): Map[String, DataFrame] = {
+    val silver = spark.read.parquet(silverDir)
+    val dimLocations = silver.select("location_id").distinct()
+    val dimDate = silver
+      .select(to_date(col("timestamp")).as("date"),
+        year(col("timestamp")).as("year"),
+        month(col("timestamp")).as("month"),
+        dayofmonth(col("timestamp")).as("day"))
+      .distinct()
+    val fact = silver
+      .join(broadcast(dimDate.select("date", "year", "month")),
+        to_date(silver("timestamp")) === dimDate("date"), "left_outer")
+      .groupBy("location_id", "sensor_type", "quality_flag", "year", "month")
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n_events"))
+    Map("dim_locations" -> dimLocations, "dim_date" -> dimDate, "fact_iot_events" -> fact)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.dq.Checks
+import org.apache.spark.sql.functions._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirty = Seq(
+    (Some(1L), Some("d1"), Some("good"), 5.0),
+    (Some(2L), None, Some("good"), -20.0),        // null device
+    (Some(3L), Some("d1"), Some("weird"), -30.0), // bad enum; drags d1 negative
+    (Some(3L), Some("d2"), Some("suspect"), 2.0), // dup id
+    (Some(4L), Some("d3"), Some(" Good "), 3.0),  // raw-dirty enum (hazard 3)
+  ).toDF("id", "device", "flag", "value")
+
+  test("notNull finds exactly the null rows") {
+    assert(Checks.notNull(dirty, Seq("device")).select("id").as[Option[Long]].collect().flatten.toSet == Set(2L))
+    assert(Checks.notNull(dirty, Seq("id", "flag")).isEmpty)
+  }
+
+  test("unique finds duplicated keys with counts") {
+    val v = Checks.unique(dirty, Seq("id")).collect()
+    assert(v.length == 1 && v.head.getAs[Long]("n_dup") == 2L)
+  }
+
+  test("acceptedValues flags out-of-domain including raw-dirty variants") {
+    val bad = Checks.acceptedValues(dirty, "flag", Seq("good", "suspect"))
+      .select("id").as[Option[Long]].collect().flatten.toSet
+    assert(bad == Set(3L, 4L)) // 'weird' and ' Good ' (raw projection fails the enum)
+  }
+
+  test("singular test: negative value sums per device (reference pos_sensor_values)") {
+    val viol = Checks.singular(
+      dirty.groupBy("device").agg(sum("value").as("total"))
+        .filter(col("total") < 0))
+    assert(viol.select("device").as[Option[String]].collect().flatten.toSet == Set("d1"))
+  }
+
+  test("run returns per-check violation counts") {
+    val res = Checks.run(Seq(
+      "nn" -> Checks.notNull(dirty, Seq("device")),
+      "uq" -> Checks.unique(dirty, Seq("id")),
+    )).toMap
+    assert(res == Map("nn" -> 1L, "uq" -> 1L))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Distinct base docs + one exact copy + one near-copy (one word changed)
+  // + one unrelated doc. Words drawn from disjoint vocabularies so the
+  // unrelated pairs have jaccard ≈ 0.
+  private val base =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+  private val nearCopy = base.replace("oscar", "OSCAR9")
+  private val unrelated =
+    "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece " +
+      "catorce quince dieciseis diecisiete dieciocho diecinueve veinte ventiuno ventidos ventitres venticuatro venticinco ventiseis"
+
+  private def docs = Seq(
+    (0L, base), (1L, base), (2L, nearCopy), (3L, unrelated),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content and keeps min doc_id") {
+    val d = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 2L, 2L -> 1L, 3L -> 1L)) // doc 1 collapsed into doc 0
+  }
+
+  test("minhash finds exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashDedup(docs, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact copy
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near copy
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("minhash jaccard estimate is exact-verified (no false accepts)") {
+    val out = Dedup.minhashDedup(docs, threshold = 0.5).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("simhash finds near-dup pairs within hamming distance") {
+    val pairs = Dedup.simhashDedup(docs, maxDist = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical content is identical; unrelated differs") {
+    val fps = docs.select(col("doc_id"),
+        Dedup.simhash(TextAnalysis.shingles(col("text"), 3)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) != fps(3L))
+  }
+
+  test("dedup is idempotent (property): dedup(dedup(x)) == dedup(x)") {
+    val once = Dedup.exact(docs)
+    val kept = docs.join(once.select("doc_id"), Seq("doc_id"), "left_semi")
+    val twice = Dedup.exact(kept)
+    assert(twice.count() == once.count())
+    assert(twice.filter(col("n_copies") > 1).isEmpty)
+  }
+}

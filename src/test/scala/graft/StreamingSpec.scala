@@ -1,0 +1,79 @@
+package graft
+
+import graft.stream.Ingest
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+/** Stream ≡ batch equivalence — the DLT semantics the reference relies on
+  * (SURVEY.md §5.4): silver computed by incremental streaming over files
+  * arriving in multiple batches equals the batch computation on the union.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def writeFile(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+
+  private def evt(id: String, loc: String, ts: String, st: String, qf: String, v: Double) =
+    s"""{"device_id":"$id","location_id":"$loc","timestamp":"$ts","sensor_type":"$st","quality_flag":"$qf","unit":"C","value":$v}"""
+
+  test("incremental silver over arriving files == batch silver over the union") {
+    val root = Files.createTempDirectory("graft-stream")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    // batch 1 arrives
+    writeFile(landing, "b1.jsonl", Seq(
+      evt("d1", "l1", "2024-01-01T00:00:00", "temperature", "good", 20.5),
+      evt("d2", "l1", "2024-01-01T00:01:00", "pressure", "bad", 1.0),   // dropped
+      evt("d3", "l2", "2024-01-01T00:02:00", "humidity", " Good ", 55.0), // kept raw (hazard 3)
+    ))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt)
+
+    // batch 2 arrives later; stream resumes from checkpoint
+    writeFile(landing, "b2.jsonl", Seq(
+      evt("d1", "l1", "2024-01-01T01:00:00", "temperature", "suspect", 21.0),
+      evt("d4", "l3", "2024-01-01T01:01:00", "motion", "error", 0.0),   // dropped
+    ))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt)
+
+    val streamed = spark.read.parquet(silverDir)
+    val batch = Ingest.silverTransform(Ingest.bronzeBatch(spark, landing.toString))
+
+    assert(streamed.count() == 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // raw flag survives the normalized filter
+    assert(streamed.filter(col("quality_flag") === " Good ").count() == 1)
+  }
+
+  test("re-running the drained stream is a no-op (exactly-once)") {
+    val root = Files.createTempDirectory("graft-stream2")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    val ckpt = root.resolve("ckpt").toString
+    writeFile(landing, "b1.jsonl", Seq(
+      evt("d1", "l1", "2024-01-01T00:00:00", "temperature", "good", 20.5)))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt)
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt)
+    assert(spark.read.parquet(silverDir).count() == 1)
+  }
+
+  test("gold refresh over streamed silver produces the reference star schema") {
+    val root = Files.createTempDirectory("graft-stream3")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    writeFile(landing, "b1.jsonl", Seq(
+      evt("d1", "l1", "2024-01-01T00:00:00", "temperature", "good", 20.0),
+      evt("d1", "l1", "2024-01-15T00:00:00", "temperature", "good", 30.0),
+      evt("d2", "l2", "2024-02-01T00:00:00", "pressure", "suspect", 990.0),
+    ))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, root.resolve("ckpt").toString)
+    val gold = Ingest.refreshGold(spark, silverDir)
+    assert(gold("dim_locations").count() == 2)
+    assert(gold("dim_date").count() == 3)
+    val jan = gold("fact_iot_events")
+      .filter(col("location_id") === "l1" && col("month") === 1).head()
+    assert(jan.getAs[Double]("avg_value") == 25.0)
+    assert(jan.getAs[Long]("n_events") == 2L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produce n-grams in order, empty below n tokens") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty)
+  }
+
+  test("quality features are exact on a known document") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df).head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_uniq_tokens") == 5) // 'the' twice
+    assert(r.getAs[Int]("n_stopwords") == 3)   // the, on, the
+    assert(math.abs(r.getAs[Double]("uniq_ratio") - 5.0 / 6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("avg_word_len") - 17.0 / 6) < 1e-12)
+  }
+
+  test("language ID learns separable trigram profiles") {
+    // Two synthetic "languages" with disjoint character inventories.
+    val aWords = Seq("aaab", "aabb", "abba", "baab", "abab", "bbaa")
+    val bWords = Seq("xxxy", "xyyx", "yxxy", "xyxy", "yyxx", "xxyy")
+    val rnd = new scala.util.Random(3)
+    def doc(words: Seq[String]) = (0 until 30).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, doc(aWords), "aa")) ++
+      (20 until 40).map(i => (i.toLong, doc(bWords), "bb")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(docs)
+    val acc = out.filter(col("lang") === col("predicted_lang")).count().toDouble / out.count()
+    assert(acc == 1.0, s"accuracy $acc on fully separable languages")
+  }
+
+  test("rolling fingerprint: equal for equal token streams, whitespace-stable tokens") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+}
