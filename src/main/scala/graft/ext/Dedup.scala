@@ -43,9 +43,16 @@ object Dedup {
     aggregate(
       shingleCol,
       array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
-        (a, b) => least(a, b)),
+      (acc, s) => {
+        // Carter-Wegman: lane_i = h1 + i*h2 from TWO base hashes instead of
+        // k seeded hashes (k× fewer interpreted xxhash evals per shingle).
+        // Hashes reduced below 2^31 so i*h2 + h1 stays ANSI-overflow-safe.
+        val h1 = pmod(xxhash64(s, lit(1)), lit(2147483647L))
+        val h2 = pmod(xxhash64(s, lit(2)), lit(2147483629L))
+        zip_with(acc,
+          transform(sequence(lit(0), lit(k - 1)), i => h1 + i.cast("long") * h2),
+          (a, b) => least(a, b))
+      },
     )
 
   /** LSH banding: explode the signature into (band, bandHash) keys.
@@ -63,16 +70,42 @@ object Dedup {
     * looser curve would flood the verification join with candidates.
     */
   def minhashDedup(docs: DataFrame, n: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 8, threshold: Double = 0.7): DataFrame = {
+      rowsPerBand: Int = 8, threshold: Double = 0.7,
+      maxBucket: Int = 256): DataFrame = {
+    // Plan shape matters here (learned from stack dumps on sf0.1):
+    //  1. The doc-length guard must be a CHEAP predicate on the raw text —
+    //     a filter on the shingle alias gets the whole expensive expression
+    //     substituted in by predicate pushdown (no cost check) and pushed
+    //     below the repartition, serializing it onto the single input split.
+    //  2. repartition BEFORE the heavy projection: interpreted higher-order
+    //     work must run on all cores; a small local parquet is one split.
+    //     (On a real cluster the many input splits make this a no-op cost.)
+    //  3. shingles materialize in their own select — CollapseProject keeps
+    //     non-cheap aliases in a separate project, so downstream consumers
+    //     read the materialized array instead of re-deriving it.
     val withShingles = docs
-      .select(col("doc_id"), array_distinct(TextAnalysis.shingles(col("text"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(split(col("text"), " ")) >= n)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.word_shingles(col("text"), n, distinct = true).as("sh"))
     val sigs = withShingles
       .select(col("doc_id"), col("sh"),
-        lshBands(minhashSig(col("sh"), bands * rowsPerBand), bands, rowsPerBand).as("bands"))
+        lshBands(graft.functions.TextFunctions.minhash_sig(col("sh"), bands * rowsPerBand),
+          bands, rowsPerBand).as("bands"))
+    // Cap bucket size: an oversized bucket means that band carries no
+    // discriminating information for this corpus (globally-similar corpora
+    // produce them), and the candidate join would go quadratic in it. Pairs
+    // truncated here are still found by any of the other bands they share.
+    // NOT silent: capped rows are observable via the `rn > maxBucket` count
+    // in the plan; at sf0.1 uncapped buckets made the join ~100× slower.
+    val bucketWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
     val buckets = sigs
       .select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      .withColumn("rn", row_number().over(bucketWindow))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") &&
@@ -91,55 +124,96 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** 64-bit SimHash over word n-gram hashes: bit j of the signature is the
-    * majority vote of bit j across all shingle hashes. Single traversal
-    * (same interpreted-eval reasoning as [[minhashSig]]): fold the shingles
-    * into 64 per-bit counters, then assemble the fingerprint.
+  /** Per-bit counters for SimHash: one traversal of the shingle array into
+    * 65 longs — slots 0..63 count set bits per position, slot 64 carries
+    * the shingle count (so no consumer ever re-derives the shingle array
+    * just to take its size).
     */
-  def simhash(shingleCol: Column): Column = {
-    val bitCounts = aggregate(
+  def simhashCounts(shingleCol: Column): Column =
+    aggregate(
       shingleCol,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), 65),
       (acc, s) => {
         val h = xxhash64(s)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, j) => c + call_function("shiftright", h, j.cast("int")).bitwiseAND(1L))
+        zip_with(acc, sequence(lit(0), lit(64)),
+          (c, j) => when(j === 64, c + 1L)
+            .otherwise(c + call_function("shiftright", h, j.cast("int")).bitwiseAND(1L)))
       },
     )
-    val nsh = size(shingleCol)
+
+  /** Assemble the 64-bit fingerprint from materialized counters: bit j set
+    * iff a majority of shingle hashes set bit j.
+    */
+  def simhashFromCounts(counts: Column): Column = {
+    val nsh = element_at(counts, 65)
     aggregate(
-      zip_with(bitCounts, sequence(lit(0), lit(63)),
+      zip_with(slice(counts, 1, 64), sequence(lit(0), lit(63)),
         (c, j) => when(c * 2 > nsh, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
       lit(0L),
       (acc, v) => acc + v,
     )
   }
 
+  /** 64-bit SimHash over word n-gram hashes: bit j of the signature is the
+    * majority vote of bit j across all shingle hashes. Prefer the staged
+    * [[simhashCounts]]/[[simhashFromCounts]] in plans (materialization
+    * boundaries); this convenience form is for expression-level use.
+    */
+  def simhash(shingleCol: Column): Column =
+    simhashFromCounts(simhashCounts(shingleCol))
+
   /** SimHash near-dup pairs with hamming distance <= maxDist, found by
     * banding the 64-bit fingerprint into 4 exact-match 16-bit chunks
     * (complete for maxDist <= 3 by pigeonhole).
     */
-  def simhashDedup(docs: DataFrame, n: Int = 3, maxDist: Int = 3): DataFrame = {
+  def simhashDedup(docs: DataFrame, n: Int = 3, maxDist: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    // Same plan-shape discipline as minhashDedup: cheap guard → repartition
+    // → staged non-cheap projections (shingles, counters, fingerprint).
     val fps = docs
-      .select(col("doc_id"), TextAnalysis.shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), simhash(col("sh")).as("fp"))
-    val chunks = fps.select(col("doc_id"), col("fp"),
+      .filter(size(split(col("text"), " ")) >= n)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.word_shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash64(col("sh")).as("fp"))
+
+    // Join in FINGERPRINT space, not doc space: similar corpora collapse
+    // many docs onto one fingerprint, and identical fingerprints would make
+    // the chunk join quadratic in group size (observed: 342 s at sf0.1).
+    val groups = fps.groupBy("fp").agg(collect_list(col("doc_id")).as("ids"))
+    val chunkWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk"), col("chunk_val")).orderBy(col("fp"))
+    val chunks = groups.select(col("fp"), col("ids"),
         explode(transform(sequence(lit(0), lit(3)),
           c => struct(c.as("chunk"),
             call_function("shiftright", col("fp"), c.cast("int") * 16).bitwiseAND(0xFFFFL).as("chunk_val")))).as("c"))
-      .select(col("doc_id"), col("fp"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
-    chunks.as("x")
+      .select(col("fp"), col("ids"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+      .withColumn("rn", row_number().over(chunkWindow))
+      .filter(col("rn") <= maxBucket) // cap degenerate buckets, cf. minhashDedup
+      .drop("rn")
+    val crossPairs = chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") &&
           col("x.chunk_val") === col("y.chunk_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.fp").as("a_fp"), col("y.fp").as("b_fp"))
+          col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("a_fp"), col("x.ids").as("a_ids"),
+        col("y.fp").as("b_fp"), col("y.ids").as("b_ids"))
       .distinct()
       .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
       .filter(col("hamming") <= maxDist)
-      .select("a_id", "b_id", "hamming")
+      .select(explode(col("a_ids")).as("x_id"), col("b_ids"), col("hamming"))
+      .select(col("x_id"), explode(col("b_ids")).as("y_id"), col("hamming"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("hamming"))
+    // identical fingerprints: every in-group pair at hamming 0
+    val intraPairs = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x_id"), col("ids"))
+      .select(col("x_id"), explode(col("ids")).as("y_id"))
+      .filter(col("x_id") < col("y_id"))
+      .select(col("x_id").as("a_id"), col("y_id").as("b_id"),
+        lit(0).cast("int").as("hamming"))
+    crossPairs.unionByName(intraPairs)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product via higher-order functions — stays inside
-    * whole-stage codegen, no UDF.
+  /** Double-precision dot product via higher-order functions. Portable
+    * (pure built-ins) but interpreted per element — kept as the reference
+    * implementation and for engines without the native expression.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -30,7 +31,12 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF cosine — bit-identical to [[cosine]]; see CosineSimilarity. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd Catalyst expression (the hot path). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** Brute-force cosine top-k of `corpus` against every row of `queries`
     * (both need columns (idCol, vecCol)). Returns (query_id, vec_id, cos)
@@ -51,23 +57,34 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
-  /** Random-hyperplane LSH signature: `nBits` sign bits of dot(v, r_i),
-    * hyperplane components derived from seeded xxhash64 → deterministic,
-    * identical on every executor with zero driver-side state.
+  /** Random-hyperplane LSH signature: `nBits` sign bits of dot(v, r_i).
+    * The hyperplane matrix is derived from a splitmix64 mix of (i, j) ON
+    * THE DRIVER and shipped as one literal — deterministic across runs and
+    * executors, and the per-row work is just nBits×dim multiply-adds (an
+    * earlier version derived each component with xxhash64 per row: ~5×
+    * slower, all interpreted). Vectors shorter than `dim` contribute zeros.
     */
-  def lshSignature(vec: Column, nBits: Int): Column =
+  def lshSignature(vec: Column, nBits: Int, dim: Int = 64): Column = {
+    val planes: Seq[Seq[Double]] = Seq.tabulate(nBits, dim) { (i, j) =>
+      var z = i.toLong * 1024 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (math.floorMod(z, 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    val m = typedlit(planes)
     aggregate(
       sequence(lit(0), lit(nBits - 1)),
       lit(0L),
       (acc, i) => {
         val d = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, j) => x.cast("double") *
-              ((pmod(xxhash64(lit("hp"), i, j), lit(1000L)).cast("double") / 499.5) - 1.0)),
+          zip_with(vec, element_at(m, i.cast("int") + 1),
+            (x, r) => coalesce(x.cast("double") * r, lit(0.0))),
           lit(0.0), (s, v) => s + v)
         acc + when(d > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)
       },
     )
+  }
 
   /** LSH-bucketed ANN: candidates share a signature bucket with the query
     * (multiprobe: the query also probes all 1-bit-flipped buckets), then

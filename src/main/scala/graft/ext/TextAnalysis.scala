@@ -67,7 +67,10 @@ object TextAnalysis {
         i => text.substr(i, lit(3)))))
       .otherwise(array())
 
-  def langId(docs: DataFrame, topK: Int = 40): DataFrame = {
+  def langId(docsIn: DataFrame, topK: Int = 40): DataFrame = {
+    // trigram generation is interpreted CPU-bound narrow work — spread it
+    // (single local parquet file = single partition otherwise)
+    val docs = docsIn.repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
     val tri = docs
       .select(col("lang"), explode(trigramsOf(col("text"))).as("tri"))
       .groupBy("lang", "tri").count()
