@@ -1,0 +1,69 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming aggregations beyond the reference's stateless silver (tier B:
+  * hourly/daily metrics, README_DBT.md:203-204; device health with custom
+  * state via mapGroupsWithState).
+  */
+object StreamAggs {
+
+  /** Event-time hourly metrics with a watermark: late rows beyond
+    * `lateness` are dropped and state for closed windows is reclaimed —
+    * the knob that keeps state bounded on an unbounded 100 TB/day stream.
+    * Works identically on a batch DataFrame (watermark is a no-op there),
+    * which is how the equivalence test pins the semantics.
+    */
+  def hourlyMetrics(events: DataFrame, tsCol: String = "timestamp",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 hour").as("w"), col("sensor_type"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"))
+      .select(col("w.start").as("hour_start"), col("sensor_type"),
+        col("n_events"), col("avg_value"), col("max_value"))
+
+  /** Per-device health state for mapGroupsWithState. */
+  final case class DeviceReading(device_id: String, timestamp: java.sql.Timestamp,
+      quality_flag: String, value: Double)
+  final case class DeviceHealth(device_id: String, n_total: Long, n_suspect: Long,
+      suspect_streak: Long, health_score: Double)
+
+  /** Custom per-key state: running suspect-reading streaks and a health
+    * score per device (the README's "device health scores",
+    * README_DBT.md:199) via mapGroupsWithState. NoTimeout: with a timeout
+    * configured, the default ASAP trigger schedules continuous empty
+    * micro-batches to re-check timers — a busy loop committing state files
+    * (observed in tests); device TTL belongs in a downstream compaction.
+    */
+  def deviceHealth(readings: Dataset[DeviceReading]): Dataset[DeviceHealth] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.device_id)
+      .mapGroupsWithState[DeviceHealth, DeviceHealth](GroupStateTimeout.NoTimeout) {
+        (deviceId: String, rows: Iterator[DeviceReading], state: GroupState[DeviceHealth]) =>
+          val prev = state.getOption.getOrElse(DeviceHealth(deviceId, 0L, 0L, 0L, 1.0))
+          // fold this batch's readings in event order
+          val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+          var nTotal = prev.n_total
+          var nSuspect = prev.n_suspect
+          var streak = prev.suspect_streak
+          sorted.foreach { r =>
+            nTotal += 1
+            if (r.quality_flag.trim.equalsIgnoreCase("suspect")) {
+              nSuspect += 1; streak += 1
+            } else streak = 0
+          }
+          val score =
+            if (nTotal == 0) 1.0
+            else 1.0 - (nSuspect.toDouble / nTotal) - math.min(0.5, streak * 0.1)
+          val next = DeviceHealth(deviceId, nTotal, nSuspect, streak, math.max(0.0, score))
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that keep these queries viable
+  * at 100 TB (pushdown reaches the scan, dims broadcast, no stray
+  * shuffles) pinned as tests so a regression in plan shape fails CI, not a
+  * cluster bill.
+  *
+  * Runs against the sf0.001 driver testdata (read-only).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("silver scan prunes columns; q1 pushes its date filter") {
+    // the silver quality filter is lower(trim(col)) IN (...) — inherently
+    // not pushable (expression of a column); what MUST hold is pruning:
+    // props never leaves the reader
+    val p = plan(q("silver_events"))
+    assert(!p.contains("props"), s"props column not pruned:\n$p")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double>"),
+      s"scan reads more than silver needs:\n$p")
+    // plain comparison predicates DO reach the scan
+    val p1 = plan(q("q1_agg"))
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q1 shipdate filter not pushed:\n$p1")
+  }
+
+  test("fact_events joins its calendar dim via broadcast, single agg exchange") {
+    val p = plan(q("fact_events"))
+    assert(p.contains("BroadcastHashJoin"), s"dim join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("q5 snowflake: all three dims broadcast, one shuffle for the fact join") {
+    val p = plan(q("q5_nation_revenue"))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
+  }
+
+  test("q1 aggregate is two-phase (partial before the exchange) and codegens") {
+    val p = plan(q("q1_agg"))
+    assert(p.contains("partial_sum"), s"no partial (map-side) aggregation:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"not two-phase:\n$p")
+    // codegen spans only appear once AQE finalizes — execute, then inspect
+    val df = q("q1_agg")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), // "*(n)" marks a WholeStageCodegen span
+      s"no whole-stage codegen spans in executed plan:\n${executed.take(500)}")
+  }
+
+  test("top-k order+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(q("q_topk_orders"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
+  }
+
+  test("ann_topk scans the corpus once with a broadcast query side") {
+    val p = plan(q("ann_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(p.contains("cosine_sim"), s"native cosine expression not used:\n$p")
+  }
+
+  test("dedup_exact shuffles the md5, not the document body") {
+    val p = plan(q("dedup_exact"))
+    // partial aggregation on md5 before the exchange: the exchange input
+    // must not carry the raw text column
+    // the hash exchange's input must be (grouping key, partial aggs) —
+    // never the raw text column
+    val m = "(?s)\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p)
+    assert(m.isDefined, s"no exchange input block:\n$p")
+    assert(!m.get.group(1).contains("text#"),
+      s"document body crosses the shuffle: ${m.get.group(1)}")
+  }
+}
