@@ -12,10 +12,12 @@ object SparkEntry {
     graft.model.IotModels.all ++
       graft.dq.Checks.all ++
       graft.relational.Relational.all ++
+      graft.relational.Relational2.all ++
       graft.ext.TextAnalysis.all ++
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
-      graft.ext.Multimodal.all
+      graft.ext.Multimodal.all ++
+      graft.functions.Aggregates.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -43,16 +43,12 @@ object Dedup {
     aggregate(
       shingleCol,
       array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => {
-        // Carter-Wegman: lane_i = h1 + i*h2 from TWO base hashes instead of
-        // k seeded hashes (k× fewer interpreted xxhash evals per shingle).
-        // Hashes reduced below 2^31 so i*h2 + h1 stays ANSI-overflow-safe.
-        val h1 = pmod(xxhash64(s, lit(1)), lit(2147483647L))
-        val h2 = pmod(xxhash64(s, lit(2)), lit(2147483629L))
-        zip_with(acc,
-          transform(sequence(lit(0), lit(k - 1)), i => h1 + i.cast("long") * h2),
-          (a, b) => least(a, b))
-      },
+      // independent lanes: xxhash64(s, i) chains seed 42 → bytes → int.
+      // (A Carter-Wegman h1 + i*h2 shortcut correlates lanes — see
+      // TextExpressions.MinHashSignature.)
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i.cast("int"))),
+        (a, b) => least(a, b)),
     )
 
   /** LSH banding: explode the signature into (band, bandHash) keys.
@@ -258,6 +254,30 @@ object Dedup {
       (sp, dir) =>
         minhashDedup(Tables.documents(sp, dir)).orderBy("a_id", "b_id"),
       None, // xxhash64-based LSH; verified by ScalaTest with planted dups
+    ),
+    // Corpus-level similarity via mergeable MinHash union sketches: one
+    // fixed-size sketch per source (TypedImperativeAggregate), pairwise
+    // estimated jaccard between sources — the 100 TB corpus-comparison
+    // shape (state crossing the shuffle is k*8 bytes per group).
+    QueryDef(
+      "sketch_source_sim",
+      (sp, dir) => {
+        import graft.functions.{SketchFunctions, TextFunctions}
+        val sketches = Tables.documents(sp, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .repartition(sp.sparkContext.defaultParallelism)
+          .select(col("source"),
+            TextFunctions.minhash_sig(
+              TextFunctions.word_shingles(col("text"), 3, distinct = true), 64).as("sig"))
+          .groupBy("source")
+          .agg(SketchFunctions.minhash_union(col("sig"), 64).as("sketch"))
+        sketches.as("a").join(sketches.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            round(SketchFunctions.sketch_jaccard(col("a.sketch"), col("b.sketch")), 4)
+              .as("est_jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      None, // sketch estimates are engine-defined; accuracy pinned by ScalaTest
     ),
     QueryDef(
       "dedup_simhash",

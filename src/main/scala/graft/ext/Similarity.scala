@@ -114,6 +114,49 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer (every
+    * corpus vector whose id survives `orderBy(id).limit(nCentroids)` over a
+    * stride filter) partitions the corpus into clusters; each query probes
+    * its `nProbe` nearest clusters only. The cluster assignment is one
+    * broadcast pass (centroid set is tiny); the probe join shuffles on
+    * cluster id — bounded fan-out instead of a full scan per query.
+    * A production system would k-means-refine the centroids; the plumbing
+    * (assign → probe → exact re-rank) is identical.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .orderBy(col(idCol)).limit(nCentroids * 7)
+      .filter(pmod(col(idCol), lit(7)) === 3) // decorrelate from id order
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val assignWindow = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("centroid_id"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("c_vec"), col("cent_vec")))
+      .withColumn("crn", row_number().over(assignWindow))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("c_vec"), col("centroid_id").as("cluster_id"))
+    val probeWindow = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("centroid_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("prn", row_number().over(probeWindow))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cluster_id"))
+    val scored = assigned.join(probes, Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("c_vec"), col("q_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("rn"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
   private val cosSql =
     """list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qe),
       |           z -> z[1] * z[2]))
@@ -185,6 +228,16 @@ object Similarity {
           .orderBy("query_id", "rn")
       },
       None, // xxhash64-derived hyperplanes; recall vs topK checked in ScalaTest
+    ),
+    // IVF-bucketed ANN (coarse quantizer + probe), same sample queries.
+    QueryDef(
+      "ann_ivf",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir)
+        ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
+          .orderBy("query_id", "rn")
+      },
+      None, // centroid choice is engine-defined; recall pinned by ScalaTest
     ),
   )
 }

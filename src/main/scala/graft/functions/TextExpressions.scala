@@ -63,10 +63,14 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
-/** Carter-Wegman MinHash signature over a string array:
-  * lane_i = min over elements of (h1 + i*h2), with
-  * h1 = pmod(xxhash64(s, 1), 2147483647), h2 = pmod(xxhash64(s, 2), 2147483629)
-  * — identical to the HOF formulation in Dedup.minhashSig.
+/** MinHash signature over a string array: lane_i = min over elements of
+  * hashInt(i, xxhash64_bytes(s, 42)) — one byte-hash per element plus one
+  * cheap int-mix per lane, with INDEPENDENT lanes. (A Carter-Wegman
+  * `h1 + i*h2` shortcut was tried first: for large i the element with the
+  * smallest h2 wins every lane, correlating the sketch lanes and inflating
+  * union-sketch jaccard estimates to ~1.0 — caught by AggregatesSpec.)
+  * Identical to the HOF formulation `xxhash64(s, lit(i))` in
+  * Dedup.minhashSig (Catalyst chains: seed 42 → bytes → int).
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -90,13 +94,10 @@ case class MinHashSignature(child: Expression, k: Int)
       val s = arr.getUTF8String(e)
       // replicate Catalyst xxhash64(s, lit(i)): seed 42 → bytes → int chain
       val hs = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      val h1 = java.lang.Math.floorMod(XXH64.hashInt(1, hs), 2147483647L)
-      val h2 = java.lang.Math.floorMod(XXH64.hashInt(2, hs), 2147483629L)
       var i = 0
-      var v = h1
       while (i < k) {
+        val v = XXH64.hashInt(i, hs)
         if (v < mins(i)) mins(i) = v
-        v += h2
         i += 1
       }
       e += 1
