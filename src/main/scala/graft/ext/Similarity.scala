@@ -229,6 +229,30 @@ object Similarity {
       },
       None, // xxhash64-derived hyperplanes; recall vs topK checked in ScalaTest
     ),
+    // Embedding-cosine near-dup pairs (exact all-pairs at oracle scale;
+    // the LSH/IVF variants above are the 100 TB path for the same shape).
+    QueryDef(
+      "embedding_neardup",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir)
+          .select(col("vec_id"), col("embedding"))
+        emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_r
+          |FROM embeddings a, embeddings b
+          |WHERE a.vec_id < b.vec_id
+          |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+          |ORDER BY a_id, b_id""".stripMargin),
+    ),
     // IVF-bucketed ANN (coarse quantizer + probe), same sample queries.
     QueryDef(
       "ann_ivf",

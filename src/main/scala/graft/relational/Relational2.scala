@@ -256,6 +256,47 @@ object Relational2 {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
+    // ---- sessionization: gap-based session ids via lag + running sum,
+    //      then per-session rollup (the canonical event-stream pattern) ----
+    QueryDef(
+      "q_sessionize",
+      (sp, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val runsum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(sp, dir)
+          .withColumn("epoch_s", unix_timestamp(col("ts")))
+          .withColumn("gap_s", col("epoch_s") - lag(col("epoch_s"), 1).over(byUser))
+          .withColumn("is_break",
+            when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+          .withColumn("session_num", sum(col("is_break")).over(runsum))
+          .groupBy("user_id", "session_num")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event"),
+            sum(round(col("value") * 100).cast("long")).as("session_cents"))
+          .orderBy("user_id", "session_num")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, value,
+          |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+          |  FROM events),
+          |flags AS (
+          |  SELECT *, CASE WHEN epoch_s - lag(epoch_s, 1) OVER w IS NULL
+          |                   OR epoch_s - lag(epoch_s, 1) OVER w > 1800
+          |                 THEN 1 ELSE 0 END AS is_break
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+          |sessions AS (
+          |  SELECT *, sum(is_break) OVER (PARTITION BY user_id ORDER BY event_id
+          |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+          |  FROM flags)
+          |SELECT user_id, session_num, count(*) AS n_events,
+          |       min(event_id) AS first_event, max(event_id) AS last_event,
+          |       sum(CAST(round(value * 100) AS BIGINT)) AS session_cents
+          |FROM sessions GROUP BY user_id, session_num
+          |ORDER BY user_id, session_num""".stripMargin),
+    ),
+
     // ---- approx distinct (HLL) beside the exact count: the scale path for
     //      COUNT(DISTINCT) — sketch values are engine-specific, so the
     //      oracle covers the exact column and ScalaTest bounds the sketch ----
