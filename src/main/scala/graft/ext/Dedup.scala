@@ -79,11 +79,14 @@ object Dedup {
     //  3. shingles materialize in their own select — CollapseProject keeps
     //     non-cheap aliases in a separate project, so downstream consumers
     //     read the materialized array instead of re-deriving it.
+    // persist(): consumed by the signature stage AND twice by the
+    // verification join — without it the shingle projection re-runs 3×.
     val withShingles = docs
       .filter(size(split(col("text"), " ")) >= n)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         graft.functions.TextFunctions.word_shingles(col("text"), n, distinct = true).as("sh"))
+      .persist()
     val sigs = withShingles
       .select(col("doc_id"), col("sh"),
         lshBands(graft.functions.TextFunctions.minhash_sig(col("sh"), bands * rowsPerBand),
@@ -176,7 +179,13 @@ object Dedup {
     // Join in FINGERPRINT space, not doc space: similar corpora collapse
     // many docs onto one fingerprint, and identical fingerprints would make
     // the chunk join quadratic in group size (observed: 342 s at sf0.1).
+    // persist(): the self-join + intra-pair union consume `groups` three
+    // times, and Spark re-derives the full signature pipeline per consumer
+    // (ReuseExchange does not cover differently-partitioned legs). The
+    // fingerprint table is tiny (16 B/doc) — at 100 TB you would persist it
+    // to a table; in-memory persist is the local analogue.
     val groups = fps.groupBy("fp").agg(collect_list(col("doc_id")).as("ids"))
+      .persist()
     val chunkWindow = org.apache.spark.sql.expressions.Window
       .partitionBy(col("chunk"), col("chunk_val")).orderBy(col("fp"))
     val chunks = groups.select(col("fp"), col("ids"),
