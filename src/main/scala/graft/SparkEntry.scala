@@ -13,6 +13,7 @@ object SparkEntry {
       graft.dq.Checks.all ++
       graft.relational.Relational.all ++
       graft.relational.Relational2.all ++
+      graft.relational.Relational3.all ++
       graft.ext.TextAnalysis.all ++
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++

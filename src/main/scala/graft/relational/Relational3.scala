@@ -1,0 +1,110 @@
+package graft.relational
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Third tranche: pivot, correlated-style aggregates, array aggregation,
+  * explode/unnest, regexp extraction — closing out the built-in surface a
+  * reference user could reach through Databricks SQL.
+  */
+object Relational3 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- pivot (explicit value list → stable output columns) ----
+    QueryDef(
+      "q_pivot_events",
+      (sp, dir) => {
+        val p = Tables.events(sp, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+            Seq("click", "error", "purchase", "signup", "view")
+              .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id,
+          |       count(*) FILTER (WHERE event_type = 'click') AS click,
+          |       count(*) FILTER (WHERE event_type = 'error') AS error,
+          |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |       count(*) FILTER (WHERE event_type = 'view') AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- correlated-aggregate shape: rows above their group's average ----
+    QueryDef(
+      "q_above_segment_avg",
+      (sp, dir) => {
+        val c = Tables.customer(sp, dir)
+        val segAvg = c.groupBy("c_mktsegment")
+          .agg((sum(round(col("c_acctbal") * 100).cast("long")) / count(lit(1)))
+            .as("avg_cents"))
+        c.join(broadcast(segAvg), Seq("c_mktsegment"))
+          .filter(round(col("c_acctbal") * 100).cast("long") > col("avg_cents"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_above"),
+            max(col("c_acctbal")).as("max_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """WITH seg AS (
+          |  SELECT c_mktsegment,
+          |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*) AS avg_cents
+          |  FROM customer GROUP BY c_mktsegment)
+          |SELECT c.c_mktsegment, count(*) AS n_above, max(c.c_acctbal) AS max_bal
+          |FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+          |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > seg.avg_cents
+          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin),
+    ),
+
+    // ---- array aggregation: sorted distinct set per group ----
+    QueryDef(
+      "q_collect_types",
+      (sp, dir) =>
+        Tables.events(sp, dir)
+          .groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("types"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id"),
+      Some(
+        """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(*) AS n
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- explode/unnest: global top-20 tokens across the corpus ----
+    QueryDef(
+      "q_top_tokens",
+      (sp, dir) =>
+        Tables.documents(sp, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some(
+        """SELECT token, count(*) AS n
+          |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+    ),
+
+    // ---- regexp_extract_all over text ----
+    QueryDef(
+      "q_regexp_extract",
+      (sp, dir) =>
+        Tables.documents(sp, dir)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[aeiou][a-z]{3,}"), lit(0)))
+              .as("n_vowel_words"),
+            regexp_extract(col("text"), "[aeiou][a-z]{3,}", 0).as("first_vowel_word"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |       len(regexp_extract_all(text, '[aeiou][a-z]{3,}')) AS n_vowel_words,
+          |       coalesce(regexp_extract(text, '[aeiou][a-z]{3,}'), '') AS first_vowel_word
+          |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+  )
+}

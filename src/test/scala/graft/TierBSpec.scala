@@ -107,6 +107,23 @@ class TierBSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static broadcast join enriches streaming rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("l1", "Berlin"), ("l2", "Tokyo")).toDF("location_id", "city")
+    val mem = MemoryStream[(String, Double)]
+    val joined = mem.toDF().toDF("location_id", "value")
+      .join(broadcast(dim), Seq("location_id"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("enriched_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    mem.addData(("l1", 1.0), ("l3", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched_out")
+      .select("location_id", "city").as[(String, Option[String])].collect().toMap
+    assert(rows("l1").contains("Berlin"))
+    assert(rows("l3").isEmpty) // unmatched streaming row keeps null city
+    q.stop()
+  }
+
   test("deviceHealth mapGroupsWithState tracks suspect streaks across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamAggs.DeviceReading]
