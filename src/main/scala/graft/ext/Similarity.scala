@@ -114,6 +114,28 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Brute-force top-k via the bounded-heap aggregate (TopKPairs) instead
+    * of a window sort: map-side partials reduce every (query, partition) to
+    * ≤ k pairs before the shuffle, so reducers merge heaps instead of
+    * sorting the full candidate set. Identical output contract to [[topK]].
+    */
+  def topKHeap(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKPairs.topk_pairs
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("c_vec"), col("q_vec")).as("cos"))
+      .groupBy("query_id")
+      .agg(topk_pairs(col("cos"), col("vec_id"), k).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rn"),
+        round(col("t.score"), 4).as("cos_r"))
+  }
+
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer (every
     * corpus vector whose id survives `orderBy(id).limit(nCentroids)` over a
     * stride filter) partitions the corpus into clusters; each query probes
@@ -228,6 +250,28 @@ object Similarity {
           .orderBy("query_id", "rn")
       },
       None, // xxhash64-derived hyperplanes; recall vs topK checked in ScalaTest
+    ),
+    // Same semantics as ann_knn_sample through the bounded-heap aggregate —
+    // deliberately shares ann_knn_sample's oracle: two different physical
+    // strategies, one verified answer.
+    QueryDef(
+      "ann_knn_heap",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir)
+        topKHeap(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
+          .select("query_id", "vec_id", "rn", "cos_r")
+          .orderBy("query_id", "rn")
+      },
+      Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qe
+           |           FROM embeddings WHERE vec_id % 100 = 0)
+           |SELECT query_id, vec_id, rn, cos_r FROM (
+           |  SELECT q.query_id, e.vec_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cosSql DESC, e.vec_id) AS rn,
+           |         round($cosSql, 4) AS cos_r
+           |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
     ),
     // Embedding-cosine near-dup pairs (exact all-pairs at oracle scale;
     // the LSH/IVF variants above are the 100 TB path for the same shape).
