@@ -68,11 +68,13 @@ object TextAnalysis {
       .otherwise(array())
 
   def langId(docsIn: DataFrame, topK: Int = 40): DataFrame = {
-    // trigram generation is interpreted CPU-bound narrow work — spread it
-    // (single local parquet file = single partition otherwise)
+    // trigram generation is CPU-bound narrow work — spread it (a single
+    // local parquet file = single partition otherwise) and use the native
+    // CharNGrams expression (the interpreted substr transform dominated)
     val docs = docsIn.repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
+    def tris(c: Column) = graft.functions.TextFunctions.char_ngrams(c, 3)
     val tri = docs
-      .select(col("lang"), explode(trigramsOf(col("text"))).as("tri"))
+      .select(col("lang"), explode(tris(col("text"))).as("tri"))
       .groupBy("lang", "tri").count()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("tri"))
@@ -82,7 +84,7 @@ object TextAnalysis {
       .groupBy("lang").agg(collect_set(col("tri")).as("profile"))
       .withColumnRenamed("lang", "profile_lang")
     docs
-      .withColumn("doc_tris", trigramsOf(col("text")))
+      .withColumn("doc_tris", tris(col("text")))
       .crossJoin(broadcast(profiles))
       .withColumn("score", size(array_intersect(col("doc_tris"), col("profile"))))
       .withColumn("rn", row_number().over(

@@ -63,6 +63,39 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Distinct character n-grams of a string (native twin of
+  * TextAnalysis.trigramsOf — the interpreted per-character `substr`
+  * transform dominated the language-ID profile build).
+  */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    // operate on code points via String to match substr semantics
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[AnyRef]()
+    var i = 0
+    while (i + n <= s.length) {
+      set.add(UTF8String.fromString(s.substring(i, i + n)))
+      i += 1
+    }
+    new GenericArrayData(set.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature over a string array: lane_i = min over elements of
   * hashInt(i, xxhash64_bytes(s, 42)) — one byte-hash per element plus one
   * cheap int-mix per lane, with INDEPENDENT lanes. (A Carter-Wegman
@@ -157,6 +190,8 @@ case class SimHash64(child: Expression)
 object TextFunctions {
   def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
     toCol(WordShingles(toExpr(text), n, distinct))
+  def char_ngrams(text: Column, n: Int): Column =
+    toCol(CharNGrams(toExpr(text), n))
   def minhash_sig(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), k))
   def simhash64(shingles: Column): Column =

@@ -33,6 +33,13 @@ class TextExpressionsSpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("char_ngrams == HOF trigramsOf") {
+    val cmp = docs.select(
+      TextFunctions.char_ngrams(col("text"), 3).as("native"),
+      TextAnalysis.trigramsOf(col("text")).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
   test("minhash_sig == HOF minhashSig") {
     val sh = docs.select(col("doc_id"),
       TextFunctions.word_shingles(col("text"), 2, distinct = true).as("sh"))
