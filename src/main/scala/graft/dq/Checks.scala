@@ -87,7 +87,7 @@ object Checks {
           .filter(col("total_cents") < 0L)
           .orderBy("user_id"),
       Some(
-        """SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        """SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
           |FROM events GROUP BY user_id
           |HAVING sum(CAST(round(value * 100) AS BIGINT)) < 0
           |ORDER BY user_id""".stripMargin),

@@ -123,9 +123,9 @@ object TextAnalysis {
           .orderBy("lang"),
       Some(
         """SELECT lang, count(*) AS n_docs,
-          |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+          |       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
           |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) / count(*) AS avg_tokens,
-          |       sum(n_chars) AS total_chars
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
     ),
     QueryDef(

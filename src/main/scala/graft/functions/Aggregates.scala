@@ -95,7 +95,7 @@ object Aggregates {
           .orderBy("event_type"),
       Some(
         """SELECT event_type,
-          |       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
           |       count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),

@@ -57,7 +57,7 @@ object Relational {
           .orderBy("l_returnflag", "l_linestatus"),
       Some(
         """SELECT l_returnflag, l_linestatus,
-          |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
           |       sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
           |       sum(CAST(l_quantity AS BIGINT)) / count(*) AS avg_qty,
@@ -259,7 +259,7 @@ object Relational {
             col("l_linestatus").asc_nulls_first),
       Some(
         """SELECT l_returnflag, l_linestatus,
-          |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
           |FROM lineitem
           |GROUP BY ROLLUP (l_returnflag, l_linestatus)
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
@@ -280,8 +280,8 @@ object Relational {
           .orderBy("o_orderstatus"),
       Some(
         """SELECT o_orderstatus,
-          |       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 2
-          |                WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS weight,
+          |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 2
+          |                WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS weight,
           |       count(*) AS n_orders
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
@@ -335,7 +335,7 @@ object Relational {
       Some(
         """SELECT event_type,
           |       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) / count(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS avg_k,
-          |       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+          |       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
           |       count(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS n_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),

@@ -106,7 +106,7 @@ object Relational2 {
             col("o_orderpriority").asc_nulls_first),
       Some(
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
     ),
@@ -174,7 +174,7 @@ object Relational2 {
       },
       Some(
         """SELECT isodow(CAST(l_shipdate AS DATE)) AS iso_dow, count(*) AS n,
-          |       sum(CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)) AS total_delay,
+          |       CAST(sum(CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)) AS BIGINT) AS total_delay,
           |       max(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_delay
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY isodow(CAST(l_shipdate AS DATE)) ORDER BY iso_dow""".stripMargin),
@@ -251,7 +251,7 @@ object Relational2 {
       Some(
         """SELECT l_returnflag,
           |       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-          |       sum(CASE WHEN l_tax > 0.04 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS taxed_qty,
+          |       CAST(sum(CASE WHEN l_tax > 0.04 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS taxed_qty,
           |       count(*) AS n
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
@@ -287,12 +287,12 @@ object Relational2 {
           |                 THEN 1 ELSE 0 END AS is_break
           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
           |sessions AS (
-          |  SELECT *, sum(is_break) OVER (PARTITION BY user_id ORDER BY event_id
-          |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+          |  SELECT *, CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY event_id
+          |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
           |  FROM flags)
           |SELECT user_id, session_num, count(*) AS n_events,
           |       min(event_id) AS first_event, max(event_id) AS last_event,
-          |       sum(CAST(round(value * 100) AS BIGINT)) AS session_cents
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_cents
           |FROM sessions GROUP BY user_id, session_num
           |ORDER BY user_id, session_num""".stripMargin),
     ),

@@ -66,11 +66,13 @@ object Relational3 {
       (sp, dir) =>
         Tables.events(sp, dir)
           .groupBy("user_id")
-          .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          // array_join: the driver's pandas compare can't sort/hash array
+          // cells, so dump the collect_set as a canonical CSV string.
+          .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
             count(lit(1)).as("n"))
           .orderBy("user_id"),
       Some(
-        """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(*) AS n
+        """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, count(*) AS n
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
