@@ -18,7 +18,8 @@ object SparkEntry {
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
       graft.ext.Multimodal.all ++
-      graft.functions.Aggregates.all
+      graft.functions.Aggregates.all ++
+      graft.operators.OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

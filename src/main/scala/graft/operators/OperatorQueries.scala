@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Registered queries for the dedicated operators in this package — each
+  * pairs a Spark-first implementation with an INDEPENDENT DuckDB oracle
+  * (e.g. DuckDB's native ASOF JOIN checks our union+window as-of join).
+  */
+object OperatorQueries {
+
+  private def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- as-of join: attribute each purchase to the user's most recent
+    //      view at-or-before it (AsofJoin scaladoc for the scale design).
+    //      Oracle = DuckDB's NATIVE ASOF JOIN — an independent
+    //      implementation of the same semantics, not a SQL re-transcription
+    //      of our algorithm. ----
+    QueryDef(
+      "q_asof_attribution",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+        // point-in-time right side: unique (user_id, ts)
+        val views = ev
+          .filter(col("event_type") === "view")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("view_id"))
+          .withColumn("view_ts", col("ts"))
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        AsofJoin(purchases, views, "user_id", "ts", "ts", Seq("view_id", "view_ts"))
+          .select(
+            col("purchase_id"), col("user_id"), col("view_id"),
+            (unix_micros(col("ts")) - unix_micros(col("view_ts")))
+              .as("micros_since"))
+          .orderBy("purchase_id")
+      },
+      Some(
+        """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+          |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+          |     p AS (SELECT event_id AS purchase_id, user_id, ts
+          |           FROM events WHERE event_type = 'purchase')
+          |SELECT p.purchase_id, p.user_id, v.view_id,
+          |       date_diff('microsecond', v.ts, p.ts) AS micros_since
+          |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+          |ORDER BY p.purchase_id""".stripMargin),
+    ),
+
+    // ---- range (banded) join: orders binned into price bands via an
+    //      inequality join. The bands side is tiny and broadcast, so the
+    //      plan is BroadcastNestedLoopJoin — the right physical choice at
+    //      any fact size (no shuffle of the 100 TB side; each executor
+    //      scans its split once against the in-memory bands). ----
+    QueryDef(
+      "q_range_band_join",
+      (sp, dir) => {
+        import sp.implicits._
+        val bands = Seq(
+          ("p000_050k", 0.0, 50000.0),
+          ("p050_150k", 50000.0, 150000.0),
+          ("p150_300k", 150000.0, 300000.0),
+          ("p300k_inf", 300000.0, Double.MaxValue),
+        ).toDF("band", "lo", "hi")
+        Tables.orders(sp, dir)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_orders"),
+            (centsSum(col("o_totalprice")) / 100.0).as("total_price"))
+          .orderBy("band")
+      },
+      Some(
+        """SELECT b.band, count(*) AS n_orders,
+          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+          |FROM orders o
+          |JOIN (VALUES ('p000_050k', 0.0, 50000.0),
+          |             ('p050_150k', 50000.0, 150000.0),
+          |             ('p150_300k', 150000.0, 300000.0),
+          |             ('p300k_inf', 300000.0, 1e308)) AS b(band, lo, hi)
+          |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+          |GROUP BY b.band ORDER BY b.band""".stripMargin),
+    ),
+
+    // ---- exact percentiles (quantile_cont semantics) on exact cents —
+    //      integer inputs make the linear interpolation bit-deterministic
+    //      in both engines. Complements the approx sketch in
+    //      q_percentiles (which has no SQL oracle by nature). ----
+    QueryDef(
+      "q_percentiles_exact",
+      (sp, dir) =>
+        Tables.lineitem(sp, dir)
+          .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+          .groupBy("l_returnflag")
+          .agg(
+            (expr("percentile(cents, 0.25)") / 100.0).as("p25"),
+            (expr("percentile(cents, 0.5)") / 100.0).as("p50"),
+            (expr("percentile(cents, 0.75)") / 100.0).as("p75"),
+          )
+          .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+          |       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+          |       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100.0 AS p75
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // ---- BPE-ish tokenization: GPT-2-style pre-tokenizer regex (letters /
+    //      digits / punctuation runs with leading-space absorption),
+    //      restricted to the RE2∩Java-regex common dialect so both engines
+    //      agree. Per-source corpus token budget — the planning number a
+    //      training-data pipeline actually needs. ----
+    QueryDef(
+      "doc_bpe_tokens",
+      (sp, dir) =>
+        Tables.documents(sp, dir)
+          .select(col("source"),
+            size(regexp_extract_all(col("text"),
+              lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
+              .cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(sum(col("n_tok")).as("bpe_tokens"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some(
+        """SELECT source,
+          |       CAST(sum(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))) AS BIGINT) AS bpe_tokens,
+          |       count(*) AS n_docs
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    // key, ts, trade_id
+    ("A", 10L, 1L), ("A", 25L, 2L), ("A", 30L, 3L), ("B", 5L, 4L),
+  ).toDF("sym", "t", "trade_id")
+
+  private def quotes = Seq(
+    // key, ts, px  — unique (key, ts)
+    ("A", 8L, 100.0), ("A", 25L, 101.0), ("A", 40L, 102.0), ("C", 1L, 9.0),
+  ).toDF("sym", "t", "px")
+    .withColumn("qt", col("t"))
+
+  private def joined =
+    AsofJoin(trades, quotes, "sym", "t", "t", Seq("px", "qt"))
+      .collect()
+      .map(r => r.getLong(2) -> (Option(r.get(3)), Option(r.get(4))))
+      .toMap
+
+  test("asof join picks the latest right row at-or-before each left ts") {
+    assert(joined(1L) == (Some(100.0), Some(8L)))  // 8 <= 10 < 25
+    assert(joined(3L) == (Some(101.0), Some(25L))) // 25 <= 30 < 40
+  }
+
+  test("asof join is inclusive at equal timestamps") {
+    assert(joined(2L) == (Some(101.0), Some(25L))) // quote AT 25 matches
+  }
+
+  test("asof join yields nulls when no right row precedes") {
+    assert(joined(4L) == (None, None)) // key B has no quotes at all
+  }
+
+  test("asof join keeps every left row exactly once") {
+    val out = AsofJoin(trades, quotes, "sym", "t", "t", Seq("px"))
+    assert(out.count() == 4)
+    assert(out.columns.toSeq == Seq("sym", "t", "trade_id", "px"))
+  }
+
+  test("asof join plan is a single shuffle on the key (no join explosion)") {
+    val out = AsofJoin(trades, quotes, "sym", "t", "t", Seq("px"))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), "as-of must not use a join operator")
+    // one Exchange for the union'd window sweep (plus nothing per side)
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(physical).size
+    assert(nExchanges == 1, s"expected 1 shuffle, plan:\n$physical")
+  }
+
+  test("range band join broadcasts the bands side") {
+    val facts = (1 to 100).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
+    val bands = Seq(("lo", 0.0, 500.0), ("hi", 500.0, 1e9))
+      .toDF("band", "lo", "hi")
+    val out = facts.join(broadcast(bands),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val counts = out.groupBy("band").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("lo" -> 49L, "hi" -> 51L))
+  }
+}
