@@ -86,6 +86,45 @@ object OperatorQueries {
           |GROUP BY b.band ORDER BY b.band""".stripMargin),
     ),
 
+    // ---- binned range join: count each user's views in the hour before
+    //      every purchase. BOTH sides are fact-sized (events), so the
+    //      nested-loop plan Spark would pick for an inequality join is
+    //      wrong at scale — RangeJoin.binned turns it into an equi-join on
+    //      (user_id, hour-bin): one shuffle, ≤2 bins per interval.
+    //      Oracle = DuckDB's native inequality join. ----
+    QueryDef(
+      "q_range_interval_join",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+        val hourMicros = 3600L * 1000000L
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (unix_micros(col("ts")) - hourMicros).as("lo"),
+            unix_micros(col("ts")).as("hi"))
+        val counts = RangeJoin
+          .binned(views, purchases, "t", "lo", "hi", hourMicros, Seq("user_id"))
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_prior_views"))
+        purchases.select("purchase_id")
+          .join(counts, Seq("purchase_id"), "left")
+          .select(col("purchase_id"),
+            coalesce(col("n_prior_views"), lit(0L)).as("n_prior_views"))
+          .orderBy("purchase_id")
+      },
+      Some(
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+          |SELECT p.purchase_id,
+          |       CAST(count(v.ts) AS BIGINT) AS n_prior_views
+          |FROM p LEFT JOIN v
+          |  ON v.user_id = p.user_id
+          | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+          |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin),
+    ),
+
     // ---- exact percentiles (quantile_cont semantics) on exact cents —
     //      integer inputs make the linear interpolation bit-deterministic
     //      in both engines. Complements the approx sketch in

@@ -53,6 +53,26 @@ class OperatorsSpec extends SparkSpec {
     assert(nExchanges == 1, s"expected 1 shuffle, plan:\n$physical")
   }
 
+  test("binned range join matches brute force and avoids nested-loop plans") {
+    val points = (0L to 200L).map(t => (t % 3, t)).toDF("k", "t")
+    val intervals = Seq((0L, 10L, 30L, "i1"), (1L, 25L, 26L, "i2"),
+      (0L, 190L, 500L, "i3"), (2L, 60L, 59L, "i4") /* empty range */ )
+      .toDF("k", "lo", "hi", "ivl")
+
+    val got = graft.operators.RangeJoin
+      .binned(points, intervals, "t", "lo", "hi", binWidth = 16L, keys = Seq("k"))
+      .select("ivl", "t")
+    val brute = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("ivl", "t")
+    assert(got.collect().toSet == brute.collect().toSet)
+    assert(got.collect().nonEmpty)
+
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"binned range join must plan as an equi-join, got:\n$plan")
+  }
+
   test("range band join broadcasts the bands side") {
     val facts = (1 to 100).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
     val bands = Seq(("lo", 0.0, 500.0), ("hi", 500.0, 1e9))
