@@ -86,6 +86,49 @@ object OperatorQueries {
           |GROUP BY b.band ORDER BY b.band""".stripMargin),
     ),
 
+    // ---- dedup clustering: near-dup PAIRS (word-set Jaccard >= 0.9 on a
+    //      deterministic doc sample) collapsed into duplicate clusters via
+    //      ConnectedComponents; each doc reports its cluster representative
+    //      (min reachable doc_id). Oracle = DuckDB RECURSIVE CTE computing
+    //      the same min-reachable-id — an independent transitive-closure
+    //      implementation. ----
+    QueryDef(
+      "dedup_clusters",
+      (sp, dir) => {
+        val docs = Tables.documents(sp, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+          .persist()
+        val edges = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+            (size(array_intersect(col("a.w"), col("b.w"))) * 1.0 /
+              (size(col("a.w")) + size(col("b.w"))
+                - size(array_intersect(col("a.w"), col("b.w"))))).as("jaccard"))
+          .filter(col("jaccard") >= 0.9)
+          .select("src", "dst")
+        val out = ConnectedComponents(docs.select(col("doc_id").as("id")), edges)
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+          .orderBy("doc_id")
+        docs.unpersist()
+        out
+      },
+      Some(
+        """WITH RECURSIVE
+          |  s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+          |        FROM documents WHERE doc_id % 10 = 0),
+          |  e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          |        FROM s a, s b WHERE a.doc_id < b.doc_id
+          |          AND len(list_intersect(a.w, b.w)) * 1.0
+          |              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9),
+          |  edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |  reach(id, r) AS (
+          |    SELECT doc_id, doc_id FROM s
+          |    UNION
+          |    SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+          |SELECT id AS doc_id, min(r) AS component
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    ),
+
     // ---- binned range join: count each user's views in the hour before
     //      every purchase. BOTH sides are fact-sized (events), so the
     //      nested-loop plan Spark would pick for an inequality join is

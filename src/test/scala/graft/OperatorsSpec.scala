@@ -73,6 +73,17 @@ class OperatorsSpec extends SparkSpec {
       s"binned range join must plan as an equi-join, got:\n$plan")
   }
 
+  test("connected components labels chains, cliques, and isolated vertices") {
+    // chain 1-2-3-4-5 (diameter > 1 round), clique {10,11,12}, isolated 99
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
   test("range band join broadcasts the bands side") {
     val facts = (1 to 100).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
     val bands = Seq(("lo", 0.0, 500.0), ("hi", 500.0, 1e9))
