@@ -27,6 +27,53 @@ object StreamAggs {
       .select(col("w.start").as("hour_start"), col("sensor_type"),
         col("n_events"), col("avg_value"), col("max_value"))
 
+  /** Gap-based session windows over event time — the streaming twin of the
+    * batch q_sessionize query (lag + running-sum there; native
+    * `session_window` + watermark here). State per open session only;
+    * the watermark closes sessions `gap` after their last event and
+    * reclaims their state, keeping the store bounded on an unbounded
+    * stream.
+    */
+  def sessionize(events: DataFrame, tsCol: String = "ts",
+      gap: String = "30 minutes", lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("session_cents"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_cents"))
+
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within the preceding hour (the streaming twin of
+    * q_range_interval_join). Both sides carry watermarks and the join
+    * condition bounds view-time relative to purchase-time, so Spark can
+    * compute how long to buffer each side and evict state — unbounded
+    * state otherwise.
+    */
+  def purchaseViewJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("view_ts", "1 hour")
+    val p = purchases.withWatermark("purchase_ts", "2 hours")
+    p.join(
+      v,
+      p("user_id") === v("user_id") &&
+        v("view_ts") >= p("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        v("view_ts") <= p("purchase_ts"),
+      "leftOuter")
+      .select(p("purchase_id"), p("user_id"), p("purchase_ts"), v("view_ts"))
+  }
+
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped, and key-state older than the
+    * horizon is reclaimed — `dropDuplicates` alone would grow state
+    * forever on an unbounded stream.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String = "ts",
+      horizon: String = "1 hour", keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Per-device health state for mapGroupsWithState. */
   final case class DeviceReading(device_id: String, timestamp: java.sql.Timestamp,
       quality_flag: String, value: Double)

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.stream.StreamAggs
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session windows close at the gap and match the batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "value")
+    val q = StreamAggs.sessionize(streamDf)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: two events 10 min apart (one session), then one 2h later
+    // (new session); user 2: single event
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0),
+      (ts("2024-01-01 12:30:00"), 1L, 4.0),
+      (ts("2024-01-01 10:00:00"), 2L, 8.0))
+    q.processAllAvailable()
+    // push the watermark past every session end + gap
+    mem.addData((ts("2024-01-02 00:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+
+    val got = spark.table("sessions_out")
+      .filter(col("user_id") < 9)
+      .select("user_id", "n_events", "session_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 300L), (1L, 1L, 400L), (2L, 1L, 800L)))
+
+    // batch twin: same frame through the same function
+    val batch = StreamAggs.sessionize(
+      Seq((ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0),
+        (ts("2024-01-01 12:30:00"), 1L, 4.0),
+        (ts("2024-01-01 10:00:00"), 2L, 8.0))
+        .toDF("ts", "user_id", "value"))
+      .select("user_id", "n_events", "session_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == got)
+    q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to in-window views") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamAggs.purchaseViewJoin(
+      vMem.toDF().toDF("user_id", "view_ts"),
+      pMem.toDF().toDF("purchase_id", "user_id", "purchase_ts"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+
+    vMem.addData((1L, ts("2024-01-01 10:00:00")), // in window for p100
+      (1L, ts("2024-01-01 08:00:00")), // too old for p100
+      (2L, ts("2024-01-01 10:20:00"))) // other user
+    pMem.addData((100L, 1L, ts("2024-01-01 10:30:00")),
+      (200L, 3L, ts("2024-01-01 10:30:00"))) // user 3 has no views
+    q.processAllAvailable()
+    // advance both watermarks so the left-outer null for p200 is emitted
+    vMem.addData((9L, ts("2024-01-02 00:00:00")))
+    pMem.addData((999L, 9L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+
+    val got = spark.table("attr_out")
+      .filter(col("purchase_id") < 999)
+      .select("purchase_id", "view_ts")
+      .as[(Long, Option[Timestamp])].collect().toSet
+    assert(got == Set(
+      (100L, Some(ts("2024-01-01 10:00:00"))),
+      (200L, None)))
+    q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamAggs
+      .dedupWithinWatermark(mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    // replay event 1 in a later micro-batch, still within the horizon
+    mem.addData((1L, ts("2024-01-01 10:02:00"), 1.0),
+      (3L, ts("2024-01-01 10:03:00"), 3.0))
+    q.processAllAvailable()
+
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L), "replayed event_id 1 must be dropped")
+    q.stop()
+  }
+}
