@@ -38,6 +38,11 @@ object ConnectedComponents {
     sym.count() // materialize once; reused every round
 
     var labels = vertices.select(col("id"), col("id").as("comp"))
+    // Labels only ever decrease, so sum(comp) strictly decreases until the
+    // fixpoint — an O(1)-output scan of the already-materialized checkpoint
+    // detects convergence without the extra old-vs-new join a per-row
+    // comparison would cost (2 jobs/round → 1 job + 1 cheap scan).
+    var prevSum = Long.MaxValue
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -48,11 +53,10 @@ object ConnectedComponents {
         .union(nbrMin)
         .groupBy("id")
         .agg(min("comp").as("comp"))
-        .localCheckpoint() // cut the iterated lineage
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
+        .localCheckpoint() // cut the iterated lineage (eager)
+      val s = next.agg(sum("comp")).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
