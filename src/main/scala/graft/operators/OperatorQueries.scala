@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -190,6 +191,102 @@ object OperatorQueries {
           |       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100.0 AS p50,
           |       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100.0 AS p75
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // ---- int8 embedding quantization: per-vector absmax scale, round to
+    //      [-127,127], report reconstruction MSE per label — the
+    //      compress-before-ANN step of an embedding pipeline. Exploded to
+    //      (vec, pos, x) rows so the math stays in whole-stage codegen
+    //      (array higher-order functions never codegen). Error terms are
+    //      rounded to integer 1e-12 units before summing so the aggregate
+    //      is addition-order independent (bit-exact vs DuckDB). ----
+    QueryDef(
+      "emb_quantize_mse",
+      (sp, dir) => {
+        val ex = Tables.embeddings(sp, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("label"), col("x").cast("double").as("x"))
+        val scale = greatest(max(abs(col("x"))).over(Window.partitionBy("vec_id")),
+          lit(1e-30)) / 127.0
+        val q = least(greatest(round(col("x") / col("scale")), lit(-127.0)), lit(127.0))
+        ex.withColumn("scale", scale)
+          .withColumn("e", col("x") - q * col("scale"))
+          .withColumn("err_units", round(col("e") * col("e") * 1e12).cast("long"))
+          .groupBy("label")
+          .agg((count(lit(1)) / 64).cast("long").as("n_vecs"),
+            (sum(col("err_units")) / count(lit(1)) / 1e12).as("mse"))
+          .orderBy("label")
+      },
+      Some(
+        """WITH ex AS (
+          |  SELECT vec_id, label, CAST(u.x AS DOUBLE) AS x
+          |  FROM embeddings, unnest(CAST(embedding AS DOUBLE[])) AS u(x)),
+          |s AS (
+          |  SELECT label,
+          |         x - least(greatest(round(x / scale), -127), 127) * scale AS e
+          |  FROM (SELECT label, x,
+          |               greatest(max(abs(x)) OVER (PARTITION BY vec_id), 1e-30)
+          |                 / 127.0 AS scale
+          |        FROM ex))
+          |SELECT label,
+          |       CAST(count(*) / 64 AS BIGINT) AS n_vecs,
+          |       CAST(sum(CAST(round(e * e * 1e12) AS BIGINT)) AS BIGINT)
+          |         / count(*) / 1e12 AS mse
+          |FROM s GROUP BY label ORDER BY label""".stripMargin),
+    ),
+
+    // ---- winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03):
+    //      md5 over token 4-grams, min-hash per sliding window of 5 —
+    //      md5 hex strings give both engines an identical hash + identical
+    //      lexicographic min, so the full fingerprint pipeline is oracled
+    //      (the rolling-polynomial twin doc_rolling_fp stays rows-only). ----
+    QueryDef(
+      "doc_winnow_fp",
+      (sp, dir) => {
+        val k = 4
+        val w = 5
+        val grams = Tables.documents(sp, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= k)
+          .select(col("doc_id"), posexplode(
+            expr(s"transform(sequence(0, size(toks) - $k), i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
+            .as(Seq("pos", "h")))
+        val winMin = min(col("h")).over(
+          Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.currentRow, w - 1))
+        val nGrams = count(lit(1)).over(Window.partitionBy("doc_id"))
+        grams
+          .withColumn("n", nGrams)
+          .withColumn("fp", winMin)
+          // only complete windows: pos <= n_grams - w
+          .filter(col("pos") <= col("n") - w)
+          .groupBy("doc_id")
+          .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+          |i AS (
+          |  SELECT doc_id, toks, len(toks) - 4 AS max_pos,
+          |         unnest(generate_series(1, len(toks) - 3)) AS idx
+          |  FROM t),
+          |g AS (
+          |  SELECT doc_id, idx - 1 AS pos, max_pos,
+          |         md5(array_to_string(toks[idx : idx + 3], ' ')) AS h
+          |  FROM i),
+          |win AS (
+          |  SELECT doc_id, pos, max_pos,
+          |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+          |  FROM g)
+          |SELECT doc_id,
+          |       CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+          |       min(fp) AS min_fp
+          |FROM win WHERE pos <= max_pos - 4
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
     // ---- BPE-ish tokenization: GPT-2-style pre-tokenizer regex (letters /
