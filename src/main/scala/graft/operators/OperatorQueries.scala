@@ -193,6 +193,155 @@ object OperatorQueries {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
+    // ---- time-series gap fill: generate the full hourly grid per user via
+    //      sequence+explode (the distributed generate_series), left-join
+    //      observed hourly aggregates, zero-fill gaps. The grid generation
+    //      is narrow (no shuffle until the join), and the join key
+    //      (user, hour) co-partitions with the aggregate — one shuffle
+    //      total. The canonical IoT densification step. ----
+    QueryDef(
+      "q_gap_fill",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+          .filter(col("user_id") < 20)
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val hourly = ev.groupBy("user_id", "hour")
+          .agg(count(lit(1)).as("n_events"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("hour"))
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy("user_id", "hour")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, date_trunc('hour', ts) AS hour
+          |  FROM events WHERE user_id < 20),
+          |hourly AS (
+          |  SELECT user_id, hour, count(*) AS n_events
+          |  FROM e GROUP BY user_id, hour),
+          |grid AS (
+          |  SELECT user_id,
+          |         unnest(generate_series(min(hour), max(hour),
+          |                                INTERVAL 1 HOUR)) AS hour
+          |  FROM e GROUP BY user_id)
+          |SELECT g.user_id, g.hour,
+          |       coalesce(h.n_events, 0) AS n_events
+          |FROM grid g LEFT JOIN hourly h
+          |  ON g.user_id = h.user_id AND g.hour = h.hour
+          |ORDER BY g.user_id, g.hour""".stripMargin),
+    ),
+
+    // ---- deterministic hash-based train/val/test split: md5 of the doc id
+    //      buckets every row the same way in any engine, on any cluster, at
+    //      any parallelism — the reproducible-split primitive a training
+    //      pipeline needs (random() would differ per engine/run). ----
+    QueryDef(
+      "q_hash_split",
+      (sp, dir) =>
+        // buckets via the first two lowercase-hex md5 chars compared
+        // lexicographically ('cd' = 205/256 ≈ 80% train, 'e6' = 230/256)
+        Tables.documents(sp, dir)
+          .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+          .withColumn("split",
+            when(col("h2") < "cd", "train")
+              .when(col("h2") < "e6", "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("split"),
+      Some(
+        """SELECT CASE WHEN h2 < 'cd' THEN 'train'
+          |            WHEN h2 < 'e6' THEN 'val'
+          |            ELSE 'test' END AS split,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM (SELECT n_chars,
+          |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+          |      FROM documents)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
+    // ---- stratified sampling: per-stratum Bernoulli sampling with a fixed
+    //      seed (sampleBy) — downsample overrepresented sources while
+    //      keeping rare ones, the corpus-balancing step before training.
+    //      Sampling is seeded per-engine, so no SQL oracle; the spec pins
+    //      proportions and determinism, the driver records row counts. ----
+    QueryDef(
+      "q_stratified_sample",
+      (sp, dir) => {
+        val docs = Tables.documents(sp, dir)
+        val sources = docs.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        // downsample even-indexed sources to 20%, keep the rest whole
+        val fractions = sources.zipWithIndex.map { case (s, i) =>
+          s -> (if (i % 2 == 0) 0.2 else 1.0)
+        }.toMap
+        docs.stat.sampleBy("source", fractions, seed = 42L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("source")
+      },
+      None, // engine-seeded sampling; proportions pinned by OperatorsSpec
+    ),
+
+    // ---- GROUPING SETS (the general form under rollup/cube, which are
+    //      already covered): two chosen aggregation lattices in one pass
+    //      over the fact table. ----
+    QueryDef(
+      "q_grouping_sets",
+      (sp, dir) => {
+        val s = sp
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |       count(*) AS n,
+            |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+    ),
+
+    // ---- RANGE window frame (value-based, vs the ROWS frames used
+    //      elsewhere): each order's count of same-customer orders in the
+    //      preceding 30 days — a sliding event-time window without
+    //      sessionization state. ----
+    QueryDef(
+      "q_window_range_frame",
+      (sp, dir) => {
+        val days30 = 30L * 86400L
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("t"))
+          .rangeBetween(-days30, Window.currentRow)
+        Tables.orders(sp, dir)
+          .withColumn("t", unix_timestamp(col("o_orderdate")))
+          .withColumn("n_last_30d", count(lit(1)).over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("n_last_30d"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey,
+          |       CAST(count(*) OVER (
+          |         PARTITION BY o_custkey
+          |         ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+          |         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT)
+          |         AS n_last_30d
+          |FROM orders ORDER BY o_orderkey""".stripMargin),
+    ),
+
     // ---- int8 embedding quantization: per-vector absmax scale, round to
     //      [-127,127], report reconstruction MSE per label — the
     //      compress-before-ANN step of an embedding pipeline. Exploded to

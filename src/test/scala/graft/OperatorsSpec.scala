@@ -84,6 +84,18 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("stratified sample keeps fractions and is deterministic under a seed") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 4 == 0) "rare" else "common"))
+      .toDF("doc_id", "source")
+    val fractions = Map("common" -> 0.2, "rare" -> 1.0)
+    def run() = docs.stat.sampleBy("source", fractions, seed = 42L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val got = run()
+    assert(got("rare") == 500L, "fraction-1.0 stratum must be kept whole")
+    assert(math.abs(got("common") - 300.0) < 90.0, s"~20% of 1500, got $got")
+    assert(run() == got, "same seed must give the same sample")
+  }
+
   test("range band join broadcasts the bands side") {
     val facts = (1 to 100).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
     val bands = Seq(("lo", 0.0, 500.0), ("hi", 500.0, 1e9))
