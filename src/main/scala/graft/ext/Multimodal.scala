@@ -70,6 +70,67 @@ object Multimodal {
     out.toDF()
   }
 
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, n_bytes: Long, payload: Array[Byte])
+
+  /** STUB resize: binary in → binary out with the target dimensions'
+    * byte budget (w*h*3). A real codec would decode-scale-encode; the
+    * stub resamples source bytes at a fixed stride so output is a
+    * deterministic function of (payload, w, h). The plumbing — binary
+    * column in, binary column out, per-partition batching — is the real
+    * shape of a distributed image-resize stage.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        val outLen = w * h * 3
+        batch.map { case (id, mt, payload) =>
+          val src = if (payload == null) Array.emptyByteArray else payload
+          val out = new Array[Byte](outLen)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < outLen) {
+              out(i) = src(((i.toLong * src.length) / outLen).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(id, mt, w, h, outLen.toLong, out)
+        }
+      }
+      .toDF()
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int,
+      checksum: Long)
+
+  /** STUB frame sampling: treat the payload as fixed-size frames and emit
+    * every Nth one — the 1→N video→frames explode. Iterator-based
+    * flatMap keeps memory bounded per partition (frames stream out, the
+    * "video" is never materialized as a frame list), which is what lets a
+    * multi-GB video row pass through a 4 GB executor.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val src = if (payload == null) Array.emptyByteArray else payload
+        val nFrames = src.length / frameBytes
+        Iterator.range(0, nFrames).filter(_ % everyN == 0).map { f =>
+          var sum = 0L
+          var i = f * frameBytes
+          val end = i + frameBytes
+          while (i < end) { sum = sum * 31 + (src(i) & 0xFF); i += 1 }
+          Frame(id, f, frameBytes, sum)
+        }
+      }
+      .toDF()
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Binary-column metadata — oracled: byte lengths and md5 content
     // hashes agree across engines.
@@ -92,6 +153,17 @@ object Multimodal {
         extractFeatures(asMediaTable(Tables.documents(sp, dir)))
           .orderBy("doc_id"),
       None, // decode is stubbed; plumbing verified by ScalaTest
+    ),
+    QueryDef(
+      "mm_frame_sample",
+      (sp, dir) =>
+        sampleFrames(asMediaTable(Tables.documents(sp, dir)),
+          frameBytes = 64, everyN = 4)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_frames"),
+            min("checksum").as("min_checksum"))
+          .orderBy("doc_id"),
+      None, // stub codec; frame math pinned by MultimodalSpec
     ),
   )
 }

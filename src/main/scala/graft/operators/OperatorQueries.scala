@@ -193,6 +193,82 @@ object OperatorQueries {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
 
+    // ---- salted skew join: events ⋈ customer on a salted key, spreading
+    //      any hot user over 8 sub-keys. The salt changes WHERE pairs
+    //      meet, never WHAT matches, so a plain DuckDB join is the
+    //      oracle. ----
+    QueryDef(
+      "q_salted_join",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+          .select(col("user_id"), col("event_id"), col("value"))
+        val cust = Tables.customer(sp, dir)
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        SaltedJoin(ev, cust, "user_id", salts = 8)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy("c_nationkey")
+      },
+      Some(
+        """SELECT c.c_nationkey, count(*) AS n_events,
+          |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin),
+    ),
+
+    // ---- MinHash similarity estimator, cross-engine-verifiable variant:
+    //      lane hashes are md5(lane:shingle) hex strings, lane minimum is
+    //      the lexicographic min — computable identically in DuckDB, so
+    //      the whole estimator (shingle → 16-lane signature → matching
+    //      lanes / 16) is oracled end-to-end. The production path
+    //      (dedup_minhash, xxhash64 lanes + LSH banding) stays rows-only;
+    //      this query proves the estimator math on the same corpus. ----
+    QueryDef(
+      "dedup_minhash_md5",
+      (sp, dir) => {
+        val lanes = Tables.documents(sp, dir)
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(
+            expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+            .as("sh"))
+          .withColumn("lane", explode(expr("sequence(0, 15)")))
+          .groupBy("doc_id", "lane")
+          .agg(min(md5(concat_ws(":", col("lane"), col("sh")))).as("mh"))
+        lanes.as("a")
+          .join(lanes.as("b"),
+            col("a.lane") === col("b.lane") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg((sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)) / 16.0)
+            .as("est_jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE doc_id % 25 = 0
+          |    AND len(string_split(text, ' ')) >= 3),
+          |i AS (
+          |  SELECT doc_id, toks,
+          |         unnest(generate_series(1, len(toks) - 2)) AS idx
+          |  FROM t),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         array_to_string(toks[idx : idx + 2], ' ') AS sh
+          |  FROM i),
+          |gl AS (
+          |  SELECT doc_id, sh, unnest(generate_series(0, 15)) AS lane FROM g),
+          |l AS (
+          |  SELECT doc_id, lane, min(md5(lane || ':' || sh)) AS mh
+          |  FROM gl GROUP BY doc_id, lane)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |       sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+          |FROM l a JOIN l b ON a.lane = b.lane AND a.doc_id < b.doc_id
+          |GROUP BY a.doc_id, b.doc_id ORDER BY a_id, b_id""".stripMargin),
+    ),
+
     // ---- time-series gap fill: generate the full hourly grid per user via
     //      sequence+explode (the distributed generate_series), left-join
     //      observed hourly aggregates, zero-fill gaps. The grid generation

@@ -32,4 +32,31 @@ class MultimodalSpec extends SparkSpec {
     val nonEmpty = f1.find(_.getLong(0) == 1L).get
     assert(nonEmpty.getAs[Int]("width") >= 64 && nonEmpty.getAs[Int]("height") >= 64)
   }
+
+  test("resize emits the exact target byte budget and is deterministic") {
+    val media = Multimodal.asMediaTable(docs)
+    val r = Multimodal.resize(media, w = 4, h = 2).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    for ((_, row) <- r) {
+      assert(row.getAs[Long]("n_bytes") == 4L * 2 * 3)
+      assert(row.getAs[Array[Byte]]("payload").length == 24)
+    }
+    // empty payload resizes to all-zero bytes, not a crash
+    assert(r(2L).getAs[Array[Byte]]("payload").forall(_ == 0))
+    val again = Multimodal.resize(media, 4, 2).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row.getAs[Array[Byte]]("payload").toSeq)
+      .toMap
+    assert(again(1L) == r(1L).getAs[Array[Byte]]("payload").toSeq)
+  }
+
+  test("frame sampling emits every Nth fixed-size frame") {
+    val wide = Seq((7L, "x" * 100, "en", "srcA", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal
+      .sampleFrames(Multimodal.asMediaTable(wide), frameBytes = 10, everyN = 3)
+      .collect()
+    // 100 bytes / 10 = 10 frames; every 3rd → idx 0,3,6,9
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_.getAs[Int]("n_bytes") == 10))
+  }
 }

@@ -84,6 +84,23 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("salted join equals the plain join and spreads a hot key") {
+    // 1000 rows of one hot key + 100 spread rows
+    val big = ((1 to 1000).map(_ => 7L) ++ (1L to 100L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val dim = (1L to 100L).map(i => (i, s"d$i")).toDF("k", "name")
+    val salted = graft.operators.SaltedJoin(big, dim, "k", salts = 8)
+    val plain = big.join(dim, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "name").collect().toSet
+      == plain.select("k", "v", "name").collect().toSet)
+    // the hot key's rows must land in >1 salt bucket
+    val spread = big.filter(col("k") === 7L)
+      .withColumn("__salt", pmod(xxhash64(big.columns.map(col): _*), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(spread > 1, "hot key must scatter across salts")
+  }
+
   test("stratified sample keeps fractions and is deterministic under a seed") {
     val docs = (1L to 2000L).map(i => (i, if (i % 4 == 0) "rare" else "common"))
       .toDF("doc_id", "source")
