@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based equivalence: each dedicated operator against a
+  * brute-force reference on randomized inputs (deterministic seeds).
+  * Catches the edge geometry — empty sides, timestamp ties, reversed
+  * intervals, bin-boundary values — that hand-picked fixtures miss.
+  */
+class OperatorPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  import graft.operators.{AsofJoin, RangeJoin, SaltedJoin}
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default.withSize(40), Seed(seed))
+
+  private val keyGen = Gen.chooseNum(0L, 3L)
+  private val tsGen = Gen.chooseNum(0L, 60L)
+
+  test("asof join == argmax brute force on random event sets") {
+    val pairGen = Gen.listOf(Gen.zip(keyGen, tsGen))
+    for (round <- 1 to 8) {
+      val ls = sample(pairGen, round)
+      val rsRaw = sample(pairGen, round + 100)
+      val rs = rsRaw.distinct // unique (k, ts), as the operator requires
+      if (ls.nonEmpty) {
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+        val right = rs.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+          .toDF("k", "t", "rid")
+
+        val got = AsofJoin(left, right, "k", "t", "t", Seq("rid"))
+          .select("lid", "rid")
+          .as[(Long, Option[Long])].collect().toMap
+
+        val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+          val candidates = rs.zipWithIndex
+            .filter { case ((rk, rt), _) => rk == k && rt <= t }
+          i.toLong -> (if (candidates.isEmpty) None
+                       else Some(candidates.maxBy(_._1._2)._2.toLong + 1000))
+        }.toMap
+        assert(got == expected, s"seed $round: $ls vs $rs")
+      }
+    }
+  }
+
+  test("binned range join == brute force for every bin width") {
+    val pGen = Gen.listOf(Gen.zip(keyGen, tsGen))
+    val iGen = Gen.listOf(Gen.zip(keyGen, tsGen, Gen.chooseNum(-5L, 20L)))
+    for (round <- 1 to 8) {
+      val ps = sample(pGen, round)
+      val ivs = sample(iGen, round + 200)
+      val width = 1L + round * 3
+      if (ps.nonEmpty && ivs.nonEmpty) {
+        val points = ps.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "pid")
+        val intervals = ivs.zipWithIndex
+          .map { case ((k, lo, len), i) => (k, lo, lo + len, i.toLong) }
+          .toDF("k", "lo", "hi", "iid") // len<0 → reversed interval
+        val got = RangeJoin
+          .binned(points, intervals, "t", "lo", "hi", width, Seq("k"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val expected = points.join(intervals, Seq("k"))
+          .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(got == expected, s"seed $round width $width")
+      }
+    }
+  }
+
+  test("salted join == plain join for any salt count") {
+    val rowsGen = Gen.listOf(Gen.zip(keyGen, Gen.chooseNum(0L, 100L)))
+    for (round <- 1 to 8) {
+      val rows = sample(rowsGen, round)
+      val salts = 1 + round % 7
+      if (rows.nonEmpty) {
+        val big = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "rid")
+        val dim = (0L to 3L).map(k => (k, s"d$k")).toDF("k", "name")
+        val got = SaltedJoin(big, dim, "k", salts)
+          .select("rid", "name").as[(Long, String)].collect().toSet
+        val expected = big.join(dim, "k")
+          .select("rid", "name").as[(Long, String)].collect().toSet
+        assert(got == expected, s"seed $round salts $salts")
+      }
+    }
+  }
+}

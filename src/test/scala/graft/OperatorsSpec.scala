@@ -101,6 +101,33 @@ class OperatorsSpec extends SparkSpec {
     assert(spread > 1, "hot key must scatter across salts")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 80% of the big side lands on key 0 → one fat shuffle partition
+      val big = spark.range(0, 200000)
+        .select(when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val other = spark.range(0, 200000).select(col("id").as("k"))
+      val joined = big.join(other, "k")
+      // run THIS dataset's query execution (count() would plan a new one)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should mark the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("stratified sample keeps fractions and is deterministic under a seed") {
     val docs = (1L to 2000L).map(i => (i, if (i % 4 == 0) "rare" else "common"))
       .toDF("doc_id", "source")
