@@ -108,5 +108,44 @@ object Relational3 {
           |       coalesce(regexp_extract(text, '[aeiou][a-z]{3,}'), '') AS first_vowel_word
           |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+
+    // ---- TPC-H Q18 shape (large-volume customers): semi-join against a
+    //      HAVING aggregate, then a 3-way join + re-aggregation + top-k.
+    //      The HAVING side aggregates BEFORE joining (the small surviving
+    //      key set then semi-filters the fact scan), and the final top-k
+    //      is TakeOrderedAndProject — no global sort at any size. ----
+    QueryDef(
+      "q18_big_orders",
+      (sp, dir) => {
+        val li = Tables.lineitem(sp, dir)
+        val bigOrders = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .filter(col("qty") > 150L)
+          .select(col("l_orderkey"))
+        Tables.orders(sp, dir)
+          .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+          .join(Tables.customer(sp, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(
+        """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+          |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |WHERE o.o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem
+          |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+          |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+          |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin),
+    ),
   )
 }

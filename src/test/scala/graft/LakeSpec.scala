@@ -64,6 +64,19 @@ class LakeSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lake_agg")
   }
 
+  test("schema evolution: mergeSchema unions old and new column sets") {
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(s"$dir/p=1")
+    Seq((2L, 3.5)).toDF("id", "new_col").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "old_col", "new_col", "p"))
+    val rows = merged.orderBy("id")
+      .select("id", "old_col", "new_col")
+      .collect()
+    assert(rows(0).getAs[String]("old_col") == "a" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getAs[Double]("new_col") == 3.5)
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {
