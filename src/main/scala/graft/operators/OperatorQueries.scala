@@ -366,6 +366,30 @@ object OperatorQueries {
       None, // engine-seeded sampling; proportions pinned by OperatorsSpec
     ),
 
+    // ---- distribution-position windows: percent_rank + cume_dist per
+    //      order-priority cohort (exact-fraction doubles: both engines
+    //      compute (rank-1)/(n-1) and rank/n from identical ints). ----
+    QueryDef(
+      "q_percent_rank",
+      (sp, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_orderkey"))
+        Tables.orders(sp, dir)
+          .filter(col("o_orderkey") % 100 === 0)
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .select("o_orderkey", "o_orderpriority", "pr", "cd")
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |       percent_rank() OVER w AS pr,
+          |       cume_dist() OVER w AS cd
+          |FROM orders WHERE o_orderkey % 100 = 0
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin),
+    ),
+
     // ---- GROUPING SETS (the general form under rollup/cube, which are
     //      already covered): two chosen aggregation lattices in one pass
     //      over the fact table. ----

@@ -83,6 +83,34 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("foreachBatch splits each micro-batch into retained + quarantine sinks") {
+    import graft.dq.Expectations
+    implicit val sqlCtx = spark.sqlContext
+    val retained = scala.collection.mutable.ArrayBuffer[Long]()
+    val quarantined = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("event_id", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = Expectations(batch,
+          Seq(Expectations.Expectation("pos_value", col("value") >= 0,
+            Expectations.Drop)))
+        retained ++= r.retained.select("event_id")
+          .collect().map(_.getLong(0))
+        quarantined ++= r.quarantined.select("event_id")
+          .collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    mem.addData((1L, 1.0), (2L, -5.0), (3L, 2.0))
+    q.processAllAvailable()
+    mem.addData((4L, -1.0))
+    q.processAllAvailable()
+    assert(retained.sorted.toSeq == Seq(1L, 3L))
+    assert(quarantined.sorted.toSeq == Seq(2L, 4L))
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
