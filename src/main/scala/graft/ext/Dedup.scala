@@ -123,6 +123,32 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Observability for the LSH bucket cap: the size distribution of the
+    * band buckets BEFORE capping, so the "how much did the cap truncate on
+    * this corpus" question has a number (run it when tuning bands/cap for
+    * a new corpus — a large `capped_rows` means the band count or corpus
+    * preprocessing needs revisiting, not a bigger cap).
+    */
+  def lshBucketStats(docs: DataFrame, n: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 8, maxBucket: Int = 50): DataFrame = {
+    val sigs = docs
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"),
+        lshBands(graft.functions.TextFunctions.minhash_sig(
+          graft.functions.TextFunctions.word_shingles(col("text"), n, distinct = true),
+          bands * rowsPerBand), bands, rowsPerBand).as("bands"))
+    sigs
+      .select(explode(col("bands")).as("b"))
+      .groupBy(col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket_size"),
+        sum(when(col("sz") > maxBucket, 1L).otherwise(0L)).as("n_oversized"),
+        sum(when(col("sz") > maxBucket, col("sz") - maxBucket).otherwise(0L))
+          .as("capped_rows"))
+  }
+
   /** Per-bit counters for SimHash: one traversal of the shingle array into
     * 65 longs — slots 0..63 count set bits per position, slot 64 carries
     * the shingle count (so no consumer ever re-derives the shingle array

@@ -21,6 +21,17 @@ class DedupSpec extends SparkSpec {
     (0L, base), (1L, base), (2L, nearCopy), (3L, unrelated),
   ).toDF("doc_id", "text")
 
+  test("lsh bucket stats expose oversized buckets before capping") {
+    import spark.implicits._
+    // 60 identical docs → every band hashes them into one bucket of 60
+    val clones = (0L until 60L).map(i => (i, base)).toDF("doc_id", "text")
+    val stats = Dedup.lshBucketStats(clones, maxBucket = 50).collect()(0)
+    assert(stats.getAs[Long]("max_bucket_size") == 60L)
+    assert(stats.getAs[Long]("n_oversized") > 0L)
+    assert(stats.getAs[Long]("capped_rows") ==
+      stats.getAs[Long]("n_oversized") * 10L) // 60 - 50 per oversized bucket
+  }
+
   test("exact dedup groups identical content and keeps min doc_id") {
     val d = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == Map(0L -> 2L, 2L -> 1L, 3L -> 1L)) // doc 1 collapsed into doc 0
