@@ -167,7 +167,42 @@ object TextAnalysis {
     QueryDef(
       "doc_lang_id",
       (sp, dir) => langId(Tables.documents(sp, dir)).orderBy("doc_id"),
-      None, // trigram-profile scoring is not reasonably SQL-expressible
+      // The full learn-then-classify pipeline IS SQL-expressible: distinct
+      // char-trigrams per doc (substr grid), doc-frequency counts → top-40
+      // profile per lang (row_number with the same count-desc/tri
+      // tie-break), overlap scores via join, argmax with the same
+      // score-desc/lang tie-break. Docs shorter than 3 chars keep score 0
+      // against every profile, exactly like the Spark cross join.
+      Some(
+        """WITH d AS (SELECT doc_id, lang, text FROM documents),
+          |idx AS (SELECT doc_id, lang, text,
+          |               unnest(generate_series(1, len(text) - 2)) AS i
+          |        FROM d WHERE len(text) >= 3),
+          |dtri AS (SELECT DISTINCT doc_id, lang, substr(text, i, 3) AS tri
+          |         FROM idx),
+          |cnt AS (SELECT lang, tri, count(*) AS c FROM dtri GROUP BY lang, tri),
+          |prof AS (SELECT lang AS profile_lang, tri
+          |         FROM (SELECT lang, tri,
+          |                      row_number() OVER (PARTITION BY lang
+          |                        ORDER BY c DESC, tri) AS rn
+          |               FROM cnt)
+          |         WHERE rn <= 40),
+          |langs AS (SELECT DISTINCT profile_lang FROM prof),
+          |ov AS (SELECT dt.doc_id, p.profile_lang, count(*) AS score
+          |       FROM dtri dt JOIN prof p ON dt.tri = p.tri
+          |       GROUP BY dt.doc_id, p.profile_lang),
+          |allpairs AS (SELECT d.doc_id, d.lang, l.profile_lang,
+          |                    coalesce(ov.score, 0) AS score
+          |             FROM d CROSS JOIN langs l
+          |             LEFT JOIN ov ON ov.doc_id = d.doc_id
+          |                         AND ov.profile_lang = l.profile_lang),
+          |best AS (SELECT doc_id, lang, profile_lang AS predicted_lang, score,
+          |                row_number() OVER (PARTITION BY doc_id
+          |                  ORDER BY score DESC, profile_lang) AS rn
+          |         FROM allpairs)
+          |SELECT doc_id, lang, predicted_lang,
+          |       CAST(score AS INTEGER) AS score
+          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "doc_rolling_fp",
