@@ -107,7 +107,10 @@ object OperatorQueries {
                 - size(array_intersect(col("a.w"), col("b.w"))))).as("jaccard"))
           .filter(col("jaccard") >= 0.9)
           .select("src", "dst")
-        val out = ConnectedComponents(docs.select(col("doc_id").as("id")), edges)
+        // the sampled pair graph is ~1/100th of the corpus: a narrow loop
+        // width beats the session shuffle default (per-round task overhead)
+        val out = ConnectedComponents(docs.select(col("doc_id").as("id")), edges,
+          loopPartitions = Some(8))
           .select(col("id").as("doc_id"), col("comp").as("component"))
           .orderBy("doc_id")
         docs.unpersist()
