@@ -153,13 +153,24 @@ object Similarity {
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
-    val assignWindow = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("centroid_id"))
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", cosine(col("c_vec"), col("cent_vec")))
-      .withColumn("crn", row_number().over(assignWindow))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("c_vec"), col("centroid_id").as("cluster_id"))
+    // The centroid "model" is 16 vectors — collect it (any IVF trainer
+    // materializes its codebook) and assign each corpus row NARROWLY:
+    // one codegen'd cosine column per centroid + greatest(struct(cos,-id))
+    // for the argmax (max cos, ties → min centroid id). No corpus-wide
+    // cross join, no shuffle, no per-row window sort — assignment runs at
+    // scan speed, which is what lets the index build pass over 100 TB.
+    val centModel = centroids.orderBy("centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val assigned = {
+      def best(vec: Column): Column = greatest(centModel.map { case (id, v) =>
+        struct(
+          cosine(vec, typedLit(v)).as("c"),
+          lit(-id).as("nid"))
+      }: _*)
+      c.withColumn("__best", best(col("c_vec")))
+        .select(col("vec_id"), col("c_vec"),
+          (-col("__best.nid")).as("cluster_id"))
+    }
     val probeWindow = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("centroid_id"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
