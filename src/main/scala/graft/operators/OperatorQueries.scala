@@ -369,6 +369,33 @@ object OperatorQueries {
       None, // engine-seeded sampling; proportions pinned by OperatorsSpec
     ),
 
+    // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    //      match each other, unlike plain = which drops them — the
+    //      CDC/SCD pattern where "no value" is a legitimate key state. ----
+    QueryDef(
+      "q_null_safe_join",
+      (sp, dir) => {
+        val o = Tables.orders(sp, dir)
+          // F-status orders get a NULL bucket key
+          .withColumn("status_key", nullif(col("o_orderstatus"), lit("F")))
+        val dim = o.select(col("status_key")).distinct()
+          .withColumn("status_label",
+            coalesce(concat(lit("status:"), col("status_key")), lit("status:none")))
+        o.join(dim, o("status_key") <=> dim("status_key"))
+          .groupBy("status_label")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("status_label")
+      },
+      Some(
+        """WITH o AS (SELECT nullif(o_orderstatus, 'F') AS status_key FROM orders),
+          |dim AS (SELECT DISTINCT status_key,
+          |               coalesce('status:' || status_key, 'status:none') AS status_label
+          |        FROM o)
+          |SELECT d.status_label, count(*) AS n_orders
+          |FROM o JOIN dim d ON o.status_key IS NOT DISTINCT FROM d.status_key
+          |GROUP BY d.status_label ORDER BY d.status_label""".stripMargin),
+    ),
+
     // ---- distribution-position windows: percent_rank + cume_dist per
     //      order-priority cohort (exact-fraction doubles: both engines
     //      compute (rank-1)/(n-1) and rank/n from identical ints). ----
