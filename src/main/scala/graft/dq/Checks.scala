@@ -31,6 +31,16 @@ object Checks {
   /** A28 singular test: caller supplies the violating-rows query. */
   def singular(violations: DataFrame): DataFrame = violations
 
+  /** dbt's 4th generic test, `relationships` (referential integrity):
+    * child rows whose foreign key has no match in the parent — a
+    * left-anti join, which Spark plans as a broadcast-anti when the
+    * parent's key set is small and a shuffled anti otherwise (never a
+    * full materialized join: anti joins short-circuit per probe).
+    */
+  def relationships(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
+
   /** Run a set of named checks; returns (name, violationCount). */
   def run(checks: Seq[(String, DataFrame)]): Seq[(String, Long)] =
     checks.map { case (n, df) => n -> df.count() }
@@ -91,6 +101,30 @@ object Checks {
           |FROM events GROUP BY user_id
           |HAVING sum(CAST(round(value * 100) AS BIGINT)) < 0
           |ORDER BY user_id""".stripMargin),
+    ),
+
+    // dbt `relationships` test against a deliberately-shrunk parent (the
+    // driver data has intact FKs, so check lineitem.l_partkey against the
+    // even-keyed half of part): violations = odd partkeys, summarized as
+    // orphan counts.
+    QueryDef(
+      "dq_relationships",
+      (sp, dir) => {
+        val parent = Tables.part(sp, dir).filter(col("p_partkey") % 2 === 0)
+        relationships(Tables.lineitem(sp, dir), "l_partkey", parent, "p_partkey")
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_orphan_rows"))
+          .orderBy(col("n_orphan_rows").desc, col("l_partkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT l_partkey, count(*) AS n_orphan_rows
+          |FROM lineitem l
+          |WHERE NOT EXISTS (SELECT 1 FROM part p
+          |                  WHERE p.p_partkey = l.l_partkey
+          |                    AND p.p_partkey % 2 = 0)
+          |GROUP BY l_partkey
+          |ORDER BY n_orphan_rows DESC, l_partkey LIMIT 10""".stripMargin),
     ),
   )
 }

@@ -72,4 +72,71 @@ object ConnectedComponents {
     sym.unpersist()
     labels
   }
+
+  /** The alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the scale
+    * path for graphs whose DIAMETER is large (long chains), where plain
+    * min-label propagation needs diameter rounds. Each round is a
+    * groupBy + join over the edge list; convergence in O(log² n) rounds
+    * regardless of diameter. Use `apply` for shallow near-dup graphs
+    * (fewer, cheaper rounds); use this when the graph shape is unknown.
+    *
+    * large-star: every node points its LARGER neighbors at the minimum of
+    * its closed neighborhood; small-star: same for smaller-or-equal
+    * neighbors. The fixpoint is a star forest rooted at component minima.
+    */
+  def alternating(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    // m(u) = min of u's closed neighborhood over the symmetrized edges
+    def neighborhoodMin(nbr: DataFrame): DataFrame =
+      nbr.groupBy("src").agg(least(col("src"), min(col("dst"))).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = sym(e)
+      nbr.join(neighborhoodMin(nbr), "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbr = sym(e).filter(col("dst") <= col("src"))
+      val withMin = nbr
+        .groupBy("src").agg(least(col("src"), min(col("dst"))).as("m"))
+      nbr.join(withMin, "src")
+        .select(
+          when(col("dst") === col("m"), col("src")).otherwise(col("dst")).as("src"),
+          col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("src")),
+        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var prev = (-1L, -1L, -1L)
+    var round = 0
+    var cur = checksum(e)
+    while (cur != prev && round < maxRounds) {
+      prev = cur
+      e = smallStar(largeStar(e)).localCheckpoint()
+      cur = checksum(e)
+      round += 1
+    }
+    // fixpoint is a star forest: members point at their root; roots and
+    // isolated vertices label themselves
+    vertices.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
 }

@@ -72,6 +72,32 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("alternating large/small-star CC == min-label propagation on random graphs") {
+    val nodeGen = Gen.chooseNum(0L, 30L)
+    val edgeGen = Gen.listOf(Gen.zip(nodeGen, nodeGen))
+    for (round <- 1 to 6) {
+      val es = sample(edgeGen, round + 300)
+      val vs = (0L to 30L)
+      val vertices = vs.toDF("id")
+      val edges = es.toDF("src", "dst")
+      val viaPropagation = graft.operators.ConnectedComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      val viaStars = graft.operators.ConnectedComponents
+        .alternating(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaPropagation, s"seed ${round + 300}: $es")
+    }
+  }
+
+  test("alternating CC handles a long chain (large diameter)") {
+    val n = 40L
+    val vertices = (0L to n).toDF("id")
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents.alternating(vertices, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to n).map(_ -> 0L).toMap)
+  }
+
   test("salted join == plain join for any salt count") {
     val rowsGen = Gen.listOf(Gen.zip(keyGen, Gen.chooseNum(0L, 100L)))
     for (round <- 1 to 8) {
