@@ -369,6 +369,39 @@ object OperatorQueries {
       None, // engine-seeded sampling; proportions pinned by OperatorsSpec
     ),
 
+    // ---- corpus-statistics quality signal: mean document frequency of a
+    //      doc's distinct tokens (high = boilerplate-ish, low = rare
+    //      vocabulary). The corpus-LM shape of quality scoring kept in
+    //      exact integer arithmetic — a log-prob variant would not be
+    //      bit-reproducible across engines (different ln
+    //      implementations), a df-sum is. Two shuffles: token df build
+    //      (small result), then token→df join re-aggregated per doc. ----
+    QueryDef(
+      "doc_rarity",
+      (sp, dir) => {
+        val toks = Tables.documents(sp, dir)
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        toks.join(df, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_uniq_tok"),
+            sum(col("df")).cast("long").as("df_sum"))
+          .withColumn("mean_df", col("df_sum") / col("n_uniq_tok"))
+          .select("doc_id", "n_uniq_tok", "df_sum", "mean_df")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+          |SELECT t.doc_id, count(*) AS n_uniq_tok,
+          |       CAST(sum(df.df) AS BIGINT) AS df_sum,
+          |       CAST(sum(df.df) AS BIGINT) / count(*) AS mean_df
+          |FROM toks t JOIN df ON t.tok = df.tok
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    ),
+
     // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     //      match each other, unlike plain = which drops them — the
     //      CDC/SCD pattern where "no value" is a legitimate key state. ----
