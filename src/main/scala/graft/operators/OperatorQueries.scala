@@ -369,6 +369,88 @@ object OperatorQueries {
       None, // engine-seeded sampling; proportions pinned by OperatorsSpec
     ),
 
+    // ---- text normalization: the cleaning pass before any dedup/quality
+    //      stage — lowercase, strip non-alphanumerics, collapse runs of
+    //      spaces, trim. Pure narrow string work (scan speed at any size);
+    //      summarized per source so the output stays compact. ----
+    QueryDef(
+      "doc_normalize",
+      (sp, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        Tables.documents(sp, dir)
+          .select(col("source"), col("n_chars"), norm.as("norm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("norm")).cast("long")).as("norm_chars"),
+            sum(col("n_chars")).cast("long").as("raw_chars"),
+            min(substring(col("norm"), 1, 20)).as("first_norm_prefix"))
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(len(trim(regexp_replace(regexp_replace(lower(text),
+          |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT)
+          |         AS norm_chars,
+          |       CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+          |       min(substr(trim(regexp_replace(regexp_replace(lower(text),
+          |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 20))
+          |         AS first_norm_prefix
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+    // ---- dedup retention: the end of the dedup pipeline — pairs →
+    //      clusters (ConnectedComponents) → ONE canonical doc kept per
+    //      cluster (longest text, ties to the smallest doc_id via max_by
+    //      on (n_chars, -doc_id)). Oracle repeats the recursive-CTE
+    //      closure and picks the same canonical row. ----
+    QueryDef(
+      "q_dedup_retain",
+      (sp, dir) => {
+        val docs = Tables.documents(sp, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("n_chars"),
+            array_distinct(split(col("text"), " ")).as("w"))
+          .persist()
+        val edges = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+            (size(array_intersect(col("a.w"), col("b.w"))) * 1.0 /
+              (size(col("a.w")) + size(col("b.w"))
+                - size(array_intersect(col("a.w"), col("b.w"))))).as("jaccard"))
+          .filter(col("jaccard") >= 0.9)
+          .select("src", "dst")
+        val comps = ConnectedComponents(docs.select(col("doc_id").as("id")), edges,
+          loopPartitions = Some(8))
+        val out = comps
+          .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+          .groupBy(col("comp").as("component"))
+          .agg(count(lit(1)).as("cluster_size"),
+            // composite order key: longest text wins, ties to smallest id
+            max_by(col("id"), col("n_chars") * 1000000L - col("id")).as("kept_doc"))
+          .orderBy("component")
+        docs.unpersist()
+        out
+      },
+      Some(
+        """WITH RECURSIVE
+          |  s AS (SELECT doc_id, n_chars, list_distinct(string_split(text, ' ')) AS w
+          |        FROM documents WHERE doc_id % 10 = 0),
+          |  e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          |        FROM s a, s b WHERE a.doc_id < b.doc_id
+          |          AND len(list_intersect(a.w, b.w)) * 1.0
+          |              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9),
+          |  edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |  reach(id, r) AS (
+          |    SELECT doc_id, doc_id FROM s
+          |    UNION
+          |    SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+          |  comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          |SELECT c.component, count(*) AS cluster_size,
+          |       CAST(max_by(c.id, s.n_chars * 1000000 - c.id) AS BIGINT) AS kept_doc
+          |FROM comp c JOIN s ON s.doc_id = c.id
+          |GROUP BY c.component ORDER BY c.component""".stripMargin),
+    ),
+
     // ---- corpus-statistics quality signal: mean document frequency of a
     //      doc's distinct tokens (high = boilerplate-ish, low = rare
     //      vocabulary). The corpus-LM shape of quality scoring kept in
