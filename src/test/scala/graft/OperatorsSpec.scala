@@ -101,6 +101,18 @@ class OperatorsSpec extends SparkSpec {
     assert(spread > 1, "hot key must scatter across salts")
   }
 
+  test("identical shuffles are planned once and reused (ReusedExchange)") {
+    val facts = (1L to 5000L).map(i => (i % 40, i)).toDF("k", "v")
+    val byKey = facts.groupBy("k").agg(sum("v").as("s"))
+    // two consumers of the SAME aggregate → the shuffle must appear once
+    val q = byKey.filter(col("s") > 100).union(byKey.filter(col("s") <= 100))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected the shuffle to be planned once:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val confs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
