@@ -109,6 +109,58 @@ object Relational3 {
           |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
+    // ---- TPC-H Q4 shape: correlated EXISTS with an extra non-equi
+    //      predicate — planned as a left-semi join on the equi key with
+    //      the range condition folded into the join, so the fact side is
+    //      never materialized against more than its matching order. ----
+    QueryDef(
+      "q4_late_orders",
+      (sp, dir) => {
+        val o = Tables.orders(sp, dir)
+        val l = Tables.lineitem(sp, dir)
+        o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_late"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS n_late
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // ---- null-aware NOT IN: Spark must plan the null-aware anti join
+    //      (a NULL in the subquery would empty the result under 3-valued
+    //      logic — the classic NOT IN trap, handled identically by both
+    //      engines via the IS NOT NULL guard). ----
+    QueryDef(
+      "q_not_in_buyers",
+      (sp, dir) => {
+        Tables.customer(sp, dir).createOrReplaceTempView("customer_ni")
+        Tables.events(sp, dir).createOrReplaceTempView("events_ni")
+        sp.sql(
+          """SELECT c_nationkey, count(*) AS n_non_buyers
+            |FROM customer_ni
+            |WHERE c_custkey NOT IN (
+            |  SELECT user_id FROM events_ni
+            |  WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      },
+      Some(
+        """SELECT c_nationkey, count(*) AS n_non_buyers
+          |FROM customer
+          |WHERE c_custkey NOT IN (
+          |  SELECT user_id FROM events
+          |  WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+
     // ---- TPC-H Q18 shape (large-volume customers): semi-join against a
     //      HAVING aggregate, then a 3-way join + re-aggregation + top-k.
     //      The HAVING side aggregates BEFORE joining (the small surviving
