@@ -74,6 +74,63 @@ object StreamAggs {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Spark 4 transformWithState version of the device-health processor —
+    * the successor API to mapGroupsWithState: typed ValueState handles,
+    * TTL support, timers, and a RocksDB-backed store
+    * (`spark.sql.streaming.stateStore.providerClass` must be the RocksDB
+    * provider). Same fold as deviceHealth below, so the spec can assert
+    * both APIs produce identical health trajectories.
+    */
+  class DeviceHealthProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DeviceReading, DeviceHealth] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[DeviceHealth] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DeviceHealth](
+        "health",
+        org.apache.spark.sql.Encoders.product[DeviceHealth],
+        TTLConfig.NONE)
+
+    override def handleInputRows(deviceId: String,
+        rows: Iterator[DeviceReading],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DeviceHealth] = {
+      val prev = Option(state.get()).getOrElse(DeviceHealth(deviceId, 0L, 0L, 0L, 1.0))
+      val next = foldReadings(prev, rows)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def deviceHealthTws(readings: Dataset[DeviceReading]): Dataset[DeviceHealth] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.device_id)
+      .transformWithState(new DeviceHealthProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Shared per-batch fold: event-ordered suspect-streak + health score. */
+  private[stream] def foldReadings(prev: DeviceHealth,
+      rows: Iterator[DeviceReading]): DeviceHealth = {
+    val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+    var nTotal = prev.n_total
+    var nSuspect = prev.n_suspect
+    var streak = prev.suspect_streak
+    sorted.foreach { r =>
+      nTotal += 1
+      if (r.quality_flag.trim.equalsIgnoreCase("suspect")) {
+        nSuspect += 1; streak += 1
+      } else streak = 0
+    }
+    val score =
+      if (nTotal == 0) 1.0
+      else 1.0 - (nSuspect.toDouble / nTotal) - math.min(0.5, streak * 0.1)
+    DeviceHealth(prev.device_id, nTotal, nSuspect, streak, math.max(0.0, score))
+  }
+
   /** Per-device health state for mapGroupsWithState. */
   final case class DeviceReading(device_id: String, timestamp: java.sql.Timestamp,
       quality_flag: String, value: Double)
@@ -94,21 +151,7 @@ object StreamAggs {
       .mapGroupsWithState[DeviceHealth, DeviceHealth](GroupStateTimeout.NoTimeout) {
         (deviceId: String, rows: Iterator[DeviceReading], state: GroupState[DeviceHealth]) =>
           val prev = state.getOption.getOrElse(DeviceHealth(deviceId, 0L, 0L, 0L, 1.0))
-          // fold this batch's readings in event order
-          val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
-          var nTotal = prev.n_total
-          var nSuspect = prev.n_suspect
-          var streak = prev.suspect_streak
-          sorted.foreach { r =>
-            nTotal += 1
-            if (r.quality_flag.trim.equalsIgnoreCase("suspect")) {
-              nSuspect += 1; streak += 1
-            } else streak = 0
-          }
-          val score =
-            if (nTotal == 0) 1.0
-            else 1.0 - (nSuspect.toDouble / nTotal) - math.min(0.5, streak * 0.1)
-          val next = DeviceHealth(deviceId, nTotal, nSuspect, streak, math.max(0.0, score))
+          val next = foldReadings(prev, rows) // same fold as transformWithState
           state.update(next)
           next
       }

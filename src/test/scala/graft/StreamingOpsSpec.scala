@@ -111,6 +111,43 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState device health matches the mapGroupsWithState fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamAggs.DeviceReading]
+      val q = StreamAggs.deviceHealthTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      def r(d: String, t: String, f: String) =
+        StreamAggs.DeviceReading(d, ts(t), f, 1.0)
+      mem.addData(
+        r("d1", "2024-01-01 10:00:00", "good"),
+        r("d1", "2024-01-01 10:01:00", "suspect"),
+        r("d2", "2024-01-01 10:00:00", "suspect"))
+      q.processAllAvailable()
+      mem.addData(r("d1", "2024-01-01 10:02:00", "suspect"))
+      q.processAllAvailable()
+      q.stop()
+      // latest state per device (Update mode emits one row per batch)
+      val byDevice = spark.table("tws_out")
+        .orderBy(col("n_total"))
+        .collect()
+        .map(x => x.getAs[String]("device_id") ->
+          (x.getAs[Long]("n_total"), x.getAs[Long]("n_suspect"),
+            x.getAs[Long]("suspect_streak")))
+        .toMap // last write wins = highest n_total
+      assert(byDevice("d1") == ((3L, 2L, 2L)))
+      assert(byDevice("d2") == ((1L, 1L, 1L)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
