@@ -123,6 +123,67 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (Chaudhuri et
+    * al., "A Primitive Operator for Similarity Joins", ICDE'06; Xiao et
+    * al., PPJoin, WWW'08): tokens get a global total order (document
+    * frequency ascending, then token — rarest first), each set keeps only
+    * its first |w| - ceil(t·|w|) + 1 tokens under that order (its
+    * "prefix"), and any pair with Jaccard >= t PROVABLY shares a prefix
+    * token (J >= t ⇒ overlap >= ceil(t·|A|), and only ceil(t·|A|)-1
+    * elements of A lie outside its prefix). An equi-join on prefix tokens
+    * therefore yields a COMPLETE candidate set — no recall loss, unlike
+    * LSH banding — and exact verification on candidates returns exactly
+    * the all-pairs answer without the all-pairs O(n²) self-join.
+    *
+    * The threshold is passed as a rational num/den so prefix length and
+    * the length filter stay in INTEGER arithmetic: double `ceil(0.9*10)`
+    * is 10 (0.9 is not exact in binary), which would silently drop
+    * boundary candidates and break completeness.
+    *
+    * Scale: shuffles tokens, not document pairs. Prefix tokens are by
+    * construction the rarest in each doc, so join buckets are naturally
+    * small and no (completeness-breaking) bucket cap is needed; the
+    * verification join is proportional to candidates, not |corpus|².
+    *
+    * @param docs columns `doc_id` (long), `w` (array<string>, a SET —
+    *             pass through array_distinct first)
+    * @return (src, dst, jaccard) with src < dst and jaccard >= num/den
+    */
+  def jaccardSelfJoinExact(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted by the global (df, tok) order; sz = |w|
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"),
+        count(lit(1)).as("sz"))
+    // prefix length |w| - ceil(t·|w|) + 1, exact integer ceil via div
+    val prefLen = (col("sz") -
+      expr(s"(sz * $num + ${den - 1}) div $den") + 1).cast("int")
+    val pref = sorted.select(col("doc_id"), col("sz"),
+      explode(slice(col("st"), lit(1), prefLen)).as("p"))
+    // candidate pairs: shared prefix token + the symmetric length filter
+    // (J >= t ⇒ t·|A| <= |B| and t·|B| <= |A|), integer arithmetic again
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * den >= col("a.sz") * num &&
+          col("a.sz") * den >= col("b.sz") * num)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    // exact verification on candidates only — same double formulation as
+    // the all-pairs query it replaces (bit-identical to the DuckDB oracle)
+    val w = docs.select(col("doc_id"), col("w"))
+    cand
+      .join(w.select(col("doc_id").as("src"), col("w").as("aw")), "src")
+      .join(w.select(col("doc_id").as("dst"), col("w").as("bw")), "dst")
+      .withColumn("n_inter", size(array_intersect(col("aw"), col("bw"))))
+      .withColumn("jaccard",
+        col("n_inter") * 1.0 /
+          (size(col("aw")) + size(col("bw")) - col("n_inter")))
+      .filter(col("jaccard") >= num.toDouble / den)
+      .select("src", "dst", "jaccard")
+  }
+
   /** Observability for the LSH bucket cap: the size distribution of the
     * band buckets BEFORE capping, so the "how much did the cap truncate on
     * this corpus" question has a number (run it when tuning bands/cap for

@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling (tier C): media payloads as opaque `binary`
   * columns with typed metadata, plus a batched decode/feature-extract stage.
   *
-  * The decode step is STUBBED (no image/audio libs in this container) with a
-  * deterministic fake that derives "decoded" properties from the bytes — the
-  * Spark-side plumbing is real: binary columns flow through parquet-friendly
-  * schemas, and the extract stage is `mapPartitions` over typed rows
-  * (partition-batched, the Scala analogue of `mapInPandas` batch processing:
-  * amortized per-batch setup, no per-row interpreter round trip).
+  * The IMAGE path is real: `asImageTable` plants genuine PNG streams
+  * (encoded with the JDK's javax.imageio — the container ships no sample
+  * images, so the pipeline plants its own fixture corpus), and
+  * `extractFeatures`/`resize` decode them with javax.imageio. Only the
+  * AUDIO path remains a deterministic fake (no audio codecs beyond WAV in
+  * the JDK, none in this container). The Spark-side plumbing is identical
+  * for both: binary columns flow through parquet-friendly schemas, and the
+  * extract stage is `mapPartitions` over typed rows (partition-batched,
+  * the Scala analogue of `mapInPandas` batch processing: amortized
+  * per-batch codec setup, no per-row interpreter round trip).
   *
   * Scale notes: media blobs dominate row size → `media` carries its own
   * byte-length metadata so planners can filter/route without touching the
@@ -43,11 +47,52 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, media_type: String,
       n_bytes: Long, width: Int, height: Int, channels: Int, checksum: Long)
 
-  /** STUB decode: a real implementation would decode image/audio bytes
-    * here (e.g. via javax.imageio / ffmpeg bindings). The fake derives
-    * stable pseudo-dimensions from the payload so tests are deterministic.
-    * Runs per-partition: one "decoder" instantiation per batch, mirroring
-    * the mapInPandas batch shape.
+  /** Planted PNG corpus: one GENUINE PNG stream per doc, encoded with the
+    * JDK's ImageIO. Dimensions are pure functions of doc_id
+    * (width = 16 + id % 48, height = 16 + id % 31) and pixels a stable
+    * function of (id, x, y) — so the decode path below is verifiable
+    * end-to-end: recovering exactly these dimensions requires a real PNG
+    * encode → decode round trip, and the expected values are computable by
+    * any engine (the mm_features oracle). Encoder state is per-partition
+    * (`setUseCache(false)`: no temp-file spooling in executors).
+    */
+  def asImageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + (id % 31).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (id * 1315423911L + y.toLong * w + x) * 0x9E3779B97F4A7C15L
+              img.setRGB(x, y, ((v >>> 24) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val payload = bos.toByteArray
+          (id, "image/png", payload, payload.length.toLong)
+        }
+      }
+      .toDF("doc_id", "media_type", "payload", "n_bytes")
+  }
+
+  /** Feature extraction with a REAL image decode: `image/`-typed payloads go
+    * through javax.imageio (width/height from the decoded image, channels
+    * from the raster band count, checksum over DECODED pixel samples — a
+    * codec-independent content hash). Non-image payloads (the audio
+    * stand-in) keep the deterministic fake: the JDK ships no general audio
+    * codec and this container adds none. Runs per-partition: codec setup
+    * once per batch, mirroring the mapInPandas batch shape.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -55,16 +100,42 @@ object Multimodal {
     val out = media.select("doc_id", "media_type", "payload", "n_bytes")
       .as[(Long, String, Array[Byte], Long)]
       .mapPartitions { batch =>
-        // per-partition decoder setup would go here (load codec once)
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
         batch.map { case (id, mt, payload, nBytes) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xFF); i += 1 }
-          // fake "decoded" dims, stable functions of content
-          val width = 64 + (math.abs(sum) % 1024).toInt
-          val height = 64 + (math.abs(sum / 7) % 1024).toInt
-          MediaFeatures(id, mt, nBytes, width, height, 3, sum)
+          val decoded =
+            if (mt.startsWith("image/") && bytes.nonEmpty) {
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: java.io.IOException => None }
+            } else None
+          decoded match {
+            case Some(img) =>
+              val raster = img.getRaster
+              val w = img.getWidth
+              val h = img.getHeight
+              val ch = raster.getNumBands
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < ch) { sum = sum * 31 + raster.getSample(x, y, b); b += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              MediaFeatures(id, mt, nBytes, w, h, ch, sum)
+            case None =>
+              // FAKE (audio/unknown only): stable pseudo-dims from content
+              var sum = 0L
+              var i = 0
+              while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xFF); i += 1 }
+              val width = 64 + (math.abs(sum) % 1024).toInt
+              val height = 64 + (math.abs(sum / 7) % 1024).toInt
+              MediaFeatures(id, mt, nBytes, width, height, 3, sum)
+          }
         }
       }
     out.toDF()
@@ -73,12 +144,13 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, media_type: String,
       width: Int, height: Int, n_bytes: Long, payload: Array[Byte])
 
-  /** STUB resize: binary in → binary out with the target dimensions'
-    * byte budget (w*h*3). A real codec would decode-scale-encode; the
-    * stub resamples source bytes at a fixed stride so output is a
-    * deterministic function of (payload, w, h). The plumbing — binary
-    * column in, binary column out, per-partition batching — is the real
-    * shape of a distributed image-resize stage.
+  /** Resize with a REAL image path: `image/`-typed payloads are decoded
+    * (javax.imageio), rescaled with a bilinear Graphics2D draw onto a
+    * w×h canvas, and re-encoded as PNG — decode-scale-encode, the actual
+    * shape of a distributed image-resize stage. Non-image payloads keep
+    * the deterministic stride resample into a raw w*h*3 buffer (the
+    * audio/opaque stand-in). Per-partition batching amortizes codec
+    * setup either way.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
@@ -86,18 +158,41 @@ object Multimodal {
     media.select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
         val outLen = w * h * 3
         batch.map { case (id, mt, payload) =>
           val src = if (payload == null) Array.emptyByteArray else payload
-          val out = new Array[Byte](outLen)
-          if (src.nonEmpty) {
-            var i = 0
-            while (i < outLen) {
-              out(i) = src(((i.toLong * src.length) / outLen).toInt)
-              i += 1
-            }
+          val decoded =
+            if (mt.startsWith("image/") && src.nonEmpty) {
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(src)))
+              catch { case _: java.io.IOException => None }
+            } else None
+          decoded match {
+            case Some(in) =>
+              val canvas = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = canvas.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(in, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(canvas, "png", bos)
+              val out = bos.toByteArray
+              ResizedMedia(id, mt, w, h, out.length.toLong, out)
+            case None =>
+              val out = new Array[Byte](outLen)
+              if (src.nonEmpty) {
+                var i = 0
+                while (i < outLen) {
+                  out(i) = src(((i.toLong * src.length) / outLen).toInt)
+                  i += 1
+                }
+              }
+              ResizedMedia(id, mt, w, h, outLen.toLong, out)
           }
-          ResizedMedia(id, mt, w, h, outLen.toLong, out)
         }
       }
       .toDF()
@@ -146,13 +241,24 @@ object Multimodal {
           |       strlen(text) AS n_bytes, md5(text) AS content_md5
           |FROM documents ORDER BY doc_id""".stripMargin),
     ),
-    // Stubbed decode + feature extraction (mapPartitions path).
+    // REAL decode + feature extraction: planted genuine PNGs → javax.imageio
+    // round trip. The planted dimensions are pure functions of doc_id, so
+    // the decoded output is ORACLED — DuckDB computes the expected dims
+    // arithmetically, Spark must recover them through the actual codec.
+    // (n_bytes/checksum are PNG-encoder-specific and stay out of the
+    // oracled projection; MultimodalSpec pins the checksum path.)
     QueryDef(
       "mm_features",
       (sp, dir) =>
-        extractFeatures(asMediaTable(Tables.documents(sp, dir)))
+        extractFeatures(asImageTable(Tables.documents(sp, dir)))
+          .select("doc_id", "media_type", "width", "height", "channels")
           .orderBy("doc_id"),
-      None, // decode is stubbed; plumbing verified by ScalaTest
+      Some(
+        """SELECT doc_id, 'image/png' AS media_type,
+          |       CAST(16 + doc_id % 48 AS INT) AS width,
+          |       CAST(16 + doc_id % 31 AS INT) AS height,
+          |       3 AS channels
+          |FROM documents ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "mm_frame_sample",

@@ -63,13 +63,24 @@ object ConnectedComponents {
         .groupBy("id")
         .agg(min("comp").as("comp"))
         .localCheckpoint() // cut the iterated lineage (eager)
-      val s = next.agg(sum("comp")).first().getLong(0)
+      // sum is NULL on an empty vertex set — treat as converged-at-zero
+      val row = next.agg(sum("comp")).first()
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
       converged = s == prevSum
       prevSum = s
       labels = next
       iter += 1
     }
     sym.unpersist()
+    if (!converged) {
+      // exiting via the cap means labels are NOT the fixpoint — wrong
+      // components. Refuse to return silently-wrong data; callers with a
+      // deep graph should use `alternating` (O(log²) rounds).
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxIters rounds " +
+          "(graph diameter exceeds the cap); use " +
+          "ConnectedComponents.alternating for deep graphs")
+    }
     labels
   }
 
@@ -132,6 +143,11 @@ object ConnectedComponents {
       e = smallStar(largeStar(e)).localCheckpoint()
       cur = checksum(e)
       round += 1
+    }
+    if (cur != prev) {
+      throw new IllegalStateException(
+        s"ConnectedComponents.alternating did not converge within " +
+          s"$maxRounds rounds — raise maxRounds (O(log² n) expected)")
     }
     // fixpoint is a star forest: members point at their root; roots and
     // isolated vertices label themselves

@@ -14,6 +14,34 @@ object OperatorQueries {
 
   private def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
 
+  /** Shared front half of the two dedup-cluster queries: deterministic doc
+    * sample → exact word-set Jaccard >= 0.9 edges → connected components.
+    * The edge build is the PPJoin prefix filter
+    * ([[graft.ext.Dedup.jaccardSelfJoinExact]]) — provably the SAME edge
+    * set as an all-pairs self-join (so the DuckDB recursive-CTE oracle is
+    * unchanged) without the O(n²) candidate join that made these the two
+    * slowest queries in the repo. persist() lives for the session: the doc
+    * sample is consumed by the token-frequency build, the verification
+    * join (×2) and the vertex list, and it is ~1/10 of `documents` —
+    * 16 B/doc of ids plus the word arrays.
+    */
+  private def clusteredDocs(sp: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = graft.Tables.documents(sp, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("w"))
+      .persist()
+    val edges = graft.ext.Dedup
+      .jaccardSelfJoinExact(docs.select("doc_id", "w"), 9, 10)
+      .select("src", "dst")
+    // the sampled pair graph is ~1/100th of the corpus: a narrow loop
+    // width beats the session shuffle default (per-round task overhead)
+    val comps = ConnectedComponents(docs.select(col("doc_id").as("id")), edges,
+      loopPartitions = Some(8))
+    (docs, comps)
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- as-of join: attribute each purchase to the user's most recent
@@ -90,31 +118,18 @@ object OperatorQueries {
     // ---- dedup clustering: near-dup PAIRS (word-set Jaccard >= 0.9 on a
     //      deterministic doc sample) collapsed into duplicate clusters via
     //      ConnectedComponents; each doc reports its cluster representative
-    //      (min reachable doc_id). Oracle = DuckDB RECURSIVE CTE computing
-    //      the same min-reachable-id — an independent transitive-closure
-    //      implementation. ----
+    //      (min reachable doc_id). Edge build = exact prefix-filtered
+    //      similarity join (see clusteredDocs). Oracle = DuckDB RECURSIVE
+    //      CTE computing the same min-reachable-id over an ALL-PAIRS edge
+    //      build — an independent transitive-closure implementation whose
+    //      edge set the prefix filter provably reproduces. ----
     QueryDef(
       "dedup_clusters",
       (sp, dir) => {
-        val docs = Tables.documents(sp, dir)
-          .filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
-          .persist()
-        val edges = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
-            (size(array_intersect(col("a.w"), col("b.w"))) * 1.0 /
-              (size(col("a.w")) + size(col("b.w"))
-                - size(array_intersect(col("a.w"), col("b.w"))))).as("jaccard"))
-          .filter(col("jaccard") >= 0.9)
-          .select("src", "dst")
-        // the sampled pair graph is ~1/100th of the corpus: a narrow loop
-        // width beats the session shuffle default (per-round task overhead)
-        val out = ConnectedComponents(docs.select(col("doc_id").as("id")), edges,
-          loopPartitions = Some(8))
+        val (_, comps) = clusteredDocs(sp, dir)
+        comps
           .select(col("id").as("doc_id"), col("comp").as("component"))
           .orderBy("doc_id")
-        docs.unpersist()
-        out
       },
       Some(
         """WITH RECURSIVE
@@ -240,12 +255,16 @@ object OperatorQueries {
           .withColumn("lane", explode(expr("sequence(0, 15)")))
           .groupBy("doc_id", "lane")
           .agg(min(md5(concat_ws(":", col("lane"), col("sh")))).as("mh"))
+        // band on (lane, mh), not lane alone: a bare-lane join is 16
+        // all-pairs buckets (zero selectivity); joining on the lane MINIMUM
+        // itself only shuffles genuinely-colliding pairs, which is the LSH
+        // candidate semantics — pairs sharing no lane (est 0) don't appear.
         lanes.as("a")
           .join(lanes.as("b"),
-            col("a.lane") === col("b.lane") && col("a.doc_id") < col("b.doc_id"))
+            col("a.lane") === col("b.lane") && col("a.mh") === col("b.mh") &&
+              col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg((sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)) / 16.0)
-            .as("est_jaccard"))
+          .agg((count(lit(1)) / 16.0).as("est_jaccard"))
           .orderBy("a_id", "b_id")
       },
       Some(
@@ -267,8 +286,9 @@ object OperatorQueries {
           |  SELECT doc_id, lane, min(md5(lane || ':' || sh)) AS mh
           |  FROM gl GROUP BY doc_id, lane)
           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          |       sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-          |FROM l a JOIN l b ON a.lane = b.lane AND a.doc_id < b.doc_id
+          |       count(*) / 16.0 AS est_jaccard
+          |FROM l a JOIN l b
+          |  ON a.lane = b.lane AND a.mh = b.mh AND a.doc_id < b.doc_id
           |GROUP BY a.doc_id, b.doc_id ORDER BY a_id, b_id""".stripMargin),
     ),
 
@@ -407,29 +427,14 @@ object OperatorQueries {
     QueryDef(
       "q_dedup_retain",
       (sp, dir) => {
-        val docs = Tables.documents(sp, dir)
-          .filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), col("n_chars"),
-            array_distinct(split(col("text"), " ")).as("w"))
-          .persist()
-        val edges = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
-            (size(array_intersect(col("a.w"), col("b.w"))) * 1.0 /
-              (size(col("a.w")) + size(col("b.w"))
-                - size(array_intersect(col("a.w"), col("b.w"))))).as("jaccard"))
-          .filter(col("jaccard") >= 0.9)
-          .select("src", "dst")
-        val comps = ConnectedComponents(docs.select(col("doc_id").as("id")), edges,
-          loopPartitions = Some(8))
-        val out = comps
+        val (docs, comps) = clusteredDocs(sp, dir)
+        comps
           .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
           .groupBy(col("comp").as("component"))
           .agg(count(lit(1)).as("cluster_size"),
             // composite order key: longest text wins, ties to smallest id
             max_by(col("id"), col("n_chars") * 1000000L - col("id")).as("kept_doc"))
           .orderBy("component")
-        docs.unpersist()
-        out
       },
       Some(
         """WITH RECURSIVE

@@ -49,6 +49,40 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == r(1L).getAs[Array[Byte]]("payload").toSeq)
   }
 
+  test("planted PNGs are genuine and decode to the planted dimensions") {
+    val feats = Multimodal.extractFeatures(Multimodal.asImageTable(docs))
+      .orderBy("doc_id").collect()
+    for (r <- feats) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("media_type") == "image/png")
+      assert(r.getAs[Int]("width") == 16 + (id % 48).toInt)
+      assert(r.getAs[Int]("height") == 16 + (id % 31).toInt)
+      assert(r.getAs[Int]("channels") == 3)
+    }
+    // the payload really is a PNG stream (magic bytes), not a fake
+    val png = Multimodal.asImageTable(docs).filter(col("doc_id") === 1L)
+      .head().getAs[Array[Byte]]("payload")
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    // decoded-pixel checksum is deterministic across runs
+    val again = Multimodal.extractFeatures(Multimodal.asImageTable(docs))
+      .orderBy("doc_id").collect()
+    assert(feats.map(_.getAs[Long]("checksum")).sameElements(
+      again.map(_.getAs[Long]("checksum"))))
+  }
+
+  test("image resize decode-scale-encodes to a real PNG of the target size") {
+    val resized = Multimodal.resize(Multimodal.asImageTable(docs), w = 8, h = 6)
+    // re-extract features from the resized output: it must decode as 8x6
+    val feats = Multimodal.extractFeatures(
+        resized.withColumn("n_bytes", col("n_bytes")))
+      .orderBy("doc_id").collect()
+    for (r <- feats) {
+      assert(r.getAs[Int]("width") == 8)
+      assert(r.getAs[Int]("height") == 6)
+      assert(r.getAs[Int]("channels") == 3)
+    }
+  }
+
   test("frame sampling emits every Nth fixed-size frame") {
     val wide = Seq((7L, "x" * 100, "en", "srcA", 100L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -37,6 +37,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad.getMessage.toLowerCase.contains("cosine_sim"))
   }
 
+  test("two cosine_sim calls compile into one codegen stage (fresh locals)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType, containsNull = false)
+    val a = BoundReference(0, at, nullable = false)
+    val b = BoundReference(1, at, nullable = false)
+    // GenerateUnsafeProjection.generate throws on Janino failure (no silent
+    // interpreted fallback at this layer) — this is the regression guard for
+    // the IVF 16-cosine argmax stage.
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.functions.CosineSimilarity(a, b),
+      graft.functions.CosineSimilarity(b, a)))
+    val row = InternalRow(
+      new GenericArrayData(Array[Any](1f, 2f)),
+      new GenericArrayData(Array[Any](2f, 1f)))
+    val out = proj(row)
+    assert(math.abs(out.getDouble(0) - 0.8) < 1e-12)
+    assert(out.getDouble(0) == out.getDouble(1))
+  }
+
   test("null inputs yield null, not a crash") {
     val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
       .toDF("a", "b")
