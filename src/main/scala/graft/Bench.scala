@@ -24,10 +24,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One JSON line, COMPACT (ms precision) and with the total at the END:
+    // the driver tail-captures stdout, and round 2 lost the head of a long
+    // line — keep the line short and the summary fields inside any tail.
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

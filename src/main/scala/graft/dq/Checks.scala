@@ -32,14 +32,17 @@ object Checks {
   def singular(violations: DataFrame): DataFrame = violations
 
   /** dbt's 4th generic test, `relationships` (referential integrity):
-    * child rows whose foreign key has no match in the parent — a
+    * child rows whose NON-NULL foreign key has no match in the parent — a
     * left-anti join, which Spark plans as a broadcast-anti when the
     * parent's key set is small and a shuffled anti otherwise (never a
     * full materialized join: anti joins short-circuit per probe).
+    * NULL child keys are excluded, matching dbt's relationships test
+    * exactly (nullability is `not_null`'s job, not this check's).
     */
   def relationships(child: DataFrame, fk: String,
       parent: DataFrame, pk: String): DataFrame =
-    child.join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
 
   /** Run a set of named checks; returns (name, violationCount). */
   def run(checks: Seq[(String, DataFrame)]): Seq[(String, Long)] =
@@ -120,7 +123,8 @@ object Checks {
       Some(
         """SELECT l_partkey, count(*) AS n_orphan_rows
           |FROM lineitem l
-          |WHERE NOT EXISTS (SELECT 1 FROM part p
+          |WHERE l.l_partkey IS NOT NULL
+          |  AND NOT EXISTS (SELECT 1 FROM part p
           |                  WHERE p.p_partkey = l.l_partkey
           |                    AND p.p_partkey % 2 = 0)
           |GROUP BY l_partkey

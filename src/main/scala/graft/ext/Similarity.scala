@@ -136,41 +136,60 @@ object Similarity {
         round(col("t.score"), 4).as("cos_r"))
   }
 
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer (every
-    * corpus vector whose id survives `orderBy(id).limit(nCentroids)` over a
-    * stride filter) partitions the corpus into clusters; each query probes
-    * its `nProbe` nearest clusters only. The cluster assignment is one
-    * broadcast pass (centroid set is tiny); the probe join shuffles on
-    * cluster id — bounded fan-out instead of a full scan per query.
-    * A production system would k-means-refine the centroids; the plumbing
-    * (assign → probe → exact re-rank) is identical.
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into clusters; each query probes its `nProbe` nearest clusters only.
+    * The codebook is SEEDED deterministically (stride sample over the
+    * lowest ids) then REFINED with `refineRounds` Lloyd's iterations —
+    * assign every vector to its nearest centroid (narrow broadcast pass),
+    * recompute each centroid as the elementwise mean of its cluster
+    * (one shuffle of (cluster, pos, x) triples per round), collect the new
+    * codebook. Empty clusters keep their previous centroid.
+    *
+    * The cluster assignment is one broadcast pass (codebook is tiny); the
+    * probe join shuffles on cluster id — bounded fan-out instead of a full
+    * scan per query. Assignment is one codegen'd cosine column per
+    * centroid + greatest(struct(cos,-id)) for the argmax (max cos, ties →
+    * min centroid id). No corpus-wide cross join, no per-row window sort —
+    * the index build runs at scan speed, which is what lets it pass over
+    * 100 TB (refinement multiplies that by refineRounds+1 passes, the
+    * standard IVF training cost).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = corpus
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      refineRounds: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val seed = corpus
       .orderBy(col(idCol)).limit(nCentroids * 7)
       .filter(pmod(col(idCol), lit(7)) === 3) // decorrelate from id order
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
-    // The centroid "model" is 16 vectors — collect it (any IVF trainer
-    // materializes its codebook) and assign each corpus row NARROWLY:
-    // one codegen'd cosine column per centroid + greatest(struct(cos,-id))
-    // for the argmax (max cos, ties → min centroid id). No corpus-wide
-    // cross join, no shuffle, no per-row window sort — assignment runs at
-    // scan speed, which is what lets the index build pass over 100 TB.
-    val centModel = centroids.orderBy("centroid_id").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1))
-    val assigned = {
-      def best(vec: Column): Column = greatest(centModel.map { case (id, v) =>
-        struct(
-          cosine(vec, typedLit(v)).as("c"),
-          lit(-id).as("nid"))
+      .orderBy("centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def best(vec: Column, m: Array[(Long, Array[Float])]): Column =
+      greatest(m.map { case (id, v) =>
+        struct(cosine(vec, typedLit(v.toSeq)).as("c"), lit(-id).as("nid"))
       }: _*)
-      c.withColumn("__best", best(col("c_vec")))
-        .select(col("vec_id"), col("c_vec"),
-          (-col("__best.nid")).as("cluster_id"))
+    var model = seed
+    for (_ <- 1 to refineRounds) {
+      val means = c
+        .select((-best(col("c_vec"), model).getField("nid")).as("cluster_id"),
+          posexplode(col("c_vec")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      model = model.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
     }
+    val centroids = model.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "cent_vec")
+    val assigned = c
+      .withColumn("__best", best(col("c_vec"), model))
+      .select(col("vec_id"), col("c_vec"), (-col("__best.nid")).as("cluster_id"))
     val probeWindow = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("centroid_id"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

@@ -98,12 +98,20 @@ object TextAnalysis {
   /** Rolling polynomial fingerprint over tokens (Rabin-Karp style), exact
     * long arithmetic — used as a cheap content signature that is stable
     * under formatting-only changes (tokenization normalizes whitespace).
+    *
+    * Token hash = first 12 hex chars of md5 parsed as an integer (< 2^48),
+    * mod 1e9+7 — the cross-engine pattern proven in doc_winnow_fp /
+    * dedup_minhash_md5: md5 is identical in both engines, so the whole
+    * rolling polynomial is DuckDB-expressible (list_reduce fold) and the
+    * query is fully oracled. Every intermediate stays < 2^51, so ANSI
+    * overflow checking (Spark 4 default) never trips.
     */
   def rollingFingerprint(text: Column): Column =
-    // polynomial hash mod 1e9+7 — keeps every intermediate < 2^51 so ANSI
-    // overflow checking (Spark 4 default) never trips
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(1000000007L)),
+      (acc, t) => pmod(
+        acc * lit(1000003L) +
+          pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"),
+            lit(1000000007L)),
         lit(1000000007L)))
 
   val all: Seq[QueryDef] = Seq(
@@ -210,7 +218,20 @@ object TextAnalysis {
         Tables.documents(sp, dir)
           .select(col("doc_id"), rollingFingerprint(col("text")).as("rfp"))
           .orderBy("doc_id"),
-      None, // xxhash64-based; no DuckDB twin
+      // DuckDB twin of the fold: md5-hex token hash (12 hex chars parsed
+      // via integer bit-shifts — no FP), list_reduce with a prepended 0
+      // accumulator replicating the left fold exactly.
+      Some(
+        """SELECT doc_id,
+          |       list_reduce(
+          |         list_prepend(CAST(0 AS BIGINT),
+          |           list_transform(string_split(text, ' '),
+          |             t -> CAST(list_sum(list_transform(generate_series(1, 12),
+          |                    i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+          |                         * (CAST(1 AS BIGINT) << (4 * (12 - i))))) AS BIGINT)
+          |                  % 1000000007)),
+          |         (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rfp
+          |FROM documents ORDER BY doc_id""".stripMargin),
     ),
   )
 }

@@ -23,9 +23,18 @@ import org.apache.spark.sql.functions._
   * right row at exactly leftTs matches (inclusive as-of, same as DuckDB's
   * `ASOF JOIN ... ON l.ts >= r.ts` which the oracle uses).
   *
-  * Requires (key, ts) unique on the right (dedupe first — true of any
-  * point-in-time dimension); ties would otherwise be window-order
-  * dependent.
+  * The payload is carried as ONE struct column filled by a single
+  * `last(_, ignoreNulls)` — every matched left row gets all payload
+  * columns from the SAME right row, and a legitimately-NULL payload value
+  * inside a matched row stays NULL (a per-column fill would reach past it
+  * to an older right row and stitch columns from different rows —
+  * diverging from real ASOF semantics).
+  *
+  * Preconditions: (key, ts) unique on the right (dedupe first — true of
+  * any point-in-time dimension; ties would otherwise be window-order
+  * dependent), and non-NULL join keys (NULL keys share a window partition
+  * and would match each other, unlike an equi-join — filter them upstream
+  * if the key is nullable).
   */
 object AsofJoin {
 
@@ -43,14 +52,16 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     val ts = "__asof_ts"
     val tag = "__asof_tag"
+    val pay = "__asof_payload"
 
     val taggedRight = right.select(
-      Seq(col(key), col(rightTs).as(ts), lit(0).as(tag)) ++
-        payload.map(col) ++
+      Seq(col(key), col(rightTs).as(ts), lit(0).as(tag),
+        struct(payload.map(col): _*).as(pay)) ++
         leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
+    val payType = taggedRight.schema(pay).dataType
     val taggedLeft = left.select(
-      Seq(col(key), col(leftTs).as(ts), lit(1).as(tag)) ++
-        payload.map(c => lit(null).as(c)) ++
+      Seq(col(key), col(leftTs).as(ts), lit(1).as(tag),
+        lit(null).cast(payType).as(pay)) ++
         leftCols.filterNot(_ == key).map(col): _*)
 
     val sweep = Window
@@ -58,16 +69,14 @@ object AsofJoin {
       .orderBy(col(ts), col(tag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled: Column => Column = c => last(c, ignoreNulls = true).over(sweep)
-
     taggedRight
       .unionByName(taggedLeft)
       .select(
         Seq(col(key), col(ts), col(tag)) ++
-          payload.map(c => filled(col(c)).as(c)) ++
+          Seq(last(col(pay), ignoreNulls = true).over(sweep).as(pay)) ++
           leftCols.filterNot(_ == key).map(col): _*)
       .filter(col(tag) === 1)
-      .drop(tag, ts)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"$pay.$c").as(c)): _*)
   }
 }

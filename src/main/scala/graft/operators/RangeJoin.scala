@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @param points    side with a scalar column `v`
-    * @param intervals side with `lo`/`hi` columns (inclusive bounds)
+  /** @param points    side with a scalar column `v` (INTEGRAL type — the
+    *                  range dimension is quantized with exact integer
+    *                  arithmetic, like BinnedRangeJoinRule; a double
+    *                  `floor(v / w)` could place a point and an interval
+    *                  bound in different bins for values beyond ~2^53 and
+    *                  silently DROP true matches, which the post-join band
+    *                  filter cannot recover)
+    * @param intervals side with `lo`/`hi` columns (inclusive bounds,
+    *                  integral)
     * @param binWidth  quantization width in the range dimension's units
     * @param keys      extra equi-join keys (joined alongside the bin, so
     *                  the shuffle co-partitions on (key, bin))
@@ -36,10 +43,16 @@ object RangeJoin {
       binWidth: Long,
       keys: Seq[String] = Nil,
   ): DataFrame = {
-    val pBin = points.withColumn("__bin", floor(col(v) / binWidth))
+    // floor division on longs: subtract the (always-nonnegative) pmod so
+    // the dividend is an exact multiple, then `div` — exact at any
+    // magnitude and floor-consistent for negatives on both sides
+    def bin(c: String): Column = expr(
+      s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), CAST($binWidth AS BIGINT)))" +
+        s" div CAST($binWidth AS BIGINT)")
+    val pBin = points.withColumn("__bin", bin(v))
     val iBin = intervals.withColumn(
       "__bin",
-      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+      explode(sequence(bin(lo), bin(hi))))
     pBin
       .join(iBin, "__bin" +: keys)
       .filter(col(v) >= col(lo) && col(v) <= col(hi))

@@ -50,14 +50,23 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = SQLConf.get.getConfString(WidthKey, "")
     if (width.isEmpty) plan
-    else {
-      val w = width.toLong
-      require(w > 0, s"$WidthKey must be positive, got $w")
-      plan.transformUp {
-        case j @ Join(left, right, Inner, Some(cond), _)
-            if matchBand(cond, left, right).isDefined =>
-          rewrite(j, matchBand(cond, left, right).get, w)
-      }
+    else width.trim.toLongOption match {
+      // a malformed/non-positive width must not throw from inside the
+      // optimizer (it would fail EVERY query in the session, not just
+      // band joins) — warn once per invocation and skip the rewrite
+      case Some(w) if w > 0 =>
+        plan.transformUp {
+          case j @ Join(left, right, Inner, Some(cond), _) =>
+            // bind the match once (guard-and-body would evaluate it twice)
+            matchBand(cond, left, right) match {
+              case Some(band) => rewrite(j, band, w)
+              case None       => j
+            }
+        }
+      case _ =>
+        logWarning(s"$WidthKey='$width' is not a positive long; " +
+          "band-join rewrite disabled for this query")
+        plan
     }
   }
 

@@ -78,6 +78,8 @@ class AggregatesSpec extends SparkSpec {
       nCentroids = 8, nProbe = 3)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.7, s"IVF recall $recall too low")
+    // k-means-refined codebook (2 Lloyd's rounds) must beat the old
+    // unrefined-seed threshold of 0.7
+    assert(recall >= 0.85, s"IVF recall $recall too low")
   }
 }

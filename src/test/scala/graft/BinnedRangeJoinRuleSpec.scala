@@ -70,6 +70,24 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("malformed bin width disables the rewrite instead of failing queries") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BinnedRangeJoinRule
+    spark.conf.set(BinnedRangeJoinRule.WidthKey, "not-a-number")
+    try {
+      // every query in the session passes through the rule — a bad conf
+      // must not throw from inside the optimizer
+      assert(spark.range(5).count() == 5L)
+      val q = points.join(intervals,
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(q.select("ivl").distinct().count() == 3L) // plain plan, right answer
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BinnedRangeJoinRule)
+      spark.conf.unset(BinnedRangeJoinRule.WidthKey)
+    }
+  }
+
   test("rule does not fire on equi-joins or non-integral bands") {
     withRule(width = 16L) {
       val eq = points.join(intervals, col("t") === col("lo"))

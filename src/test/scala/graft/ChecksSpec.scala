@@ -37,6 +37,17 @@ class ChecksSpec extends SparkSpec {
     assert(viol.select("device").as[Option[String]].collect().flatten.toSet == Set("d1"))
   }
 
+  test("relationships excludes NULL foreign keys (dbt parity)") {
+    val child = Seq(
+      (1L, Some("d1")), (2L, None), (3L, Some("dX")),
+    ).toDF("id", "device")
+    val parent = Seq("d1", "d2").toDF("device")
+    val orphans = Checks.relationships(child, "device", parent, "device")
+      .select("id").as[Long].collect().toSet
+    // id=2 (NULL FK) is not an orphan — only the genuinely dangling dX is
+    assert(orphans == Set(3L))
+  }
+
   test("run returns per-check violation counts") {
     val res = Checks.run(Seq(
       "nn" -> Checks.notNull(dirty, Seq("device")),

@@ -37,6 +37,21 @@ class OperatorsSpec extends SparkSpec {
     assert(joined(4L) == (None, None)) // key B has no quotes at all
   }
 
+  test("asof join fills payload atomically: NULL payload values stay NULL") {
+    // quote at t=20 has a NULL px — a matched left row must report that
+    // NULL, not reach back to the older t=8 quote (row integrity)
+    val quotesWithNull = Seq(
+      ("A", 8L, Some(100.0), 8L), ("A", 20L, None, 20L),
+    ).toDF("sym", "t", "px", "qt")
+    val out = AsofJoin(
+      Seq(("A", 22L, 1L)).toDF("sym", "t", "trade_id"),
+      quotesWithNull, "sym", "t", "t", Seq("px", "qt"))
+      .head()
+    assert(out.getAs[Long]("qt") == 20L, "must match the t=20 row")
+    assert(out.isNullAt(out.fieldIndex("px")),
+      "NULL payload inside the matched row must stay NULL")
+  }
+
   test("asof join keeps every left row exactly once") {
     val out = AsofJoin(trades, quotes, "sym", "t", "t", Seq("px"))
     assert(out.count() == 4)
@@ -82,6 +97,24 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("connected components: empty vertex set returns empty, no NPE") {
+    val vertices = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.ConnectedComponents(vertices, edges).count() == 0L)
+  }
+
+  test("binned range join is exact at magnitudes beyond double precision") {
+    // 2^53 + small offsets: floor(v/w) in doubles would collapse
+    // neighbouring values into the same rounded quotient
+    val base = 1L << 53
+    val points = Seq((0L, base + 1L), (0L, base + 3L)).toDF("k", "t")
+    val intervals = Seq((0L, base + 2L, base + 5L, "i1")).toDF("k", "lo", "hi", "ivl")
+    val got = graft.operators.RangeJoin
+      .binned(points, intervals, "t", "lo", "hi", binWidth = 2L, keys = Seq("k"))
+      .select("t").as[Long].collect().toSet
+    assert(got == Set(base + 3L), s"got $got")
   }
 
   test("salted join equals the plain join and spreads a hot key") {

@@ -148,6 +148,49 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch MERGE upsert: versioned commit, idempotent re-drain + replay") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.stream.Upsert
+    val dir = Files.createTempDirectory("graft-upsert").toFile.getAbsolutePath
+    val landing = s"$dir/landing"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    new java.io.File(landing).mkdirs()
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("_op", StringType), StructField("_commit_ts", StringType)))
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(landing, name), lines.mkString("\n").getBytes)
+    def cur = Upsert.readState(spark, state).get
+      .select("k", "v").as[(String, Long)].collect().toSet
+
+    writeBatch("b1.json", Seq(
+      """{"k":"k1","v":1,"_op":"c","_commit_ts":"2024-01-01T10:00:00"}""",
+      """{"k":"k2","v":2,"_op":"c","_commit_ts":"2024-01-01T10:00:01"}"""))
+    Upsert.runUpsertPipeline(spark, landing, schema, state, ckpt, Seq("k"))
+    assert(cur == Set(("k1", 1L), ("k2", 2L)))
+    val v1 = Upsert.currentVersion(state)
+
+    // re-drain with no new input: checkpoint replays nothing, state version
+    // unchanged — the exactly-once re-drain guarantee
+    Upsert.runUpsertPipeline(spark, landing, schema, state, ckpt, Seq("k"))
+    assert(Upsert.currentVersion(state) == v1)
+    assert(cur == Set(("k1", 1L), ("k2", 2L)))
+
+    // batch 2: update k1, soft-delete k2, create k3 → MERGE semantics
+    writeBatch("b2.json", Seq(
+      """{"k":"k1","v":10,"_op":"u","_commit_ts":"2024-01-01T11:00:00"}""",
+      """{"k":"k2","v":0,"_op":"d","_commit_ts":"2024-01-01T11:00:01"}""",
+      """{"k":"k3","v":3,"_op":"c","_commit_ts":"2024-01-01T11:00:02"}"""))
+    Upsert.runUpsertPipeline(spark, landing, schema, state, ckpt, Seq("k"))
+    assert(cur == Set(("k1", 10L), ("k3", 3L)))
+
+    // at-least-once replay of an already-applied batch converges to the
+    // same state (Cdc.merge idempotence) — exactly-once EFFECT
+    val replay = spark.read.schema(schema).json(s"$landing/b2.json")
+    Upsert.mergeBatch(spark, state, replay, batchId = 99L, keyCols = Seq("k"))
+    assert(cur == Set(("k1", 10L), ("k3", 3L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
