@@ -160,8 +160,12 @@ object Dedup {
     // prefix length |w| - ceil(t·|w|) + 1, exact integer ceil via div
     val prefLen = (col("sz") -
       expr(s"(sz * $num + ${den - 1}) div $den") + 1).cast("int")
+    // persist: the self-join below would otherwise re-run the whole
+    // df-build + sort pipeline once PER LEG (self-joins recompute their
+    // upstream); the prefix table is ~(1-t)·|tokens| rows of (id, sz, p)
     val pref = sorted.select(col("doc_id"), col("sz"),
       explode(slice(col("st"), lit(1), prefLen)).as("p"))
+      .persist()
     // candidate pairs: shared prefix token + the symmetric length filter
     // (J >= t ⇒ t·|A| <= |B| and t·|B| <= |A|), integer arithmetic again
     val cand = pref.as("a").join(pref.as("b"),

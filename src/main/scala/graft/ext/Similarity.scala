@@ -167,14 +167,17 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
       .orderBy("centroid_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    def best(vec: Column, m: Array[(Long, Array[Float])]): Column =
-      greatest(m.map { case (id, v) =>
-        struct(cosine(vec, typedLit(v.toSeq)).as("c"), lit(-id).as("nid"))
-      }: _*)
+    // assignment = the native NearestCentroid expression: one compiled
+    // loop over a referenced codebook (a greatest(struct(cosine,..))×k
+    // tree works too, but its generated code — and Janino compile time,
+    // paid again every Lloyd round — grows linearly in k)
+    def assign(vec: Column, m: Array[(Long, Array[Float])]): Column =
+      graft.functions.VectorFunctions.nearest_centroid(
+        vec, m.map(_._2.toSeq).toSeq, m.map(_._1).toSeq)
     var model = seed
     for (_ <- 1 to refineRounds) {
       val means = c
-        .select((-best(col("c_vec"), model).getField("nid")).as("cluster_id"),
+        .select(assign(col("c_vec"), model).as("cluster_id"),
           posexplode(col("c_vec")).as(Seq("pos", "x")))
         .groupBy("cluster_id", "pos")
         .agg(avg(col("x").cast("double")).as("m"))
@@ -188,8 +191,8 @@ object Similarity {
     val centroids = model.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("centroid_id", "cent_vec")
     val assigned = c
-      .withColumn("__best", best(col("c_vec"), model))
-      .select(col("vec_id"), col("c_vec"), (-col("__best.nid")).as("cluster_id"))
+      .select(col("vec_id"), col("c_vec"),
+        assign(col("c_vec"), model).as("cluster_id"))
     val probeWindow = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("centroid_id"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

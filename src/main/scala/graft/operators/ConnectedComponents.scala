@@ -57,12 +57,16 @@ object ConnectedComponents {
         .join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
       val unioned = labels.select(col("id"), col("comp")).union(nbrMin)
+      // LAZY checkpoint: the convergence-check aggregate below is the
+      // action that materializes it, so each round is ONE job (an eager
+      // checkpoint + separate agg scan was two) while the next round's
+      // plan still starts from the checkpointed RDD, not grown lineage.
       val next = loopPartitions
         .map(n => unioned.repartition(n, col("id")))
         .getOrElse(unioned)
         .groupBy("id")
         .agg(min("comp").as("comp"))
-        .localCheckpoint() // cut the iterated lineage (eager)
+        .localCheckpoint(false)
       // sum is NULL on an empty vertex set — treat as converged-at-zero
       val row = next.agg(sum("comp")).first()
       val s = if (row.isNullAt(0)) 0L else row.getLong(0)

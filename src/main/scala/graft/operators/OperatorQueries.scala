@@ -32,9 +32,12 @@ object OperatorQueries {
       .select(col("doc_id"), col("n_chars"),
         array_distinct(split(col("text"), " ")).as("w"))
       .persist()
+    // persist: ConnectedComponents symmetrizes edges with a two-leg union,
+    // which would re-run the whole prefix-filter pipeline once per leg
     val edges = graft.ext.Dedup
       .jaccardSelfJoinExact(docs.select("doc_id", "w"), 9, 10)
       .select("src", "dst")
+      .persist()
     // the sampled pair graph is ~1/100th of the corpus: a narrow loop
     // width beats the session shuffle default (per-round task overhead)
     val comps = ConnectedComponents(docs.select(col("doc_id").as("id")), edges,
