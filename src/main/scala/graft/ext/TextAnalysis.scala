@@ -233,5 +233,71 @@ object TextAnalysis {
           |         (acc, h) -> (acc * 1000003 + h) % 1000000007) AS rfp
           |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+
+    // ---- benchmark decontamination: flag training docs sharing any word
+    //      3-gram with the held-out benchmark set (doc_id % 97 == 0).
+    //      At 100 TB the benchmark gram set is tiny by construction →
+    //      broadcast hash join against the training gram stream; grams
+    //      travel as fixed-width md5 hashes, never the raw text. ----
+    QueryDef(
+      "doc_decontam",
+      (sp, dir) => {
+        val g = Tables.documents(sp, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(col("text"), 3))).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("gh"))
+        val bench = g.filter(col("doc_id") % 97 === 0)
+          .select(col("gh").as("bh")).distinct()
+        g.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), col("gh") === col("bh"))
+          // (doc_id, gh) is already distinct upstream → plain count
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         md5(array_to_string(toks[idx : idx + 2], ' ')) AS gh
+          |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(idx)),
+          |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+          |SELECT g.doc_id, count(*) AS n_shared
+          |FROM g JOIN bench USING (gh)
+          |WHERE g.doc_id % 97 <> 0
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+    ),
+
+    // ---- repetition scoring: duplicate word-3-gram fraction per doc —
+    //      the standard "repetitious text" quality signal. Pure narrow
+    //      per-row work (array ops inside the row), no shuffle at all. ----
+    QueryDef(
+      "doc_repetition",
+      (sp, dir) =>
+        Tables.documents(sp, dir)
+          .select(col("doc_id"), shingles(col("text"), 3).as("gs"))
+          .filter(size(col("gs")) > 0)
+          .select(col("doc_id"),
+            size(col("gs")).cast("long").as("n_grams"),
+            size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+          // exact-int numerator / double denominator: bit-identical ratio
+          .withColumn("rep_ratio",
+            (col("n_grams") - col("n_distinct")) / col("n_grams").cast("double"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |         list_transform(generate_series(1, len(toks) - 2),
+          |           i -> array_to_string(toks[i : i + 2], ' ')) AS gs
+          |  FROM t WHERE len(toks) >= 3)
+          |SELECT doc_id,
+          |       CAST(len(gs) AS BIGINT) AS n_grams,
+          |       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+          |       (len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE) AS rep_ratio
+          |FROM g ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
