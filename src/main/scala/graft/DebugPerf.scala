@@ -80,12 +80,17 @@ object DebugPerf {
 
     // --- IVF phases ---
     val emb = Tables.embeddings(spark, sfDir)
-    t("ivf full (2 rounds)")(
-      graft.ext.Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", 5).count())
-    t("ivf full (0 rounds)")(
+    t("emb count")(println("emb=" + emb.count() +
+      " dim=" + emb.selectExpr("size(embedding)").first().getInt(0)))
+    t("ivf full (0 rounds, cold)")(
       graft.ext.Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", 5, refineRounds = 0).count())
+    t("ivf full (2 rounds, warm c)")(
+      graft.ext.Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", 5).count())
+    t("ivf full (2 rounds, again)")(
+      graft.ext.Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", 5).count())
     spark.stop()
   }
 }

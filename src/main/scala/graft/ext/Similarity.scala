@@ -156,10 +156,19 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      refineRounds: Int = 2): DataFrame = {
+      refineRounds: Int = 2, trainModulus: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persist: consumed once per Lloyd round + the final assignment pass —
+    // without it every pass re-reads and re-parses the source vectors
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+      .persist()
+    // Centroid TRAINING runs on a deterministic 1/trainModulus stride
+    // sample — the standard IVF recipe (train on a sample, assign the full
+    // corpus once): centroid means stabilize long before the full corpus
+    // is seen, and each avoided pass is a full-corpus scan at 100 TB.
+    val train = if (trainModulus > 1)
+      c.filter(pmod(col("vec_id"), lit(trainModulus)) === 0) else c
     val seed = corpus
       .orderBy(col(idCol)).limit(nCentroids * 7)
       .filter(pmod(col(idCol), lit(7)) === 3) // decorrelate from id order
@@ -176,7 +185,7 @@ object Similarity {
         vec, m.map(_._2.toSeq).toSeq, m.map(_._1).toSeq)
     var model = seed
     for (_ <- 1 to refineRounds) {
-      val means = c
+      val means = train
         .select(assign(col("c_vec"), model).as("cluster_id"),
           posexplode(col("c_vec")).as(Seq("pos", "x")))
         .groupBy("cluster_id", "pos")

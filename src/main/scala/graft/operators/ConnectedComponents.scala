@@ -34,15 +34,42 @@ object ConnectedComponents {
     *   Size it to the graph, not the cluster default: per-round task-
     *   scheduling overhead dominates on small/medium graphs, and a
     *   near-dup graph is orders of magnitude smaller than its corpus.
+    * @param localEdgeThreshold when the (already-materialized) symmetrized
+    *   edge count is at or below this, the component labels are computed
+    *   with driver-side union-find over the collected edge list and
+    *   broadcast-joined back onto the (still distributed) vertex set —
+    *   the same small-side-goes-local reasoning as a broadcast hash join.
+    *   An iterative job per graph-diameter round costs several driver
+    *   round-trips of plan analysis + codegen + task scheduling; for a
+    *   graph whose EDGES fit comfortably on the driver (near-dup pair
+    *   graphs are ~orders of magnitude smaller than their corpus) that
+    *   fixed overhead dwarfs the actual work. 4M edges ≈ 64 MB collected
+    *   — safely under any real driver budget; set to 0 to force the
+    *   distributed loop. The vertex set is never collected, so isolated-
+    *   vertex-heavy corpora stay distributed.
     * @return (id, component) where component = min id reachable from id
     */
   def apply(vertices: DataFrame, edges: DataFrame, maxIters: Int = 25,
-      loopPartitions: Option[Int] = None): DataFrame = {
+      loopPartitions: Option[Int] = None,
+      localEdgeThreshold: Long = 4L * 1000 * 1000): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    sym.count() // materialize once; reused every round
+    val nEdges = sym.count() // materialize once; reused every round
+
+    if (nEdges <= localEdgeThreshold) {
+      val labels = localUnionFind(sym)
+      sym.unpersist()
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val labelDf = labels.toSeq.toDF("id", "comp")
+      // broadcast the (small) non-trivial labels; everything else is its
+      // own component — vertices themselves never leave the executors
+      return vertices.select(col("id"))
+        .join(org.apache.spark.sql.functions.broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    }
 
     var labels = vertices.select(col("id"), col("id").as("comp"))
     // Labels only ever decrease, so sum(comp) strictly decreases until the
@@ -86,6 +113,33 @@ object ConnectedComponents {
           "ConnectedComponents.alternating for deep graphs")
     }
     labels
+  }
+
+  /** Driver union-find with min-root union: roots are always the minimum
+    * id of their set, so `find(v)` at the fixpoint equals the min
+    * reachable id — identical semantics to the distributed loop (and to
+    * the DuckDB recursive-CTE oracle). Path-halving keeps it near-linear.
+    */
+  private def localUnionFind(sym: DataFrame): collection.Map[Long, Long] = {
+    val parent = collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var v = x
+      while (parent.getOrElse(v, v) != v) {
+        val p = parent(v)
+        val gp = parent.getOrElse(p, p)
+        parent(v) = gp // path halving
+        v = gp
+      }
+      v
+    }
+    sym.select(col("src"), col("dst")).collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) {
+        // min root wins — keeps the invariant root == min(set)
+        if (a < b) parent(b) = a else parent(a) = b
+      }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 
   /** The alternating large-star/small-star algorithm (Kiveris et al.,
