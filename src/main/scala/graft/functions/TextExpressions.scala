@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlShims.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -20,13 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * (same xxhash64 seeds, same Carter-Wegman lane construction), which the
   * test suite asserts.
   *
-  * CodegenFallback costs one boxed call per row — irrelevant next to the
-  * per-element loop it replaces.
+  * Codegen: the per-element loop gains nothing from being inlined into
+  * generated Java (it is already a primitive loop the JIT compiles), but a
+  * CodegenFallback expression would kick its WHOLE stage out of
+  * WholeStageCodegen — deoptimizing every neighboring expression in the
+  * projection. So each expression generates a single virtual call to its
+  * own `compute` via `addReferenceObj`: the stage stays fused, the loop
+  * stays JIT-compiled Scala, one call per row.
   */
 
 /** Word n-gram shingles of a space-tokenized string. */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -39,8 +44,16 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].split(space, -1)
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val tokens = input.split(space, -1)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val nOut = tokens.length - n + 1
     val arr = new Array[AnyRef](nOut)
@@ -68,7 +81,7 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   * transform dominated the language-ID profile build).
   */
 case class CharNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -79,9 +92,17 @@ case class CharNGrams(child: Expression, n: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"char_ngrams expects string, got ${child.dataType.simpleString}")
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charNGrams", this, classOf[CharNGrams].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
     // operate on code points via String to match substr semantics
-    val s = input.asInstanceOf[UTF8String].toString
+    val s = input.toString
     if (s.length < n) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.LinkedHashSet[AnyRef]()
     var i = 0
@@ -106,7 +127,7 @@ case class CharNGrams(child: Expression, n: Int)
   * Dedup.minhashSig (Catalyst chains: seed 42 → bytes → int).
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -118,8 +139,15 @@ case class MinHashSignature(child: Expression, k: Int)
       s"minhash_sig expects array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val mins = Array.fill[Long](k)(Long.MaxValue)
     val nElems = arr.numElements()
     var e = 0
@@ -147,7 +175,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * the result is the majority vote of bit j over all element hashes.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -159,8 +187,15 @@ case class SimHash64(child: Expression)
       s"simhash64 expects array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Long](64)
     val nElems = arr.numElements()
     var e = 0
@@ -180,7 +215,7 @@ case class SimHash64(child: Expression)
       if (counts(j) * 2 > nElems) fp |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(fp)
+    fp
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -58,6 +58,38 @@ class TextExpressionsSpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("signature chain codegens (no CodegenFallback stage break)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // generate() throws on Janino failure — guards the generated call sites
+    val s = BoundReference(0, StringType, nullable = false)
+    val sh = graft.functions.WordShingles(s, 2, distinct = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.functions.MinHashSignature(sh, 8),
+      graft.functions.SimHash64(sh),
+      graft.functions.CharNGrams(s, 3)))
+    val out = proj(InternalRow(UTF8String.fromString("a b c a b")))
+    assert(out.getArray(0).numElements() == 8)
+    assert(out.getArray(2).numElements() > 0)
+    // and the whole dedup signature projection stays in a fused stage
+    // (range source: a local relation would be constant-folded before
+    // planning and never produce a codegen stage at all)
+    val range = spark.range(50).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha beta"), col("id").cast("string"),
+        lit("gamma delta")).as("text"))
+    val df = range.select(col("doc_id"),
+      TextFunctions.minhash_sig(
+        TextFunctions.word_shingles(col("text"), 3, distinct = true), 64).as("sig"),
+      TextFunctions.simhash64(TextFunctions.word_shingles(col("text"), 3)).as("fp"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), // "*(n)" marks a WholeStageCodegen span
+      s"signature projection fell out of codegen:\n${executed.take(600)}")
+  }
+
   test("near-dup docs differ in few simhash bits, unrelated in many") {
     val sh = docs.filter(col("doc_id") <= 2).select(col("doc_id"),
       TextFunctions.simhash64(TextFunctions.word_shingles(col("text"), 3)).as("fp"))
