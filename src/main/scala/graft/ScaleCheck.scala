@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-growth check (not part of the driver contract).
+  *
+  * `ScaleUp` replicates the sf0.1 testdata ×N inside the repo working dir
+  * (dims kept single-copy, large tables key-offset per replica so FK joins
+  * and the deterministic `% k` sampling classes are preserved — the offset
+  * 1e10 is divisible by every modulus the queries sample with), and
+  * `ScaleCheck` times the flagship queries on both dirs and prints the
+  * runtime growth ratio per query. A ratio far above the data growth
+  * factor flags a super-linear (quadratic) operator that small-SF
+  * correctness runs can't see; BASELINE.md records the measured table.
+  */
+object ScaleUp {
+  // int64 key columns to offset per replica; tables absent here are copied
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "nation" -> Seq.empty,
+    "region" -> Seq.empty,
+  )
+  val Offset = 10000000000L // 1e10: % {7,10,25,50,100,...} classes preserved
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    keyCols.foreach { case (table, keys) =>
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val out =
+        if (keys.isEmpty || factor <= 1) base
+        else (0 until factor).map { i =>
+          keys.foldLeft(base)((df, k) =>
+            df.withColumn(k, col(k) + lit(i * Offset)))
+        }.reduce(_.unionByName(_))
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table x${if (keys.isEmpty) 1 else factor}")
+    }
+    spark.stop()
+  }
+}
+
+object ScaleCheck {
+  private val flagship = Seq(
+    "q1_agg", "q3_shipping", "q5_nation_revenue", "q18_big_orders",
+    "fact_events", "q_sessionize", "dedup_exact", "doc_lang_id",
+    "dedup_minhash", "ann_knn_heap", "dedup_clusters", "q_dedup_retain")
+
+  def main(args: Array[String]): Unit = {
+    val (smallDir, bigDir) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // warm the JVM
+
+    // best-of-two: the first execution of a query pays one-time JVM +
+    // codegen warmup that would otherwise masquerade as scale growth
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    println(f"${"query"}%-20s ${"small_s"}%8s ${"big_s"}%8s ${"ratio"}%6s")
+    flagship.foreach { q =>
+      val s = time(q, smallDir)
+      val b = time(q, bigDir)
+      println(f"$q%-20s $s%8.2f $b%8.2f ${b / s}%6.1f")
+    }
+    spark.stop()
+  }
+}
