@@ -53,6 +53,42 @@ object Ingest {
   def bronzeBatch(spark: SparkSession, landingDir: String): DataFrame =
     spark.read.schema(rawEventSchema).json(landingDir)
 
+  /** Schema inference for the streaming edge — the OSS twin of Auto
+    * Loader's inferred-schema mode (bronze_iot_events.sql:12-15 infers;
+    * OSS FileStreamSource refuses to): sample the landing dir with a
+    * bounded BATCH read, then open the stream with the inferred schema.
+    * `primitivesAsString=true` reproduces the reference bronze contract
+    * (everything lands as string, silver casts — SURVEY §7.4 hazard 4);
+    * pass false to let Spark's JSON inference type numerics.
+    *
+    * Inference cost is one pass over `sampleFiles` files at pipeline
+    * START only — the returned stream itself never re-infers. At 100 TB
+    * the landing dir holds uniform machine-written JSON, so a small
+    * sample pins the schema; a schema CHANGE mid-stream surfaces as
+    * nulls in new columns at silver DQ, the same failure mode the
+    * reference documents for Auto Loader without schema evolution.
+    */
+  def bronzeStreamInferred(spark: SparkSession, landingDir: String,
+      sampleFiles: Int = 8, primitivesAsString: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // bound the inference scan to the first sampleFiles paths (sorted for
+    // determinism) — inference reads only O(sample), not the backlog
+    val fs = new org.apache.hadoop.fs.Path(landingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = fs.listStatus(new org.apache.hadoop.fs.Path(landingDir))
+      .filter(_.isFile).map(_.getPath.toString)
+      .filterNot(p => p.contains("/_") || p.contains("/."))
+      .sorted.take(sampleFiles)
+    require(paths.nonEmpty, s"no files to infer a schema from in $landingDir")
+    val sample = spark.read
+      .option("primitivesAsString", primitivesAsString.toString)
+      .json(paths.toIndexedSeq: _*)
+    val inferred = StructType(sample.schema.fields.sortBy(_.name))
+    val r = spark.readStream.schema(inferred)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(landingDir)
+  }
+
   /** Silver transform, usable on both the streaming and batch bronze frame:
     * projection (A8), timestamp cast (A9), normalized IN-list quality filter
     * that PROJECTS THE RAW flag (A10 + hazard 3: ' Good ' passes the filter

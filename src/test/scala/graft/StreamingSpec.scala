@@ -76,4 +76,36 @@ class StreamingSpec extends SparkSpec {
     assert(jan.getAs[Double]("avg_value") == 25.0)
     assert(jan.getAs[Long]("n_events") == 2L)
   }
+
+  test("inferred-schema stream drains the same silver as the explicit schema") {
+    val root = Files.createTempDirectory("graft-stream-infer")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    writeFile(landing, "b1.jsonl", Seq(
+      evt("d1", "l1", "2024-01-01T00:00:00", "temperature", "good", 20.5),
+      evt("d2", "l2", "2024-01-01T00:01:00", "humidity", "suspect", 50.0),
+      evt("d3", "l2", "2024-01-01T00:02:00", "pressure", "bad", 1.0), // dropped
+    ))
+    // inference with primitivesAsString lands every field as string —
+    // the reference bronze contract; columns sorted for determinism
+    val stream = Ingest.bronzeStreamInferred(spark, landing.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val outDir = root.resolve("silver").toString
+    // align the all-string bronze with the typed contract: reorder to the
+    // raw schema and cast value (exactly what silver casting is for)
+    val aligned = stream.select(Ingest.rawEventSchema.fields.map(f =>
+      col(f.name).cast(f.dataType)): _*)
+    Ingest.silverTransform(aligned)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+    val batch = Ingest.silverTransform(Ingest.bronzeBatch(spark, landing.toString))
+    assert(streamed.count() == 2)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
