@@ -15,6 +15,7 @@ object SparkEntry {
       graft.relational.Relational2.all ++
       graft.relational.Relational3.all ++
       graft.relational.Relational4.all ++
+      graft.relational.Relational5.all ++
       graft.ext.TextAnalysis.all ++
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
