@@ -17,6 +17,7 @@ object SparkEntry {
       graft.relational.Relational4.all ++
       graft.relational.Relational5.all ++
       graft.ext.TextAnalysis.all ++
+      graft.ext.PipelineOps.all ++
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
       graft.ext.Multimodal.all ++

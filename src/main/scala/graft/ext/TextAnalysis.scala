@@ -242,13 +242,25 @@ object TextAnalysis {
     QueryDef(
       "doc_decontam",
       (sp, dir) => {
-        val g = Tables.documents(sp, dir)
+        // native shingles (codegen) after a cheap raw-text guard +
+        // repartition — the single-split local parquet otherwise runs the
+        // whole gram build on one core (no-op on a many-split cluster).
+        // The benchmark set is ~1% of docs by construction, so its gram
+        // table is built from THAT slice directly (tiny scan) rather than
+        // by filtering a materialized full gram table — the training leg
+        // then runs as one fused scan→explode→join→agg pass, nothing
+        // cached, nothing computed twice.
+        def grams(docs: DataFrame) = docs
+          .filter(size(split(col("text"), " ")) >= 3)
+          .repartition(sp.sparkContext.defaultParallelism)
           .select(col("doc_id"),
-            explode(array_distinct(shingles(col("text"), 3))).as("gram"))
+            explode(graft.functions.TextFunctions
+              .word_shingles(col("text"), 3, distinct = true)).as("gram"))
           .select(col("doc_id"), md5(col("gram")).as("gh"))
-        val bench = g.filter(col("doc_id") % 97 === 0)
+        val doc = Tables.documents(sp, dir)
+        val bench = grams(doc.filter(col("doc_id") % 97 === 0))
           .select(col("gh").as("bh")).distinct()
-        g.filter(col("doc_id") % 97 =!= 0)
+        grams(doc.filter(col("doc_id") % 97 =!= 0))
           .join(broadcast(bench), col("gh") === col("bh"))
           // (doc_id, gh) is already distinct upstream → plain count
           .groupBy("doc_id")
@@ -277,8 +289,13 @@ object TextAnalysis {
       "doc_repetition",
       (sp, dir) =>
         Tables.documents(sp, dir)
-          .select(col("doc_id"), shingles(col("text"), 3).as("gs"))
-          .filter(size(col("gs")) > 0)
+          // cheap raw guard (≙ size(gs) > 0) keeps the heavy shingle
+          // expression out of the pushed-down filter; repartition spreads
+          // the single local split (cluster no-op); native shingles codegen
+          .filter(size(split(col("text"), " ")) >= 3)
+          .repartition(sp.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.word_shingles(col("text"), 3).as("gs"))
           .select(col("doc_id"),
             size(col("gs")).cast("long").as("n_grams"),
             size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
