@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * The IMAGE path is real: `asImageTable` plants genuine PNG streams
   * (encoded with the JDK's javax.imageio — the container ships no sample
   * images, so the pipeline plants its own fixture corpus), and
-  * `extractFeatures`/`resize` decode them with javax.imageio. Only the
-  * AUDIO path remains a deterministic fake (no audio codecs beyond WAV in
-  * the JDK, none in this container). The Spark-side plumbing is identical
-  * for both: binary columns flow through parquet-friendly schemas, and the
+  * `extractFeatures`/`resize` decode them with javax.imageio. The AUDIO
+  * path is real too: `asAudioTable` plants genuine RIFF/PCM16 WAV streams
+  * and `extractAudioFeatures` decodes them through javax.sound.sampled —
+  * the JDK's actual audio codec. Only video remains a stand-in
+  * (`sampleFrames` treats payloads as fixed-size frames; no video codec
+  * exists in the JDK). The Spark-side plumbing is identical
+  * for all: binary columns flow through parquet-friendly schemas, and the
   * extract stage is `mapPartitions` over typed rows (partition-batched,
   * the Scala analogue of `mapInPandas` batch processing: amortized
   * per-batch codec setup, no per-row interpreter round trip).
@@ -198,6 +201,77 @@ object Multimodal {
       .toDF()
   }
 
+  /** Planted WAV corpus: one GENUINE RIFF/PCM16-mono stream per doc. The
+    * header and samples are laid out by hand (PCM is a literal sample
+    * dump, so the encode is closed-form), with sample rate, length and
+    * every sample value a pure function of doc_id — which makes the
+    * decode query fully ORACLED: DuckDB recomputes duration and energy
+    * arithmetically while Spark must recover them through an actual
+    * audio-codec round trip.
+    */
+  def asAudioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = (id % 3).toInt match {
+            case 0 => 8000; case 1 => 16000; case _ => 22050
+          }
+          val n = 64 + (id % 937).toInt
+          val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(n * 2)
+          var i = 0
+          while (i < n) {
+            bb.putShort(
+              (((id * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toShort)
+            i += 1
+          }
+          (id, "audio/wav", bb.array(), (44 + n * 2).toLong)
+        }
+      }
+      .toDF("doc_id", "media_type", "payload", "n_bytes")
+  }
+
+  /** REAL audio decode via the JDK codec (javax.sound.sampled handles
+    * RIFF/PCM WAV): format fields come from the decoded AudioFormat, the
+    * sample count and mean-absolute energy from the decoded PCM frames.
+    * Per-partition batching as everywhere else in this module.
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = in.getFormat
+          val data = in.readAllBytes()
+          in.close()
+          val nSamples = data.length / 2
+          var energy = 0L
+          var i = 0
+          while (i < nSamples) {
+            val s = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+            energy += math.abs(s)
+            i += 1
+          }
+          val rate = math.round(fmt.getSampleRate)
+          (id, rate, fmt.getChannels, fmt.getSampleSizeInBits,
+            nSamples.toLong, nSamples.toLong * 1000L / rate, energy)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+        "duration_ms", "energy")
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int,
       checksum: Long)
 
@@ -259,6 +333,35 @@ object Multimodal {
           |       CAST(16 + doc_id % 31 AS INT) AS height,
           |       3 AS channels
           |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // REAL audio decode: planted genuine PCM16 WAV streams → the JDK
+    // audio codec. Every output column requires the decode (format fields
+    // from AudioFormat, energy from decoded frames) yet is closed-form in
+    // doc_id, so the whole thing is oracled arithmetically.
+    QueryDef(
+      "mm_audio_features",
+      (sp, dir) =>
+        extractAudioFeatures(asAudioTable(
+          Tables.documents(sp, dir).filter(col("doc_id") % 5 === 0)))
+          .orderBy("doc_id"),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+          |              WHEN 1 THEN 16000 ELSE 22050 END AS sample_rate,
+          |         CAST(64 + doc_id % 937 AS BIGINT) AS n
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |e AS (
+          |  SELECT doc_id, sample_rate, n,
+          |         CAST(sum(abs(((doc_id * 2654435761 + i * 40503) % 65536)
+          |                      - 32768)) AS BIGINT) AS energy
+          |  FROM d, unnest(generate_series(0, n - 1)) AS u(i)
+          |  GROUP BY 1, 2, 3)
+          |SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate,
+          |       CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+          |       n AS n_samples, n * 1000 // sample_rate AS duration_ms,
+          |       energy
+          |FROM e ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "mm_frame_sample",

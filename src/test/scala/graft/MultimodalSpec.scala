@@ -83,6 +83,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("planted WAV decodes through the JDK audio codec to closed-form values") {
+    val feats = Multimodal.extractAudioFeatures(Multimodal.asAudioTable(docs))
+      .orderBy("doc_id").collect()
+    assert(feats.nonEmpty)
+    for (r <- feats) {
+      val id = r.getAs[Long]("doc_id")
+      val expRate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 22050 }
+      val expN = 64 + (id % 937)
+      val expEnergy = (0L until expN).map(i =>
+        math.abs(((id * 2654435761L + i * 40503L) % 65536L) - 32768L)).sum
+      assert(r.getAs[Int]("sample_rate") == expRate)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("bits") == 16)
+      assert(r.getAs[Long]("n_samples") == expN)
+      assert(r.getAs[Long]("duration_ms") == expN * 1000L / expRate)
+      assert(r.getAs[Long]("energy") == expEnergy)
+    }
+  }
+
   test("frame sampling emits every Nth fixed-size frame") {
     val wide = Seq((7L, "x" * 100, "en", "srcA", 100L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
