@@ -16,6 +16,7 @@ object SparkEntry {
       graft.relational.Relational3.all ++
       graft.relational.Relational4.all ++
       graft.relational.Relational5.all ++
+      graft.relational.Analytics.all ++
       graft.ext.TextAnalysis.all ++
       graft.ext.PipelineOps.all ++
       graft.ext.Dedup.all ++
