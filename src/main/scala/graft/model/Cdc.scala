@@ -41,4 +41,56 @@ object Cdc {
       .withColumn(opCol, lit("u"))
     scd1(stateAsEvents.unionByName(batch, allowMissingColumns = true), keyCols, tsCol, opCol)
   }
+
+  /** CDC events → SCD Type 2 history (the dbt `snapshot` shape): one row
+    * per key VERSION with `valid_from`/`valid_to` interval columns and an
+    * `is_current` flag. Each event opens a version at its commit ts; the
+    * next event on the same key closes it (delete events close the
+    * previous version without opening one). Pure window arithmetic — one
+    * shuffle on the business key, deterministic under replay (same tie
+    * order as scd1), and REBUILDABLE: applying it to the full event log
+    * always yields the same history, so incremental maintenance can
+    * always fall back to recompute.
+    */
+  def scd2(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "_commit_ts", opCol: String = "_op"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(opCol).asc)
+    events
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= "d") // a delete closes; it is not a version
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol)
+  }
+
+  /** Merge a CDC batch into an existing SCD2 history: reopen the stored
+    * versions as events at their original `valid_from`, re-emit every
+    * closed interval's upper bound as a synthetic delete (so versions
+    * that were closed by a delete — a GAP with no successor version —
+    * stay closed instead of silently reopening), add the new batch, and
+    * recompute the window. Non-delete ops are normalized to 'u' before a
+    * (key, ts, op) dedup — create/update both just open a version, and
+    * without the normalization a re-merge would pair history's reopened
+    * 'u' with the batch's original 'c' at the same timestamp and emit a
+    * spurious zero-length version. Same-timestamp close+open pairs stay
+    * distinct ('d' vs 'u') and deterministically ordered.
+    */
+  def scd2Merge(history: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      tsCol: String = "_commit_ts", opCol: String = "_op"): DataFrame = {
+    val asEvents = history
+      .withColumn(tsCol, col("valid_from"))
+      .withColumn(opCol, lit("u"))
+      .drop("valid_from", "valid_to", "is_current")
+    val closures = history
+      .filter(col("valid_to").isNotNull)
+      .withColumn(tsCol, col("valid_to"))
+      .withColumn(opCol, lit("d"))
+      .drop("valid_from", "valid_to", "is_current")
+    val unioned = asEvents.unionByName(closures)
+      .unionByName(batch, allowMissingColumns = true)
+      .withColumn(opCol, when(col(opCol) === "d", "d").otherwise("u"))
+      .dropDuplicates(keyCols ++ Seq(tsCol, opCol))
+    scd2(unioned, keyCols, tsCol, opCol)
+  }
 }

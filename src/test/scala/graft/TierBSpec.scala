@@ -72,6 +72,37 @@ class TierBSpec extends SparkSpec {
     assert(state2.select("key", "payload").as[(String, String)].collect().toMap == m)
   }
 
+  test("scd2 builds version intervals; deletes close without opening") {
+    val hist = Cdc.scd2(cdcBatch, Seq("key"))
+      .select("key", "payload", "valid_from", "valid_to", "is_current")
+      .as[(String, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(hist == Set(
+      ("k1", "v1", 1L, Some(2L), false),
+      ("k1", "v2", 2L, None, true),
+      ("k2", "w1", 1L, Some(3L), false), // closed by the delete, no successor
+      ("k3", "x1", 5L, None, true),
+    ))
+  }
+
+  test("scd2 merge == full-log rebuild, keeps delete gaps, idempotent") {
+    val hist0 = Cdc.scd2(cdcBatch, Seq("key"))
+    val batch2 = Seq(
+      ("k1", "v3", 10L, "u"),
+      ("k2", "w3", 12L, "c"), // key resurrected after its delete gap
+    ).toDF("key", "payload", "_commit_ts", "_op")
+    val merged = Cdc.scd2Merge(hist0, batch2, Seq("key"))
+    val rebuilt = Cdc.scd2(cdcBatch.unionByName(batch2), Seq("key"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "payload", "valid_from", "valid_to", "is_current")
+        .as[(String, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(canon(merged) == canon(rebuilt))
+    // the delete gap survived: w1 closed at 3, w3 opens at 12
+    assert(canon(merged).contains(("k2", "w1", 1L, Some(3L), false)))
+    assert(canon(merged).contains(("k2", "w3", 12L, None, true)))
+    assert(canon(Cdc.scd2Merge(merged, batch2, Seq("key"))) == canon(merged))
+  }
+
   // ---- Streaming aggregations ----
 
   test("hourly metrics with watermark: streaming result == batch result") {
