@@ -45,4 +45,39 @@ class DagSpec extends SparkSpec {
     assert(built("gold.dim_users").count() == 2)
   }
 
+  test("incremental append materialization only ingests rows past the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val path = s"$dir/inc_model"
+    val inc = Dag.Incremental("ts")
+    // first run: full build
+    val day1 = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "ts", "v")
+    assert(Dag.runIncremental(spark, day1, path, inc).count() == 2)
+    // second run sees old + new source rows; only ts>20 appends
+    val day2 = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "ts", "v")
+    val after = Dag.runIncremental(spark, day2, path, inc)
+    assert(after.count() == 3)
+    // re-running the same source is a no-op (watermark already at 30)
+    assert(Dag.runIncremental(spark, day2, path, inc).count() == 3)
+  }
+
+  test("incremental unique_key materialization upserts the latest version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc2").toString
+    val path = s"$dir/inc_upsert"
+    val inc = Dag.Incremental("ts", uniqueKey = Some(Seq("id")))
+    val day1 = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "ts", "v")
+    Dag.runIncremental(spark, day1, path, inc)
+    // id=1 updated at ts=25, id=3 new — id=1's old version must be replaced
+    val day2 = Seq((1L, 25L, "a2"), (3L, 30L, "c")).toDF("id", "ts", "v")
+    val after = Dag.runIncremental(spark, day2, path, inc)
+      .select("id", "ts", "v").as[(Long, Long, String)].collect().toSet
+    assert(after == Set((1L, 25L, "a2"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // idempotent re-run
+    val again = Dag.runIncremental(spark, day2, path, inc)
+      .select("id", "ts", "v").as[(Long, Long, String)].collect().toSet
+    assert(again == after)
+  }
+
 }
