@@ -58,7 +58,9 @@ object ScaleCheck {
   private val flagship = Seq(
     "q1_agg", "q3_shipping", "q5_nation_revenue", "q18_big_orders",
     "fact_events", "q_sessionize", "dedup_exact", "doc_lang_id",
-    "dedup_minhash", "ann_knn_heap", "dedup_clusters", "q_dedup_retain")
+    "dedup_minhash", "ann_knn_heap", "dedup_clusters", "q_dedup_retain",
+    "q2_min_cost_supp", "q21_waiting_supp", "doc_decontam", "doc_chunking",
+    "doc_pack_sequences", "mm_audio_features", "q_funnel_conversion")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
