@@ -19,6 +19,7 @@ object SparkEntry {
       graft.relational.Analytics.all ++
       graft.ext.TextAnalysis.all ++
       graft.ext.PipelineOps.all ++
+      graft.ext.BpeTrain.all ++
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
       graft.ext.Multimodal.all ++
