@@ -339,6 +339,36 @@ object Similarity {
           |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
           |ORDER BY a_id, b_id""".stripMargin),
     ),
+    // Embedding-level decontamination: train vectors too close to the
+    // held-out benchmark slice (vec_id % 97). The benchmark side is tiny
+    // by construction → broadcast; one corpus pass, no self-shuffle — the
+    // same plan shape as brute-force topK, which is what keeps it viable
+    // when the train side is 100 TB.
+    QueryDef(
+      "emb_decontam",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir).select("vec_id", "embedding")
+        val bench = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        emb.filter(col("vec_id") % 97 =!= 0)
+          .join(broadcast(bench),
+            cosine(col("embedding"), col("b_emb")) >= 0.3)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_bench_hits"),
+            round(max(cosine(col("embedding"), col("b_emb"))), 4).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some(
+        """SELECT a.vec_id, count(*) AS n_bench_hits,
+          |       round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                                        CAST(b.embedding AS DOUBLE[]))), 4)
+          |         AS max_cos
+          |FROM embeddings a, embeddings b
+          |WHERE a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+          |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+          |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin),
+    ),
     // IVF-bucketed ANN (coarse quantizer + probe), same sample queries.
     QueryDef(
       "ann_ivf",
