@@ -89,6 +89,32 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("union-find fast path == distributed min-label loop on random graphs") {
+    val nodeGen = Gen.chooseNum(0L, 30L)
+    val edgeGen = Gen.listOf(Gen.zip(nodeGen, nodeGen))
+    for (round <- 1 to 4) {
+      val es = sample(edgeGen, round + 700)
+      val vertices = (0L to 30L).toDF("id")
+      val edges = es.toDF("src", "dst")
+      // default threshold → driver union-find; threshold 0 → loop
+      val viaUnionFind = graft.operators.ConnectedComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      val viaLoop = graft.operators.ConnectedComponents(vertices, edges,
+        localEdgeThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaUnionFind == viaLoop, s"seed ${round + 700}: $es")
+    }
+    // degenerate geometry: no edges (all isolated), and the empty graph
+    val isolated = (0L to 5L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.ConnectedComponents(isolated, noEdges)
+      .as[(Long, Long)].collect().toMap == (0L to 5L).map(v => v -> v).toMap)
+    assert(graft.operators.ConnectedComponents(
+      Seq.empty[Long].toDF("id"), noEdges).count() == 0)
+    assert(graft.operators.ConnectedComponents(
+      Seq.empty[Long].toDF("id"), noEdges, localEdgeThreshold = 0L).count() == 0)
+  }
+
   test("alternating CC handles a long chain (large diameter)") {
     val n = 40L
     val vertices = (0L to n).toDF("id")
