@@ -142,8 +142,10 @@ object Dag {
           val staging = path + ".staging"
           merged.write.mode("overwrite").parquet(staging)
           fs.delete(new org.apache.hadoop.fs.Path(path), true)
-          fs.rename(new org.apache.hadoop.fs.Path(staging),
-            new org.apache.hadoop.fs.Path(path))
+          require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+            new org.apache.hadoop.fs.Path(path)),
+            s"incremental upsert: staging rename failed for $path " +
+              s"(rewritten data is intact at $staging)")
       }
     }
     spark.read.parquet(path)
