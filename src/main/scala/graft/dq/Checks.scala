@@ -48,6 +48,39 @@ object Checks {
   def run(checks: Seq[(String, DataFrame)]): Seq[(String, Long)] =
     checks.map { case (n, df) => n -> df.count() }
 
+  sealed trait Freshness
+  case object Fresh extends Freshness
+  case object Warn extends Freshness
+  case object Error extends Freshness
+
+  /** `dbt source freshness`: how stale is the newest row of a source?
+    * One max() aggregate — a single O(1)-output scan (and a metadata-only
+    * pushdown when the source is parquet with column statistics). `asOf`
+    * is an explicit parameter, not wall-clock: freshness evaluation must
+    * be reproducible in tests and backfills.
+    *
+    * @return (status, lag) — lag is None on an EMPTY source, which
+    *         reports Error (an empty source is maximally stale; dbt
+    *         reports "no rows" as a failure too)
+    */
+  def freshness(df: DataFrame, tsCol: String, asOf: java.time.Instant,
+      warnAfter: java.time.Duration, errorAfter: java.time.Duration)
+      : (Freshness, Option[java.time.Duration]) = {
+    require(!errorAfter.minus(warnAfter).isNegative,
+      "errorAfter must be >= warnAfter")
+    val row = df.agg(max(col(tsCol).cast("timestamp"))).first()
+    if (row.isNullAt(0)) (Error, None)
+    else {
+      val newest = row.getTimestamp(0).toInstant
+      val lag = java.time.Duration.between(newest, asOf)
+      val status =
+        if (lag.compareTo(errorAfter) > 0) Error
+        else if (lag.compareTo(warnAfter) > 0) Warn
+        else Fresh
+      (status, Some(lag))
+    }
+  }
+
   private def acceptedList(vs: Seq[String]): String =
     vs.map(s => s"'$s'").mkString(", ")
 

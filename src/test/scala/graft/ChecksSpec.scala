@@ -48,6 +48,25 @@ class ChecksSpec extends SparkSpec {
     assert(orphans == Set(3L))
   }
 
+  test("source freshness thresholds (dbt source freshness parity)") {
+    import java.time.{Duration, Instant}
+    val asOf = Instant.parse("2024-01-02T00:00:00Z")
+    def src(ts: String) = Seq(Tuple1(java.sql.Timestamp.from(Instant.parse(ts))))
+      .toDF("loaded_at")
+    val warn = Duration.ofHours(6)
+    val err = Duration.ofHours(24)
+    // newest row 1h old → fresh; 12h → warn; 48h → error
+    assert(Checks.freshness(src("2024-01-01T23:00:00Z"), "loaded_at", asOf, warn, err)
+      ._1 == Checks.Fresh)
+    val (st, lag) = Checks.freshness(src("2024-01-01T12:00:00Z"), "loaded_at", asOf, warn, err)
+    assert(st == Checks.Warn && lag.contains(Duration.ofHours(12)))
+    assert(Checks.freshness(src("2023-12-31T00:00:00Z"), "loaded_at", asOf, warn, err)
+      ._1 == Checks.Error)
+    // empty source: maximally stale
+    val empty = Seq.empty[Tuple1[java.sql.Timestamp]].toDF("loaded_at")
+    assert(Checks.freshness(empty, "loaded_at", asOf, warn, err) == (Checks.Error, None))
+  }
+
   test("run returns per-check violation counts") {
     val res = Checks.run(Seq(
       "nn" -> Checks.notNull(dirty, Seq("device")),
