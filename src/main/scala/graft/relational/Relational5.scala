@@ -231,6 +231,39 @@ object Relational5 {
           |ORDER BY value DESC, p_partkey""".stripMargin),
     ),
 
+    // ---- Q12 shape: shipping-priority audit — conditional counts per
+    //      category (late vs on-time split by order priority class), the
+    //      two-level CASE aggregation. One fact shuffle on the group key;
+    //      the CASE arithmetic is map-side. ----
+    QueryDef(
+      "q12_priority_audit",
+      (sp, dir) => {
+        val ord = Tables.orders(sp, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(sp, dir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            year(col("l_shipdate")).as("ship_year"))
+          .filter(col("ship_year") === 1997)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(highPri, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+            sum(when(!highPri, 1L).otherwise(0L)).cast("long").as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM lineitem
+          |JOIN orders ON o_orderkey = l_orderkey
+          |WHERE year(l_shipdate) = 1997
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
     // ---- Q20 shape: suppliers that shipped a LOT of some focus part —
     //      a semi-join chain through a grouped-HAVING subquery, ending in
     //      the supplier dim filtered to one region. ----
