@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ext.Similarity.all ++
       graft.ext.Multimodal.all ++
       graft.functions.Aggregates.all ++
+      graft.pipeline.PipelineQueries.all ++
       graft.operators.OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
