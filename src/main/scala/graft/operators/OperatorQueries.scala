@@ -264,12 +264,13 @@ object OperatorQueries {
     QueryDef(
       "dedup_minhash_md5",
       (sp, dir) => {
+        // native distinct word_shingles replaces the interpreted
+        // transform(sequence...) + array_distinct HOF pair (same
+        // first-occurrence order, stays inside WholeStageCodegen)
         val lanes = Tables.documents(sp, dir)
           .filter(col("doc_id") % 25 === 0)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), explode(array_distinct(
-            expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+          .select(col("doc_id"), explode(
+            graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true))
             .as("sh"))
           .withColumn("lane", explode(expr("sequence(0, 15)")))
           .groupBy("doc_id", "lane")
@@ -664,12 +665,16 @@ object OperatorQueries {
       (sp, dir) => {
         val k = 4
         val w = 5
+        // native word_shingles (codegen'd, functions/TextExpressions.scala)
+        // — the interpreted transform(sequence, i -> md5(...)) HOF this
+        // replaces was the one hot path outside WholeStageCodegen; an
+        // empty shingle array posexplodes to zero rows, which subsumes
+        // the old size(toks) >= k filter
         val grams = Tables.documents(sp, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= k)
           .select(col("doc_id"), posexplode(
-            expr(s"transform(sequence(0, size(toks) - $k), i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
-            .as(Seq("pos", "h")))
+            graft.functions.TextFunctions.word_shingles(col("text"), k))
+            .as(Seq("pos", "sh")))
+          .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
         val winMin = min(col("h")).over(
           Window.partitionBy("doc_id").orderBy("pos")
             .rowsBetween(Window.currentRow, w - 1))
