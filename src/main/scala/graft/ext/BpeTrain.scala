@@ -77,14 +77,26 @@ object BpeTrain {
       .map { case (w, n) => (w.map(_.toString) :+ EndOfWord, n) }
       .toDF("syms", "n")
 
+    // Batched merge rounds: each round runs ONE pair-count aggregate,
+    // selects a PROVABLY-SEQUENTIAL-EQUIVALENT batch of merges from the
+    // snapshot (see selectBatch), and applies the whole batch in one
+    // vocab rewrite — driver round-trips drop from nMerges to
+    // ~nMerges / batch instead of one Spark job per merge. BpeSpec
+    // property-tests equivalence against the one-at-a-time local loop.
     var vocab = vocab0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
-    var rank = 0
-    while (rank < nMerges) {
-      val top = vocab
+    val maxBatch = 32
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val k = math.min(maxBatch, nMerges - merges.length)
+      val withPairs = vocab
         // fully-merged single-symbol words have no pairs; sequence(1,0)
-        // would DESCEND ([1,0]) and element_at(syms, 2) would throw
+        // would DESCEND ([1,0]) and element_at(syms, 2) would throw.
+        // (The transform-HOF here is interpreted, but it runs on the
+        // VOCAB table — orders of magnitude smaller than the corpus —
+        // not on a corpus-sized path.)
         .filter(size(col("syms")) >= 2)
+      val top = withPairs
         .select(col("n"), explode(
           transform(sequence(lit(1), size(col("syms")) - 1),
             i => struct(element_at(col("syms"), i).as("a"),
@@ -92,19 +104,94 @@ object BpeTrain {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("n").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) { rank = nMerges } // degenerate corpus: no pairs left
+        .limit(k + 1).collect()
+      if (top.isEmpty) exhausted = true // degenerate corpus: no pairs left
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(rank + 1, a, b, cnt)
+        val cands = top.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        // Upper bound on the count any NEW pair created by merging (a,b)
+        // can have: the max adjacent-triple count with (a,b) as prefix or
+        // suffix ((x,a,b) feeds new pair (x,ab); (a,b,y) feeds (ab,y)).
+        // Only needed for batches of size > 1.
+        val tripleMax: Map[(String, String), Long] =
+          if (k <= 1 || cands.lengthCompare(1) <= 0) Map.empty
+          else {
+            val pred = cands.map { case (a, b, _) =>
+              (col("t.t1") === a && col("t.t2") === b) ||
+                (col("t.t2") === a && col("t.t3") === b)
+            }.reduce(_ || _)
+            vocab.filter(size(col("syms")) >= 3)
+              .select(col("n"), explode(
+                transform(sequence(lit(1), size(col("syms")) - 2),
+                  i => struct(element_at(col("syms"), i).as("t1"),
+                    element_at(col("syms"), i + 1).as("t2"),
+                    element_at(col("syms"), i + 2).as("t3")))).as("t"))
+              .filter(pred)
+              .groupBy(col("t.t1").as("t1"), col("t.t2").as("t2"),
+                col("t.t3").as("t3"))
+              .agg(sum("n").as("cnt"))
+              .collect()
+              .foldLeft(Map.empty[(String, String), Long]) { (m, r) =>
+                val (t1, t2, t3, c) =
+                  (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+                val m1 = cands.find(p => p._1 == t1 && p._2 == t2).fold(m)(p =>
+                  m.updated((p._1, p._2), math.max(m.getOrElse((p._1, p._2), 0L), c)))
+                cands.find(p => p._1 == t2 && p._2 == t3).fold(m1)(p =>
+                  m1.updated((p._1, p._2), math.max(m1.getOrElse((p._1, p._2), 0L), c)))
+              }
+          }
+        val batch = selectBatch(cands, k, tripleMax)
+        batch.foreach { case (a, b, cnt) =>
+          merges += Merge(merges.length + 1, a, b, cnt)
+        }
         vocab = vocab.as[(Seq[String], Long)]
-          .map { case (syms, n) => (mergePair(syms, a, b), n) }
+          .map { case (syms, n) =>
+            (batch.foldLeft(syms) { case (s, (a, b, _)) => mergePair(s, a, b) }, n)
+          }
           .toDF("syms", "n")
           .localCheckpoint() // cut the per-round lineage, as in the CC loop
-        rank += 1
       }
     }
     merges.toSeq
+  }
+
+  /** Longest prefix of the (cnt desc, a, b)-sorted candidates that the
+    * one-merge-at-a-time algorithm would provably pick in exactly this
+    * order. Candidate j (after the unconditional first) is accepted iff:
+    *
+    *  1. its symbols are disjoint from every earlier accepted pair's
+    *     {a, b, a+b} — so its own count is INVARIANT under the earlier
+    *     merges (a merge only changes counts of pairs containing a, b, or
+    *     the new symbol ab), and
+    *  2. cnt(j) − Σ tripleMax(earlier) > cnt(next candidate) — any pair
+    *     outside the prefix has snapshot count ≤ cnt(next) and can gain at
+    *     most Σ tripleMax from the earlier merges, so candidate j still
+    *     strictly dominates it at its sequential step (strict > also kills
+    *     lexicographic-tie upsets from newly created pairs).
+    *
+    * The batch must be a strict sorted PREFIX: a skipped overlapping
+    * candidate would be examined by the sequential algorithm first, with a
+    * post-merge count this snapshot cannot determine.
+    */
+  private[graft] def selectBatch(cands: Seq[(String, String, Long)], k: Int,
+      tripleMax: Map[(String, String), Long]): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var blocked = Set.empty[String]
+    var sumM = 0L
+    var i = 0
+    var stop = false
+    while (i < math.min(k, cands.length) && !stop) {
+      val c @ (a, b, cnt) = cands(i)
+      val nextCnt = if (i + 1 < cands.length) cands(i + 1)._3 else 0L
+      if (accepted.isEmpty ||
+          (!blocked(a) && !blocked(b) && cnt - sumM > nextCnt)) {
+        accepted += c
+        blocked += (a, b, a + b)
+        sumM += tripleMax.getOrElse((a, b), 0L)
+        i += 1
+      } else stop = true
+    }
+    accepted.toSeq
   }
 
   /** Driver-side merge rounds over a collected word-count dict — same

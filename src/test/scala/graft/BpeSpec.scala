@@ -68,6 +68,27 @@ class BpeSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("batched distributed rounds equal the sequential loop on random corpora") {
+    // Small alphabet + repeated words force exactly the hazards batching
+    // must survive: count ties (lexicographic order), overlapping pairs
+    // (aa in aaa), and new pairs created mid-batch that outrank later
+    // snapshot candidates.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val alpha = "ab" + ("cde".take(rnd.nextInt(3)))
+      val words = Seq.fill(3 + rnd.nextInt(8)) {
+        Seq.fill(1 + rnd.nextInt(6))(alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val text = Seq.fill(40)(words(rnd.nextInt(words.length))).mkString(" ")
+      val docs = Seq((1L, text, "en", "srcA", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val n = 5 + rnd.nextInt(10)
+      val local = BpeTrain.learnMerges(docs, n) // sequential driver loop
+      val dist = BpeTrain.learnMerges(docs, n, localVocabThreshold = 0)
+      assert(local == dist, s"trial $trial (text=$text, n=$n)")
+    }
+  }
+
   test("mergePair substitutes leftmost non-overlapping occurrences") {
     assert(BpeTrain.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(BpeTrain.mergePair(Seq("x", "a", "b", "a", "b"), "a", "b") ==
