@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * `extractFeatures`/`resize` decode them with javax.imageio. The AUDIO
   * path is real too: `asAudioTable` plants genuine RIFF/PCM16 WAV streams
   * and `extractAudioFeatures` decodes them through javax.sound.sampled —
-  * the JDK's actual audio codec. Only video remains a stand-in
-  * (`sampleFrames` treats payloads as fixed-size frames; no video codec
-  * exists in the JDK). The Spark-side plumbing is identical
+  * the JDK's actual audio codec. The VIDEO path is real as well:
+  * `asVideoTable` plants genuine multi-frame animated GIFs (the one
+  * moving-picture container the JDK can both write and read) and
+  * `sampleFrames` re-parses the container and decodes every Nth frame
+  * through the ImageIO GIF reader. The Spark-side plumbing is identical
   * for all: binary columns flow through parquet-friendly schemas, and the
   * extract stage is `mapPartitions` over typed rows (partition-batched,
   * the Scala analogue of `mapInPandas` batch processing: amortized
@@ -272,29 +274,108 @@ object Multimodal {
         "duration_ms", "energy")
   }
 
-  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int,
-      checksum: Long)
+  final case class Frame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, white_px: Long)
 
-  /** STUB frame sampling: treat the payload as fixed-size frames and emit
-    * every Nth one — the 1→N video→frames explode. Iterator-based
-    * flatMap keeps memory bounded per partition (frames stream out, the
-    * "video" is never materialized as a frame list), which is what lets a
-    * multi-GB video row pass through a 4 GB executor.
+  /** Planted VIDEO corpus: one GENUINE multi-frame animated GIF per doc,
+    * encoded through the JDK's ImageIO sequence writer. Geometry and
+    * content are pure functions of doc_id — width = 8 + id % 16,
+    * height = 8 + id % 11, frames = 4 + id % 13, and frame f is a
+    * black/white vertical split with exactly ((id + f) % width) * height
+    * white pixels — so the decode path is verifiable end-to-end: the
+    * mm_frame_sample oracle computes those values arithmetically while
+    * Spark must recover them through a real container parse + per-frame
+    * image decode. Binary palettes round-trip GIF exactly (two-color
+    * images never hit the quantizer), which is what makes the pixel
+    * counts bit-deterministic.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+  def asVideoTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        // one writer per partition: codec setup amortized per batch
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        ids.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 11).toInt
+          val nF = 4 + (id % 13).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nF) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+            val cut = ((id + f) % w).toInt
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < cut) { img.setRGB(x, y, 0xFFFFFF); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          val payload = bos.toByteArray
+          (id, "video/gif", payload, payload.length.toLong)
+        }
+      }
+      .toDF("doc_id", "media_type", "payload", "n_bytes")
+  }
+
+  /** REAL frame sampling — the 1→N video→frames explode with an actual
+    * codec: the GIF container is parsed by the JDK's ImageIO reader,
+    * every `everyN`th frame is decoded, and per-frame features (geometry
+    * + white-pixel count over DECODED samples) are emitted. Memory is
+    * bounded by one video's sampled frames, not the partition: the reader
+    * seeks within a single payload and is disposed before the next row
+    * (real pipelines would feed a seekable stream; the frame EXPLODE
+    * shape — flatMap to a typed frame row per sample — is the part that
+    * carries to any codec).
+    */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "payload")
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
         val src = if (payload == null) Array.emptyByteArray else payload
-        val nFrames = src.length / frameBytes
-        Iterator.range(0, nFrames).filter(_ % everyN == 0).map { f =>
-          var sum = 0L
-          var i = f * frameBytes
-          val end = i + frameBytes
-          while (i < end) { sum = sum * 31 + (src(i) & 0xFF); i += 1 }
-          Frame(id, f, frameBytes, sum)
+        if (src.isEmpty) Iterator.empty
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(src))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            reader.setInput(iis, false, true)
+            val frames =
+              try {
+                val n = reader.getNumImages(true)
+                (0 until n by everyN).map { f =>
+                  val img = reader.read(f)
+                  var white = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      if ((img.getRGB(x, y) & 0xFFFFFF) != 0) white += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  Frame(id, f, img.getWidth, img.getHeight, white)
+                }
+              } finally { reader.dispose(); iis.close() }
+            frames.iterator
+          }
         }
       }
       .toDF()
@@ -363,16 +444,35 @@ object Multimodal {
           |       energy
           |FROM e ORDER BY doc_id""".stripMargin),
     ),
+    // REAL video decode: planted multi-frame animated GIFs → the JDK GIF
+    // reader. Frame count, geometry, and white-pixel sums all require the
+    // container parse + per-frame decode yet are closed-form in doc_id,
+    // so the query is fully ORACLED (upgraded from rows-only: the last
+    // stand-in codec is gone).
     QueryDef(
       "mm_frame_sample",
       (sp, dir) =>
-        sampleFrames(asMediaTable(Tables.documents(sp, dir)),
-          frameBytes = 64, everyN = 4)
+        sampleFrames(asVideoTable(
+          Tables.documents(sp, dir).filter(col("doc_id") % 3 === 0)),
+          everyN = 3)
           .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("n_frames"),
-            min("checksum").as("min_checksum"))
+          .agg(max("width").as("width"), max("height").as("height"),
+            count(lit(1)).as("n_frames"), sum("white_px").as("white_px"))
           .orderBy("doc_id"),
-      None, // stub codec; frame math pinned by MultimodalSpec
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 11 AS h,
+          |         4 + doc_id % 13 AS nf
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |f AS (
+          |  SELECT doc_id, w, h,
+          |         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 3)) AS fi
+          |  FROM d)
+          |SELECT doc_id, CAST(max(w) AS INT) AS width,
+          |       CAST(max(h) AS INT) AS height,
+          |       CAST(count(*) AS BIGINT) AS n_frames,
+          |       CAST(sum(((doc_id + fi) % w) * h) AS BIGINT) AS white_px
+          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
   )
 }

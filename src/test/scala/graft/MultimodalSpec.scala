@@ -102,14 +102,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frame sampling emits every Nth fixed-size frame") {
-    val wide = Seq((7L, "x" * 100, "en", "srcA", 100L))
+  test("video frame sampling decodes real animated-GIF frames") {
+    // doc_id 7 → width 15, height 15, 11 frames; every 3rd → idx 0,3,6,9.
+    // Frame f has ((7 + f) % 15) * 15 white pixels — values only
+    // recoverable through a genuine GIF container parse + frame decode.
+    val docs = Seq((7L, "irrelevant", "en", "srcA", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val video = Multimodal.asVideoTable(docs).collect()
+    assert(video.head.getAs[String]("media_type") == "video/gif")
+    val payload = video.head.getAs[Array[Byte]]("payload")
+    // genuine GIF container: magic bytes GIF89a/GIF87a
+    assert(new String(payload.take(3), "US-ASCII") == "GIF")
     val frames = Multimodal
-      .sampleFrames(Multimodal.asMediaTable(wide), frameBytes = 10, everyN = 3)
+      .sampleFrames(Multimodal.asVideoTable(docs), everyN = 3)
       .collect()
-    // 100 bytes / 10 = 10 frames; every 3rd → idx 0,3,6,9
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 3, 6, 9))
-    assert(frames.forall(_.getAs[Int]("n_bytes") == 10))
+    assert(frames.forall(_.getAs[Int]("width") == 15))
+    assert(frames.forall(_.getAs[Int]("height") == 15))
+    for (r <- frames) {
+      val f = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Long]("white_px") == ((7 + f) % 15) * 15L,
+        s"frame $f decoded pixel count")
+    }
   }
 }
