@@ -67,6 +67,14 @@ object Ingest {
     * sample pins the schema; a schema CHANGE mid-stream surfaces as
     * nulls in new columns at silver DQ, the same failure mode the
     * reference documents for Auto Loader without schema evolution.
+    *
+    * MALFORMED records are never dropped: the stream reads in PERMISSIVE
+    * mode with `columnNameOfCorruptRecord` = [[RescuedCol]], so a line
+    * that fails to parse lands as one row with every data column null and
+    * the RAW text preserved in the rescue column — Auto Loader's
+    * `_rescued_data` envelope (bronze_iot_events.sql:12-15). Route the
+    * frame through [[runQuarantinedSilverPipeline]] (or filter on the
+    * rescue column yourself) to quarantine instead of lose them.
     */
   def bronzeStreamInferred(spark: SparkSession, landingDir: String,
       sampleFiles: Int = 8, primitivesAsString: Boolean = true,
@@ -82,11 +90,65 @@ object Ingest {
     require(paths.nonEmpty, s"no files to infer a schema from in $landingDir")
     val sample = spark.read
       .option("primitivesAsString", primitivesAsString.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", RescuedCol)
       .json(paths.toIndexedSeq: _*)
-    val inferred = StructType(sample.schema.fields.sortBy(_.name))
+    // a malformed line in the sample already adds the rescue column to the
+    // inferred schema — dedupe by name, then pin it as the LAST field
+    val inferred = StructType(
+      sample.schema.fields.filterNot(_.name == RescuedCol).sortBy(_.name) :+
+        StructField(RescuedCol, StringType))
     val r = spark.readStream.schema(inferred)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", RescuedCol)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.json(landingDir)
+  }
+
+  /** Rescue-column name, mirroring Auto Loader's `_rescued_data`. */
+  val RescuedCol = "_rescued_data"
+
+  /** Bronze→silver with a QUARANTINE side-output: every micro-batch is
+    * routed through [[graft.dq.Expectations]] with a DROP expectation on
+    * the rescue column — clean rows take the silver transform and land in
+    * `silverDir`, malformed rows land UNTOUCHED (raw text preserved) in
+    * `quarantineDir`, and nothing is silently lost. Runs inside
+    * `foreachBatch` because expectation violation COUNTS are a batch
+    * action; the stream checkpoint skips completed batches on re-drain
+    * (no reprocessing), and quarantined rows carry their batch id for
+    * audit. The micro-batch is cached first: filtering a JSON scan on
+    * ONLY the corrupt-record column is disallowed by Spark, and the
+    * expectation predicate is exactly that.
+    */
+  def runQuarantinedSilverPipeline(spark: SparkSession, landingDir: String,
+      silverDir: String, quarantineDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import graft.dq.Expectations
+    val bronze = bronzeStreamInferred(spark, landingDir)
+    val dataCols = bronze.schema.fieldNames.filterNot(_ == RescuedCol)
+    val q = bronze.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val r = Expectations(b, Seq(Expectations.Expectation(
+            "no_rescued_data", col(RescuedCol).isNull, Expectations.Drop)))
+          val aligned = r.retained
+            .select(rawEventSchema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+          silverTransform(aligned)
+            .write.mode("append").parquet(silverDir)
+          if (r.violationCounts("no_rescued_data") > 0) {
+            r.quarantined
+              .withColumn("_batch_id", lit(batchId))
+              .select((dataCols.map(col) :+ col(RescuedCol) :+ col("_batch_id")): _*)
+              .write.mode("append").parquet(quarantineDir)
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
   }
 
   /** Silver transform, usable on both the streaming and batch bronze frame:

@@ -108,4 +108,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == 2)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("malformed JSON is rescued to quarantine, never silently dropped") {
+    val root = Files.createTempDirectory("graft-stream-rescue")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    val quarantineDir = root.resolve("quarantine").toString
+    val ckpt = root.resolve("ckpt").toString
+    writeFile(landing, "b1.jsonl", Seq(
+      evt("d1", "l1", "2024-01-01T00:00:00", "temperature", "good", 20.5),
+      """{"device_id":"d2","location_id":"l1","timestamp":"2024-01-01T00:01:00""", // truncated
+      evt("d3", "l2", "2024-01-01T00:02:00", "humidity", "suspect", 55.0),
+      """not json at all""",
+    ))
+    Ingest.runQuarantinedSilverPipeline(
+      spark, landing.toString, silverDir, quarantineDir, ckpt)
+
+    val silver = spark.read.parquet(silverDir)
+    assert(silver.count() == 2) // both good rows, no rescue leakage
+    assert(silver.columns.toSet == Ingest.rawEventSchema.fieldNames.toSet)
+
+    val quarantined = spark.read.parquet(quarantineDir)
+    assert(quarantined.count() == 2)
+    // the RAW malformed text is preserved byte-for-byte in the rescue column
+    val raw = quarantined.select(Ingest.RescuedCol)
+      .collect().map(_.getString(0)).toSet
+    assert(raw.exists(_.startsWith("""{"device_id":"d2"""")))
+    assert(raw.contains("not json at all"))
+
+    // re-draining the same checkpoint reprocesses nothing
+    Ingest.runQuarantinedSilverPipeline(
+      spark, landing.toString, silverDir, quarantineDir, ckpt)
+    assert(spark.read.parquet(silverDir).count() == 2)
+    assert(spark.read.parquet(quarantineDir).count() == 2)
+  }
 }
