@@ -48,4 +48,69 @@ object Lake {
     val r = spark.read.format(format).option("header", "true")
     schema.fold(r.option("inferSchema", "true"))(r.schema).load(path)
   }
+
+  /** Small-file compaction — the OPTIMIZE equivalent for plain parquet
+    * dirs. Streaming sinks and incremental appends accrete one file per
+    * micro-batch/run; at 100 TB that is a week-one pathology (every scan
+    * pays per-file open + listing, and the driver's file index bloats).
+    * `compact` rewrites a directory into ceil(bytes / targetFileBytes)
+    * files via `coalesce` (NARROW — no shuffle; compaction moves bytes,
+    * it should never pay an exchange) and swaps it in with the same
+    * staging-rename protocol as Dag.runIncremental, so readers see either
+    * the old layout or the new one, never a mix. Hive-partitioned tables
+    * are compacted per LEAF dir, preserving the partition layout and its
+    * pruning.
+    *
+    * A dir carrying a `_spark_metadata` streaming-sink log is refused
+    * unless `dropStreamingMetadata = true`: readers of such dirs trust
+    * the log, not the listing, and would miss the compacted files. With
+    * the flag, the log is removed and the dir becomes a plain parquet
+    * table (do this only on a sink that has stopped appending).
+    *
+    * @return (filesBefore, filesAfter) across all compacted leaves
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      dropStreamingMetadata: Boolean = false): (Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    if (fs.exists(meta)) {
+      require(dropStreamingMetadata,
+        s"$path carries a _spark_metadata streaming-sink log; compacting " +
+          "under it would hide files from log-trusting readers. Stop the " +
+          "sink and pass dropStreamingMetadata = true to freeze the dir " +
+          "into a plain parquet table first.")
+      fs.delete(meta, true)
+    }
+    val children = fs.listStatus(hp)
+    val leafDirs = children.filter(s => s.isDirectory &&
+      s.getPath.getName.contains("="))
+    if (leafDirs.nonEmpty) {
+      // hive-partitioned: recurse per partition dir (partition columns
+      // live in the PATH, so each leaf compacts independently)
+      leafDirs.map(d => compact(spark, d.getPath.toString, targetFileBytes))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    } else {
+      val dataFiles = children.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val nBefore = dataFiles.length.toLong
+      val totalBytes = dataFiles.map(_.getLen).sum
+      val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+      if (nBefore <= nOut) (nBefore, nBefore) // already compact: no rewrite
+      else {
+        val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
+        spark.read.parquet(path)
+          .coalesce(nOut.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        fs.delete(hp, true)
+        require(fs.rename(staging, hp),
+          s"compaction: staging rename failed for $path " +
+            s"(rewritten data is intact at $staging)")
+        val nAfter = fs.listStatus(hp).count(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        (nBefore, nAfter.toLong)
+      }
+    }
+  }
 }

@@ -121,8 +121,9 @@ object Ingest {
     * expectation predicate is exactly that.
     */
   def runQuarantinedSilverPipeline(spark: SparkSession, landingDir: String,
-      silverDir: String, quarantineDir: String,
-      checkpointDir: String): StreamingQuery = {
+      silverDir: String, quarantineDir: String, checkpointDir: String,
+      compactSilverEveryBatches: Option[Int] = None,
+      compactTargetFileBytes: Long = 128L << 20): StreamingQuery = {
     import graft.dq.Expectations
     val bronze = bronzeStreamInferred(spark, landingDir)
     val dataCols = bronze.schema.fieldNames.filterNot(_ == RescuedCol)
@@ -141,6 +142,13 @@ object Ingest {
               .withColumn("_batch_id", lit(batchId))
               .select((dataCols.map(col) :+ col(RescuedCol) :+ col("_batch_id")): _*)
               .write.mode("append").parquet(quarantineDir)
+          }
+          // post-commit compaction hook: per-micro-batch appends accrete
+          // one file per batch; every N batches fold them back to target
+          // size (safe here — this foreachBatch is the dir's only writer)
+          compactSilverEveryBatches.foreach { n =>
+            if ((batchId + 1) % n == 0)
+              graft.sources.Lake.compact(spark, silverDir, compactTargetFileBytes)
           }
         } finally { batch.unpersist(); () }
       }

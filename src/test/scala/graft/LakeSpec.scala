@@ -77,6 +77,51 @@ class LakeSpec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).getAs[Double]("new_col") == 3.5)
   }
 
+  private def dataFileCount(dir: String): Int =
+    new java.io.File(dir).listFiles().count(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  test("compaction folds small files to the target size, reads identical") {
+    val dir = tmp() + "/t"
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+    df.repartition(20).write.parquet(dir)
+    assert(dataFileCount(dir) == 20)
+    val before = spark.read.parquet(dir).collect().toSet
+    val (nBefore, nAfter) = Lake.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(nBefore == 20 && nAfter < 20, s"$nBefore -> $nAfter")
+    assert(dataFileCount(dir) == nAfter)
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    // idempotent: an already-compact dir is not rewritten
+    assert(Lake.compact(spark, dir, targetFileBytes = 1L << 20)
+      == (nAfter, nAfter))
+  }
+
+  test("compaction preserves hive partition layout and pruning") {
+    val dir = tmp() + "/t"
+    val df = spark.range(4000)
+      .select(col("id"), (col("id") % 3).as("p"), (col("id") * 2).as("v"))
+    df.repartition(10).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    val (nBefore, nAfter) = Lake.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(nBefore == 30 && nAfter == 3, s"$nBefore -> $nAfter") // one per leaf
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    val pruned = spark.read.parquet(dir).filter(col("p") === 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // partition values come back int-inferred from the dir names
+    assert(pruned.count() == before.count(_.getAs[Number]("p").longValue == 1L))
+  }
+
+  test("compaction refuses a live streaming-sink dir unless frozen") {
+    val dir = tmp() + "/t"
+    spark.range(100).repartition(5).write.parquet(dir)
+    Files.createDirectory(java.nio.file.Paths.get(dir, "_spark_metadata"))
+    intercept[IllegalArgumentException] { Lake.compact(spark, dir, 1L << 20) }
+    val (nBefore, nAfter) =
+      Lake.compact(spark, dir, 1L << 20, dropStreamingMetadata = true)
+    assert(nBefore == 5 && nAfter == 1)
+    assert(!new java.io.File(dir, "_spark_metadata").exists())
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {
