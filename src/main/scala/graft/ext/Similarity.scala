@@ -114,6 +114,51 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Cross-engine-verifiable LSH ANN (the `dedup_minhash_md5` pattern
+    * applied to vectors): sign-random-projection hyperplanes derived from
+    * md5("lane:dim") — a hash both engines compute identically — over
+    * INTEGER-quantized vector elements (round(x * 1000) as long), so both
+    * the projection signs and the candidate ranking (integer dot product)
+    * are EXACT in any engine: no float summation order anywhere. The
+    * production path ([[lshTopK]], xxhash64 hyperplanes + double cosine)
+    * stays the fast variant; this one proves the bucketing + multiprobe +
+    * rank pipeline end-to-end against SQL. Same shape at scale: bucket
+    * equi-join with bounded multiprobe fan-out (nBits + 1 probes per
+    * query), never an all-pairs product.
+    */
+  def lshTopKMd5(emb: DataFrame, queryPred: Column, k: Int,
+      nBits: Int = 8): DataFrame = {
+    // quantized elements (tiny table: HOF fine off the corpus hot path)
+    val q = emb.select(col("vec_id"), posexplode(
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .as(Seq("j", "qv")))
+    val sgn = when(substring(md5(concat_ws(":", col("i"), col("j"))), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+    val bk = q.withColumn("i", explode(sequence(lit(0), lit(nBits - 1))))
+      .groupBy("vec_id", "i").agg(sum(col("qv") * sgn).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
+        .as("bucket"))
+    val qb = bk.filter(queryPred)
+    val probes = qb.select(col("vec_id").as("query_id"), col("bucket"))
+      .union(qb.withColumn("i", explode(sequence(lit(0), lit(nBits - 1))))
+        .select(col("vec_id").as("query_id"),
+          expr("bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))").as("bucket")))
+      .distinct()
+    val cand = probes.join(bk.select(col("vec_id"), col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val sc = cand
+      .join(q.select(col("vec_id").as("query_id"), col("j"), col("qv").as("qa")),
+        Seq("query_id"))
+      .join(q.select(col("vec_id"), col("j"), col("qv").as("qb")), Seq("vec_id", "j"))
+      .groupBy("query_id", "vec_id").agg(sum(col("qa") * col("qb")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    sc.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "rn", "dot")
+  }
+
   /** Brute-force top-k via the bounded-heap aggregate (TopKPairs) instead
     * of a window sort: map-side partials reduce every (query, partition) to
     * ≤ k pairs before the shuffle, so reducers merge heaps instead of
@@ -292,6 +337,55 @@ object Similarity {
           .orderBy("query_id", "rn")
       },
       None, // xxhash64-derived hyperplanes; recall vs topK checked in ScalaTest
+    ),
+    // Same LSH pipeline, cross-engine-verifiable variant: md5-derived
+    // hyperplane signs + integer-quantized dot ranking make bucketing,
+    // multiprobe, and rank all EXACT in SQL — the whole ANN pipeline is
+    // oracled end-to-end (ann_lsh stays the xxhash fast path).
+    QueryDef(
+      "ann_lsh_md5",
+      (sp, dir) =>
+        lshTopKMd5(Tables.embeddings(sp, dir), col("vec_id") % 25 === 0, k = 5)
+          .orderBy("query_id", "rn"),
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id, i - 1 AS j,
+          |         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
+          |              AS BIGINT) AS qv
+          |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+          |pr AS (
+          |  SELECT vec_id, l.i AS i,
+          |         sum(qv * CASE WHEN substr(md5(l.i || ':' || j), 1, 1)
+          |                       IN ('0','1','2','3','4','5','6','7')
+          |                  THEN 1 ELSE -1 END) AS proj
+          |  FROM q, unnest(generate_series(0, 7)) AS l(i)
+          |  GROUP BY vec_id, l.i),
+          |bk AS (
+          |  SELECT vec_id,
+          |         sum(CASE WHEN proj > 0
+          |             THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS bucket
+          |  FROM pr GROUP BY vec_id),
+          |probes AS (
+          |  SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id % 25 = 0
+          |  UNION
+          |  SELECT b.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << CAST(l.i AS INT))
+          |  FROM bk b, unnest(generate_series(0, 7)) AS l(i)
+          |  WHERE b.vec_id % 25 = 0),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, c.vec_id
+          |  FROM probes p JOIN bk c ON p.bucket = c.bucket
+          |  WHERE c.vec_id <> p.query_id),
+          |sc AS (
+          |  SELECT cand.query_id, cand.vec_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+          |  FROM cand
+          |  JOIN q a ON a.vec_id = cand.query_id
+          |  JOIN q b ON b.vec_id = cand.vec_id AND b.j = a.j
+          |  GROUP BY 1, 2)
+          |SELECT query_id, vec_id, CAST(rn AS INT) AS rn, dot FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY dot DESC, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
     ),
     // Same semantics as ann_knn_sample through the bounded-heap aggregate —
     // deliberately shares ann_knn_sample's oracle: two different physical
