@@ -30,14 +30,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // One JSON line, COMPACT (ms precision) and with the total at the END:
-    // the driver tail-captures stdout, and round 2 lost the head of a long
-    // line — keep the line short and the summary fields inside any tail.
+    // One JSON line, COMPACT (ms precision), truncation-proof from BOTH
+    // ends: summary fields lead (a head capture keeps the total), the
+    // per-query map is ordered FASTEST-FIRST so the slowest ~50 timings
+    // sit at the line's end, and total_sec trails — a 2000-char TAIL
+    // capture therefore holds the total plus every slow query.
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":${r3(total)},"unit":"sec"}""")
+    val qs = results.toSeq.sortBy { case (name, sec) => (sec, name) }
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs,"total_sec":${r3(total)}}""")
     spark.stop()
   }
 }
