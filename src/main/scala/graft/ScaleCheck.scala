@@ -60,7 +60,10 @@ object ScaleCheck {
     "fact_events", "q_sessionize", "dedup_exact", "doc_lang_id",
     "dedup_minhash", "ann_knn_heap", "dedup_clusters", "q_dedup_retain",
     "q2_min_cost_supp", "q21_waiting_supp", "doc_decontam", "doc_chunking",
-    "doc_pack_sequences", "mm_audio_features", "q_funnel_conversion")
+    "doc_pack_sequences", "mm_audio_features", "q_funnel_conversion",
+    "q8_market_share", "q9_profit", "q20_part_suppliers", "q22_idle_custs",
+    "q_cohort_retention", "cdc_scd2", "ann_lsh_md5", "doc_winnow_fp",
+    "mm_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

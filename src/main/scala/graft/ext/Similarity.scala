@@ -125,9 +125,20 @@ object Similarity {
     * rank pipeline end-to-end against SQL. Same shape at scale: bucket
     * equi-join with bounded multiprobe fan-out (nBits + 1 probes per
     * query), never an all-pairs product.
+    *
+    * `nBits` defaults to ceil(log2(N / 2)) — bucket WIDTH grows with the
+    * corpus so occupancy stays ~2 and candidate work per query stays
+    * CONSTANT (fixed bits would make candidates Θ(N² / 2^bits): the 10×
+    * scale check measured exactly that before auto-sizing). The formula
+    * uses only count + log2, so the SQL oracle derives the identical
+    * width from the same table.
     */
   def lshTopKMd5(emb: DataFrame, queryPred: Column, k: Int,
-      nBits: Int = 8): DataFrame = {
+      nBitsOverride: Option[Int] = None): DataFrame = {
+    val nBits = nBitsOverride.getOrElse {
+      val n = emb.count()
+      math.max(4, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
+    }
     // quantized elements (tiny table: HOF fine off the corpus hot path)
     val q = emb.select(col("vec_id"), posexplode(
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
@@ -353,12 +364,15 @@ object Similarity {
           |         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
           |              AS BIGINT) AS qv
           |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+          |p AS (
+          |  SELECT greatest(4, CAST(ceil(log2(count(*) / 2.0)) AS INT)) AS nb
+          |  FROM embeddings),
           |pr AS (
           |  SELECT vec_id, l.i AS i,
           |         sum(qv * CASE WHEN substr(md5(l.i || ':' || j), 1, 1)
           |                       IN ('0','1','2','3','4','5','6','7')
           |                  THEN 1 ELSE -1 END) AS proj
-          |  FROM q, unnest(generate_series(0, 7)) AS l(i)
+          |  FROM q, unnest(generate_series(0, (SELECT nb - 1 FROM p))) AS l(i)
           |  GROUP BY vec_id, l.i),
           |bk AS (
           |  SELECT vec_id,
@@ -369,7 +383,7 @@ object Similarity {
           |  SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id % 25 = 0
           |  UNION
           |  SELECT b.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << CAST(l.i AS INT))
-          |  FROM bk b, unnest(generate_series(0, 7)) AS l(i)
+          |  FROM bk b, unnest(generate_series(0, (SELECT nb - 1 FROM p))) AS l(i)
           |  WHERE b.vec_id % 25 = 0),
           |cand AS (
           |  SELECT DISTINCT p.query_id, c.vec_id

@@ -312,6 +312,91 @@ object OperatorQueries {
           |GROUP BY a.doc_id, b.doc_id ORDER BY a_id, b_id""".stripMargin),
     ),
 
+    // ---- SimHash estimator, cross-engine-verifiable variant (the
+    //      dedup_minhash_md5 pattern applied to simhash): each of 16
+    //      fingerprint bits is the majority vote of ±1 contributions
+    //      derived from md5(bit:gram) — identical in both engines — and
+    //      candidates come from the same pigeonhole chunk banding as the
+    //      production dedup_simhash (4 chunks of 4 bits; hamming ≤ 3
+    //      guarantees ≥ 1 equal chunk), with hamming computed via
+    //      bit_count(xor(chunk_a, chunk_b)). The xxhash64 production path
+    //      stays rows-only; this proves the fingerprint + banding +
+    //      hamming math end-to-end in SQL. ----
+    QueryDef(
+      "dedup_simhash_md5",
+      (sp, dir) => {
+        val grams = Tables.documents(sp, dir)
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), explode(
+            graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true))
+            .as("sh"))
+        val vote = when(substring(md5(concat_ws(":", col("k"), col("sh"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+        val bits = grams
+          .withColumn("k", explode(sequence(lit(0), lit(15))))
+          .groupBy("doc_id", "k")
+          .agg(sum(vote).as("v"))
+          .select(col("doc_id"), (col("k") / 4).cast("int").as("chunk"),
+            when(col("v") > 0,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 4 AS INT))"))
+              .otherwise(0L).as("bit"))
+        val fp = bits.groupBy("doc_id", "chunk").agg(sum("bit").as("cv"))
+        val cand = fp.as("a")
+          .join(fp.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(fp.select(col("doc_id").as("a_id"), col("chunk"),
+            col("cv").as("ca")), Seq("a_id"))
+          .join(fp.select(col("doc_id").as("b_id"), col("chunk"),
+            col("cv").as("cb")), Seq("b_id", "chunk"))
+          .groupBy("a_id", "b_id")
+          .agg(sum(expr("bit_count(ca ^ cb)")).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE doc_id % 25 = 0
+          |    AND len(string_split(text, ' ')) >= 3),
+          |i AS (
+          |  SELECT doc_id, toks,
+          |         unnest(generate_series(1, len(toks) - 2)) AS idx
+          |  FROM t),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         array_to_string(toks[idx : idx + 2], ' ') AS sh
+          |  FROM i),
+          |v AS (
+          |  SELECT doc_id, k.k AS k,
+          |         sum(CASE WHEN substr(md5(k.k || ':' || sh), 1, 1)
+          |                  IN ('0','1','2','3','4','5','6','7')
+          |             THEN 1 ELSE -1 END) AS v
+          |  FROM g, unnest(generate_series(0, 15)) AS k(k)
+          |  GROUP BY doc_id, k.k),
+          |fp AS (
+          |  SELECT doc_id, CAST(k // 4 AS INT) AS chunk,
+          |         sum(CASE WHEN v > 0
+          |             THEN CAST(1 AS BIGINT) << CAST(k % 4 AS INT)
+          |             ELSE 0 END) AS cv
+          |  FROM v GROUP BY doc_id, CAST(k // 4 AS INT)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM fp a JOIN fp b
+          |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+          |SELECT cand.a_id, cand.b_id,
+          |       CAST(sum(bit_count(xor(fa.cv, fb.cv))) AS BIGINT) AS hamming
+          |FROM cand
+          |JOIN fp fa ON fa.doc_id = cand.a_id
+          |JOIN fp fb ON fb.doc_id = cand.b_id AND fb.chunk = fa.chunk
+          |GROUP BY cand.a_id, cand.b_id
+          |HAVING CAST(sum(bit_count(xor(fa.cv, fb.cv))) AS BIGINT) <= 3
+          |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
     // ---- time-series gap fill: generate the full hourly grid per user via
     //      sequence+explode (the distributed generate_series), left-join
     //      observed hourly aggregates, zero-fill gaps. The grid generation
