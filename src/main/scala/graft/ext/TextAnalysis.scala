@@ -316,5 +316,68 @@ object TextAnalysis {
           |       (len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE) AS rep_ratio
           |FROM g ORDER BY doc_id""".stripMargin),
     ),
+
+    // ---- PII redaction: the scrubbing pass every training corpus takes
+    //      before release — emails and IPv4s replaced by typed tags via
+    //      regexp_replace (narrow, codegen'd, scan-speed at any size).
+    //      The synthetic corpus carries no organic PII, so the fixture is
+    //      PLANTED deterministically from doc_id (the PNG/WAV/GIF
+    //      pattern): every doc gains one email, every third an IP. Both
+    //      the match counts and an md5 over the scrubbed text are oracled
+    //      — DuckDB must agree on the regex semantics (RE2-safe pattern:
+    //      no backrefs/lookaround) AND the byte-exact redacted output. ----
+    QueryDef(
+      "doc_pii_scrub",
+      (sp, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val withPii = Tables.documents(sp, dir)
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ", col("text"),
+              concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+              when(col("doc_id") % 3 === 0,
+                concat(lit("from 10.0."), (col("doc_id") % 256).cast("string"),
+                  lit("."), (col("doc_id") % 100).cast("string")))
+                .otherwise(lit("")))
+              .as("text"))
+        withPii
+          .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)))
+          .withColumn("n_ips", regexp_count(col("text"), lit(ipRe)))
+          .withColumn("scrubbed", regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_emails")).cast("long").as("n_emails"),
+            sum(col("n_ips")).cast("long").as("n_ips"),
+            min(md5(col("scrubbed"))).as("scrub_md5"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id, source,
+          |         concat_ws(' ', text,
+          |                   'user' || doc_id || '@example.com',
+          |                   CASE WHEN doc_id % 3 = 0
+          |                        THEN 'from 10.0.' || doc_id % 256 || '.' || doc_id % 100
+          |                        ELSE '' END) AS text
+          |  FROM documents),
+          |s AS (
+          |  SELECT source,
+          |         len(regexp_extract_all(text,
+          |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          |         len(regexp_extract_all(text,
+          |             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+          |         regexp_replace(regexp_replace(text,
+          |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |             '<EMAIL>', 'g'),
+          |             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+          |             '<IP>', 'g') AS scrubbed
+          |  FROM p)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+          |       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+          |       min(md5(scrubbed)) AS scrub_md5
+          |FROM s GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }
