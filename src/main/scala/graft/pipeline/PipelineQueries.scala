@@ -32,8 +32,18 @@ object PipelineQueries {
           .select(col("user_id"),
             unix_micros(col("ts")).as("_commit_ts"),
             when(col("event_type") === "purchase", "d").otherwise("u").as("_op"))
-          .dropDuplicates("user_id", "_commit_ts", "_op")
-        Cdc.scd2(ev, Seq("user_id"))
+        // (key, ts, op) dedup via lag over the SAME window partitioning the
+        // versioning uses — duplicates are adjacent under orderBy(ts, op),
+        // so this replaces dropDuplicates' extra hash shuffle with a reuse
+        // of the one business-key exchange (PlanSpec pins the plan)
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("_commit_ts"), col("_op"))
+        val rec = struct(col("_commit_ts"), col("_op"))
+        val deduped = ev
+          .withColumn("_prev", lag(rec, 1).over(byKey))
+          .filter(col("_prev").isNull || col("_prev") =!= rec)
+          .drop("_prev")
+        Cdc.scd2(deduped, Seq("user_id"))
           .select(col("user_id"), col("valid_from"),
             coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
             col("is_current").cast("int").as("is_current"))

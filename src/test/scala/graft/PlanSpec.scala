@@ -81,4 +81,26 @@ class PlanSpec extends SparkSpec {
     assert(!m.get.group(1).contains("text#"),
       s"document body crosses the shuffle: ${m.get.group(1)}")
   }
+
+  test("cdc_scd2 dedup rides the versioning window: one data shuffle total") {
+    val p = plan(q("cdc_scd2"))
+    // (key,ts,op) dedup + version lead() share one partitionBy(key)
+    // exchange; the only other exchange is the final presentation sort.
+    // dropDuplicates here would cost a third, full-width hash shuffle.
+    val nEx = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(nEx == 2, s"expected 2 exchanges (key window + order), got $nEx:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
+
+  test("doc_pii_scrub prunes to its three columns and stays narrow to the agg") {
+    val p = plan(q("doc_pii_scrub"))
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rs.isDefined, s"no ReadSchema in plan:\n$p")
+    assert(rs.get.split(",").length == 3 && !rs.get.contains("n_chars"),
+      s"scan reads more than (doc_id, source, text): ${rs.get}")
+    // regex scrub is a narrow projection; the only exchanges are the
+    // per-source summary aggregate and the final presentation sort
+    val nEx = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(nEx == 2, s"expected 2 exchanges (agg + order), got $nEx:\n$p")
+  }
 }
