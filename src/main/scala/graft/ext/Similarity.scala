@@ -139,17 +139,19 @@ object Similarity {
       val n = emb.count()
       math.max(4, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
     }
-    // quantized elements (tiny table: HOF fine off the corpus hot path)
+    // quantized elements (tiny table: HOF fine off the corpus hot path;
+    // feeds only the candidate SCORING join, not the signature build)
     val q = emb.select(col("vec_id"), posexplode(
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
       .as(Seq("j", "qv")))
-    val sgn = when(substring(md5(concat_ws(":", col("i"), col("j"))), 1, 1)
-      .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
-    val bk = q.withColumn("i", explode(sequence(lit(0), lit(nBits - 1))))
-      .groupBy("vec_id", "i").agg(sum(col("qv") * sgn).as("proj"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("proj") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
+    // One-pass codegen'd signature: the md5 ±1 matrix is a pure function
+    // of (lane, dim), so it is computed ONCE driver-side and rides along
+    // as a reference object — vs the explode(dim)×explode(lane) plan that
+    // recomputed md5 per (row, lane, dim) and shuffled twice per bucket.
+    val signs = graft.functions.SignedProjectionBucket.md5Signs(nBits, dim = 64)
+    val bk = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions
+        .signed_projection_bucket(col("embedding"), signs, scale = 1000)
         .as("bucket"))
     val qb = bk.filter(queryPred)
     val probes = qb.select(col("vec_id").as("query_id"), col("bucket"))

@@ -185,6 +185,121 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]],
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket for a float vector, in one codegen'd pass.
+  *
+  * Lane i's hyperplane is the ±1 sign row `signs(i)`; the bucket sets bit i
+  * iff Σ_j quantize(x_j)·signs(i)(j) > 0, with quantize(x) =
+  * CAST(round(x·scale) AS BIGINT) — the exact integer pipeline the DuckDB
+  * oracle runs, so buckets agree bit-for-bit cross-engine. Quantization
+  * replicates Spark's `Round` on doubles (BigDecimal.valueOf → HALF_UP)
+  * rather than Math.round, which differs on negative .5 ties.
+  *
+  * Replaces the explode(dims)×explode(lanes) + two-groupBy formulation:
+  * that plan blows each row up lanes×dim (≈832×) and shuffles twice before
+  * the first bucket exists; this is a narrow projection at scan speed —
+  * the sign matrix rides along as a reference object exactly like
+  * [[NearestCentroid]]'s codebook, so codegen size is constant in lanes.
+  */
+case class SignedProjectionBucket(child: Expression, signs: Seq[Seq[Byte]],
+    scale: Int) extends UnaryExpression {
+  require(signs.nonEmpty && signs.forall(_.length == signs.head.length),
+    "signed_projection_bucket needs a rectangular non-empty sign matrix")
+  require(signs.length <= 63, "bucket is a signed 64-bit long: at most 63 lanes")
+
+  @transient private lazy val mat: Array[Array[Byte]] = signs.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"signed_projection_bucket expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "signed_projection_bucket"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = math.min(x.numElements(), mat(0).length)
+    val qv = new Array[Long](dim)
+    var j = 0
+    while (j < dim) {
+      qv(j) = SignedProjectionBucket.quantize(x.getFloat(j), scale)
+      j += 1
+    }
+    var bucket = 0L
+    var i = 0
+    while (i < mat.length) {
+      val sv = mat(i)
+      var p = 0L
+      var k = 0
+      while (k < dim) { p += qv(k) * sv(k); k += 1 }
+      if (p > 0L) bucket |= 1L << i
+      i += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("signMat", mat, "byte[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val qv = ctx.freshName("qv")
+      val j = ctx.freshName("j")
+      val bucket = ctx.freshName("bucket")
+      val i = ctx.freshName("i")
+      val sv = ctx.freshName("sv")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val cls = classOf[SignedProjectionBucket].getName
+      s"""
+         |int $dim = java.lang.Math.min($v.numElements(), $matRef[0].length);
+         |long[] $qv = new long[$dim];
+         |for (int $j = 0; $j < $dim; $j++) {
+         |  $qv[$j] = $cls.quantize($v.getFloat($j), $scale);
+         |}
+         |long $bucket = 0L;
+         |for (int $i = 0; $i < $matRef.length; $i++) {
+         |  byte[] $sv = $matRef[$i];
+         |  long $p = 0L;
+         |  for (int $k = 0; $k < $dim; $k++) { $p += $qv[$k] * (long) $sv[$k]; }
+         |  if ($p > 0L) $bucket |= 1L << $i;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignedProjectionBucket {
+  /** Spark-semantics quantizer: CAST(round(CAST(x AS DOUBLE)·scale) AS
+    * BIGINT). Spark's Round(double) goes through BigDecimal.valueOf with
+    * HALF_UP (shortest-decimal, round half away from zero for negatives);
+    * the double→long cast then truncates. Static so codegen can call it.
+    */
+  def quantize(x: Float, scale: Int): Long =
+    java.math.BigDecimal.valueOf(x.toDouble * scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** The md5 lane·dim sign convention shared with the SQL oracle:
+    * +1 iff the first hex char of md5("i:j") is '0'–'7' (high nibble of
+    * byte 0 < 8). Computed driver-side once — the old plan recomputed this
+    * md5 once per (row, lane, dim).
+    */
+  def md5Signs(lanes: Int, dim: Int): Seq[Seq[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until lanes).map { i =>
+      (0 until dim).map { j =>
+        md.reset()
+        val h = md.digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 0xf) < 8) (1: Byte) else (-1: Byte)
+      }
+    }
+  }
+}
+
 object VectorFunctions {
   /** Column-API entry point for the native cosine expression. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -197,6 +312,12 @@ object VectorFunctions {
       ids: Seq[Long]): Column =
     org.apache.spark.sql.GraftSqlShims.column(NearestCentroid(
       org.apache.spark.sql.GraftSqlShims.expression(vec), centroids, ids))
+
+  /** Column-API entry point for the one-pass LSH bucket. */
+  def signed_projection_bucket(vec: Column, signs: Seq[Seq[Byte]],
+      scale: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(SignedProjectionBucket(
+      org.apache.spark.sql.GraftSqlShims.expression(vec), signs, scale))
 
   /** Register `cosine_sim` for the SQL surface of an existing session. */
   def register(spark: SparkSession): Unit =

@@ -66,4 +66,60 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VectorFunctions.cosine_sim(col("a"), col("b")).as("c"))
     assert(df.head().isNullAt(0))
   }
+
+  test("signed_projection_bucket matches the exploded md5 SQL formulation") {
+    // The retired plan: quantize via Spark round, explode (dim × lane),
+    // re-derive each ±1 from md5 per row, two groupBys. The native
+    // expression must reproduce it bit-for-bit on vectors with negative
+    // values (where Math.round-style quantization would diverge).
+    val nBits = 13
+    val sgn = when(substring(md5(concat_ws(":", col("i"), col("j"))), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+    val q = vecs.select(col("vec_id"), posexplode(
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .as(Seq("j", "qv")))
+    val oldBk = q.withColumn("i", explode(sequence(lit(0), lit(nBits - 1))))
+      .groupBy("vec_id", "i").agg(sum(col("qv") * sgn).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
+        .as("old_bucket"))
+    val signs = graft.functions.SignedProjectionBucket.md5Signs(nBits, dim = 64)
+    val newBk = vecs.select(col("vec_id"),
+      VectorFunctions.signed_projection_bucket(col("embedding"), signs, 1000)
+        .as("bucket"))
+    val joined = newBk.join(oldBk, Seq("vec_id"))
+    assert(joined.count() == 50)
+    assert(joined.filter(col("bucket") =!= col("old_bucket")).isEmpty)
+  }
+
+  test("quantize replicates Spark round-then-cast on half-way ties") {
+    // 0.0005f·1000 and -0.0005f·1000 land on exact .5 in double for some
+    // floats; Spark's Round is HALF_UP on BigDecimal.valueOf (away from
+    // zero), Math.round is floor(x+0.5) — they differ at negative ties.
+    val tricky = Seq(0.0005f, -0.0005f, 0.0015f, -0.0015f, 1.9995f,
+      -1.9995f, 0f, -0f, 0.4999999f, -0.4999999f)
+    val sparkSide = tricky.toDF("x")
+      .select(expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+      .collect().map(_.getLong(0))
+    val native = tricky.map(
+      graft.functions.SignedProjectionBucket.quantize(_, 1000))
+    assert(sparkSide.toSeq == native)
+  }
+
+  test("signed_projection_bucket compiles under codegen (no fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType, containsNull = false)
+    val signs = Seq(Seq[Byte](1, 1), Seq[Byte](-1, 1))
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.functions.SignedProjectionBucket(
+        BoundReference(0, at, nullable = false), signs, 1000)))
+    // qv = (1000, 2000): lane0 = 3000 > 0 → bit 0; lane1 = 1000 > 0 → bit 1
+    val out = proj(InternalRow(new GenericArrayData(Array[Any](1f, 2f))))
+    assert(out.getLong(0) == 3L)
+  }
 }
