@@ -72,18 +72,12 @@ object Similarity {
       z = z ^ (z >>> 31)
       (math.floorMod(z, 2000001L).toDouble / 1000000.0) - 1.0
     }
-    val m = typedlit(planes)
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, i) => {
-        val d = aggregate(
-          zip_with(vec, element_at(m, i.cast("int") + 1),
-            (x, r) => coalesce(x.cast("double") * r, lit(0.0))),
-          lit(0.0), (s, v) => s + v)
-        acc + when(d > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)
-      },
-    )
+    // One codegen'd pass (HyperplaneBucket) instead of the aggregate/
+    // zip_with HOF chain: same plane matrix, same sequential double
+    // accumulation, bit-identical signatures (pinned in spec) — but the
+    // per-row cost is a fused primitive loop, not nBits×dim interpreted
+    // lambda dispatches.
+    graft.functions.VectorFunctions.hyperplane_bucket(vec, planes)
   }
 
   /** LSH-bucketed ANN: candidates share a signature bucket with the query

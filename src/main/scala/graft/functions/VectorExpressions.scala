@@ -273,6 +273,76 @@ case class SignedProjectionBucket(child: Expression, signs: Seq[Seq[Byte]],
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket over REAL-valued hyperplanes: bit i is set
+  * iff dot(v, planes(i)) > 0, accumulated sequentially in double — the
+  * same order as the aggregate/zip_with HOF formulation it replaces, so
+  * signatures are bit-identical while the per-row cost drops from
+  * nBits×dim interpreted lambda dispatches to one fused primitive loop.
+  * Elements past the vector's length contribute zero (zip_with + coalesce
+  * semantics). Matrix rides along as a reference object.
+  */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.forall(_.length == planes.head.length),
+    "hyperplane_bucket needs a rectangular non-empty plane matrix")
+  require(planes.length <= 63, "bucket is a signed 64-bit long: at most 63 lanes")
+
+  @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = math.min(x.numElements(), mat(0).length)
+    var bucket = 0L
+    var i = 0
+    while (i < mat.length) {
+      val pv = mat(i)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += x.getFloat(j).toDouble * pv(j); j += 1 }
+      if (d > 0.0) bucket |= 1L << i
+      i += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("planeMat", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val bucket = ctx.freshName("bucket")
+      val i = ctx.freshName("i")
+      val pv = ctx.freshName("pv")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      s"""
+         |int $dim = java.lang.Math.min($v.numElements(), $matRef[0].length);
+         |long $bucket = 0L;
+         |for (int $i = 0; $i < $matRef.length; $i++) {
+         |  double[] $pv = $matRef[$i];
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $d += (double) $v.getFloat($j) * $pv[$j];
+         |  }
+         |  if ($d > 0.0) $bucket |= 1L << $i;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SignedProjectionBucket {
   /** Spark-semantics quantizer: CAST(round(CAST(x AS DOUBLE)·scale) AS
     * BIGINT). Spark's Round(double) goes through BigDecimal.valueOf with
@@ -318,6 +388,11 @@ object VectorFunctions {
       scale: Int): Column =
     org.apache.spark.sql.GraftSqlShims.column(SignedProjectionBucket(
       org.apache.spark.sql.GraftSqlShims.expression(vec), signs, scale))
+
+  /** Column-API entry point for the real-valued hyperplane bucket. */
+  def hyperplane_bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftSqlShims.column(HyperplaneBucket(
+      org.apache.spark.sql.GraftSqlShims.expression(vec), planes))
 
   /** Register `cosine_sim` for the SQL surface of an existing session. */
   def register(spark: SparkSession): Unit =

@@ -107,6 +107,38 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(sparkSide.toSeq == native)
   }
 
+  test("hyperplane_bucket matches the aggregate/zip_with HOF formulation") {
+    // Same splitmix64 plane derivation as lshSignature; the HOF chain is
+    // the retired interpreted implementation. Sequential double
+    // accumulation order is identical, so signatures must be bit-equal.
+    val nBits = 12
+    val dim = 64
+    val planes: Seq[Seq[Double]] = Seq.tabulate(nBits, dim) { (i, j) =>
+      var z = i.toLong * 1024 + j + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (math.floorMod(z, 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    val m = typedlit(planes)
+    val hof = aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, i) => {
+        val d = aggregate(
+          zip_with(col("embedding"), element_at(m, i.cast("int") + 1),
+            (x, r) => coalesce(x.cast("double") * r, lit(0.0))),
+          lit(0.0), (s, v) => s + v)
+        acc + when(d > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(0L)
+      },
+    )
+    val df = vecs.select(
+      VectorFunctions.hyperplane_bucket(col("embedding"), planes).as("native"),
+      hof.as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
   test("signed_projection_bucket compiles under codegen (no fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
