@@ -157,5 +157,55 @@ object PipelineQueries {
           |SELECT 'events_empty', 'error', CAST(-1 AS BIGINT)
           |ORDER BY check_name""".stripMargin),
     ),
+
+    // ---- File-level data skipping end-to-end: lay events out with
+    //      write-time day locality (repartitionByRange), collect per-file
+    //      min/max into the _graft_stats manifest, then answer a day-range
+    //      aggregate reading ONLY manifest-surviving files. The oracle
+    //      sees none of the layout machinery — if skipping dropped a file
+    //      it shouldn't have, rows are missing and the hash catches it.
+    //      (LakeSpec separately asserts files really are skipped.) ----
+    QueryDef(
+      "lake_skipping",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_skip_")
+        val path = s"$tmp/events_by_day"
+        try {
+          base.repartitionByRange(8, col("day")).write.parquet(path)
+          graft.sources.Lake.writeStats(sp, path, Seq("day"))
+          val lo = "2024-01-08"
+          val hi = "2024-01-14"
+          val skipped = graft.sources.Lake.readSkipping(sp, path,
+            graft.sources.Lake.skipRange("day", lit(lo), lit(hi)))
+          val rows = skipped
+            .filter(col("day").between(lit(lo), lit(hi)))
+            .groupBy("day")
+            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+            .orderBy("day")
+            .collect()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.DateType),
+            org.apache.spark.sql.types.StructField("n_events",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("day_cents",
+              org.apache.spark.sql.types.LongType)))
+          sp.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally {
+          val fs = new org.apache.hadoop.fs.Path(tmp.toString)
+            .getFileSystem(sp.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+        }
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
   )
 }

@@ -69,6 +69,73 @@ object Lake {
     *
     * @return (filesBefore, filesAfter) across all compacted leaves
     */
+  /** File-level min/max data skipping — the manifest half of what Delta/
+    * Iceberg call data skipping, for plain parquet dirs. Parquet row-group
+    * stats already prune WITHIN a file, but the scan still pays listing +
+    * footer I/O per file; at 100 TB / ~128 MB files that is ~800k footer
+    * reads per query. A manifest of per-FILE min/max lets the driver drop
+    * files before the scan is even planned, the same planning-time lever
+    * as partition pruning but on any column with write-time locality
+    * (event time in an append-only lake being the canonical one).
+    *
+    * `writeStats` computes per-file min/max for `statsCols` in ONE
+    * distributed pass (groupBy input_file_name) and stores them as JSON
+    * under `_graft_stats/` — an underscore dir, invisible to parquet
+    * discovery, co-versioned with the data it describes (re-run after
+    * compact/append; `readSkipping` refuses a stale manifest).
+    *
+    * `readSkipping` filters the manifest with `keep` (build it with
+    * [[skipRange]]) and hands Spark only the surviving files. The collect
+    * is METADATA-proportional — one short string per file, the same
+    * driver-side planning cost Delta pays — never data-proportional.
+    *
+    * Skipping is only sound for predicates that can never match a row the
+    * stats bounds exclude: [[skipRange]] range predicates are (nulls make
+    * them false, and an all-null file has null min/max → dropped; a file
+    * mixing nulls and values keeps correct non-null bounds).
+    */
+  def writeStats(spark: SparkSession, path: String, statsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, "writeStats needs at least one column")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val out = s"$path/_graft_stats"
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).json(out)
+    spark.read.json(out).count()
+  }
+
+  /** Manifest predicate: file may contain rows with `c` in [lo, hi]. */
+  def skipRange(c: String, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col(s"max_$c") >= lo && col(s"min_$c") <= hi
+  }
+
+  def readSkipping(spark: SparkSession, path: String,
+      keep: org.apache.spark.sql.Column): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    require(fs.exists(manifestDir), s"no _graft_stats manifest under $path")
+    val manifest = spark.read.json(manifestDir.toString)
+    // stale-manifest guard: every CURRENT data file must be covered, or a
+    // skip could silently drop rows written after the manifest
+    val current = fs.listStatus(hp).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toUri.getPath).toSet
+    val listed = manifest.select("file").collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    require(current.subsetOf(listed),
+      s"stale _graft_stats manifest under $path: " +
+        s"${(current -- listed).size} data file(s) not covered - re-run writeStats")
+    val files = manifest.filter(keep).select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       dropStreamingMetadata: Boolean = false): (Long, Long) = {

@@ -122,6 +122,46 @@ class LakeSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_spark_metadata").exists())
   }
 
+  test("data skipping prunes files by min/max, reads stay identical") {
+    val dir = tmp() + "/t"
+    // range layout gives each file a tight id interval — the write-time
+    // locality the manifest exploits
+    spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+      .repartitionByRange(10, col("id")).write.parquet(dir)
+    assert(Lake.writeStats(spark, dir, Seq("id")) == 10)
+    val skipped = Lake.readSkipping(spark, dir,
+      Lake.skipRange("id", lit(2500), lit(2600)))
+    // the skip is a superset guarantee, not a filter: re-apply the
+    // predicate and compare against the unskipped read
+    val got = skipped.filter(col("id").between(2500, 2600)).collect().toSet
+    val want = spark.read.parquet(dir)
+      .filter(col("id").between(2500, 2600)).collect().toSet
+    assert(got == want && want.size == 101)
+    assert(skipped.inputFiles.length < 10,
+      s"no files were skipped: ${skipped.inputFiles.length}")
+    // empty intersection → zero files, empty frame, same schema
+    val none = Lake.readSkipping(spark, dir,
+      Lake.skipRange("id", lit(50000), lit(60000)))
+    assert(none.isEmpty && none.schema == skipped.schema)
+  }
+
+  test("data skipping refuses a stale manifest after new writes") {
+    val dir = tmp() + "/t"
+    spark.range(1000).toDF("id").repartitionByRange(4, col("id"))
+      .write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("id"))
+    spark.range(1000, 1100).toDF("id").write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Lake.readSkipping(spark, dir, Lake.skipRange("id", lit(0), lit(10)))
+    }
+    assert(e.getMessage.contains("stale"))
+    // re-running writeStats heals it and the new rows are visible
+    Lake.writeStats(spark, dir, Seq("id"))
+    val all = Lake.readSkipping(spark, dir,
+      Lake.skipRange("id", lit(1050), lit(1060)))
+    assert(all.filter(col("id").between(1050, 1060)).count() == 11)
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {
