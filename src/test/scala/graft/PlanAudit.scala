@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-smell sweep over EVERY registered query's physical plan.
+  *
+  * `sbt "Test/runMain graft.PlanAudit"` — builds each SparkEntry query
+  * against sf0.001 and fails (exit 1) if any plan contains:
+  *   - CartesianProduct: never acceptable — at 100 TB a cartesian is a
+  *     job that does not finish.
+  *   - BroadcastNestedLoopJoin outside the allowlist: BNLJ is the correct
+  *     physical op ONLY when one side is deliberately tiny+broadcast
+  *     (inequality band joins, scalar aggregates joined to every row);
+  *     anywhere else it means an equi-condition failed to be recognized.
+  *
+  * PlanSpec pins the flagship plans precisely; this audit is the broad
+  * net so a regression in ANY of the 124 registered queries (e.g. a
+  * refactor dropping a join key) surfaces before the driver run.
+  */
+object PlanAudit {
+
+  /** Queries whose BroadcastNestedLoopJoin is the intended physical op:
+    * each joins a deliberately tiny broadcast side under a non-equi or
+    * always-true condition. Reviewed individually; additions need the
+    * same justification in a comment.
+    */
+  private val intendedBnlj: Set[String] = Set(
+    "q_range_band_join", // tiny ranges side broadcast, non-equi band cond
+    "q11_important_parts", // 1-row global scalar broadcast-crossed to groups
+    "q_above_segment_avg", // per-segment avg (tiny) joined on <; scalar shape
+    "ann_topk", "ann_knn_sample", "ann_knn_heap", // broadcast query vectors, cross score
+    "emb_decontam", // broadcast benchmark slice vs train side
+    "dedup_embedding", "embedding_neardup", // broadcast smaller dedup side
+    "q6_forecast", // scalar revenue base joined to every forecast row
+    "ann_ivf", // queries x broadcast(<=16-centroid codebook) probe selection
+    "doc_lang_id", // docs x broadcast(per-language trigram profiles, handful of rows)
+    "q22_idle_custs", // 1-row scalar avg-balance threshold broadcast (Q11 shape)
+    "sketch_source_sim", // per-SOURCE sketch self-join on '<': both sides = n_sources rows
+    "dedup_ngram_jaccard", // fixed 1/50 sample pairwise twin; PPJoin is the scale path
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var bad = List.empty[String]
+    var audited = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        audited += 1
+        if (plan.contains("CartesianProduct"))
+          bad ::= s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !intendedBnlj(name))
+          bad ::= s"$name: unexpected BroadcastNestedLoopJoin"
+      } catch {
+        case e: Throwable => bad ::= s"$name: failed to plan: ${e.getMessage}"
+      }
+    }
+    println(s"[plan-audit] $audited queries audited, ${bad.size} finding(s)")
+    bad.sorted.foreach(f => println(s"[plan-audit] SMELL $f"))
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
