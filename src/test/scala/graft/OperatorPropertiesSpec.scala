@@ -141,4 +141,26 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("native quantize == Spark round-then-cast over random floats") {
+    // SignedProjectionBucket.quantize must replicate Spark's
+    // Round(double)+CAST(BIGINT) exactly — a one-unit divergence flips an
+    // LSH projection sign and breaks the ann_lsh_md5 cross-engine oracle.
+    // Mix magnitudes so both the BigDecimal tie path and large values are
+    // exercised; include exact negative .5 ties explicitly.
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-1f, 1f),
+      Gen.chooseNum(-1000f, 1000f),
+      Gen.chooseNum(-0.01f, 0.01f))
+    val xs = (0 until 8).flatMap(r =>
+      sample(Gen.listOfN(200, gen), 7000 + r)) ++
+      Seq(0.0005f, -0.0005f, 2.5e-4f, -2.5e-4f, Float.MinPositiveValue,
+        -Float.MinPositiveValue, 0f)
+    val sparkSide = xs.toDF("x")
+      .select(expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val native = xs.map(
+      graft.functions.SignedProjectionBucket.quantize(_, 1000))
+    assert(sparkSide.toSeq == native)
+  }
 }
