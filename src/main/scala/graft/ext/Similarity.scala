@@ -166,6 +166,52 @@ object Similarity {
       .select("query_id", "vec_id", "rn", "dot")
   }
 
+  /** Cross-engine-verifiable IVF ANN, completing the set with [[topK]]
+    * (brute, oracled) and [[lshTopKMd5]] (LSH, oracled): the codebook is
+    * the `nCentroids` SMALLEST vec_ids in the residue class
+    * vec_id % 7 == 3 — a set any engine can name in SQL — and every score
+    * in the pipeline (assignment argmax, probe order, candidate ranking)
+    * is an INTEGER dot product over round(x·1000) quantized elements, so
+    * the whole index → probe → rank path is exact cross-engine. The
+    * production path ([[ivfTopK]], Lloyd-refined float codebook + cosine)
+    * stays the quality variant. Same shape at scale: assignment and probe
+    * selection are one codegen'd pass each ([[graft.functions.QuantizedTopDots]]),
+    * candidates come from a cluster-id equi-join with bounded nProbe
+    * fan-out — never a full scan per query.
+    */
+  def ivfTopKInt(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.{SignedProjectionBucket, VectorFunctions}
+    val cents = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(f => SignedProjectionBucket.quantize(f, 1000)))
+    val ids = cents.map(_._1).toSeq
+    val mat = cents.map(_._2.toSeq).toSeq
+    val assigned = emb.select(col("vec_id"), element_at(
+      VectorFunctions.quantized_top_dots(col("embedding"), mat, ids, 1, 1000),
+      1).as("cluster_id"))
+    val probes = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), explode(
+        VectorFunctions.quantized_top_dots(col("embedding"), mat, ids, nProbe,
+          1000)).as("cluster_id"))
+    val cand = probes.join(assigned, Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val q = emb.select(col("vec_id"), posexplode(
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .as(Seq("j", "qv")))
+    val sc = cand
+      .join(q.select(col("vec_id").as("query_id"), col("j"), col("qv").as("qa")),
+        Seq("query_id"))
+      .join(q.select(col("vec_id"), col("j"), col("qv").as("qb")), Seq("vec_id", "j"))
+      .groupBy("query_id", "vec_id").agg(sum(col("qa") * col("qb")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    sc.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "rn", "dot")
+  }
+
   /** Brute-force top-k via the bounded-heap aggregate (TopKPairs) instead
     * of a window sort: map-side partials reduce every (query, partition) to
     * ≤ k pairs before the shuffle, so reducers merge heaps instead of
@@ -385,6 +431,54 @@ object Similarity {
           |  SELECT DISTINCT p.query_id, c.vec_id
           |  FROM probes p JOIN bk c ON p.bucket = c.bucket
           |  WHERE c.vec_id <> p.query_id),
+          |sc AS (
+          |  SELECT cand.query_id, cand.vec_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+          |  FROM cand
+          |  JOIN q a ON a.vec_id = cand.query_id
+          |  JOIN q b ON b.vec_id = cand.vec_id AND b.j = a.j
+          |  GROUP BY 1, 2)
+          |SELECT query_id, vec_id, CAST(rn AS INT) AS rn, dot FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY dot DESC, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+    ),
+    // Cross-engine IVF: deterministic integer codebook + integer scores —
+    // the full index → assign → probe → rank pipeline proven in SQL.
+    QueryDef(
+      "ann_ivf_int",
+      (sp, dir) =>
+        ivfTopKInt(Tables.embeddings(sp, dir), col("vec_id") % 25 === 0, k = 5)
+          .orderBy("query_id", "rn"),
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id, i - 1 AS j,
+          |         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
+          |              AS BIGINT) AS qv
+          |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+          |cents AS (
+          |  SELECT vec_id AS cent_id FROM embeddings
+          |  WHERE vec_id % 7 = 3 ORDER BY vec_id LIMIT 16),
+          |cq AS (
+          |  SELECT c.cent_id, q.j, q.qv AS cv
+          |  FROM cents c JOIN q ON q.vec_id = c.cent_id),
+          |dots AS (
+          |  SELECT q.vec_id, cq.cent_id, CAST(sum(q.qv * cq.cv) AS BIGINT) AS dot
+          |  FROM q JOIN cq ON q.j = cq.j GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT vec_id, cent_id,
+          |         row_number() OVER (PARTITION BY vec_id
+          |                            ORDER BY dot DESC, cent_id) AS crn
+          |  FROM dots),
+          |assign AS (
+          |  SELECT vec_id, cent_id AS cluster_id FROM ranked WHERE crn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, cent_id AS cluster_id
+          |  FROM ranked WHERE crn <= 4 AND vec_id % 25 = 0),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id
+          |  FROM probes p JOIN assign a USING (cluster_id)
+          |  WHERE a.vec_id <> p.query_id),
           |sc AS (
           |  SELECT cand.query_id, cand.vec_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
           |  FROM cand

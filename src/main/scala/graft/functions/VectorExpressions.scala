@@ -343,6 +343,101 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Top-`p` centroid ids by INTEGER dot product against a quantized
+  * codebook — the IVF assignment/probe primitive of the cross-engine
+  * `ann_ivf_int` pipeline. The input float vector is quantized with
+  * [[SignedProjectionBucket.quantize]] (Spark Round semantics) and dotted
+  * against each pre-quantized centroid in long arithmetic, so the scores
+  * — and therefore the assignment and probe order — are EXACT in any
+  * engine (ties broken by smaller centroid id). p=1 is cluster
+  * assignment; p=nProbe is the query-side probe list. Same
+  * reference-object + fused-loop idiom as [[NearestCentroid]].
+  */
+case class QuantizedTopDots(child: Expression, centroids: Seq[Seq[Long]],
+    ids: Seq[Long], p: Int, scale: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.length == ids.length,
+    "quantized_top_dots needs a non-empty codebook with one id per centroid")
+  require(p >= 1 && p <= centroids.length,
+    s"p must be in [1, ${centroids.length}]")
+
+  @transient private lazy val mat: Array[Array[Long]] = centroids.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantized_top_dots expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantized_top_dots"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      QuantizedTopDots.topIds(x, mat, idArr, p, scale))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("qtdMat", mat, "long[][]")
+    val idsRef = ctx.addReferenceObj("qtdIds", idArr, "long[]")
+    val cls = classOf[QuantizedTopDots].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.topIds($v, $matRef, $idsRef, $p, $scale));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizedTopDots {
+  /** Shared by eval and codegen: quantize once, dot per centroid in long
+    * arithmetic, partial-select the top p (dot desc, id asc). The whole
+    * selection is k·dim fused integer multiply-adds + p argmax passes —
+    * no allocation beyond the two small scratch arrays.
+    */
+  def topIds(x: ArrayData, mat: Array[Array[Long]], ids: Array[Long],
+      p: Int, scale: Int): Array[Long] = {
+    val dim = math.min(x.numElements(), mat(0).length)
+    val qv = new Array[Long](dim)
+    var j = 0
+    while (j < dim) {
+      qv(j) = SignedProjectionBucket.quantize(x.getFloat(j), scale)
+      j += 1
+    }
+    val dots = new Array[Long](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val cv = mat(c)
+      var d = 0L
+      var k = 0
+      while (k < dim) { d += qv(k) * cv(k); k += 1 }
+      dots(c) = d
+      c += 1
+    }
+    val taken = new Array[Boolean](mat.length)
+    val out = new Array[Long](p)
+    var r = 0
+    while (r < p) {
+      var best = -1
+      var i = 0
+      while (i < mat.length) {
+        if (!taken(i) && (best < 0 || dots(i) > dots(best) ||
+            (dots(i) == dots(best) && ids(i) < ids(best)))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(r) = ids(best)
+      r += 1
+    }
+    out
+  }
+}
+
 object SignedProjectionBucket {
   /** Spark-semantics quantizer: CAST(round(CAST(x AS DOUBLE)·scale) AS
     * BIGINT). Spark's Round(double) goes through BigDecimal.valueOf with
@@ -393,6 +488,13 @@ object VectorFunctions {
   def hyperplane_bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.GraftSqlShims.column(HyperplaneBucket(
       org.apache.spark.sql.GraftSqlShims.expression(vec), planes))
+
+  /** Column-API entry point for integer-dot codebook top-p selection. */
+  def quantized_top_dots(vec: Column, centroids: Seq[Seq[Long]],
+      ids: Seq[Long], p: Int, scale: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(QuantizedTopDots(
+      org.apache.spark.sql.GraftSqlShims.expression(vec), centroids, ids, p,
+      scale))
 
   /** Register `cosine_sim` for the SQL surface of an existing session. */
   def register(spark: SparkSession): Unit =

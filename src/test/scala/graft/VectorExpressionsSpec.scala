@@ -139,6 +139,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("quantized_top_dots ranks by integer dot with min-id tie-break") {
+    // centroids: c10 = (1000, 0), c20 = (0, 1000), c30 = (1000, 0) — c30
+    // duplicates c10 so the tie must resolve to the smaller id. vec (1, 0)
+    // → dots: c10 = 1e6, c20 = 0, c30 = 1e6 → top-2 = [10, 30].
+    val cents = Seq(Seq(1000L, 0L), Seq(0L, 1000L), Seq(1000L, 0L))
+    val ids = Seq(10L, 20L, 30L)
+    val df = Seq(Tuple1(Array(1f, 0f))).toDF("v").select(
+      VectorFunctions.quantized_top_dots(col("v"), cents, ids, 2, 1000).as("t"))
+    assert(df.head().getSeq[Long](0) == Seq(10L, 30L))
+  }
+
+  test("quantized_top_dots compiles under codegen (no fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.functions.QuantizedTopDots(
+        BoundReference(0, at, nullable = false),
+        Seq(Seq(1000L, 0L), Seq(0L, 1000L)), Seq(7L, 8L), 1, 1000)))
+    val out = proj(InternalRow(new GenericArrayData(Array[Any](0f, 1f))))
+    assert(out.getArray(0).toLongArray.toSeq == Seq(8L))
+  }
+
   test("signed_projection_bucket compiles under codegen (no fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
