@@ -63,7 +63,8 @@ object ScaleCheck {
     "doc_pack_sequences", "mm_audio_features", "q_funnel_conversion",
     "q8_market_share", "q9_profit", "q20_part_suppliers", "q22_idle_custs",
     "q_cohort_retention", "cdc_scd2", "ann_lsh_md5", "doc_winnow_fp",
-    "mm_frame_sample", "ann_lsh", "doc_pii_scrub", "lake_skipping")
+    "mm_frame_sample", "ann_lsh", "doc_pii_scrub", "lake_skipping",
+    "ann_ivf_int")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
