@@ -81,11 +81,17 @@ object Dedup {
     //     read the materialized array instead of re-deriving it.
     // persist(): consumed by the signature stage AND twice by the
     // verification join — without it the shingle projection re-runs 3×.
+    // `sh` (strings) feeds the minhash signature; `shh` (xxhash64 longs,
+    // same single-pass native build) feeds the verification join, so
+    // candidate pairs intersect 8-byte primitives instead of shuffling
+    // ~20-byte shingle strings twice. Jaccard over hashed sets equals
+    // jaccard over string sets modulo 2^-64 collisions.
     val withShingles = docs
       .filter(size(split(col("text"), " ")) >= n)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        graft.functions.TextFunctions.word_shingles(col("text"), n, distinct = true).as("sh"))
+        graft.functions.TextFunctions.word_shingles(col("text"), n, distinct = true).as("sh"),
+        graft.functions.TextFunctions.word_shingle_hashes(col("text"), n, distinct = true).as("shh"))
       .persist()
     val sigs = withShingles
       .select(col("doc_id"), col("sh"),
@@ -114,8 +120,8 @@ object Dedup {
       .distinct()
     val sh = withShingles
     candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(sh.select(col("doc_id").as("a_id"), col("shh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shh").as("b_sh")), Seq("b_id"))
       .withColumn("n_inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard",
         col("n_inter") * 1.0 / (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")))

@@ -76,6 +76,71 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** xxhash64 of each word n-gram shingle, in the same single pass that
+  * builds it — the "grams travel as hashes, not text" doctrine
+  * (cf. doc_decontam) applied at the expression layer. Hash values equal
+  * Spark's `xxhash64(shingle)` (seed 42 over the UTF-8 bytes,
+  * spec-asserted), so a consumer can mix this with the column-function
+  * form. Used by the fuzzy-dedup verification join: candidate pairs
+  * intersect long arrays (8 bytes/element, primitive equality) instead
+  * of shuffling ~20-byte shingle strings twice.
+  */
+case class WordShingleHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes expects string, got ${child.dataType.simpleString}")
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordShingleHashes", this,
+      classOf[WordShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val tokens = input.split(space, -1)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val nOut = tokens.length - n + 1
+    val parts = new Array[UTF8String](n)
+    val hashes = new Array[Long](nOut)
+    var i = 0
+    while (i < nOut) {
+      var k = 0
+      while (k < n) { parts(k) = tokens(i + k); k += 1 }
+      val s = UTF8String.concatWs(space, parts: _*)
+      // Spark's xxhash64(string): XXH64 over the UTF-8 bytes, seed 42
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    if (!distinct) new GenericArrayData(hashes)
+    else {
+      val set = new java.util.LinkedHashSet[java.lang.Long]()
+      var j = 0
+      while (j < nOut) { set.add(hashes(j)); j += 1 }
+      val out = new Array[Any](set.size())
+      val it = set.iterator()
+      var m = 0
+      while (it.hasNext) { out(m) = it.next().longValue(); m += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct character n-grams of a string (native twin of
   * TextAnalysis.trigramsOf — the interpreted per-character `substr`
   * transform dominated the language-ID profile build).
@@ -225,6 +290,9 @@ case class SimHash64(child: Expression)
 object TextFunctions {
   def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
     toCol(WordShingles(toExpr(text), n, distinct))
+  def word_shingle_hashes(text: Column, n: Int,
+      distinct: Boolean = false): Column =
+    toCol(WordShingleHashes(toExpr(text), n, distinct))
   def char_ngrams(text: Column, n: Int): Column =
     toCol(CharNGrams(toExpr(text), n))
   def minhash_sig(shingles: Column, k: Int): Column =

@@ -97,4 +97,15 @@ class TextExpressionsSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
     assert(hamming <= 16, s"near-dups should be close, hamming=$hamming")
   }
+
+  test("word_shingle_hashes == xxhash64 over word_shingles (both modes)") {
+    for (distinct <- Seq(false, true)) {
+      val df = docs.select(
+        TextFunctions.word_shingle_hashes(col("text"), 3, distinct).as("native"),
+        transform(TextFunctions.word_shingles(col("text"), 3, distinct),
+          s => xxhash64(s)).as("hof"))
+      assert(df.filter(col("native") =!= col("hof")).isEmpty,
+        s"distinct=$distinct")
+    }
+  }
 }
