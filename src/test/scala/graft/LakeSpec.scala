@@ -122,6 +122,42 @@ class LakeSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_spark_metadata").exists())
   }
 
+  test("lake lifecycle: stream sink -> freeze -> compact -> manifest -> skip") {
+    // The full small-file story end-to-end: a streaming sink accretes one
+    // file per micro-batch; freezing + compacting folds them; the manifest
+    // then lets a range read skip whole files. Each piece is tested alone
+    // above — this pins that they COMPOSE (freeze drops the sink log
+    // before compaction, stats run on the compacted layout, the skipped
+    // read sees exactly the streamed rows).
+    val root = tmp()
+    val (srcDir, outDir, ckpt) = (root + "/src", root + "/out", root + "/ck")
+    new java.io.File(srcDir).mkdirs()
+    import spark.implicits._
+    // three micro-batches of 100 rows each, ids disjoint and ordered
+    for (b <- 0 until 3) {
+      (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"r$i"))
+        .toDF("id", "payload").coalesce(1)
+        .write.json(s"$srcDir/batch$b.json")
+      val q = spark.readStream
+        .schema("id LONG, payload STRING").json(s"$srcDir/*")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(new java.io.File(outDir, "_spark_metadata").exists())
+    assert(dataFileCount(outDir) >= 3)
+    val (nBefore, nAfter) =
+      Lake.compact(spark, outDir, 1L << 20, dropStreamingMetadata = true)
+    assert(nAfter < nBefore)
+    assert(Lake.writeStats(spark, outDir, Seq("id")) == nAfter)
+    val skipped = Lake.readSkipping(spark, outDir,
+      Lake.skipRange("id", lit(0), lit(299)))
+    assert(skipped.count() == 300)
+    assert(skipped.agg(sum(col("id"))).head().getLong(0) == 299L * 300 / 2)
+  }
+
   test("data skipping prunes files by min/max, reads stay identical") {
     val dir = tmp() + "/t"
     // range layout gives each file a tight id interval — the write-time
