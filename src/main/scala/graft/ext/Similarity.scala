@@ -133,11 +133,6 @@ object Similarity {
       val n = emb.count()
       math.max(4, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
     }
-    // quantized elements (tiny table: HOF fine off the corpus hot path;
-    // feeds only the candidate SCORING join, not the signature build)
-    val q = emb.select(col("vec_id"), posexplode(
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-      .as(Seq("j", "qv")))
     // One-pass codegen'd signature: the md5 ±1 matrix is a pure function
     // of (lane, dim), so it is computed ONCE driver-side and rides along
     // as a reference object — vs the explode(dim)×explode(lane) plan that
@@ -156,11 +151,17 @@ object Similarity {
     val cand = probes.join(bk.select(col("vec_id"), col("bucket")), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
+    // Pairwise native scoring: each candidate pair ships two float arrays
+    // once and pays one fused integer-dot loop (QuantizedDot) — vs the
+    // retired explode(dim) q-join that blew the corpus up 64x and paid an
+    // aggregation exchange. The SQL oracle sums the same integer products.
     val sc = cand
-      .join(q.select(col("vec_id").as("query_id"), col("j"), col("qv").as("qa")),
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
         Seq("query_id"))
-      .join(q.select(col("vec_id"), col("j"), col("qv").as("qb")), Seq("vec_id", "j"))
-      .groupBy("query_id", "vec_id").agg(sum(col("qa") * col("qb")).as("dot"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ce")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .quantized_dot(col("qe"), col("ce"), scale = 1000).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     sc.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
       .select("query_id", "vec_id", "rn", "dot")
@@ -212,11 +213,17 @@ object Similarity {
     val q = emb.select(col("vec_id"), posexplode(
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
       .as(Seq("j", "qv")))
+    // Pairwise native scoring: each candidate pair ships two float arrays
+    // once and pays one fused integer-dot loop (QuantizedDot) — vs the
+    // retired explode(dim) q-join that blew the corpus up 64x and paid an
+    // aggregation exchange. The SQL oracle sums the same integer products.
     val sc = cand
-      .join(q.select(col("vec_id").as("query_id"), col("j"), col("qv").as("qa")),
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
         Seq("query_id"))
-      .join(q.select(col("vec_id"), col("j"), col("qv").as("qb")), Seq("vec_id", "j"))
-      .groupBy("query_id", "vec_id").agg(sum(col("qa") * col("qb")).as("dot"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ce")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .quantized_dot(col("qe"), col("ce"), scale = 1000).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     sc.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
       .select("query_id", "vec_id", "rn", "dot")

@@ -82,6 +82,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two float vectors after round(x·scale)
+  * quantization — the pairwise scoring primitive of the cross-engine ANN
+  * variants. Long arithmetic end-to-end, so the score is EXACT and
+  * order-independent in any engine (the SQL oracle sums the same integer
+  * products). Replaces the explode(dim)-join-groupBy scoring plan: each
+  * candidate pair ships two 64-float arrays once and pays one fused loop
+  * — no 64× row blowup, no aggregation exchange.
+  */
+case class QuantizedDot(left: Expression, right: Expression, scale: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantized_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantized_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    QuantizedDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[QuantizedDot].getName
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $cls.dot($a, $b, $scale);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDot {
+  /** Static so generated code can call it; quantization is
+    * [[SignedProjectionBucket.quantize]] (Spark Round semantics).
+    */
+  def dot(x: ArrayData, y: ArrayData, scale: Int): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      d += SignedProjectionBucket.quantize(x.getFloat(i), scale) *
+        SignedProjectionBucket.quantize(y.getFloat(i), scale)
+      i += 1
+    }
+    d
+  }
+}
+
 /** Nearest-centroid assignment: argmax over a small codebook of cosine
   * similarity between the input vector and each centroid, ties broken to
   * the smallest centroid id (NaN compares greatest, matching Spark's
@@ -488,6 +544,12 @@ object VectorFunctions {
   def hyperplane_bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.GraftSqlShims.column(HyperplaneBucket(
       org.apache.spark.sql.GraftSqlShims.expression(vec), planes))
+
+  /** Column-API entry point for the pairwise integer dot product. */
+  def quantized_dot(a: Column, b: Column, scale: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(QuantizedDot(
+      org.apache.spark.sql.GraftSqlShims.expression(a),
+      org.apache.spark.sql.GraftSqlShims.expression(b), scale))
 
   /** Column-API entry point for integer-dot codebook top-p selection. */
   def quantized_top_dots(vec: Column, centroids: Seq[Seq[Long]],
