@@ -69,6 +69,87 @@ object Lake {
     *
     * @return (filesBefore, filesAfter) across all compacted leaves
     */
+  /** Versioned table writes with time-travel reads — the snapshot half of
+    * the Delta behaviors this lake reproduces (compaction and data
+    * skipping being the others). Each write lands in its own `v=<n>`
+    * directory; readers resolve through a pointer file written with the
+    * same tmp-write + atomic-rename protocol as the other swaps, so a
+    * reader sees the previous complete version or the new complete
+    * version, never a partial write. Old versions stay readable
+    * (`readVersioned(path, Some(n))`) until `vacuum` reclaims them —
+    * exactly the retention contract that makes concurrent long scans safe
+    * at 100 TB: a reader planned against v(n) keeps its file list valid
+    * while writers publish v(n+1).
+    */
+  def writeVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(hp)
+    val next = listVersions(spark, path).lastOption.getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_latest.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"versioned write: pointer swap failed at $path")
+    next
+  }
+
+  def listVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+  }
+
+  def readVersioned(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse {
+      val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
+      require(fs.exists(ptr), s"no _graft_latest pointer under $path")
+      val in = fs.open(ptr)
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close()
+      s.toLong
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(path, s"v=$v")),
+      s"version $v does not exist under $path (have: ${listVersions(spark, path).mkString(",")})")
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** Remove versions older than the newest `keepLast` (the published
+    * pointer target is always kept). Returns the removed version numbers.
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = listVersions(spark, path)
+    val current = readVersionPointer(fs, path)
+    val drop = all.dropRight(keepLast).filterNot(current.contains)
+    drop.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"v=$v"), true))
+    drop
+  }
+
+  private def readVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close()
+      Some(s.toLong)
+    }
+  }
+
   /** File-level min/max data skipping — the manifest half of what Delta/
     * Iceberg call data skipping, for plain parquet dirs. Parquet row-group
     * stats already prune WITHIN a file, but the scan still pays listing +

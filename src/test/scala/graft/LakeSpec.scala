@@ -198,6 +198,26 @@ class LakeSpec extends SparkSpec {
     assert(all.filter(col("id").between(1050, 1060)).count() == 11)
   }
 
+  test("versioned writes time-travel and vacuum keeps the published version") {
+    val dir = tmp() + "/t"
+    assert(Lake.writeVersioned(spark, spark.range(10).toDF("id"), dir) == 1L)
+    assert(Lake.writeVersioned(spark, spark.range(20).toDF("id"), dir) == 2L)
+    assert(Lake.writeVersioned(spark, spark.range(30).toDF("id"), dir) == 3L)
+    assert(Lake.readVersioned(spark, dir).count() == 30) // latest via pointer
+    assert(Lake.readVersioned(spark, dir, Some(2L)).count() == 20) // time travel
+    assert(Lake.listVersions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(Lake.vacuum(spark, dir, keepLast = 1) == Seq(1L, 2L))
+    assert(Lake.listVersions(spark, dir) == Seq(3L))
+    assert(Lake.readVersioned(spark, dir).count() == 30)
+    val gone = intercept[IllegalArgumentException] {
+      Lake.readVersioned(spark, dir, Some(2L))
+    }
+    assert(gone.getMessage.contains("does not exist"))
+    // next write after vacuum continues the version sequence
+    assert(Lake.writeVersioned(spark, spark.range(5).toDF("id"), dir) == 4L)
+    assert(Lake.readVersioned(spark, dir).count() == 5)
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {
