@@ -207,5 +207,50 @@ object PipelineQueries {
           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
+
+    // ---- Time travel end-to-end: publish snapshot v1 (events through
+    //      Jan 15), publish v2 (all events), then read the TIME-TRAVELED
+    //      v1 — proving the old version stays byte-intact and readable
+    //      after a newer one is published. The oracle recomputes v1's
+    //      input directly; if publishing v2 disturbed v1 in any way, the
+    //      hash catches it. (LakeSpec separately pins vacuum/retention.) ----
+    QueryDef(
+      "lake_time_travel",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        def snap(cut: Option[String]) =
+          cut.fold(base)(c => base.filter(col("day") <= lit(c).cast("date")))
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_tt_")
+        val path = s"$tmp/user_totals"
+        try {
+          graft.sources.Lake.writeVersioned(sp, snap(Some("2024-01-15")), path)
+          graft.sources.Lake.writeVersioned(sp, snap(None), path)
+          val rows = graft.sources.Lake.readVersioned(sp, path, Some(1L))
+            .orderBy("user_id").collect()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_events",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("total_cents",
+              org.apache.spark.sql.types.LongType)))
+          sp.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally {
+          val fs = new org.apache.hadoop.fs.Path(tmp.toString)
+            .getFileSystem(sp.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+        }
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
   )
 }
