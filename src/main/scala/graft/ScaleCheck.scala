@@ -64,7 +64,8 @@ object ScaleCheck {
     "q8_market_share", "q9_profit", "q20_part_suppliers", "q22_idle_custs",
     "q_cohort_retention", "cdc_scd2", "ann_lsh_md5", "doc_winnow_fp",
     "mm_frame_sample", "ann_lsh", "doc_pii_scrub", "lake_skipping",
-    "ann_ivf_int", "ann_ivf")
+    "ann_ivf_int", "ann_ivf", "embedding_neardup", "dedup_ngram_jaccard",
+    "dag_incremental", "lake_time_travel")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

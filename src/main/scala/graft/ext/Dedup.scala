@@ -328,12 +328,15 @@ object Dedup {
     ),
     // Word-SET Jaccard over a deterministic doc sample — oracle-checkable
     // twin of the shingle-set verification step (exact integer set sizes,
-    // exact-division ratio).
+    // exact-division ratio). The sample is RANK-capped (doc_id < 100: ids
+    // are dense from 0 in every SF), not a modulus, so the pair count is a
+    // CONSTANT 4,950 however big the corpus gets (r5 verdict item 2);
+    // [[jaccardSelfJoinExact]] is the complete prefix-filtered scale path.
     QueryDef(
       "dedup_ngram_jaccard",
       (sp, dir) => {
         val s = Tables.documents(sp, dir)
-          .filter(col("doc_id") % 50 === 0)
+          .filter(col("doc_id") < 100)
           .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
         s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -347,7 +350,7 @@ object Dedup {
       Some(
         """WITH s AS (
           |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
-          |  FROM documents WHERE doc_id % 50 = 0)
+          |  FROM documents WHERE doc_id < 100)
           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |       len(list_intersect(a.w, b.w)) AS n_inter,
           |       len(list_intersect(a.w, b.w)) * 1.0

@@ -541,12 +541,18 @@ object Similarity {
            |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
            |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
     ),
-    // Embedding-cosine near-dup pairs (exact all-pairs at oracle scale;
-    // the LSH/IVF variants above are the 100 TB path for the same shape).
+    // Embedding-cosine near-dup pairs — the exact ORACLE TWIN of the
+    // LSH/IVF paths above (which are the 100 TB path for this shape).
+    // Pairwise cost must not grow with the corpus, so the sample is
+    // RANK-capped (vec_id < 500: ids are dense from 0 in every SF), never
+    // a modulus — a modulus sample grows linearly and its pair count
+    // quadratically (r5 verdict item 2). 500 vectors = 124,750 pairs at
+    // every SF, forever.
     QueryDef(
       "embedding_neardup",
       (sp, dir) => {
         val emb = Tables.embeddings(sp, dir)
+          .filter(col("vec_id") < 500)
           .select(col("vec_id"), col("embedding"))
         emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -560,7 +566,7 @@ object Similarity {
           |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_r
           |FROM embeddings a, embeddings b
-          |WHERE a.vec_id < b.vec_id
+          |WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
           |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
           |ORDER BY a_id, b_id""".stripMargin),

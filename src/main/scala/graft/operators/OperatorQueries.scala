@@ -479,19 +479,40 @@ object OperatorQueries {
     QueryDef(
       "q_stratified_sample",
       (sp, dir) => {
-        val docs = Tables.documents(sp, dir)
-        val sources = docs.select("source").distinct()
-          .collect().map(_.getString(0)).sorted
-        // downsample even-indexed sources to 20%, keep the rest whole
-        val fractions = sources.zipWithIndex.map { case (s, i) =>
-          s -> (if (i % 2 == 0) 0.2 else 1.0)
-        }.toMap
-        docs.stat.sampleBy("source", fractions, seed = 42L)
+        // Stratified sampling via the md5-threshold Bernoulli pattern
+        // (same as doc_mix_sample): deterministic, engine-independent,
+        // stateless — so the row SET (not just counts) is reproducible
+        // across engines, retries and cluster sizes, unlike seeded
+        // sampleBy whose RNG stream is engine- and partitioning-defined
+        // (that operator is pinned separately by OperatorsSpec). Strata =
+        // sources; even-ranked sources downsample to ~20% ('33' = 51/256),
+        // odd-ranked kept whole. The rank window runs over the DISTINCT
+        // source dim (a handful of rows — single-partition window is fine
+        // at any corpus size) and broadcast-joins back.
+        val srcIdx = Tables.documents(sp, dir).select("source").distinct()
+          .withColumn("src_idx", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("source")) - 1)
+        val h2 = substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 2)
+        val thr = when(col("src_idx") % 2 === 0, "33").otherwise("zz")
+        Tables.documents(sp, dir)
+          .join(broadcast(srcIdx), "source")
+          .withColumn("kept", (h2 < thr).cast("long"))
           .groupBy("source")
-          .agg(count(lit(1)).as("n_sampled"))
+          .agg(count(lit(1)).as("n_docs"), sum("kept").cast("long").as("n_sampled"))
           .orderBy("source")
       },
-      None, // engine-seeded sampling; proportions pinned by OperatorsSpec
+      Some(
+        """WITH r AS (
+          |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |k AS (
+          |  SELECT d.source,
+          |         CASE WHEN substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+          |              < CASE WHEN r.idx % 2 = 0 THEN '33' ELSE 'zz' END
+          |              THEN 1 ELSE 0 END AS kept
+          |  FROM documents d JOIN r ON d.source = r.source)
+          |SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_sampled
+          |FROM k GROUP BY source ORDER BY source""".stripMargin),
     ),
 
     // ---- text normalization: the cleaning pass before any dedup/quality

@@ -71,8 +71,8 @@ object PipelineQueries {
     //      post-watermark slice merges). Final state = latest day per
     //      user, which DuckDB reproduces with one window over the full
     //      aggregate — the rebuildability contract of incremental models.
-    //      The result is collected to a local relation so the scratch dir
-    //      can be deleted eagerly. ----
+    //      Staged under the session [[Scratch]] dir so the LAZY read is
+    //      returned — nothing result-sized touches the driver. ----
     QueryDef(
       "dag_incremental",
       (sp, dir) => {
@@ -81,21 +81,11 @@ object PipelineQueries {
             round(col("value") * 100).cast("long").as("cents"))
           .groupBy("user_id", "day")
           .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_inc_")
-        val path = s"$tmp/user_latest"
+        val path = s"${Scratch.dir("inc")}/user_latest"
         val inc = Dag.Incremental("day", uniqueKey = Some(Seq("user_id")))
-        try {
-          Dag.runIncremental(sp,
-            base.filter(col("day") <= lit("2024-01-15").cast("date")), path, inc)
-          val after = Dag.runIncremental(sp, base, path, inc)
-          val rows = after.collect()
-          sp.createDataFrame(java.util.Arrays.asList(rows: _*), after.schema)
-            .orderBy("user_id")
-        } finally {
-          val fs = new org.apache.hadoop.fs.Path(tmp.toString)
-            .getFileSystem(sp.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-        }
+        Dag.runIncremental(sp,
+          base.filter(col("day") <= lit("2024-01-15").cast("date")), path, inc)
+        Dag.runIncremental(sp, base, path, inc).orderBy("user_id")
       },
       Some(
         """WITH agg AS (
@@ -171,34 +161,17 @@ object PipelineQueries {
         val base = Tables.events(sp, dir)
           .select(col("user_id"), to_date(col("ts")).as("day"),
             round(col("value") * 100).cast("long").as("cents"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_skip_")
-        val path = s"$tmp/events_by_day"
-        try {
-          base.repartitionByRange(8, col("day")).write.parquet(path)
-          graft.sources.Lake.writeStats(sp, path, Seq("day"))
-          val lo = "2024-01-08"
-          val hi = "2024-01-14"
-          val skipped = graft.sources.Lake.readSkipping(sp, path,
+        val path = s"${Scratch.dir("skip")}/events_by_day"
+        base.repartitionByRange(8, col("day")).write.parquet(path)
+        graft.sources.Lake.writeStats(sp, path, Seq("day"))
+        val lo = "2024-01-08"
+        val hi = "2024-01-14"
+        graft.sources.Lake.readSkipping(sp, path,
             graft.sources.Lake.skipRange("day", lit(lo), lit(hi)))
-          val rows = skipped
-            .filter(col("day").between(lit(lo), lit(hi)))
-            .groupBy("day")
-            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
-            .orderBy("day")
-            .collect()
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("day",
-              org.apache.spark.sql.types.DateType),
-            org.apache.spark.sql.types.StructField("n_events",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("day_cents",
-              org.apache.spark.sql.types.LongType)))
-          sp.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        } finally {
-          val fs = new org.apache.hadoop.fs.Path(tmp.toString)
-            .getFileSystem(sp.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-        }
+          .filter(col("day").between(lit(lo), lit(hi)))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+          .orderBy("day")
       },
       Some(
         """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
@@ -224,26 +197,10 @@ object PipelineQueries {
           cut.fold(base)(c => base.filter(col("day") <= lit(c).cast("date")))
             .groupBy("user_id")
             .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_tt_")
-        val path = s"$tmp/user_totals"
-        try {
-          graft.sources.Lake.writeVersioned(sp, snap(Some("2024-01-15")), path)
-          graft.sources.Lake.writeVersioned(sp, snap(None), path)
-          val rows = graft.sources.Lake.readVersioned(sp, path, Some(1L))
-            .orderBy("user_id").collect()
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n_events",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("total_cents",
-              org.apache.spark.sql.types.LongType)))
-          sp.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        } finally {
-          val fs = new org.apache.hadoop.fs.Path(tmp.toString)
-            .getFileSystem(sp.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-        }
+        val path = s"${Scratch.dir("tt")}/user_totals"
+        graft.sources.Lake.writeVersioned(sp, snap(Some("2024-01-15")), path)
+        graft.sources.Lake.writeVersioned(sp, snap(None), path)
+        graft.sources.Lake.readVersioned(sp, path, Some(1L)).orderBy("user_id")
       },
       Some(
         """SELECT user_id, count(*) AS n_events,

@@ -14,8 +14,15 @@ import org.apache.spark.sql.SparkSession
   *     anywhere else it means an equi-condition failed to be recognized.
   *
   * PlanSpec pins the flagship plans precisely; this audit is the broad
-  * net so a regression in ANY of the 124 registered queries (e.g. a
+  * net so a regression in ANY of the registered queries (e.g. a
   * refactor dropping a join key) surfaces before the driver run.
+  *
+  * It also flags FULL-RESULT driver collects (r5 verdict item 1): a query
+  * that `.collect()`s and re-creates its result shows up as a plan whose
+  * every leaf is a LocalRelation/LocalTableScan carrying result-sized
+  * rows — the driver becomes the bottleneck at 100×. Small literal frames
+  * (a 4-row freshness report, a handful of driver-evaluated scalars) are
+  * fine, so only all-local plans above [[localRowLimit]] rows are smells.
   */
 object PlanAudit {
 
@@ -36,8 +43,13 @@ object PlanAudit {
     "doc_lang_id", // docs x broadcast(per-language trigram profiles, handful of rows)
     "q22_idle_custs", // 1-row scalar avg-balance threshold broadcast (Q11 shape)
     "sketch_source_sim", // per-SOURCE sketch self-join on '<': both sides = n_sources rows
-    "dedup_ngram_jaccard", // fixed 1/50 sample pairwise twin; PPJoin is the scale path
+    "dedup_ngram_jaccard", // fixed rank-capped sample pairwise twin; PPJoin is the scale path
   )
+
+  /** An all-LocalRelation plan with more rows than this is a collected
+    * full result, not a literal frame.
+    */
+  private val localRowLimit = 64L
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -54,12 +66,22 @@ object PlanAudit {
     var audited = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
         audited += 1
         if (plan.contains("CartesianProduct"))
           bad ::= s"$name: CartesianProduct"
         if (plan.contains("BroadcastNestedLoopJoin") && !intendedBnlj(name))
           bad ::= s"$name: unexpected BroadcastNestedLoopJoin"
+        val leaves = df.queryExecution.analyzed.collectLeaves()
+        val localRows = leaves.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            l.data.size.toLong
+        }
+        if (leaves.nonEmpty && localRows.size == leaves.size &&
+            localRows.sum > localRowLimit)
+          bad ::= s"$name: full-result driver collect " +
+            s"(all-LocalRelation plan, ${localRows.sum} rows)"
       } catch {
         case e: Throwable => bad ::= s"$name: failed to plan: ${e.getMessage}"
       }
