@@ -38,6 +38,35 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false),
   ))
 
+  /** Write-once parquet cache for the planted media corpora, keyed by
+    * (SF dir, corpus kind). Before r6 the registered mm_* queries ENCODED
+    * the corpus inside the timed query — fixture generation inside the
+    * measurement (r5 verdict item 4). Planting is deterministic in doc_id,
+    * so the corpus is materialized once per SF under the process temp dir
+    * and every subsequent run reads parquet and times only the decode —
+    * the stage the queries claim to measure, and the shape of a real lake
+    * (media arrives as stored bytes; nobody re-synthesizes PNGs per scan).
+    *
+    * The read is re-split to the session's parallelism: a few-MB blob
+    * table lands in one file-scan split otherwise (openCost binning), and
+    * a single-split decode would serialize the codec work that dominates
+    * these queries. The repartition shuffles only the fixture's megabytes.
+    */
+  private def fixture(sp: SparkSession, sfDir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_media_fix/$key/$kind"
+    fixtureLock.synchronized {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        build.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+    sp.read.parquet(path)
+      .repartition(sp.sparkContext.defaultParallelism)
+  }
+  private val fixtureLock = new Object
+
   /** Build a media table: the document text bytes stand in for an opaque
     * media payload (deterministic; real pipelines read image/audio files).
     */
@@ -405,7 +434,8 @@ object Multimodal {
     QueryDef(
       "mm_features",
       (sp, dir) =>
-        extractFeatures(asImageTable(Tables.documents(sp, dir)))
+        extractFeatures(fixture(sp, dir, "images")(
+          asImageTable(Tables.documents(sp, dir))))
           .select("doc_id", "media_type", "width", "height", "channels")
           .orderBy("doc_id"),
       Some(
@@ -422,8 +452,8 @@ object Multimodal {
     QueryDef(
       "mm_audio_features",
       (sp, dir) =>
-        extractAudioFeatures(asAudioTable(
-          Tables.documents(sp, dir).filter(col("doc_id") % 5 === 0)))
+        extractAudioFeatures(fixture(sp, dir, "audio")(asAudioTable(
+          Tables.documents(sp, dir).filter(col("doc_id") % 5 === 0))))
           .orderBy("doc_id"),
       Some(
         """WITH d AS (
@@ -452,8 +482,8 @@ object Multimodal {
     QueryDef(
       "mm_frame_sample",
       (sp, dir) =>
-        sampleFrames(asVideoTable(
-          Tables.documents(sp, dir).filter(col("doc_id") % 3 === 0)),
+        sampleFrames(fixture(sp, dir, "video")(asVideoTable(
+          Tables.documents(sp, dir).filter(col("doc_id") % 3 === 0))),
           everyN = 3)
           .groupBy("doc_id")
           .agg(max("width").as("width"), max("height").as("height"),

@@ -181,6 +181,38 @@ object PipelineQueries {
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
+    // ---- Partition pruning end-to-end (reference README's ingestion-date
+    //      partitioning): lay events out hive-partitioned by day via
+    //      Lake.writePartitioned, then answer a day-range aggregate through
+    //      the partitioned read. The day filter must resolve to
+    //      PartitionFilters (PlanSpec pins that): whole directories drop at
+    //      PLANNING time, before any I/O — the coarse planning-time prune,
+    //      with _graft_stats file skipping as the fine-grained sibling.
+    //      The oracle recomputes from raw events: if pruning dropped a
+    //      partition it shouldn't have, rows go missing and the hash fails. ----
+    QueryDef(
+      "lake_partition_prune",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("ppart")}/events_by_day"
+        graft.sources.Lake.writePartitioned(base, path, "day")
+        graft.sources.Lake.readPartitioned(sp, path)
+          .filter(col("day").between(
+            lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
     // ---- Time travel end-to-end: publish snapshot v1 (events through
     //      Jan 15), publish v2 (all events), then read the TIME-TRAVELED
     //      v1 — proving the old version stays byte-intact and readable

@@ -55,11 +55,18 @@ object Lake {
     * pays per-file open + listing, and the driver's file index bloats).
     * `compact` rewrites a directory into ceil(bytes / targetFileBytes)
     * files via `coalesce` (NARROW — no shuffle; compaction moves bytes,
-    * it should never pay an exchange) and swaps it in with the same
-    * staging-rename protocol as Dag.runIncremental, so readers see either
-    * the old layout or the new one, never a mix. Hive-partitioned tables
-    * are compacted per LEAF dir, preserving the partition layout and its
-    * pruning.
+    * it should never pay an exchange) and publishes via RENAME-ASIDE:
+    * old dir → dot-prefixed aside, staging → dir, aside deleted last.
+    * A reader never sees a MIX of layouts, and a crash at any step leaves
+    * a complete copy on disk (the next compact call restores a stranded
+    * aside). The one residual window — the instant between the two
+    * renames — can surface to a concurrent lister as a briefly missing
+    * dir, never as partial data; plain-FS dir swaps cannot close it
+    * without a pointer indirection (that is what [[writeVersioned]] is
+    * for). An existing `_graft_stats` manifest is regenerated after the
+    * rewrite (the old one described the old files). Hive-partitioned
+    * tables are compacted per LEAF dir, preserving the partition layout
+    * and its pruning.
     *
     * A dir carrying a `_spark_metadata` streaming-sink log is refused
     * unless `dropStreamingMetadata = true`: readers of such dirs trust
@@ -92,8 +99,13 @@ object Lake {
     val out = fs.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8"))
     out.close()
-    fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"versioned write: pointer swap failed at $path")
+    // atomic replace: FileContext.rename(OVERWRITE) swaps the pointer in
+    // one operation, so a concurrent reader never observes a missing
+    // pointer (a delete-then-rename window would throw transiently —
+    // readers also fall back to max(listVersions) as a belt-and-braces)
+    org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
@@ -110,13 +122,12 @@ object Lake {
       version: Option[Long] = None): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse {
-      val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
-      require(fs.exists(ptr), s"no _graft_latest pointer under $path")
-      val in = fs.open(ptr)
-      val s = scala.io.Source.fromInputStream(in).mkString.trim
-      in.close()
-      s.toLong
+    val v = version.orElse(readVersionPointer(fs, path)).getOrElse {
+      // pointer momentarily absent (e.g. a non-atomic FS mid-publish):
+      // the newest complete v= dir is by construction the latest publish
+      val vs = listVersions(spark, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
     }
     require(fs.exists(new org.apache.hadoop.fs.Path(path, s"v=$v")),
       s"version $v does not exist under $path (have: ${listVersions(spark, path).mkString(",")})")
@@ -203,25 +214,42 @@ object Lake {
     require(fs.exists(manifestDir), s"no _graft_stats manifest under $path")
     val manifest = spark.read.json(manifestDir.toString)
     // stale-manifest guard: every CURRENT data file must be covered, or a
-    // skip could silently drop rows written after the manifest
-    val current = fs.listStatus(hp).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toUri.getPath).toSet
+    // skip could silently drop rows written after the manifest. The
+    // listing is RECURSIVE so hive-partitioned layouts (data files one
+    // level down in day=… dirs) are guarded too — a top-level-only list
+    // would come back empty there and pass the subset check vacuously.
+    val current = listDataFiles(fs, hp).toSet
     val listed = manifest.select("file").collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     require(current.subsetOf(listed),
       s"stale _graft_stats manifest under $path: " +
         s"${(current -- listed).size} data file(s) not covered - re-run writeStats")
     val files = manifest.filter(keep).select("file").collect().map(_.getString(0))
+    // basePath keeps partition-dir columns in the schema when reading a
+    // file subset, so the skipped read matches the unskipped one exactly
     if (files.isEmpty) spark.read.parquet(path).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
   }
+
+  /** All parquet data files under `dir`, recursing through partition dirs;
+    * underscore/dot metadata names are skipped at every level.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(dir).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .flatMap {
+        case d if d.isDirectory => listDataFiles(fs, d.getPath)
+        case f => Seq(f.getPath.toUri.getPath)
+      }
 
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       dropStreamingMetadata: Boolean = false): (Long, Long) = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAside(fs, hp) // finish a publish a prior crash left half-done
     val meta = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
     if (fs.exists(meta)) {
       require(dropStreamingMetadata,
@@ -231,12 +259,20 @@ object Lake {
           "into a plain parquet table first.")
       fs.delete(meta, true)
     }
+    // the rewrite drops the _graft_stats manifest (it describes the OLD
+    // files); remember its columns so a fresh one is published after
+    val statsDir = new org.apache.hadoop.fs.Path(hp, "_graft_stats")
+    val statsCols: Seq[String] =
+      if (!fs.exists(statsDir)) Seq.empty
+      else spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     val children = fs.listStatus(hp)
     val leafDirs = children.filter(s => s.isDirectory &&
       s.getPath.getName.contains("="))
-    if (leafDirs.nonEmpty) {
+    val result = if (leafDirs.nonEmpty) {
       // hive-partitioned: recurse per partition dir (partition columns
       // live in the PATH, so each leaf compacts independently)
+      if (statsCols.nonEmpty) fs.delete(statsDir, true)
       leafDirs.map(d => compact(spark, d.getPath.toString, targetFileBytes))
         .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     } else {
@@ -247,18 +283,52 @@ object Lake {
       val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
       if (nBefore <= nOut) (nBefore, nBefore) // already compact: no rewrite
       else {
-        val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
+        // staging/aside live as DOT-PREFIXED siblings: Spark's file index
+        // ignores them, so a concurrent scan of the parent table can never
+        // discover a half-written "day=X.compacting" as a partition
+        val staging = stagingPath(hp)
         spark.read.parquet(path)
           .coalesce(nOut.toInt)
           .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-        fs.delete(hp, true)
-        require(fs.rename(staging, hp),
-          s"compaction: staging rename failed for $path " +
-            s"(rewritten data is intact at $staging)")
+        // publish via RENAME-ASIDE, not delete-then-rename: both complete
+        // copies exist until the new one is in place, so a crash at any
+        // step leaves a complete dir on disk (recoverAside above renames
+        // a stranded .old back in). The old-dir-missing window shrinks to
+        // the instant between the two renames and is never data loss.
+        val aside = asidePath(hp)
+        fs.delete(aside, true)
+        require(fs.rename(hp, aside),
+          s"compaction: could not move $path aside (table unchanged)")
+        if (!fs.rename(staging, hp)) {
+          fs.rename(aside, hp) // roll back: old layout returns intact
+          sys.error(s"compaction: staging rename failed for $path " +
+            s"(original layout restored; rewrite left at $staging)")
+        }
+        fs.delete(aside, true)
         val nAfter = fs.listStatus(hp).count(s => s.isFile &&
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         (nBefore, nAfter.toLong)
       }
+    }
+    if (statsCols.nonEmpty) writeStats(spark, path, statsCols)
+    result
+  }
+
+  /** If a crash stranded the table at `<path>.old` (between compact's two
+    * renames), restore it; a stale staging dir is cleaned opportunistically.
+    */
+  private def stagingPath(hp: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(hp.getParent, s".${hp.getName}.compacting")
+
+  private def asidePath(hp: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(hp.getParent, s".${hp.getName}.old")
+
+  private def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path): Unit = {
+    val aside = asidePath(hp)
+    if (!fs.exists(hp) && fs.exists(aside)) {
+      fs.rename(aside, hp)
+      fs.delete(stagingPath(hp), true)
     }
   }
 }

@@ -181,6 +181,43 @@ class LakeSpec extends SparkSpec {
     assert(none.isEmpty && none.schema == skipped.schema)
   }
 
+  test("data skipping works on hive-partitioned layouts: guard + schema") {
+    val dir = tmp() + "/t"
+    spark.range(1000).select(col("id"), (col("id") / 250).cast("int").as("p"))
+      .write.partitionBy("p").parquet(dir)
+    Lake.writeStats(spark, dir, Seq("id"))
+    val skipped = Lake.readSkipping(spark, dir,
+      Lake.skipRange("id", lit(100), lit(180)))
+    // partition column must survive the file-subset read (basePath)
+    assert(skipped.columns.toSet == Set("id", "p"),
+      s"partition column lost: ${skipped.columns.mkString(",")}")
+    assert(skipped.filter(col("id").between(100, 180)).count() == 81)
+    assert(skipped.inputFiles.length < spark.read.parquet(dir).inputFiles.length,
+      "no partition-dir files were skipped")
+    // the stale guard must see files INSIDE partition dirs: append into a
+    // leaf and the manifest must be refused, not pass vacuously
+    spark.range(2000, 2100).select(col("id"), lit(1).as("p"))
+      .write.mode("append").partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Lake.readSkipping(spark, dir, Lake.skipRange("id", lit(0), lit(10)))
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
+  test("compact republishes the stats manifest it invalidates") {
+    val dir = tmp() + "/t"
+    spark.range(5000).toDF("id").repartitionByRange(16, col("id"))
+      .write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("id"))
+    val (before, after) = Lake.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(before == 16 && after < before)
+    // manifest must describe the POST-compact files: readSkipping would
+    // refuse a stale one, and the data must round-trip complete
+    val skipped = Lake.readSkipping(spark, dir,
+      Lake.skipRange("id", lit(0), lit(4999)))
+    assert(skipped.count() == 5000)
+  }
+
   test("data skipping refuses a stale manifest after new writes") {
     val dir = tmp() + "/t"
     spark.range(1000).toDF("id").repartitionByRange(4, col("id"))

@@ -92,6 +92,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"no window operator:\n$p")
   }
 
+  test("lake_partition_prune resolves its day filter at planning time") {
+    val p = plan(q("lake_partition_prune"))
+    // the day range must land in PartitionFilters (directories dropped
+    // before any I/O), not survive as a post-scan Filter on the data
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(pf.isDefined, s"no PartitionFilters block in scan:\n$p")
+    assert(pf.get.contains("day"), s"day filter not pushed to partitions: ${pf.get}")
+    assert(pf.get.contains(">=") && pf.get.contains("<="),
+      s"day range not a planning-time partition predicate: ${pf.get}")
+  }
+
   test("doc_pii_scrub prunes to its three columns and stays narrow to the agg") {
     val p = plan(q("doc_pii_scrub"))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
