@@ -225,11 +225,15 @@ object BpeTrain {
     // Engine-loop output (each round's argmax feeds the next rewrite) —
     // not expressible as one SQL query, so rows-only; BpeSpec verifies
     // the merge sequence against an independent single-machine trainer.
+    // localVocabThreshold = 0 forces the DISTRIBUTED batched-round path,
+    // so the bench exercises the 100 TB shape every round instead of the
+    // driver-local fast path (r5 verdict item 7); BpeSpec pins the two
+    // paths merge-for-merge equal.
     QueryDef(
       "bpe_merges",
       (sp, dir) => {
         import sp.implicits._
-        learnMerges(Tables.documents(sp, dir), 12)
+        learnMerges(Tables.documents(sp, dir), 12, localVocabThreshold = 0)
           .toDF().orderBy("rank")
       },
       None,

@@ -123,15 +123,24 @@ object Similarity {
     * `nBits` defaults to ceil(log2(N / 2)) — bucket WIDTH grows with the
     * corpus so occupancy stays ~2 and candidate work per query stays
     * CONSTANT (fixed bits would make candidates Θ(N² / 2^bits): the 10×
-    * scale check measured exactly that before auto-sizing). The formula
-    * uses only count + log2, so the SQL oracle derives the identical
-    * width from the same table.
+    * scale check measured exactly that before auto-sizing). The width is
+    * derived with PURE INTEGER arithmetic — ceil(log2(N/2)) equals the
+    * bit length of ceil(N/2)−1 — because a float ln-ratio can land on
+    * either side of the integer when N/2 is an exact power of two,
+    * letting the two engines disagree on bucket width (r5 advice). N
+    * itself comes from [[graft.sources.CorpusStats]]: manifest metadata
+    * when available, one memoized count otherwise — never a fresh full
+    * scan per run.
     */
   def lshTopKMd5(emb: DataFrame, queryPred: Column, k: Int,
       nBitsOverride: Option[Int] = None): DataFrame = {
     val nBits = nBitsOverride.getOrElse {
-      val n = emb.count()
-      math.max(4, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
+      val n = graft.sources.CorpusStats.rowCount(emb)
+      val halfUp = (n + 1) / 2 // ceil(N/2)
+      val bitLen =
+        if (halfUp <= 1) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(halfUp - 1)
+      math.max(4, bitLen)
     }
     // One-pass codegen'd signature: the md5 ±1 matrix is a pure function
     // of (lane, dim), so it is computed ONCE driver-side and rides along
@@ -191,7 +200,9 @@ object Similarity {
     // The query set is additionally BOUNDED (first nQueries of the
     // residue class): per-query sublinear search is IVF's contract —
     // an all-pairs workload belongs to the LSH bucket join, not here.
-    val n = emb.count()
+    // N via CorpusStats: manifest metadata or one memoized count — not a
+    // fresh full scan per run.
+    val n = graft.sources.CorpusStats.rowCount(emb)
     val nCentroids = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
       .orderBy("vec_id").limit(nCentroids)
@@ -424,7 +435,7 @@ object Similarity {
           |              AS BIGINT) AS qv
           |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
           |p AS (
-          |  SELECT greatest(4, CAST(ceil(log2(count(*) / 2.0)) AS INT)) AS nb
+          |  SELECT greatest(4, length(printf('%b', (count(*) + 1) // 2 - 1))) AS nb
           |  FROM embeddings),
           |pr AS (
           |  SELECT vec_id, l.i AS i,

@@ -189,14 +189,46 @@ object Lake {
   def writeStats(spark: SparkSession, path: String, statsCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
     require(statsCols.nonEmpty, "writeStats needs at least one column")
+    // n_rows per file rides along: summing the manifest answers COUNT(*)
+    // from metadata alone — the planning-time cardinality LSH/IVF
+    // auto-sizing needs, without a corpus scan (r5 verdict item 8)
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
     val stats = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val out = s"$path/_graft_stats"
     stats.coalesce(1).write.mode(SaveMode.Overwrite).json(out)
     spark.read.json(out).count()
+  }
+
+  /** Table row count from the `_graft_stats` manifest, if one exists, is
+    * fresh (covers every current data file), and carries `n_rows` — a
+    * METADATA-sized read replacing a full-corpus COUNT(*) scan. None →
+    * caller must count (see [[CorpusStats.rowCount]] for the memoizing
+    * wrapper).
+    */
+  def rowCountFromManifest(spark: SparkSession, path: String): Option[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    if (!fs.exists(manifestDir)) None
+    else {
+      val manifest = spark.read.json(manifestDir.toString)
+      if (!manifest.schema.fieldNames.contains("n_rows")) None // pre-n_rows manifest
+      else {
+        // manifest rows are metadata-sized (one per file): resolve on the
+        // driver, summing only files that still exist (a manifest may
+        // carry rows for since-compacted files; counting them would
+        // overstate, and a file NOT covered at all means stale → None)
+        val current = listDataFiles(fs, hp).toSet
+        val rows = manifest.select("file", "n_rows").collect()
+          .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+        if (!current.subsetOf(rows.map(_._1).toSet)) None
+        else Some(rows.filter(r => current.contains(r._1)).map(_._2).sum)
+      }
+    }
   }
 
   /** Manifest predicate: file may contain rows with `c` in [lo, hi]. */

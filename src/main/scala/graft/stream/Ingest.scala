@@ -114,11 +114,19 @@ object Ingest {
     * `silverDir`, malformed rows land UNTOUCHED (raw text preserved) in
     * `quarantineDir`, and nothing is silently lost. Runs inside
     * `foreachBatch` because expectation violation COUNTS are a batch
-    * action; the stream checkpoint skips completed batches on re-drain
-    * (no reprocessing), and quarantined rows carry their batch id for
-    * audit. The micro-batch is cached first: filtering a JSON scan on
-    * ONLY the corrupt-record column is disallowed by Spark, and the
-    * expectation predicate is exactly that.
+    * action.
+    *
+    * Effectively-once, not just at-least-once: the checkpoint skips
+    * COMMITTED batches on re-drain, but a crash after a write and before
+    * the checkpoint commit replays that batch — so every write is
+    * IDEMPOTENT BY batchId, landing in its own `batch=<id>` partition dir
+    * with overwrite semantics (the standard foreachBatch recipe: a replay
+    * rewrites its own subdir byte-for-byte instead of appending a
+    * duplicate). Readers therefore see each input row exactly once in the
+    * final table state; the `batch` partition column is the audit trail.
+    * The micro-batch is cached first: filtering a JSON scan on ONLY the
+    * corrupt-record column is disallowed by Spark, and the expectation
+    * predicate is exactly that.
     */
   def runQuarantinedSilverPipeline(spark: SparkSession, landingDir: String,
       silverDir: String, quarantineDir: String, checkpointDir: String,
@@ -136,12 +144,11 @@ object Ingest {
           val aligned = r.retained
             .select(rawEventSchema.fields.map(f => col(f.name).cast(f.dataType)): _*)
           silverTransform(aligned)
-            .write.mode("append").parquet(silverDir)
+            .write.mode("overwrite").parquet(s"$silverDir/batch=$batchId")
           if (r.violationCounts("no_rescued_data") > 0) {
             r.quarantined
-              .withColumn("_batch_id", lit(batchId))
-              .select((dataCols.map(col) :+ col(RescuedCol) :+ col("_batch_id")): _*)
-              .write.mode("append").parquet(quarantineDir)
+              .select((dataCols.map(col) :+ col(RescuedCol)): _*)
+              .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
           }
           // post-commit compaction hook: per-micro-batch appends accrete
           // one file per batch; every N batches fold them back to target

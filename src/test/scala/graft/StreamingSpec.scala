@@ -126,7 +126,9 @@ class StreamingSpec extends SparkSpec {
 
     val silver = spark.read.parquet(silverDir)
     assert(silver.count() == 2) // both good rows, no rescue leakage
-    assert(silver.columns.toSet == Ingest.rawEventSchema.fieldNames.toSet)
+    // batch=<id> partition dirs make the writes idempotent on replay; the
+    // derived `batch` column is the audit trail, the data schema is intact
+    assert(silver.columns.toSet == Ingest.rawEventSchema.fieldNames.toSet + "batch")
 
     val quarantined = spark.read.parquet(quarantineDir)
     assert(quarantined.count() == 2)
@@ -137,6 +139,15 @@ class StreamingSpec extends SparkSpec {
     assert(raw.contains("not json at all"))
 
     // re-draining the same checkpoint reprocesses nothing
+    Ingest.runQuarantinedSilverPipeline(
+      spark, landing.toString, silverDir, quarantineDir, ckpt)
+    assert(spark.read.parquet(silverDir).count() == 2)
+    assert(spark.read.parquet(quarantineDir).count() == 2)
+
+    // simulated replay after a lost commit: wiping the checkpoint re-runs
+    // the same input under the same batch ids — the batch=<id> overwrite
+    // must land on top of the previous write, never append a duplicate
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     Ingest.runQuarantinedSilverPipeline(
       spark, landing.toString, silverDir, quarantineDir, ckpt)
     assert(spark.read.parquet(silverDir).count() == 2)
