@@ -65,10 +65,14 @@ object ScaleCheck {
     "q_cohort_retention", "cdc_scd2", "ann_lsh_md5", "doc_winnow_fp",
     "mm_frame_sample", "ann_lsh", "doc_pii_scrub", "lake_skipping",
     "ann_ivf_int", "ann_ivf", "embedding_neardup", "dedup_ngram_jaccard",
-    "dag_incremental", "lake_time_travel")
+    "dag_incremental", "lake_time_travel", "mm_features", "bpe_merges",
+    "lake_partition_prune")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
+    // optional 3rd+ args: restrict to named queries (local iteration)
+    val only = args.drop(2).toSet
+    val picked = if (only.isEmpty) flagship else flagship.filter(only)
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -87,7 +91,7 @@ object ScaleCheck {
         (System.nanoTime() - t0) / 1e9
       }.min
     println(f"${"query"}%-20s ${"small_s"}%8s ${"big_s"}%8s ${"ratio"}%6s")
-    flagship.foreach { q =>
+    picked.foreach { q =>
       val s = time(q, smallDir)
       val b = time(q, bigDir)
       println(f"$q%-20s $s%8.2f $b%8.2f ${b / s}%6.1f")

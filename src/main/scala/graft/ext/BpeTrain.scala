@@ -72,10 +72,16 @@ object BpeTrain {
       return localLoop(words, nMerges)
     }
 
+    // The vocab table is orders of magnitude smaller than the corpus
+    // (distinct words); a handful of partitions keeps each per-round job
+    // at a few tasks instead of a full shuffle-partition fan-out — at a
+    // vocab size where 32 partitions would help, the batched rounds are
+    // already bottlenecked on the aggregate, not task count
     val vocab0 = wordFreq
       .as[(String, Long)]
       .map { case (w, n) => (w.map(_.toString) :+ EndOfWord, n) }
       .toDF("syms", "n")
+      .coalesce(8)
 
     // Batched merge rounds: each round runs ONE pair-count aggregate,
     // selects a PROVABLY-SEQUENTIAL-EQUIVALENT batch of merges from the
