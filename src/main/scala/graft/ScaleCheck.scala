@@ -66,7 +66,7 @@ object ScaleCheck {
     "mm_frame_sample", "ann_lsh", "doc_pii_scrub", "lake_skipping",
     "ann_ivf_int", "ann_ivf", "embedding_neardup", "dedup_ngram_jaccard",
     "dag_incremental", "lake_time_travel", "mm_features", "bpe_merges",
-    "lake_partition_prune")
+    "lake_partition_prune", "lake_zorder_skip")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -213,6 +213,42 @@ object PipelineQueries {
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
+    // ---- Z-order clustering end-to-end: lay events out z-clustered on
+    //      (user_id, day) and answer a RECTANGLE query (user range × day
+    //      range) reading only manifest-surviving files. Range layout
+    //      would give day predicates nothing to skip; the Z-curve gives
+    //      BOTH columns usable per-file bounds (LakeSpec asserts each
+    //      dimension skips files on its own). Oracle recomputes from raw
+    //      events — a wrongly skipped file loses rows and fails the hash. ----
+    QueryDef(
+      "lake_zorder_skip",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("zord")}/events_z"
+        graft.sources.Lake.zorderWrite(sp, base, path,
+          Seq("user_id", "day"), nFiles = 16)
+        val (uLo, uHi) = (4L, 80L)
+        val (dLo, dHi) = ("2024-01-08", "2024-01-14")
+        graft.sources.Lake.readSkipping(sp, path,
+            graft.sources.Lake.skipRange("user_id", lit(uLo), lit(uHi)) &&
+            graft.sources.Lake.skipRange("day", lit(dLo), lit(dHi)))
+          .filter(col("user_id").between(uLo, uHi) &&
+            col("day").between(lit(dLo), lit(dHi)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM events
+          |WHERE user_id BETWEEN 4 AND 80
+          |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
     // ---- Time travel end-to-end: publish snapshot v1 (events through
     //      Jan 15), publish v2 (all events), then read the TIME-TRAVELED
     //      v1 — proving the old version stays byte-intact and readable

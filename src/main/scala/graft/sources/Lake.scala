@@ -276,6 +276,62 @@ object Lake {
         case f => Seq(f.getPath.toUri.getPath)
       }
 
+  /** Z-ORDER clustered write — the multi-column locality lever behind
+    * Delta's `OPTIMIZE ZORDER BY`, for plain parquet + the `_graft_stats`
+    * manifest. Range layout gives ONE column tight per-file min/max
+    * bounds; any second column's bounds span the whole domain and its
+    * predicates skip nothing. Interleaving the bits of per-column rank
+    * buckets (the Z-curve) makes file-contiguous z-ranges map to small
+    * HYPER-RECTANGLES in value space, so every clustered column gets
+    * usable bounds — with k columns each file's side shrinks ~2^(bits/k),
+    * the classic trade against single-column layout.
+    *
+    * Mechanics, all scale-safe: one aggregate for per-column min/max
+    * (bounded: 2k scalars), a NARROW map computing bucket =
+    * floor((x−min)/(max−min+1) · 2^bits) per column and OR-ing shifted
+    * bits together (pure codegen arithmetic — no window, no rank shuffle,
+    * which is how this stays one exchange end-to-end), then ONE
+    * repartitionByRange on the z-value and a stats manifest over the
+    * clustered columns. Numeric/date columns only (dates cluster by
+    * epoch day).
+    */
+  def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
+      clusterCols: Seq[String], nFiles: Int, bitsPerCol: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(clusterCols.size >= 2, "zorder needs >= 2 columns (else use range)")
+    require(clusterCols.size * bitsPerCol <= 62, "z-value must fit a long")
+    def asNum(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(c), lit("1970-01-01").cast("date")).cast("double")
+      case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+      case t => throw new IllegalArgumentException(
+        s"zorder column $c: unsupported type $t")
+    }
+    val boundAggs = clusterCols.flatMap(c => Seq(min(asNum(c)), max(asNum(c))))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val nBuckets = 1L << bitsPerCol
+    val buckets = clusterCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      // +1 on the span keeps the max value inside the top bucket
+      val b = floor((asNum(c) - lit(lo)) / lit(hi - lo + 1) * lit(nBuckets))
+        .cast("long")
+      least(greatest(b, lit(0L)), lit(nBuckets - 1))
+    }
+    // bit interleave: output bit (j*k + i) takes bit j of column i
+    val zval = (0 until bitsPerCol).flatMap { j =>
+      buckets.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)),
+          j * clusterCols.size + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("_graft_z", zval)
+      .repartitionByRange(nFiles, col("_graft_z"))
+      .drop("_graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    writeStats(spark, path, clusterCols)
+    ()
+  }
+
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       dropStreamingMetadata: Boolean = false): (Long, Long) = {

@@ -218,6 +218,27 @@ class LakeSpec extends SparkSpec {
     assert(skipped.count() == 5000)
   }
 
+  test("zorder layout skips files on EVERY clustered column") {
+    val dir = tmp() + "/t"
+    // two independent uniform columns: range layout on x would leave y
+    // bounds spanning the whole domain (zero y-skipping); the z-curve
+    // must give both dimensions usable per-file bounds
+    val df = spark.range(20000).select(
+      (col("id") % 200).as("x"), ((col("id") * 7919) % 200).as("y"),
+      col("id").as("v"))
+    Lake.zorderWrite(spark, df, dir, Seq("x", "y"), nFiles = 16)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val byX = Lake.readSkipping(spark, dir, Lake.skipRange("x", lit(0), lit(24)))
+    val byY = Lake.readSkipping(spark, dir, Lake.skipRange("y", lit(0), lit(24)))
+    assert(byX.inputFiles.length < total, "x predicate skipped nothing")
+    assert(byY.inputFiles.length < total, "y predicate skipped nothing")
+    // superset guarantee both ways: re-filter equals the unskipped answer
+    val want = df.filter(col("x") <= 24).agg(sum("v")).head().getLong(0)
+    assert(byX.filter(col("x") <= 24).agg(sum("v")).head().getLong(0) == want)
+    val wantY = df.filter(col("y") <= 24).agg(sum("v")).head().getLong(0)
+    assert(byY.filter(col("y") <= 24).agg(sum("v")).head().getLong(0) == wantY)
+  }
+
   test("data skipping refuses a stale manifest after new writes") {
     val dir = tmp() + "/t"
     spark.range(1000).toDF("id").repartitionByRange(4, col("id"))
