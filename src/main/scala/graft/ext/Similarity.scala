@@ -347,6 +347,47 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) with a deterministic,
+    * cross-engine-reproducible clustering: C = ceil(sqrt(N)) centroids
+    * taken by vector id (not k-means — the paper's insight is that ANY
+    * reasonable space partition prunes the pair search; a deterministic
+    * one additionally makes the result an exact SQL-oracleable set).
+    * A vector is a duplicate if an earlier-id vector in ITS cluster has
+    * cosine >= `threshold`; returns per-cluster (n_vecs, n_dups).
+    *
+    * Scale shape: assignment is ONE narrow codegen'd pass (the sqrt(N)
+    * codebook rides along as a NearestCentroid reference object, the
+    * same contract as IVF — ~sqrt(N)·dim·4 B of driver memory); the pair
+    * search shuffles once on cluster_id and compares ~N·sqrt(N)/2 pairs
+    * total (cluster size ~sqrt(N)) instead of N²/2 — and on a real
+    * corpus the per-cluster cap is whatever the cluster granularity
+    * makes it, the knob the paper tunes. No corpus-wide cross join
+    * anywhere.
+    */
+  def semDedup(emb0: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val n = graft.sources.CorpusStats.rowCount(emb)
+    val cN = math.ceil(math.sqrt(n.toDouble)).toLong
+    val cents = emb.filter(col("vec_id") < cN).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.nearest_centroid(col("embedding"),
+        cents.map(_._2).toSeq, cents.map(_._1).toSeq).as("cluster_id"))
+      .persist() // both sides of the pair join + the final stats agg
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"))
+      .orderBy("cluster_id")
+  }
+
   private val cosSql =
     """list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qe),
       |           z -> z[1] * z[2]))
@@ -621,6 +662,44 @@ object Similarity {
           .orderBy("query_id", "rn")
       },
       None, // centroid choice is engine-defined; recall pinned by ScalaTest
+    ),
+    // SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    // partition the embedding space into clusters, then look for
+    // near-duplicates ONLY within a cluster — the pruning that turns
+    // embedding dedup from Θ(N²) cosines into per-cluster work. This
+    // variant is fully deterministic so both engines compute the exact
+    // same clustering: centroids are the first ceil(sqrt(N)) vectors by
+    // id (ids are dense from 0 at every SF; C is SQL-derivable from
+    // count(*)), assignment is argmax cosine with ties to the smaller
+    // centroid id — the same NearestCentroid tie rule the IVF path uses.
+    QueryDef(
+      "emb_semdedup",
+      (sp, dir) => semDedup(Tables.embeddings(sp, dir)),
+      Some(
+        """WITH nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c
+          |            FROM embeddings),
+          |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+          |         FROM embeddings, nn WHERE vec_id < nn.c),
+          |asgn AS (SELECT vec_id, cid AS cluster_id FROM (
+          |  SELECT e.vec_id, c.cid,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |           ORDER BY list_cosine_similarity(
+          |                      CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+          |                    c.cid) AS rn
+          |  FROM embeddings e, cent c) WHERE rn = 1),
+          |dup AS (SELECT DISTINCT y.vec_id
+          |        FROM asgn x
+          |        JOIN asgn y ON x.cluster_id = y.cluster_id
+          |                   AND x.vec_id < y.vec_id
+          |        JOIN embeddings a ON a.vec_id = x.vec_id
+          |        JOIN embeddings b ON b.vec_id = y.vec_id
+          |        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                                     CAST(b.embedding AS DOUBLE[]))
+          |              >= 0.3)
+          |SELECT asgn.cluster_id, count(*) AS n_vecs,
+          |       CAST(count(dup.vec_id) AS BIGINT) AS n_dups
+          |FROM asgn LEFT JOIN dup ON asgn.vec_id = dup.vec_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
   )
 }

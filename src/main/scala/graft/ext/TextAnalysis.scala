@@ -114,6 +114,83 @@ object TextAnalysis {
             lit(1000000007L)),
         lit(1000000007L)))
 
+  /** BM25 relevance scoring of every matching doc against a keyword
+    * query (Robertson/Sparck Jones probabilistic weighting; k1=1.2,
+    * b=0.75). Two scan-speed passes: per-doc term frequencies via
+    * `size(w) - size(array_remove(w, t))` (codegen'd builtins — no
+    * lambda, no explode), then ONE single-row corpus-stats aggregate
+    * (N, Σdl, per-term df — a few bytes, broadcast back) feeding a
+    * narrow scoring projection. Constants appear as the same literals
+    * the SQL oracle uses (never pre-folded in Scala: 1.2+1 != literal
+    * 2.2 in binary); all other inputs are exact integers and the
+    * expression trees associate identically, so the ROUNDED score is
+    * deterministic cross-engine and the doc_id tie-break makes any
+    * top-N cut of the returned ordering exact.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val w = tokens(col("text"))
+    def tfCol(t: String) = size(w) - size(array_remove(w, t))
+    val tf = docs.select(
+      Seq(col("doc_id"), size(w).as("dl")) ++
+        terms.map(t => tfCol(t).as(s"tf_$t")): _*)
+    val stats = tf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.map(t =>
+          sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+    val avgdl = col("sum_dl") * lit(1.0) / col("n_docs")
+    def term(t: String): Column =
+      log(lit(1.0) + (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5))) *
+        (col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    tf.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(Seq(col("doc_id")) ++ terms.map(t => col(s"tf_$t")) ++
+        Seq(round(terms.map(term).reduce(_ + _), 4).as("bm25_r")): _*)
+      .orderBy(col("bm25_r").desc, col("doc_id"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair, count +
+    * Jaccard of SHARED distinct word-3-grams — the overlap audit run
+    * between corpus slices before mixing (the corpus-level sibling of
+    * doc_decontam's doc-vs-bench check). Grams travel as md5 keys
+    * (fixed 32 B, identical in both engines); the shuffle is the
+    * distinct (source, gram) set — linear in corpus tokens — and the
+    * join fan-out per gram is bounded by the number of sources carrying
+    * it, never by corpus size, so the pair space stays |S|²-bounded
+    * while docs grow. Per-source totals are a tiny broadcast aggregate.
+    */
+  def crossOverlap(docs: DataFrame): DataFrame = {
+    val grams = docs
+      // cheap raw-text guard + repartition before the heavy shingle
+      // projection (single-split local parquet; cluster no-op)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions
+          .word_shingles(col("text"), 3, distinct = true)).as("gram"))
+      .select(col("source"), md5(col("gram")).as("gh"))
+      .distinct()
+      .persist() // both sides of the pair join + per-source counts
+    val counts = grams.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    grams.as("x")
+      .join(grams.as("y"),
+        col("x.gh") === col("y.gh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "doc_token_stats",
@@ -378,6 +455,70 @@ object TextAnalysis {
           |       CAST(sum(n_ips) AS BIGINT) AS n_ips,
           |       min(md5(scrubbed)) AS scrub_md5
           |FROM s GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+    // ---- BM25 keyword search (see [[bm25]]): rounded-score ranking
+    //      with doc_id tie-break → the top-20 cut is deterministic
+    //      cross-engine; orderBy+limit plans as TakeOrderedAndProject
+    //      (per-partition heaps, no global sort). ----
+    QueryDef(
+      "doc_bm25",
+      (sp, dir) =>
+        bm25(Tables.documents(sp, dir), Seq("spark", "join", "filter"))
+          .limit(20),
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id,
+          |         len(string_split(text, ' ')) AS dl,
+          |         len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf_spark,
+          |         len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tf_join,
+          |         len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS tf_filter
+          |  FROM documents),
+          |s AS (
+          |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+          |         sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+          |         sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+          |         sum(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS df_filter
+          |  FROM f)
+          |SELECT doc_id, tf_spark, tf_join, tf_filter,
+          |       round(
+          |         ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+          |           (tf_spark * 2.2) /
+          |           (tf_spark + 1.2 * (0.25 + 0.75 * (dl / (sum_dl * 1.0 / n_docs)))) +
+          |         ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5)) *
+          |           (tf_join * 2.2) /
+          |           (tf_join + 1.2 * (0.25 + 0.75 * (dl / (sum_dl * 1.0 / n_docs)))) +
+          |         ln(1.0 + (n_docs - df_filter + 0.5) / (df_filter + 0.5)) *
+          |           (tf_filter * 2.2) /
+          |           (tf_filter + 1.2 * (0.25 + 0.75 * (dl / (sum_dl * 1.0 / n_docs)))), 4)
+          |         AS bm25_r
+          |FROM f, s
+          |WHERE tf_spark > 0 OR tf_join > 0 OR tf_filter > 0
+          |ORDER BY bm25_r DESC, doc_id LIMIT 20""".stripMargin),
+    ),
+
+    // ---- cross-source contamination matrix (see [[crossOverlap]]). ----
+    QueryDef(
+      "doc_cross_overlap",
+      (sp, dir) => crossOverlap(Tables.documents(sp, dir)),
+      Some(
+        """WITH t AS (
+          |  SELECT source, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          |g AS (
+          |  SELECT DISTINCT source,
+          |         md5(array_to_string(toks[idx : idx + 2], ' ')) AS gh
+          |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(idx)),
+          |c AS (SELECT source, count(*) AS n_sh FROM g GROUP BY 1)
+          |SELECT x.source AS src_a, y.source AS src_b,
+          |       count(*) AS n_shared,
+          |       count(*) / CAST(ca.n_sh + cb.n_sh - count(*) AS DOUBLE) AS jaccard
+          |FROM g x
+          |JOIN g y ON x.gh = y.gh AND x.source < y.source
+          |JOIN c ca ON ca.source = x.source
+          |JOIN c cb ON cb.source = y.source
+          |GROUP BY x.source, y.source, ca.n_sh, cb.n_sh
+          |ORDER BY 1, 2""".stripMargin),
     ),
   )
 }

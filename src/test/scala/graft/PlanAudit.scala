@@ -44,6 +44,7 @@ object PlanAudit {
     "q22_idle_custs", // 1-row scalar avg-balance threshold broadcast (Q11 shape)
     "sketch_source_sim", // per-SOURCE sketch self-join on '<': both sides = n_sources rows
     "dedup_ngram_jaccard", // fixed rank-capped sample pairwise twin; PPJoin is the scale path
+    "doc_bm25", // 1-row corpus-stats aggregate broadcast-crossed to the scoring pass
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected

@@ -54,4 +54,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(s1 == s2)
   }
+
+  test("semDedup marks everything but one keeper per pure cluster as dup") {
+    // `clustered` alternates two orthogonal directions, so centroids
+    // 0..6 (ceil(sqrt(40)) = 7) split by parity and every cluster is
+    // direction-pure: within a cluster all pairwise cosines are ~1
+    // (>= 0.3), across directions ~0 — so each nonempty cluster keeps
+    // exactly its min-id member and marks the rest duplicates.
+    val stats = Similarity.semDedup(clustered)
+      .as[(Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum == 40) // every vector lands in a cluster
+    stats.foreach { case (cid, nVecs, nDups) =>
+      assert(nDups == nVecs - 1, s"cluster $cid: $nDups dups of $nVecs")
+    }
+    // clusters are direction-pure: even centroids hold even vec counts
+    // on both sides, so at least the two directions stay separated
+    assert(stats.length >= 2 && stats.length <= 7)
+  }
 }

@@ -46,4 +46,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
     assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
   }
+
+  test("bm25 ranks higher-tf docs first at equal length, drops non-matches") {
+    // Same doc length (4 tokens) so the length normalization cancels:
+    // ranking must follow term frequency; doc 4 matches nothing.
+    val docs = Seq(
+      (1L, "spark spark spark pad"),
+      (2L, "spark spark pad pad"),
+      (3L, "spark pad pad pad"),
+      (4L, "pad pad pad pad"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("spark"))
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("bm25 penalizes long documents at equal term frequency") {
+    val docs = Seq(
+      (1L, "spark pad"),
+      (2L, "spark pad pad pad pad pad pad pad"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(docs, Seq("spark"))
+      .select("doc_id", "bm25_r").as[(Long, Double)].collect().toMap
+    assert(r(1L) > r(2L))
+  }
+
+  test("crossOverlap counts shared distinct 3-grams with exact jaccard") {
+    // srcA docs carry 2 distinct grams ("a b c", "b c d"); srcB carries
+    // "b c d" and "x y z" → 1 shared gram, jaccard = 1/(2+2-1).
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "a b c", "srcA"), // duplicate gram within source collapses
+      (3L, "b c d", "srcB"),
+      (4L, "x y z", "srcB"),
+      (5L, "q r", "srcC"), // too short for a 3-gram → absent entirely
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.crossOverlap(docs)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("srcA", "srcB", 1L, 1.0 / 3.0)))
+  }
 }
