@@ -66,7 +66,8 @@ object ScaleCheck {
     "mm_frame_sample", "ann_lsh", "doc_pii_scrub", "lake_skipping",
     "ann_ivf_int", "ann_ivf", "embedding_neardup", "dedup_ngram_jaccard",
     "dag_incremental", "lake_time_travel", "mm_features", "bpe_merges",
-    "lake_partition_prune", "lake_zorder_skip")
+    "lake_partition_prune", "lake_zorder_skip", "emb_semdedup",
+    "doc_cross_overlap", "doc_bm25")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
