@@ -155,12 +155,15 @@ object TextAnalysis {
   /** Cross-source contamination matrix: for every source pair, count +
     * Jaccard of SHARED distinct word-3-grams — the overlap audit run
     * between corpus slices before mixing (the corpus-level sibling of
-    * doc_decontam's doc-vs-bench check). Grams travel as md5 keys
-    * (fixed 32 B, identical in both engines); the shuffle is the
-    * distinct (source, gram) set — linear in corpus tokens — and the
-    * join fan-out per gram is bounded by the number of sources carrying
-    * it, never by corpus size, so the pair space stays |S|²-bounded
-    * while docs grow. Per-source totals are a tiny broadcast aggregate.
+    * doc_decontam's doc-vs-bench check). Grams travel as xxhash64 longs
+    * built in the same single native pass as the shingles (8 B primitive
+    * keys — the output is COUNTS, which equal the string-keyed counts
+    * modulo 2^-64 collisions, the accepted hashed-dedup doctrine); the
+    * shuffle is the distinct (source, gram) set — linear in corpus
+    * tokens — and the join fan-out per gram is bounded by the number of
+    * sources carrying it, never by corpus size, so the pair space stays
+    * |S|²-bounded while docs grow. Per-source totals are a tiny
+    * broadcast aggregate.
     */
   def crossOverlap(docs: DataFrame): DataFrame = {
     val grams = docs
@@ -170,8 +173,7 @@ object TextAnalysis {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("source"),
         explode(graft.functions.TextFunctions
-          .word_shingles(col("text"), 3, distinct = true)).as("gram"))
-      .select(col("source"), md5(col("gram")).as("gh"))
+          .word_shingle_hashes(col("text"), 3, distinct = true)).as("gh"))
       .distinct()
       .persist() // both sides of the pair join + per-source counts
     val counts = grams.groupBy("source").agg(count(lit(1)).as("n_sh"))

@@ -156,4 +156,67 @@ object StreamAggs {
           next
       }
   }
+
+  /** Open-session accumulator for [[sessionizeExplicit]] (epoch millis). */
+  final case class SessionAcc(start: Long, end: Long, n: Long, cents: Long)
+  final case class StreamSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, session_cents: Long)
+
+  /** Gap sessionization with EXPLICIT state — the flatMapGroupsWithState
+    * form of [[sessionize]], for when per-session logic outgrows what
+    * `session_window` can express (custom folds, multi-record emission).
+    * Emits zero or more CLOSED sessions per key per trigger — the
+    * flatMap output shape mapGroupsWithState cannot produce — and holds
+    * ONLY the open session in state (one small row per active user, not
+    * per event). Sessions close two ways: a new event lands beyond the
+    * gap (closed session emitted in the same trigger), or the event-time
+    * timeout fires when the watermark passes `end + gap` — so an idle
+    * key's last session still flushes and its state is reclaimed without
+    * the key ever returning. Output matches [[sessionize]] row-for-row
+    * (session_end = last event + gap), which the spec pins.
+    */
+  def sessionizeExplicit(events: DataFrame, gapMinutes: Int = 30,
+      lateness: String = "1 hour"): Dataset[StreamSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def closed(user: Long, s: SessionAcc) = StreamSession(user,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end + gapMs),
+      s.n, s.cents)
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id").cast("long"), col("ts"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, StreamSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no new events: flush + drop
+            val out = state.getOption.map(closed(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            // rows within a trigger arrive unordered — sort before folding
+            val sorted = rows.map(r => (r._2.getTime, r._3)).toIndexedSeq.sortBy(_._1)
+            val flushed = List.newBuilder[StreamSession]
+            var cur = state.getOption
+            sorted.foreach { case (t, c) =>
+              cur = cur match {
+                case Some(s) if t - s.end > gapMs =>
+                  flushed += closed(user, s)
+                  Some(SessionAcc(t, t, 1L, c))
+                case Some(s) =>
+                  Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1L, s.cents + c))
+                case None => Some(SessionAcc(t, t, 1L, c))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            flushed.result().iterator
+          }
+      }
+  }
 }

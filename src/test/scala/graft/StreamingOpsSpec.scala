@@ -52,6 +52,45 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer matches session_window output") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamAggs.sessionizeExplicit(mem.toDF().toDF("ts", "user_id", "value"))
+      .toDF().writeStream.format("memory").queryName("explicit_sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // same fixture as the session_window test: user 1 gets two sessions
+    // (10:00+10:10, then 12:30), user 2 one; second batch only advances
+    // the watermark, so the 12:30 session must close via the EVENT-TIME
+    // TIMEOUT path (no further events for user 1), not a gap-exceeding row
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0),
+      (ts("2024-01-01 12:30:00"), 1L, 4.0),
+      (ts("2024-01-01 10:00:00"), 2L, 8.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-02 00:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-03 00:00:00"), 9L, 0.0)) // flush user 9 too
+    q.processAllAvailable()
+
+    val got = spark.table("explicit_sessions")
+      .filter(col("user_id") < 9)
+      .select("user_id", "session_start", "session_end", "n_events", "session_cents")
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    // the declarative twin on the same frame, batch mode
+    val want = StreamAggs.sessionize(
+      Seq((ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0),
+        (ts("2024-01-01 12:30:00"), 1L, 4.0),
+        (ts("2024-01-01 10:00:00"), 2L, 8.0))
+        .toDF("ts", "user_id", "value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_cents")
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(got == want)
+    q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window views") {
     implicit val sqlCtx = spark.sqlContext
     val vMem = MemoryStream[(Long, Timestamp)]
