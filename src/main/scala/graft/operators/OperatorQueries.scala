@@ -36,10 +36,12 @@ object OperatorQueries {
   private val clusteredCache =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String),
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]
 
   private def clusteredDocs(sp: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
     clusteredCache.computeIfAbsent((sp, dir), { _ =>
       val docs = graft.Tables.documents(sp, dir)
         .filter(col("doc_id") % 10 === 0)
@@ -48,6 +50,7 @@ object OperatorQueries {
         .persist()
       // persist: ConnectedComponents symmetrizes edges with a two-leg union,
       // which would re-run the whole prefix-filter pipeline once per leg
+      // (doc_pagerank reuses the same cached pair set for its graph)
       val edges = graft.ext.Dedup
         .jaccardSelfJoinExact(docs.select("doc_id", "w"), 9, 10)
         .select("src", "dst")
@@ -58,7 +61,7 @@ object OperatorQueries {
       val comps = ConnectedComponents(docs.select(col("doc_id").as("id")), edges,
         loopPartitions = Some(8))
         .persist()
-      (docs, comps)
+      (docs, edges, comps)
     })
 
   def all: Seq[QueryDef] = Seq(
@@ -145,7 +148,7 @@ object OperatorQueries {
     QueryDef(
       "dedup_clusters",
       (sp, dir) => {
-        val (_, comps) = clusteredDocs(sp, dir)
+        val (_, _, comps) = clusteredDocs(sp, dir)
         comps
           .select(col("id").as("doc_id"), col("comp").as("component"))
           .orderBy("doc_id")
@@ -165,6 +168,61 @@ object OperatorQueries {
           |    SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
           |SELECT id AS doc_id, min(r) AS component
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ---- PageRank over the near-dup similarity graph (same memoized
+    //      node/edge build as dedup_clusters): the centrality signal a
+    //      curation pipeline uses to weight canonical documents inside
+    //      near-dup neighborhoods. Three power-iteration rounds in
+    //      INTEGER FIXED-POINT (scale 1e9, damping 0.85 as 85//100):
+    //      every contribution is r div deg and every update
+    //      150000000 + (85·Σ) div 100 — long arithmetic whose sums are
+    //      order-independent, so the result is BIT-EXACT in any engine
+    //      and the oracle needs no float tolerance (floating-point
+    //      PageRank sums in shuffle order would differ run to run).
+    //      Each unrolled round is one join on src + one shuffle on dst —
+    //      the standard distributed power-iteration shape; at real depth
+    //      the loop would localCheckpoint between rounds like
+    //      ConnectedComponents does. ----
+    QueryDef(
+      "doc_pagerank",
+      (sp, dir) => {
+        val (docs, half, _) = clusteredDocs(sp, dir)
+        val edges = half.union(half.select(col("dst").as("src"),
+          col("src").as("dst")))
+        PageRank(docs.select(col("doc_id").as("id")), edges, rounds = 3)
+          .select(col("id").as("doc_id"), col("r").as("pr_fp"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+          |           FROM documents WHERE doc_id % 10 = 0),
+          |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          |      FROM s a, s b WHERE a.doc_id < b.doc_id
+          |        AND len(list_intersect(a.w, b.w)) * 1.0
+          |            / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9),
+          |edges AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS r FROM s),
+          |r1 AS (SELECT s.doc_id AS id,
+          |              CAST(150000000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS r
+          |       FROM s LEFT JOIN (
+          |         SELECT e.dst, sum(r0.r // d.deg) AS inr
+          |         FROM edges e JOIN r0 ON r0.id = e.src JOIN deg d ON d.src = e.src
+          |         GROUP BY e.dst) c ON c.dst = s.doc_id),
+          |r2 AS (SELECT s.doc_id AS id,
+          |              CAST(150000000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS r
+          |       FROM s LEFT JOIN (
+          |         SELECT e.dst, sum(r1.r // d.deg) AS inr
+          |         FROM edges e JOIN r1 ON r1.id = e.src JOIN deg d ON d.src = e.src
+          |         GROUP BY e.dst) c ON c.dst = s.doc_id),
+          |r3 AS (SELECT s.doc_id AS id,
+          |              CAST(150000000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS r
+          |       FROM s LEFT JOIN (
+          |         SELECT e.dst, sum(r2.r // d.deg) AS inr
+          |         FROM edges e JOIN r2 ON r2.id = e.src JOIN deg d ON d.src = e.src
+          |         GROUP BY e.dst) c ON c.dst = s.doc_id)
+          |SELECT id AS doc_id, r AS pr_fp FROM r3 ORDER BY doc_id""".stripMargin),
     ),
 
     // ---- binned range join: count each user's views in the hour before
@@ -553,7 +611,7 @@ object OperatorQueries {
     QueryDef(
       "q_dedup_retain",
       (sp, dir) => {
-        val (docs, comps) = clusteredDocs(sp, dir)
+        val (docs, _, comps) = clusteredDocs(sp, dir)
         comps
           .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
           .groupBy(col("comp").as("component"))

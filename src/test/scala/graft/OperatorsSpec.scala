@@ -196,4 +196,25 @@ class OperatorsSpec extends SparkSpec {
     val counts = out.groupBy("band").count().as[(String, Long)].collect().toMap
     assert(counts == Map("lo" -> 49L, "hi" -> 51L))
   }
+
+  test("fixed-point PageRank matches hand-computed longs on a star graph") {
+    // star: center 0 — leaves 1,2,3; node 4 isolated. Symmetrized edges.
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val half = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    val got = graft.operators.PageRank(nodes, edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1 from r=1e9: center gets 3 leaf contributions of r/1 each;
+    // leaves get r/3 = 333333333 (floor); isolated keeps the base term.
+    //   r1(0) = 150000000 + 85*3000000000/100 = 2700000000
+    //   r1(leaf) = 150000000 + 85*333333333/100 = 433333333 (floor)
+    //   r1(4) = 150000000
+    // round 2: center sums 3×(433333333 div 1); each leaf gets
+    // 2700000000 div 3 = 900000000.
+    //   r2(0) = 150000000 + 85*1299999999/100 = 1254999999 (floor)
+    //   r2(leaf) = 150000000 + 85*900000000/100 = 915000000
+    val expected = Map(0L -> 1254999999L, 1L -> 915000000L,
+      2L -> 915000000L, 3L -> 915000000L, 4L -> 150000000L)
+    assert(got == expected)
+  }
 }
