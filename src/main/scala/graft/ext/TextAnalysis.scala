@@ -459,6 +459,78 @@ object TextAnalysis {
           |FROM s GROUP BY source ORDER BY source""".stripMargin),
     ),
 
+    // ---- quality-filter chain: the C4/Gopher-style keep/drop pass a
+    //      pretraining corpus takes after feature extraction, with
+    //      FIRST-FAILING-RULE drop attribution (fixed rule order: length
+    //      → uniq ratio → stopword ratio → 3-gram repetition) so the
+    //      per-source report explains WHERE the corpus is losing mass.
+    //      Every threshold is compared in INTEGER form (n_uniq*10 >=
+    //      n_tokens*3, never uniq_ratio >= 0.3): no float boundary can
+    //      disagree between engines, so the counts are exact. One narrow
+    //      scan-speed pass + one tiny groupBy(source). ----
+    QueryDef(
+      "doc_quality_filter",
+      (sp, dir) => {
+        val w = tokens(col("text"))
+        val gs = graft.functions.TextFunctions.word_shingles(col("text"), 3)
+        val feat = Tables.documents(sp, dir)
+          .repartition(sp.sparkContext.defaultParallelism)
+          .select(col("source"), col("n_chars"),
+            size(w).as("n_tok"),
+            size(array_distinct(w)).as("n_uniq"),
+            size(filter(w, t => t.isInCollection(Stopwords))).as("n_stop"),
+            size(gs).as("n_grams"),
+            size(array_distinct(gs)).as("n_dist_grams"))
+        val verdict = when(col("n_tok") < 10 || col("n_tok") > 1000, "len")
+          .when(col("n_uniq") * 10 < col("n_tok") * 3, "uniq")
+          .when(col("n_stop") * 10 > col("n_tok") * 6, "stop")
+          .when((col("n_grams") - col("n_dist_grams")) * 2 > col("n_grams"), "rep")
+          .otherwise("kept")
+        feat.withColumn("verdict", verdict)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("verdict") === "kept").cast("long")).as("n_kept"),
+            sum(when(col("verdict") === "kept", col("n_chars"))
+              .otherwise(lit(0L))).as("kept_chars"),
+            sum((col("verdict") === "len").cast("long")).as("n_drop_len"),
+            sum((col("verdict") === "uniq").cast("long")).as("n_drop_uniq"),
+            sum((col("verdict") === "stop").cast("long")).as("n_drop_stop"),
+            sum((col("verdict") === "rep").cast("long")).as("n_drop_rep"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT source, n_chars,
+          |         len(string_split(text, ' ')) AS n_tok,
+          |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+          |         len(list_filter(string_split(text, ' '),
+          |             t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS n_stop,
+          |         greatest(len(string_split(text, ' ')) - 2, 0) AS n_grams,
+          |         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+          |           len(list_distinct(list_transform(
+          |             generate_series(1, len(string_split(text, ' ')) - 2),
+          |             i -> array_to_string(string_split(text, ' ')[i : i + 2], ' '))))
+          |         ELSE 0 END AS n_dist_grams
+          |  FROM documents),
+          |v AS (
+          |  SELECT source, n_chars,
+          |         CASE WHEN n_tok < 10 OR n_tok > 1000 THEN 'len'
+          |              WHEN n_uniq * 10 < n_tok * 3 THEN 'uniq'
+          |              WHEN n_stop * 10 > n_tok * 6 THEN 'stop'
+          |              WHEN (n_grams - n_dist_grams) * 2 > n_grams THEN 'rep'
+          |              ELSE 'kept' END AS verdict
+          |  FROM f)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       CAST(sum(CASE WHEN verdict = 'kept' THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+          |       CAST(sum(CASE WHEN verdict = 'len' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_len,
+          |       CAST(sum(CASE WHEN verdict = 'uniq' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_uniq,
+          |       CAST(sum(CASE WHEN verdict = 'stop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_stop,
+          |       CAST(sum(CASE WHEN verdict = 'rep' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_rep
+          |FROM v GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
     // ---- BM25 keyword search (see [[bm25]]): rounded-score ranking
     //      with doc_id tie-break → the top-20 cut is deterministic
     //      cross-engine; orderBy+limit plans as TakeOrderedAndProject

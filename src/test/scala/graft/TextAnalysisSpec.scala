@@ -71,6 +71,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) > r(2L))
   }
 
+  test("quality filter attributes drops to the FIRST failing rule") {
+    // the shipped corpus only ever trips the uniq rule, so each rule
+    // path (and the rule ORDER) is pinned here on planted docs
+    val pad = (1 to 50).map(i => s"w$i").mkString(" ") // 50 uniq tokens
+    val docs = Seq(
+      // 5 tokens < 10 AND uniq would fail too → must attribute to len
+      (1L, "a a a a a", "s1"),
+      (2L, pad, "s1"), // kept
+      // 30 tokens, 3 distinct: uniq 3*10 < 30*3
+      (3L, (1 to 30).map(i => Seq("x", "y", "z")(i % 3)).mkString(" "), "s1"),
+      // stopword-soup: 12 tokens, all stopwords, uniq 10*10 >= 12*3 ok
+      (4L, "the a of and to in is on for with the a", "s2"),
+      // repetitious BUT uniq-passing: 12 tokens, 4 distinct (4*10 >= 12*3)
+      // → grams 10, distinct 4 → (10-4)*2 > 10 fails the rep rule
+      (5L, "p q r s p q r s p q r s", "s2"),
+    ).map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("qf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("doc_quality_filter")(spark, dir)
+      .select("source", "n_docs", "n_kept", "n_drop_len", "n_drop_uniq",
+        "n_drop_stop", "n_drop_rep")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("s1", 3L, 1L, 1L, 1L, 0L, 0L),
+      ("s2", 2L, 0L, 0L, 0L, 1L, 1L)))
+  }
+
   test("crossOverlap counts shared distinct 3-grams with exact jaccard") {
     // srcA docs carry 2 distinct grams ("a b c", "b c d"); srcB carries
     // "b c d" and "x y z" → 1 shared gram, jaccard = 1/(2+2-1).
