@@ -103,6 +103,29 @@ class PlanSpec extends SparkSpec {
       s"day range not a planning-time partition predicate: ${pf.get}")
   }
 
+  test("doc_bm25 plans as TakeOrderedAndProject over a broadcast stats row") {
+    val p = plan(q("doc_bm25"))
+    // top-k must be per-partition heaps + tiny merge, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+    // the corpus-stats join is a single broadcast row crossed to the scan
+    assert(p.contains("BroadcastNestedLoopJoin"), s"stats row not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scoring pass shuffled:\n$p")
+  }
+
+  test("emb_semdedup assigns clusters in one cached narrow pass") {
+    val p = plan(q("emb_semdedup"))
+    // assignment is the codegen'd NearestCentroid projection, computed in
+    // the persisted relation — the corpus parquet is scanned exactly once
+    assert(p.contains("nearest_centroid"), s"no NearestCentroid projection:\n$p")
+    // the persisted assignment subtree prints once per InMemoryTableScan
+    // consumer but keeps ONE operator id — distinct ids = real scans
+    val scanIds = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1,
+      s"embeddings scanned ${scanIds.size} times (persist broken):\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair search went all-pairs:\n$p")
+  }
+
   test("doc_pii_scrub prunes to its three columns and stays narrow to the agg") {
     val p = plan(q("doc_pii_scrub"))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
