@@ -370,6 +370,71 @@ object OperatorQueries {
           |GROUP BY a.doc_id, b.doc_id ORDER BY a_id, b_id""".stripMargin),
     ),
 
+    // ---- INCREMENTAL near-dup: screen a small NEW BATCH of documents
+    //      against the existing corpus WITHOUT re-deduping the corpus —
+    //      the only shape that survives a growing 100 TB lake (full
+    //      re-dedup cost grows with the corpus; this grows with the
+    //      batch). The index side is the corpus' 16-lane md5-minhash
+    //      signature table — in production materialized ONCE via
+    //      Lake.write when the corpus lands and only APPENDED to as
+    //      batches are admitted (the signature build is the one-time
+    //      cost this query amortizes; bucketing it by (lane, mh) would
+    //      add manifest-level pruning on top). The BATCH side (5% of
+    //      docs here, a day's intake in production) is tiny by
+    //      construction and BROADCAST, so screening is one shuffle-free
+    //      pass over the index: no corpus data moves, ever. Output: per
+    //      batch doc, how many index docs collide on >= 1 lane minimum
+    //      and the best estimated Jaccard — the admit/reject signal. ----
+    QueryDef(
+      "dedup_incremental",
+      (sp, dir) => {
+        def lanes(pred: Column) = Tables.documents(sp, dir)
+          .filter(pred)
+          .select(col("doc_id"), explode(
+            graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true))
+            .as("sh"))
+          .withColumn("lane", explode(expr("sequence(0, 15)")))
+          .groupBy("doc_id", "lane")
+          .agg(min(md5(concat_ws(":", col("lane"), col("sh")))).as("mh"))
+        val batch = lanes(col("doc_id") % 20 === 7)
+          .select(col("doc_id").as("b_doc"), col("lane"), col("mh"))
+        val pairs = lanes(col("doc_id") % 20 =!= 7).as("ix")
+          .join(broadcast(batch), Seq("lane", "mh"))
+          .groupBy(col("b_doc"), col("ix.doc_id").as("ix_doc"))
+          .agg(count(lit(1)).as("n_lanes"))
+        pairs.groupBy(col("b_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_cand"),
+            (max(col("n_lanes")) / 16.0).as("best_est"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          |i AS (
+          |  SELECT doc_id, toks,
+          |         unnest(generate_series(1, len(toks) - 2)) AS idx
+          |  FROM t),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         array_to_string(toks[idx : idx + 2], ' ') AS sh
+          |  FROM i),
+          |gl AS (
+          |  SELECT doc_id, sh, unnest(generate_series(0, 15)) AS lane FROM g),
+          |l AS (
+          |  SELECT doc_id, lane, min(md5(lane || ':' || sh)) AS mh
+          |  FROM gl GROUP BY doc_id, lane),
+          |pairs AS (
+          |  SELECT b.doc_id AS b_doc, ix.doc_id AS ix_doc,
+          |         count(*) AS n_lanes
+          |  FROM l ix JOIN l b ON ix.lane = b.lane AND ix.mh = b.mh
+          |  WHERE b.doc_id % 20 = 7 AND ix.doc_id % 20 <> 7
+          |  GROUP BY b.doc_id, ix.doc_id)
+          |SELECT b_doc AS doc_id, count(*) AS n_cand,
+          |       max(n_lanes) / 16.0 AS best_est
+          |FROM pairs GROUP BY b_doc ORDER BY doc_id""".stripMargin),
+    ),
+
     // ---- SimHash estimator, cross-engine-verifiable variant (the
     //      dedup_minhash_md5 pattern applied to simhash): each of 16
     //      fingerprint bits is the majority vote of ±1 contributions

@@ -74,4 +74,24 @@ class DedupSpec extends SparkSpec {
     assert(twice.count() == once.count())
     assert(twice.filter(col("n_copies") > 1).isEmpty)
   }
+
+  test("incremental screen flags a batch doc that duplicates the index") {
+    // doc 27 (batch: % 20 == 7) clones index doc 3's text verbatim →
+    // every lane minimum collides (best_est = 1.0); doc 7 (also batch)
+    // has disjoint vocabulary → no candidates, absent from the output
+    val txt3 = (1 to 40).map(i => s"w${i % 13}").mkString(" ")
+    val planted = Seq(
+      (3L, txt3, "en", "s1", txt3.length.toLong),
+      (4L, (1 to 40).map(i => s"v${i % 11}").mkString(" "), "en", "s1", 0L),
+      (27L, txt3, "en", "s2", txt3.length.toLong),
+      (7L, (1 to 40).map(i => s"zz$i").mkString(" "), "en", "s2", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("inc").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, e) => id -> ((n, e)) }.toMap
+    assert(out.keySet == Set(27L))
+    assert(out(27L) == ((1L, 1.0)))
+  }
 }
