@@ -67,7 +67,8 @@ object ScaleCheck {
     "ann_ivf_int", "ann_ivf", "embedding_neardup", "dedup_ngram_jaccard",
     "dag_incremental", "lake_time_travel", "mm_features", "bpe_merges",
     "lake_partition_prune", "lake_zorder_skip", "emb_semdedup",
-    "doc_cross_overlap", "doc_bm25", "doc_pagerank")
+    "doc_cross_overlap", "doc_bm25", "doc_pagerank", "doc_quality_filter",
+    "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
