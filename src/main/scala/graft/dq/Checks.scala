@@ -89,7 +89,48 @@ object Checks {
   // quality_flag accepted_values, iot_events_models.yml:28-32).
   private val okTypes = Seq("click", "view", "purchase", "signup")
 
+  /** Table profiler: per-column row/null/distinct counts and min/max —
+    * the lakehouse data-profiling report (what dbt docs / Delta's column
+    * stats surface). One melt (`stack`) to (column, value-as-string)
+    * rows and ONE hash aggregate: a single shuffle whose width is
+    * |columns| × |table|, with tiny output — at 100 TB this is one scan
+    * regardless of column count, vs the per-column-scan loop a naive
+    * profiler runs. Values profile as strings so one output schema fits
+    * every column; only integer/string columns are profiled here because
+    * float→string formatting is engine-specific (doubles would break the
+    * exact oracle; their profile belongs to a numeric-stats variant).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    df.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column_name, v)")
+      .groupBy("column_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("column_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dq_table_profile",
+      (sp, dir) =>
+        profile(Tables.events(sp, dir),
+          Seq("event_id", "user_id", "event_type", "props")),
+      Some(
+        """WITH m AS (
+          |  SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS v FROM events
+          |  UNION ALL SELECT 'event_type', event_type FROM events
+          |  UNION ALL SELECT 'props', props FROM events
+          |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events)
+          |SELECT column_name, count(*) AS n_rows,
+          |       count(*) - count(v) AS n_nulls,
+          |       count(DISTINCT v) AS n_distinct,
+          |       min(v) AS min_v, max(v) AS max_v
+          |FROM m GROUP BY column_name ORDER BY column_name""".stripMargin),
+    ),
     QueryDef(
       "dq_not_null",
       (sp, dir) =>

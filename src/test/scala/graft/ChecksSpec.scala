@@ -74,4 +74,18 @@ class ChecksSpec extends SparkSpec {
     )).toMap
     assert(res == Map("nn" -> 1L, "uq" -> 1L))
   }
+
+  test("profile reports exact per-column nulls, distincts and bounds") {
+    val df = Seq(
+      (Some(3L), Some("b")),
+      (Some(1L), None),
+      (Some(3L), Some("a")),
+      (None, Some("a")),
+    ).toDF("k", "s")
+    val out = Checks.profile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect().toSet
+    assert(out == Set(
+      ("k", 4L, 1L, 2L, "1", "3"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
 }
