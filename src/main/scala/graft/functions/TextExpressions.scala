@@ -235,6 +235,80 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Per-lane md5 minima of a string array, all lanes in ONE pass: lane i
+  * holds the lexicographic minimum of `md5("i:" + element)` hex strings —
+  * byte-for-byte the value `min(md5(concat_ws(":", lane, sh)))` computes
+  * (Spark md5 = lowercase hex over UTF-8 bytes; hex ASCII makes String
+  * ordering equal byte ordering), so the cross-engine md5-minhash queries
+  * keep their DuckDB oracles. Replaces the explode(lanes)×explode(sh) +
+  * groupBy formulation, which blew each document up |sh|·k rows and
+  * shuffled them into a hash aggregate just to take per-lane minima —
+  * this computes the same k strings in a narrow projection at scan
+  * speed, so building a corpus signature INDEX (dedup_incremental) costs
+  * a scan, not a shuffle. Empty input (doc shorter than the shingle
+  * width) yields an empty array: posexplode then drops the doc, exactly
+  * like the exploded formulation did.
+  */
+case class MinHashMd5Lanes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_md5_lanes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_md5_lanes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mhMd5", this, classOf[MinHashMd5Lanes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(arr: ArrayData): ArrayData = {
+    val nElems = arr.numElements()
+    if (nElems == 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](k)
+    var e = 0
+    while (e < nElems) {
+      val sh = arr.getUTF8String(e).getBytes
+      var i = 0
+      while (i < k) {
+        md.reset()
+        // UTF-8 bytes of s"$i:$shingle" — identical to concat_ws(":", ...)
+        md.update(String.valueOf(i).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        md.update(':'.toByte)
+        md.update(sh)
+        val d = md.digest()
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(b * 2) = hexDigits((d(b) >> 4) & 0xf)
+          hex(b * 2 + 1) = hexDigits(d(b) & 0xf)
+          b += 1
+        }
+        val h = new String(hex)
+        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a string array (xxhash64 seed 42, matching Catalyst's
   * default-seed xxhash64 and therefore Dedup's HOF formulation): bit j of
   * the result is the majority vote of bit j over all element hashes.
@@ -297,6 +371,8 @@ object TextFunctions {
     toCol(CharNGrams(toExpr(text), n))
   def minhash_sig(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), k))
+  def minhash_md5_lanes(shingles: Column, k: Int): Column =
+    toCol(MinHashMd5Lanes(toExpr(shingles), k))
   def simhash64(shingles: Column): Column =
     toCol(SimHash64(toExpr(shingles)))
 }

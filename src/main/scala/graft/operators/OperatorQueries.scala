@@ -334,12 +334,10 @@ object OperatorQueries {
         // first-occurrence order, stays inside WholeStageCodegen)
         val lanes = Tables.documents(sp, dir)
           .filter(col("doc_id") % 25 === 0)
-          .select(col("doc_id"), explode(
-            graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true))
-            .as("sh"))
-          .withColumn("lane", explode(expr("sequence(0, 15)")))
-          .groupBy("doc_id", "lane")
-          .agg(min(md5(concat_ws(":", col("lane"), col("sh")))).as("mh"))
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextFunctions.minhash_md5_lanes(
+              graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true),
+              16)).as(Seq("lane", "mh")))
         // band on (lane, mh), not lane alone: a bare-lane join is 16
         // all-pairs buckets (zero selectivity); joining on the lane MINIMUM
         // itself only shuffles genuinely-colliding pairs, which is the LSH
@@ -395,14 +393,14 @@ object OperatorQueries {
     QueryDef(
       "dedup_incremental",
       (sp, dir) => {
+        // all 16 lane minima in ONE narrow pass (no explode, no shuffle:
+        // the index build is a scan — see MinHashMd5Lanes)
         def lanes(pred: Column) = Tables.documents(sp, dir)
           .filter(pred)
-          .select(col("doc_id"), explode(
-            graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true))
-            .as("sh"))
-          .withColumn("lane", explode(expr("sequence(0, 15)")))
-          .groupBy("doc_id", "lane")
-          .agg(min(md5(concat_ws(":", col("lane"), col("sh")))).as("mh"))
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextFunctions.minhash_md5_lanes(
+              graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true),
+              16)).as(Seq("lane", "mh")))
         // the corpus signature index is MATERIALIZED once per (session,
         // dir) and every subsequent screening reads the parquet — the
         // amortization a production lake gets from writing the index at

@@ -108,4 +108,22 @@ class TextExpressionsSpec extends SparkSpec {
         s"distinct=$distinct")
     }
   }
+
+  test("minhash_md5_lanes == per-lane min of md5(lane:shingle) strings") {
+    // the Catalyst chain the cross-engine queries previously exploded:
+    // lane element i must equal min(md5(concat_ws(":", i, sh)))
+    val k = 16
+    val sh = TextFunctions.word_shingles(col("text"), 3, distinct = true)
+    val hof = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => md5(concat_ws(":", i, s)))))
+    val df = docs.filter(size(split(col("text"), " ")) >= 3).select(
+      TextFunctions.minhash_md5_lanes(sh, k).as("native"), hof.as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).isEmpty)
+    // doc shorter than the shingle width → empty array, not nulls
+    val short = Seq("a b").toDF("text")
+      .select(TextFunctions.minhash_md5_lanes(
+        TextFunctions.word_shingles(col("text"), 3, distinct = true), k).as("m"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
 }
