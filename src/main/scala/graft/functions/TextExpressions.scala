@@ -309,6 +309,80 @@ case class MinHashMd5Lanes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** md5-vote SimHash fingerprint, emitted as chunk values for pigeonhole
+  * banding, all in ONE pass: bit k of the fingerprint is the strict-
+  * majority vote over elements of "md5(\"k:\" + element) starts with hex
+  * 0-7" (+1/-1 — equivalently, the high bit of the first digest byte is
+  * 0), and the bits pack into `bits/chunkBits` chunk values
+  * (chunk c = Σ 1<<(k%chunkBits) over its set bits). Byte-identical to
+  * the exploded substring(md5(concat_ws(":",k,sh)),1,1) IN ('0'..'7')
+  * vote chain (spec-pinned), so `dedup_simhash_md5`'s DuckDB oracle is
+  * unchanged — but the fingerprint build is a narrow projection instead
+  * of a |shingles|×bits row blowup through TWO hash-aggregate shuffles.
+  */
+case class SimHashMd5Chunks(child: Expression, bits: Int, chunkBits: Int)
+    extends UnaryExpression {
+  require(bits % chunkBits == 0, "bits must divide into whole chunks")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5_chunks expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shMd5", this, classOf[SimHashMd5Chunks].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val nElems = arr.numElements()
+    if (nElems == 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](bits)
+    var e = 0
+    while (e < nElems) {
+      val sh = arr.getUTF8String(e).getBytes
+      var k = 0
+      while (k < bits) {
+        md.reset()
+        md.update(String.valueOf(k).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        md.update(':'.toByte)
+        md.update(sh)
+        // first hex digit in 0-7 <=> high bit of first byte is 0
+        if ((md.digest()(0) & 0x80) == 0) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      e += 1
+    }
+    val nChunks = bits / chunkBits
+    val chunks = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      var cv = 0L
+      var j = 0
+      while (j < chunkBits) {
+        if (votes(c * chunkBits + j) > 0) cv |= (1L << j)
+        j += 1
+      }
+      chunks(c) = cv
+      c += 1
+    }
+    new GenericArrayData(chunks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a string array (xxhash64 seed 42, matching Catalyst's
   * default-seed xxhash64 and therefore Dedup's HOF formulation): bit j of
   * the result is the majority vote of bit j over all element hashes.
@@ -373,6 +447,8 @@ object TextFunctions {
     toCol(MinHashSignature(toExpr(shingles), k))
   def minhash_md5_lanes(shingles: Column, k: Int): Column =
     toCol(MinHashMd5Lanes(toExpr(shingles), k))
+  def simhash_md5_chunks(shingles: Column, bits: Int, chunkBits: Int): Column =
+    toCol(SimHashMd5Chunks(toExpr(shingles), bits, chunkBits))
   def simhash64(shingles: Column): Column =
     toCol(SimHash64(toExpr(shingles)))
 }

@@ -463,22 +463,14 @@ object OperatorQueries {
     QueryDef(
       "dedup_simhash_md5",
       (sp, dir) => {
-        val grams = Tables.documents(sp, dir)
+        // fingerprint built natively in one narrow pass (votes + chunk
+        // packing fused — no |grams|x16 blowup, no aggregate shuffles)
+        val fp = Tables.documents(sp, dir)
           .filter(col("doc_id") % 25 === 0)
-          .select(col("doc_id"), explode(
-            graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true))
-            .as("sh"))
-        val vote = when(substring(md5(concat_ws(":", col("k"), col("sh"))), 1, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
-        val bits = grams
-          .withColumn("k", explode(sequence(lit(0), lit(15))))
-          .groupBy("doc_id", "k")
-          .agg(sum(vote).as("v"))
-          .select(col("doc_id"), (col("k") / 4).cast("int").as("chunk"),
-            when(col("v") > 0,
-              expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 4 AS INT))"))
-              .otherwise(0L).as("bit"))
-        val fp = bits.groupBy("doc_id", "chunk").agg(sum("bit").as("cv"))
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextFunctions.simhash_md5_chunks(
+              graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true),
+              16, 4)).as(Seq("chunk", "cv")))
         val cand = fp.as("a")
           .join(fp.as("b"),
             col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&

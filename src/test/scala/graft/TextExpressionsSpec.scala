@@ -126,4 +126,23 @@ class TextExpressionsSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(short.isEmpty)
   }
+
+  test("simhash_md5_chunks == exploded md5 majority-vote chunk chain") {
+    val sh = TextFunctions.word_shingles(col("text"), 3, distinct = true)
+    // the vote chain the cross-engine query previously ran through two
+    // hash aggregates: ±1 per (bit, shingle) on the first md5 hex digit,
+    // strict-majority bit, chunks of 4 bits
+    val hof = array((0 until 4).map { c =>
+      (0 until 4).map { j =>
+        val k = c * 4 + j
+        val votes = aggregate(sh, lit(0L), (a, s) =>
+          a + when(substring(md5(concat_ws(":", lit(k), s)), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L))
+        when(votes > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+    }: _*)
+    val df = docs.filter(size(split(col("text"), " ")) >= 3).select(
+      TextFunctions.simhash_md5_chunks(sh, 16, 4).as("native"), hof.as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).isEmpty)
+  }
 }
