@@ -239,6 +239,46 @@ object TextAnalysis {
           |       (n_len - n_spaces) * 1.0 / n_tokens AS avg_word_len
           |FROM f ORDER BY doc_id""".stripMargin),
     ),
+    // ---- Bloom-filter decontamination: the SCALE PATH beside
+    //      doc_decontam's exact broadcast. The exact variant ships the
+    //      benchmark's full gram set to every executor — fine while the
+    //      bench fits memory, impossible when the held-out set is itself
+    //      huge. Spark's native BloomFilterAggregate compresses the bench
+    //      grams into a fixed 10 KB bitset (built distributed, merged on
+    //      the driver, broadcast as ONE value), and the training pass
+    //      probes it at scan speed. Bloom guarantees NO false negatives —
+    //      every truly contaminated doc is flagged (the spec pins
+    //      flagged ⊇ exact) — with a bounded false-positive surplus the
+    //      pipeline resolves by an exact recheck of the tiny flagged
+    //      slice. xxhash64 keys + fixed bit width make the filter fully
+    //      deterministic for Spark, but no SQL engine replicates its bit
+    //      layout → rows-only driver check, semantics ScalaTest-pinned.
+    QueryDef(
+      "doc_bloom_decontam",
+      (sp, dir) => {
+        def grams(docs: DataFrame) = docs
+          .filter(size(split(col("text"), " ")) >= 3)
+          .repartition(sp.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(graft.functions.TextFunctions
+            .word_shingle_hashes(col("text"), 3, distinct = true)).as("gh"))
+        val doc = Tables.documents(sp, dir)
+        // the merged filter is ~10 KB: collected ONCE to the driver and
+        // shipped as a constant — the same driver-resident broadcast
+        // Spark's own InjectRuntimeFilter uses (might_contain requires a
+        // constant/scalar-subquery filter side by design)
+        val bfBytes = grams(doc.filter(col("doc_id") % 97 === 0))
+          .agg(graft.functions.TextFunctions
+            .bloom_filter_agg(col("gh"), 10000L, 81920L).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        grams(doc.filter(col("doc_id") % 97 =!= 0))
+          .filter(graft.functions.TextFunctions
+            .might_contain(lit(bfBytes), col("gh")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_flagged"))
+          .orderBy("doc_id")
+      },
+      None, // bloom bit layout is engine-specific; DedupSpec pins recall
+    ),
     QueryDef(
       "doc_fingerprint",
       (sp, dir) =>

@@ -449,6 +449,25 @@ object TextFunctions {
     toCol(MinHashMd5Lanes(toExpr(shingles), k))
   def simhash_md5_chunks(shingles: Column, bits: Int, chunkBits: Int): Column =
     toCol(SimHashMd5Chunks(toExpr(shingles), bits, chunkBits))
+
+  /** Spark's native BloomFilterAggregate (the engine's own runtime-filter
+    * sketch — TypedImperativeAggregate over an org.apache.spark.util
+    * .sketch.BloomFilter), not exposed as a SQL/DataFrame function, so
+    * wired through the shim. `hashed` must be xxhash64 longs.
+    */
+  def bloom_filter_agg(hashed: Column, items: Long, bits: Long): Column =
+    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(toExpr(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+      .toAggregateExpression())
+
+  /** Probe companion of [[bloom_filter_agg]]: true iff `hashed` may be in
+    * the filter (no false negatives; bounded false positives).
+    */
+  def might_contain(bf: Column, hashed: Column): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(toExpr(bf), toExpr(hashed)))
   def simhash64(shingles: Column): Column =
     toCol(SimHash64(toExpr(shingles)))
 }

@@ -99,6 +99,20 @@ class TextAnalysisSpec extends SparkSpec {
       ("s2", 2L, 0L, 0L, 0L, 1L, 1L)))
   }
 
+  test("bloom decontam never misses a truly contaminated doc") {
+    // bloom guarantee: flagged ⊇ exact (no false negatives); per doc the
+    // probe count can only exceed the exact shared-gram count
+    val dir = "/root/testdata/sf0.001"
+    val bloom = SparkEntry.queries("doc_bloom_decontam")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val exact = SparkEntry.queries("doc_decontam")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"doc $id contaminated but not flagged")
+      assert(bloom(id) >= nShared, s"doc $id: ${bloom(id)} < $nShared")
+    }
+  }
+
   test("crossOverlap counts shared distinct 3-grams with exact jaccard") {
     // srcA docs carry 2 distinct grams ("a b c", "b c d"); srcB carries
     // "b c d" and "x y z" → 1 shared gram, jaccard = 1/(2+2-1).
