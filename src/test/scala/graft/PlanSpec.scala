@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"pair search went all-pairs:\n$p")
   }
 
+  test("dedup_incremental broadcasts the batch side against the index") {
+    val p = plan(q("dedup_incremental"))
+    // screening must ship the (tiny) batch signature set to the index,
+    // never shuffle the corpus index itself
+    assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index side shuffled:\n$p")
+  }
+
   test("doc_pii_scrub prunes to its three columns and stays narrow to the agg") {
     val p = plan(q("doc_pii_scrub"))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
