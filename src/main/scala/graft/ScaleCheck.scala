@@ -54,6 +54,39 @@ object ScaleUp {
   }
 }
 
+/** Build-vs-screen split for the incremental dedup screen (r6 verdict
+  * item 8): the 100 TB claim rests on SCREEN-only growth — the one-time
+  * signature-index build is corpus-proportional by nature and amortized
+  * over every screen, so the two must be timed separately. Also prints the
+  * manifest probe-pruning ratio (index files read / total), the mechanism
+  * that bounds screen I/O by the batch, not the corpus.
+  */
+object SignatureScreenBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    args.foreach { dir =>
+      val t0 = System.nanoTime()
+      graft.operators.OperatorQueries.prebuildSignatureIndex(spark, dir)
+      val build = (System.nanoTime() - t0) / 1e9
+      val screens = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        SparkEntry.queries("dedup_incremental")(spark, dir).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val (kept, total) = graft.operators.OperatorQueries.screenPruneStats(spark, dir)
+      println(f"$dir%-24s build=$build%6.2fs screens=${
+        screens.map(s => f"$s%.2f").mkString(",")}s files=$kept/$total")
+    }
+    spark.stop()
+  }
+}
+
 object ScaleCheck {
   private val flagship = Seq(
     "q1_agg", "q3_shipping", "q5_nation_revenue", "q18_big_orders",

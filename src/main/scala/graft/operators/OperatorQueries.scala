@@ -71,6 +71,67 @@ object OperatorQueries {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]
 
+  /** The NEW-BATCH predicate for `dedup_incremental`: one intake class of
+    * the deterministic doc sampling, RANK-CAPPED so the batch is a
+    * constant 25 docs at every SF (doc_ids are dense from 0, and every
+    * test dir has >= 500 docs) — the fixed-size "day's intake" whose
+    * broadcast is bounded by construction, never corpus-proportional.
+    */
+  private val incrementalBatchPred: Column =
+    col("doc_id") % 20 === 7 && col("doc_id") < 500
+
+  /** All 16 lane minima of the md5 minhash signature in ONE narrow pass
+    * (no explode, no shuffle: see MinHashSignature / minhash_md5_lanes).
+    */
+  private def signatureLanes(sp: org.apache.spark.sql.SparkSession,
+      dir: String, pred: Column) = Tables.documents(sp, dir)
+    .filter(pred)
+    .select(col("doc_id"), posexplode(
+      graft.functions.TextFunctions.minhash_md5_lanes(
+        graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true),
+        16)).as(Seq("lane", "mh")))
+
+  /** Build (once per session × dir) the corpus signature index as a Lake
+    * table: RANGE-laid-out on `mh` at a fixed rows-per-file target, with a
+    * `_graft_stats` min/max manifest over `mh` — so a screen can prune
+    * index FILES against its (bounded) probe set before any I/O
+    * ([[graft.sources.Lake.probeDataFiles]]). Fixed file size is the load-
+    * bearing choice: as the corpus grows the file COUNT grows, a probe
+    * still lands in ~1 file, and screen I/O stays ∝ batch, not corpus. In
+    * production the target is ~128 MB/file; here it is small enough that
+    * pruning is exercised at test SFs.
+    *
+    * Exposed (returns the index path) so Bench warmup and PlanSpec pay the
+    * one-time build as a FIXTURE, leaving the registered query timing the
+    * screen it claims to measure — exactly the amortization a production
+    * lake gets from writing the index at corpus-admission time.
+    */
+  def prebuildSignatureIndex(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    signatureIndexCache.computeIfAbsent((sp, dir), { _ =>
+      val p = s"${graft.pipeline.Scratch.dir("sigix")}/lanes"
+      val ix = signatureLanes(sp, dir, !incrementalBatchPred)
+      // one count at BUILD time (amortized over every screen) sizes the
+      // file count to the fixed per-file row target
+      val nFiles = math.max(4L, ix.count() / 512L).toInt
+      ix.repartitionByRange(nFiles, col("mh")).write.parquet(p)
+      graft.sources.Lake.writeStats(sp, p, Seq("mh"))
+      p
+    })
+
+  /** (files kept, total index files) for the registered screen's probe
+    * set — surfaced so the scale bench can record how much of the index
+    * the manifest pruning drops before any I/O (BASELINE.md).
+    */
+  def screenPruneStats(sp: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val ixPath = prebuildSignatureIndex(sp, dir)
+    val probes = signatureLanes(sp, dir, incrementalBatchPred)
+      .select("mh").distinct().collect().map(_.getString(0)).toIndexedSeq
+    val (kept, total) = graft.sources.Lake.probeDataFiles(sp, ixPath, "mh", probes)
+    (kept.size, total)
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- as-of join: attribute each purchase to the user's most recent
@@ -380,40 +441,30 @@ object OperatorQueries {
     //      the only shape that survives a growing 100 TB lake (full
     //      re-dedup cost grows with the corpus; this grows with the
     //      batch). The index side is the corpus' 16-lane md5-minhash
-    //      signature table — in production materialized ONCE via
-    //      Lake.write when the corpus lands and only APPENDED to as
-    //      batches are admitted (the signature build is the one-time
-    //      cost this query amortizes; bucketing it by (lane, mh) would
-    //      add manifest-level pruning on top). The BATCH side (5% of
-    //      docs here, a day's intake in production) is tiny by
-    //      construction and BROADCAST, so screening is one shuffle-free
-    //      pass over the index: no corpus data moves, ever. Output: per
-    //      batch doc, how many index docs collide on >= 1 lane minimum
-    //      and the best estimated Jaccard — the admit/reject signal. ----
+    //      signature table, materialized ONCE as a Lake table range-laid
+    //      on mh with a min/max manifest (prebuildSignatureIndex) and only
+    //      APPENDED to as batches are admitted. The BATCH side is a FIXED
+    //      25 docs (rank-capped intake class — constant at every SF, so
+    //      its broadcast is bounded by construction, and AQE never has to
+    //      rescue an oversized hint). The screen itself does two things a
+    //      production lake needs: (1) manifest PROBE-PRUNING — the batch's
+    //      <= 400 distinct lane-minima drop every index file whose mh
+    //      bounds can't contain one, so with fixed-size files the I/O is
+    //      ∝ batch, not corpus; (2) a broadcast equi-join on (lane, mh) —
+    //      no corpus data moves, ever. Output: per batch doc, how many
+    //      index docs collide on >= 1 lane minimum and the best estimated
+    //      Jaccard — the admit/reject signal. ----
     QueryDef(
       "dedup_incremental",
       (sp, dir) => {
-        // all 16 lane minima in ONE narrow pass (no explode, no shuffle:
-        // the index build is a scan — see MinHashMd5Lanes)
-        def lanes(pred: Column) = Tables.documents(sp, dir)
-          .filter(pred)
-          .select(col("doc_id"), posexplode(
-            graft.functions.TextFunctions.minhash_md5_lanes(
-              graft.functions.TextFunctions.word_shingles(col("text"), 3, distinct = true),
-              16)).as(Seq("lane", "mh")))
-        // the corpus signature index is MATERIALIZED once per (session,
-        // dir) and every subsequent screening reads the parquet — the
-        // amortization a production lake gets from writing the index at
-        // corpus admission time (the first call pays the build, exactly
-        // like dag_incremental's staged tables)
-        val ixPath = signatureIndexCache.computeIfAbsent((sp, dir), { _ =>
-          val p = s"${graft.pipeline.Scratch.dir("sigix")}/lanes"
-          lanes(col("doc_id") % 20 =!= 7).write.mode("overwrite").parquet(p)
-          p
-        })
-        val batch = lanes(col("doc_id") % 20 === 7)
+        val ixPath = prebuildSignatureIndex(sp, dir)
+        val batch = signatureLanes(sp, dir, incrementalBatchPred)
           .select(col("doc_id").as("b_doc"), col("lane"), col("mh"))
-        val pairs = sp.read.parquet(ixPath).as("ix")
+        // probe set: bounded by construction (25 docs × 16 lanes); the
+        // collect is metadata-sized, same class as the Lake manifest reads
+        val probes = batch.select("mh").distinct()
+          .collect().map(_.getString(0)).toIndexedSeq
+        val pairs = graft.sources.Lake.readProbed(sp, ixPath, "mh", probes).as("ix")
           .join(broadcast(batch), Seq("lane", "mh"))
           .groupBy(col("b_doc"), col("ix.doc_id").as("ix_doc"))
           .agg(count(lit(1)).as("n_lanes"))
@@ -443,7 +494,8 @@ object OperatorQueries {
           |  SELECT b.doc_id AS b_doc, ix.doc_id AS ix_doc,
           |         count(*) AS n_lanes
           |  FROM l ix JOIN l b ON ix.lane = b.lane AND ix.mh = b.mh
-          |  WHERE b.doc_id % 20 = 7 AND ix.doc_id % 20 <> 7
+          |  WHERE (b.doc_id % 20 = 7 AND b.doc_id < 500)
+          |    AND NOT (ix.doc_id % 20 = 7 AND ix.doc_id < 500)
           |  GROUP BY b.doc_id, ix.doc_id)
           |SELECT b_doc AS doc_id, count(*) AS n_cand,
           |       max(n_lanes) / 16.0 AS best_est

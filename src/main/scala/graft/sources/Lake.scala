@@ -240,28 +240,86 @@ object Lake {
 
   def readSkipping(spark: SparkSession, path: String,
       keep: org.apache.spark.sql.Column): DataFrame = {
+    val manifest = validatedManifest(spark, path)
+    val files = manifest.filter(keep).select("file").collect().map(_.getString(0))
+    readFileSubset(spark, path, files.toIndexedSeq)
+  }
+
+  /** Load the `_graft_stats` manifest with the stale-manifest guard: every
+    * CURRENT data file must be covered, or a skip could silently drop rows
+    * written after the manifest. The listing is RECURSIVE so
+    * hive-partitioned layouts (data files one level down in day=… dirs)
+    * are guarded too — a top-level-only list would come back empty there
+    * and pass the subset check vacuously.
+    */
+  private def validatedManifest(spark: SparkSession, path: String): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     require(fs.exists(manifestDir), s"no _graft_stats manifest under $path")
     val manifest = spark.read.json(manifestDir.toString)
-    // stale-manifest guard: every CURRENT data file must be covered, or a
-    // skip could silently drop rows written after the manifest. The
-    // listing is RECURSIVE so hive-partitioned layouts (data files one
-    // level down in day=… dirs) are guarded too — a top-level-only list
-    // would come back empty there and pass the subset check vacuously.
     val current = listDataFiles(fs, hp).toSet
     val listed = manifest.select("file").collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     require(current.subsetOf(listed),
       s"stale _graft_stats manifest under $path: " +
         s"${(current -- listed).size} data file(s) not covered - re-run writeStats")
-    val files = manifest.filter(keep).select("file").collect().map(_.getString(0))
-    // basePath keeps partition-dir columns in the schema when reading a
-    // file subset, so the skipped read matches the unskipped one exactly
+    manifest
+  }
+
+  /** basePath keeps partition-dir columns in the schema when reading a
+    * file subset, so the skipped read matches the unskipped one exactly.
+    */
+  private def readFileSubset(spark: SparkSession, path: String,
+      files: Seq[String]): DataFrame =
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+
+  /** PROBE-SET data skipping — the equality-lookup complement of
+    * [[skipRange]]. Given the distinct join-key values of a (bounded)
+    * probe side, keep only files whose [min_c, max_c] stats can contain at
+    * least one probe; every dropped file provably holds no matching row,
+    * so an equi-join against the probed read is identical to one against
+    * the full table.
+    *
+    * This is what makes a signature-index screen BATCH-proportional
+    * instead of corpus-proportional when the table is range-laid-out on
+    * `c` (see [[graft.operators.OperatorQueries]] `dedup_incremental`):
+    * with files range-split on `c` at a fixed target size, one probe can
+    * land in at most ~1 file, so I/O is bounded by min(|probes|, |files|)
+    * × fileSize — flat in corpus size once files outnumber probes. For a
+    * probe set that OUTNUMBERS the files (a full day's intake), pruning
+    * degrades gracefully to the full narrow scan — never worse than
+    * unpruned, never a shuffle.
+    *
+    * Driver cost is metadata-proportional: one manifest row per file, one
+    * binary search per file over the sorted probes.
+    *
+    * @return (files kept, total data files in the manifest)
+    */
+  def probeDataFiles(spark: SparkSession, path: String, c: String,
+      probes: Seq[String]): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    val manifest = validatedManifest(spark, path)
+    val rows = manifest.select(col("file"),
+      col(s"min_$c").cast("string"), col(s"max_$c").cast("string")).collect()
+    val sorted = probes.distinct.sorted.toIndexedSeq
+    // any probe in [lo, hi]? binary-search the first probe >= lo
+    def anyIn(lo: String, hi: String): Boolean = {
+      var l = 0; var r = sorted.length
+      while (l < r) { val m = (l + r) >>> 1; if (sorted(m) < lo) l = m + 1 else r = m }
+      l < sorted.length && sorted(l) <= hi
+    }
+    // all-null files have null stats bounds: no row there can equal a probe
+    val kept = rows.toSeq
+      .filter(r => !r.isNullAt(1) && anyIn(r.getString(1), r.getString(2)))
+      .map(_.getString(0))
+    (kept, rows.length)
   }
+
+  def readProbed(spark: SparkSession, path: String, c: String,
+      probes: Seq[String]): DataFrame =
+    readFileSubset(spark, path, probeDataFiles(spark, path, c, probes)._1)
 
   /** All parquet data files under `dir`, recursing through partition dirs;
     * underscore/dot metadata names are skipped at every level.

@@ -126,12 +126,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"pair search went all-pairs:\n$p")
   }
 
-  test("dedup_incremental broadcasts the batch side against the index") {
+  test("dedup_incremental broadcasts a RANK-CAPPED batch against the index") {
     val p = plan(q("dedup_incremental"))
     // screening must ship the (tiny) batch signature set to the index,
     // never shuffle the corpus index itself
     assert(p.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"index side shuffled:\n$p")
+    // the broadcast side must be bounded BY CONSTRUCTION: the rank cap
+    // (doc_id < 500) has to reach the batch scan as a pushed filter —
+    // without it the broadcast grows with the corpus and an explicit hint
+    // would bypass AQE's size protection (r6 verdict, What's wrong #1)
+    assert(p.contains("LessThan(doc_id,500)"),
+      s"batch side not rank-capped at the scan:\n$p")
+  }
+
+  test("signature-index screen prunes index files via the mh manifest") {
+    val ixPath = operators.OperatorQueries.prebuildSignatureIndex(spark, dir)
+    // a point probe (one doc's 16 lane minima) must skip most files of the
+    // range-laid index — the mechanism that keeps screen I/O ∝ batch at a
+    // growing corpus. 16 uniform md5 values over >= 14 range-split files
+    // leave > 1/3 of files probe-free deterministically on this data.
+    val probes = spark.read.parquet(ixPath)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 40)
+      .select("mh").collect().map(_.getString(0)).toSeq
+    assert(probes.size == 16, s"expected 16 lane minima, got ${probes.size}")
+    val (kept, total) = sources.Lake.probeDataFiles(spark, ixPath, "mh", probes)
+    assert(kept.size < total,
+      s"probe pruning dropped nothing: kept ${kept.size} of $total files")
+    // pruned read ≡ full read for the probe equi-lookup (no matching row
+    // may live in a dropped file)
+    import org.apache.spark.sql.functions.col
+    val pruned = sources.Lake.readProbed(spark, ixPath, "mh", probes)
+      .filter(col("mh").isin(probes: _*)).select("doc_id", "lane", "mh")
+      .collect().map(_.toString).sorted
+    val full = spark.read.parquet(ixPath)
+      .filter(col("mh").isin(probes: _*)).select("doc_id", "lane", "mh")
+      .collect().map(_.toString).sorted
+    assert(pruned.sameElements(full), "probed read lost matching rows")
   }
 
   test("doc_pii_scrub prunes to its three columns and stays narrow to the agg") {
