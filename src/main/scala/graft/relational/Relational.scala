@@ -80,9 +80,12 @@ object Relational {
           .select("o_orderkey", "o_custkey", "o_orderdate")
         val li = Tables.lineitem(sp, dir)
           .select("l_orderkey", "l_extendedprice", "l_discount")
-        // customer is 1/10 the size of orders → broadcast the filtered keys;
-        // the only shuffle is orders⋈lineitem on the orderkey.
-        li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        // customer is 1/10 the size of orders and the planner's size
+        // estimate picks the broadcast by itself at this SF — no hard hint:
+        // customer is SF-proportional (not a true dim), and a forced
+        // broadcast would bypass AQE's oversized-broadcast demotion at
+        // 100×. The only shuffle is orders⋈lineitem on the orderkey.
+        li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
           .agg(asMoney(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -113,8 +116,11 @@ object Relational {
         val ord = Tables.orders(sp, dir).select("o_orderkey", "o_custkey")
         val li = Tables.lineitem(sp, dir)
           .select("l_orderkey", "l_extendedprice", "l_discount")
+        // hints only on the TRUE dims (nation 25 rows, region 5 — constant
+        // at every SF); customer grows with SF, so its broadcast is left to
+        // the planner's size estimate (chosen here, demotable at scale)
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))

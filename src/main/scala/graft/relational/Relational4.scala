@@ -73,8 +73,8 @@ object Relational4 {
             col("l_extendedprice"), col("l_discount"))
           .filter(col("l_year").between(1996, 1997))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy("supp_nation", "cust_nation", "l_year")
           .agg(asMoney(centsSum(
@@ -112,7 +112,7 @@ object Relational4 {
           .filter(col("l_returnflag") === "R")
           .select("l_orderkey", "l_extendedprice", "l_discount")
           .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "n_name")
           .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -182,7 +182,7 @@ object Relational4 {
           .filter(col("l_shipdate") >= lit("1996-04-01").cast("timestamp_ntz") &&
             col("l_shipdate") < lit("1996-05-01").cast("timestamp_ntz"))
           .select("l_partkey", "l_extendedprice", "l_discount")
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "ECONOMY", revCents).otherwise(lit(0L)))
               .as("promo_cents"),
@@ -223,7 +223,7 @@ object Relational4 {
         val mx = rev.agg(max("rev_cents").as("max_cents"))
         val supp = Tables.supplier(sp, dir).select("s_suppkey", "s_name")
         rev.join(broadcast(mx), col("rev_cents") === col("max_cents"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             asMoney(col("rev_cents")).as("total_revenue"))
           .orderBy("s_suppkey")
@@ -255,9 +255,9 @@ object Relational4 {
         val excluded = Tables.supplier(sp, dir)
           .filter(col("s_acctbal") < 0).select("s_suppkey")
         Tables.lineitem(sp, dir).select("l_partkey", "l_suppkey")
-          .join(broadcast(excluded),
+          .join(excluded,
             col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -289,7 +289,7 @@ object Relational4 {
         val brandParts = Tables.part(sp, dir)
           .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
           .select("p_partkey")
-        li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        li.join(brandParts, col("l_partkey") === col("p_partkey"))
           // qty < 0.2 * (sum_q/cnt)  ⇔  5·qty·cnt < sum_q  (exact integers)
           .join(perPart, col("l_partkey") === col("pk"))
           .filter(col("ql") * lit(5L) * col("cnt") < col("sum_q"))
@@ -322,7 +322,7 @@ object Relational4 {
         Tables.lineitem(sp, dir)
           .select(col("l_partkey"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount"))
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
               qty.between(1, 11)) ||

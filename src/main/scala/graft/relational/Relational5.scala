@@ -61,8 +61,8 @@ object Relational5 {
           .join(best.withColumnRenamed("l_partkey", "b_partkey"),
             col("l_partkey") === col("b_partkey") &&
               col("supp_price_c") === col("best_price_c"))
-          .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
+          .join(partDim, col("l_partkey") === col("p_partkey"))
+          .join(suppDim, col("l_suppkey") === col("s_suppkey"))
           .select(col("p_partkey"), col("p_name"), col("s_name"),
             col("supp_nation"), asMoney(col("supp_price_c")).as("best_price"))
           .orderBy("p_partkey", "s_name")
@@ -111,8 +111,8 @@ object Relational5 {
         Tables.lineitem(sp, dir)
           .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rev_c"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"), "leftsemi")
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(custRegion, col("o_custkey") === col("c_custkey"), "leftsemi")
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .groupBy("o_year")
           .agg(
             sum(when(col("supp_nation") === "NATION_3", col("rev_c"))
@@ -168,8 +168,8 @@ object Relational5 {
         Tables.lineitem(sp, dir)
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             revCents.as("rev_c"), round(col("l_quantity")).cast("long").as("qty_l"))
-          .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(partDim, col("l_partkey") === col("p_partkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .withColumn("profit_c", col("rev_c") - expr("(retail_c * qty_l) div 5"))
           .groupBy("nation", "o_year")
@@ -206,7 +206,7 @@ object Relational5 {
           .select("s_suppkey")
         val value = Tables.lineitem(sp, dir)
           .select(col("l_partkey"), col("l_suppkey"), revCents.as("rev_c"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "leftsemi")
+          .join(supp, col("l_suppkey") === col("s_suppkey"), "leftsemi")
           .groupBy("l_partkey")
           .agg(sum("rev_c").as("value_c"))
         val total = value.agg(sum("value_c").as("total_c"))
@@ -276,7 +276,7 @@ object Relational5 {
         val bigShippers = Tables.lineitem(sp, dir)
           .select(col("l_partkey"), col("l_suppkey"),
             round(col("l_quantity")).cast("long").as("qty_l"))
-          .join(broadcast(focusParts), col("l_partkey") === col("p_partkey"), "leftsemi")
+          .join(focusParts, col("l_partkey") === col("p_partkey"), "leftsemi")
           .groupBy("l_suppkey", "l_partkey")
           .agg(sum("qty_l").as("total_qty"))
           .filter(col("total_qty") > 100)
@@ -328,7 +328,7 @@ object Relational5 {
               col("l1.l_suppkey") =!= col("a_suppkey"), "leftanti")
           .groupBy(col("l1.l_suppkey").as("l_suppkey"))
           .agg(count(lit(1)).as("numwait"))
-          .join(broadcast(Tables.supplier(sp, dir).select("s_suppkey", "s_name")),
+          .join(Tables.supplier(sp, dir).select("s_suppkey", "s_name"),
             col("l_suppkey") === col("s_suppkey"))
           .select("s_name", "numwait")
           .orderBy(col("numwait").desc, col("s_name"))
