@@ -249,6 +249,49 @@ object PipelineQueries {
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
+    // ---- Schema evolution end-to-end (reference aspiration: CDC payloads
+    //      that evolve, README_DBT.md:163-169): write era-1 rows under the
+    //      v1 schema (user_id, day, cents), append era-2 rows under v2 —
+    //      `cents` RENAMED to `amount_cents`, `source` ADDED — then answer
+    //      an aggregate over the UNIFIED read. The unified read must carry
+    //      old-file values under the new name (coalesce fold) and null the
+    //      added column for era-1 rows; the oracle recomputes both eras
+    //      from raw events, so a dropped era, a misfolded rename, or a
+    //      phantom non-null `source` all break the hash. The reader builds
+    //      its schema from the _graft_schema manifests — no mergeSchema
+    //      footer sweep (Lake.writeEvolving scaladoc). ----
+    QueryDef(
+      "lake_schema_evolution",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"),
+            col("event_type"))
+        val cut = lit("2024-01-15").cast("date")
+        val path = s"${Scratch.dir("evo")}/user_day"
+        graft.sources.Lake.writeEvolving(sp,
+          base.filter(col("day") <= cut).select("user_id", "day", "cents"),
+          path)
+        graft.sources.Lake.writeEvolving(sp,
+          base.filter(col("day") > cut).select(col("user_id"), col("day"),
+            col("cents").as("amount_cents"), col("event_type").as("source")),
+          path, renames = Map("cents" -> "amount_cents"))
+        graft.sources.Lake.readEvolving(sp, path)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("amount_cents")).as("total_cents"),
+            count(col("source")).as("n_evolved"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+          |       CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved
+          |FROM events
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
     // ---- Time travel end-to-end: publish snapshot v1 (events through
     //      Jan 15), publish v2 (all events), then read the TIME-TRAVELED
     //      v1 — proving the old version stays byte-intact and readable

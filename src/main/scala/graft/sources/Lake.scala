@@ -161,6 +161,168 @@ object Lake {
     }
   }
 
+  /** SCHEMA EVOLUTION for plain-parquet lake tables — the versioned-schema
+    * half of what Delta/Iceberg column mapping does, on an explicit
+    * manifest under `_graft_schema/`.
+    *
+    * Why not `mergeSchema`? Two reasons, both scale-fatal. (1) COST:
+    * mergeSchema derives the union schema by reading EVERY file footer at
+    * planning time — at 100 TB / ~128 MB files that is ~800k footer reads
+    * before the first byte of data; the manifest is one metadata-sized
+    * read. (2) SEMANTICS: a RENAME is invisible to footer merging — it
+    * looks like one dropped + one added column and comes back as two
+    * half-null columns; only a declared rename can fold the old physical
+    * name into the new logical one.
+    *
+    * `writeEvolving` publishes schema version N+1 (the appended frame's
+    * logical schema + its declared old→new renames relative to version N)
+    * and THEN appends the data files. Manifest-first is the load-bearing
+    * order: a crash between the two steps leaves a declared-but-empty
+    * version — reads stay exactly correct — whereas data-first would leave
+    * files no schema version describes. Each manifest is written via the
+    * same tmp-write + atomic-rename protocol as the version pointer.
+    *
+    * `readEvolving` builds the UNIFIED PHYSICAL schema (every column name
+    * any version ever wrote) from the manifests and hands it to the
+    * parquet reader explicitly — per file, absent columns resolve by name
+    * to null, so no footer sweep happens — then folds each recorded rename
+    * with coalesce(new, cast(old)) and returns the LATEST version's
+    * logical column set. Added columns read null for files written before
+    * them; renamed columns carry old-file values under the new name.
+    *
+    * Scope: column ADDS and RENAMES. A type change for an existing name is
+    * refused at write time (`require`) — type widening needs per-file cast
+    * planning (Delta's reader does this from its log) and silently mixing
+    * physical types corrupts; refusing is the honest contract.
+    */
+  def writeEvolving(spark: SparkSession, df: DataFrame, path: String,
+      renames: Map[String, String] = Map.empty): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = readSchemaManifests(spark, path)
+    val next = prior.lastOption.map(_.version + 1).getOrElse(1L)
+    val newFields = df.schema.fields.map(f => f.name -> f.dataType.catalogString)
+    if (prior.isEmpty) {
+      require(renames.isEmpty, "first write cannot declare renames")
+    } else {
+      val prevLogical = logicalSchema(prior)
+      renames.foreach { case (from, to) =>
+        require(prevLogical.exists(_._1 == from),
+          s"rename source '$from' not in schema v${prior.last.version}")
+        require(newFields.exists(_._1 == to),
+          s"rename target '$to' not in the appended frame")
+        require(!newFields.exists(_._1 == from),
+          s"rename source '$from' still present in the appended frame")
+      }
+      // same-name columns must keep their type (see scope note above);
+      // a renamed column may widen because the reader casts it explicitly
+      val priorTypes = physicalSchema(prior).toMap
+      newFields.filterNot(f => renames.valuesIterator.contains(f._1)).foreach {
+        case (name, tpe) => priorTypes.get(name).foreach(old =>
+          require(old == tpe,
+            s"column '$name' changes type $old -> $tpe; type evolution is not supported"))
+      }
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(hp, "_graft_schema"))
+    val fieldsJson = newFields.map { case (n, t) =>
+      s"""{"name":${jsonStr(n)},"type":${jsonStr(t)}}""" }.mkString("[", ",", "]")
+    val renamesJson = renames.toSeq.sortBy(_._1).map { case (f, t) =>
+      s"""{"from":${jsonStr(f)},"to":${jsonStr(t)}}""" }.mkString("[", ",", "]")
+    val tmp = new org.apache.hadoop.fs.Path(hp, s"_graft_schema/.v=$next.tmp")
+    val dst = new org.apache.hadoop.fs.Path(hp, s"_graft_schema/v=$next.json")
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"version":$next,"fields":$fieldsJson,"renames":$renamesJson}"""
+        .getBytes("UTF-8"))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    df.write.mode(SaveMode.Append).parquet(path)
+    next
+  }
+
+  def readEvolving(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val versions = readSchemaManifests(spark, path)
+    require(versions.nonEmpty, s"no _graft_schema manifests under $path")
+    val physical = org.apache.spark.sql.types.StructType(
+      physicalSchema(versions).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DataType.fromDDL(t))
+      })
+    var df = spark.read.schema(physical).parquet(path)
+    // fold renames in version order so CHAINS (a->b in v2, b->c in v3)
+    // carry v1 values through; the target type comes from the version
+    // that DECLARED the rename — the latest schema may have renamed it on
+    versions.foreach { v =>
+      val vTypes = v.fields.toMap
+      v.renames.foreach { case (from, to) =>
+        df = df.withColumn(to,
+          coalesce(col(to), col(from).cast(vTypes(to)))).drop(from)
+      }
+    }
+    df.select(logicalSchema(versions).map(f => col(f._1)): _*)
+  }
+
+  def schemaVersions(spark: SparkSession, path: String): Seq[Long] =
+    readSchemaManifests(spark, path).map(_.version)
+
+  private case class SchemaVersion(version: Long,
+      fields: Seq[(String, String)], renames: Seq[(String, String)])
+
+  /** All schema manifests, version-ascending. Metadata-sized driver read. */
+  private def readSchemaManifests(spark: SparkSession,
+      path: String): Seq[SchemaVersion] = {
+    val dir = new org.apache.hadoop.fs.Path(path, "_graft_schema")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val files = fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") && p.getName.endsWith(".json"))
+      if (files.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("version", LongType),
+          StructField("fields", ArrayType(StructType(Seq(
+            StructField("name", StringType), StructField("type", StringType))))),
+          StructField("renames", ArrayType(StructType(Seq(
+            StructField("from", StringType), StructField("to", StringType)))))))
+        spark.read.schema(schema).json(files.map(_.toString): _*)
+          .collect().toSeq
+          .map { r =>
+            def pairs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+              .map(p => (p.getString(0), p.getString(1)))
+            SchemaVersion(r.getLong(0), pairs(1), pairs(2))
+          }
+          .sortBy(_.version)
+      }
+    }
+  }
+
+  /** Every physical column any version wrote (first-appearance order) —
+    * the read schema that makes old files resolvable without footers.
+    */
+  private def physicalSchema(
+      versions: Seq[SchemaVersion]): Seq[(String, String)] =
+    versions.flatMap(_.fields).foldLeft(Vector.empty[(String, String)]) {
+      case (acc, f) => if (acc.exists(_._1 == f._1)) acc else acc :+ f
+    }
+
+  /** The LATEST version's column set in its declared order. */
+  private def logicalSchema(
+      versions: Seq[SchemaVersion]): Seq[(String, String)] =
+    versions.last.fields
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** File-level min/max data skipping — the manifest half of what Delta/
     * Iceberg call data skipping, for plain parquet dirs. Parquet row-group
     * stats already prune WITHIN a file, but the scan still pays listing +

@@ -77,6 +77,51 @@ class LakeSpec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).getAs[Double]("new_col") == 3.5)
   }
 
+  test("evolving writes: adds null-fill, renames fold, guards refuse abuse") {
+    val dir = tmp() + "/t"
+    // v1: (id, amt int)
+    assert(Lake.writeEvolving(spark,
+      Seq((1L, 10), (2L, 20)).toDF("id", "amt"), dir) == 1L)
+    // v2: amt renamed to amount (and widened int->long), tag added
+    assert(Lake.writeEvolving(spark,
+      Seq((3L, 30L, "x")).toDF("id", "amount", "tag"), dir,
+      renames = Map("amt" -> "amount")) == 2L)
+    assert(Lake.schemaVersions(spark, dir) == Seq(1L, 2L))
+    val out = Lake.readEvolving(spark, dir).orderBy("id")
+    // logical schema = latest version's columns, in its order
+    assert(out.columns.toSeq == Seq("id", "amount", "tag"))
+    val rows = out.collect()
+    // era-1 rows carry their values under the NEW name, null for the add
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L))
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    assert(rows(2).getString(2) == "x")
+    // guards: rename on first write, unknown source, type change in place
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark, Seq(1L).toDF("id"), tmp() + "/t2",
+        renames = Map("a" -> "b"))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark, Seq((1L, 1L)).toDF("id", "zz"), dir,
+        renames = Map("nope" -> "zz"))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark,
+        Seq((1L, "s", "t")).toDF("id", "amount", "tag"), dir)
+    }
+    // rename CHAIN across versions: v3 renames amount -> amount_c
+    assert(Lake.writeEvolving(spark,
+      Seq((4L, 40L, "y")).toDF("id", "amount_c", "tag"), dir,
+      renames = Map("amount" -> "amount_c")) == 3L)
+    val chained = Lake.readEvolving(spark, dir).orderBy("id")
+    assert(chained.columns.toSeq == Seq("id", "amount_c", "tag"))
+    assert(chained.collect().map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L, 40L))
+    // the evolving reader never pays a footer sweep: its scan schema is
+    // manifest-built, so even a corrupt mergeSchema setting is irrelevant
+    val scan = Lake.readEvolving(spark, dir).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema"), scan)
+  }
+
   private def dataFileCount(dir: String): Int =
     new java.io.File(dir).listFiles().count(f => f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith("."))
