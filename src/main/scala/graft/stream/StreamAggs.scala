@@ -74,6 +74,78 @@ object StreamAggs {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** One CDC change event (the [[graft.model.Cdc]] shape) and the current
+    * record [[cdcLatestExplicit]] emits per key.
+    */
+  final case class CdcEvent(k: String, v: Long, _op: String,
+      _commit_ts: java.sql.Timestamp)
+  final case class CdcCurrent(k: String, v: Long,
+      _commit_ts: java.sql.Timestamp)
+  /** Per-key state for [[cdcLatestExplicit]]: the current winning record
+    * (public: the state encoder's generated code calls the constructor).
+    */
+  final case class CdcBest(ts: Long, op: String, v: Long)
+
+  /** CONTINUOUS CDC dedup — the streaming form of
+    * [[graft.model.Cdc.scd1]]'s ROW_NUMBER latest-record-wins
+    * (README_DBT.md:242-244 run forever instead of per rebuild). Per
+    * business key the state holds ONLY the current winning record, folded
+    * with scd1's exact tie order (commit_ts desc, then op desc — so
+    * replays and cross-engine reruns converge), and the record is emitted
+    * via APPEND when the event-time watermark passes the key's last
+    * commit — the moment no on-time event can change the answer. A key
+    * whose latest op is a soft delete emits nothing. State is one small
+    * row per live key, reclaimed at flush — the property that lets this
+    * run unbounded where batch scd1 re-shuffles the full history.
+    *
+    * Two late-arrival contracts, both pinned in StreamingOpsSpec:
+    *  - an event OLDER than the watermark is dropped by the watermark
+    *    filter: the flushed record stands (at-most-once per generation);
+    *  - a key RETURNING with a fresh commit after its flush starts a new
+    *    generation — a second emission for the same key — so downstream
+    *    consumes this output as UPSERTS by key, the contract every CDC
+    *    MERGE sink already has ([[Upsert.mergeBatch]]).
+    */
+  def cdcLatestExplicit(events: DataFrame,
+      lateness: String = "1 hour"): Dataset[CdcCurrent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("_commit_ts", lateness)
+      .select(col("k"), col("v").cast("long").as("v"), col("_op"),
+        col("_commit_ts"))
+      .as[CdcEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CdcBest, CdcCurrent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed the key's last commit: flush + reclaim
+            val out = state.getOption.filter(_.op != "d")
+              .map(b => CdcCurrent(key, b.v, new java.sql.Timestamp(b.ts)))
+              .iterator
+            state.remove()
+            out
+          } else {
+            var best = state.getOption
+            rows.foreach { e =>
+              val c = CdcBest(e._commit_ts.getTime, e._op, e.v)
+              val keep = best.exists(b =>
+                b.ts > c.ts || (b.ts == c.ts && b.op >= c.op))
+              if (!keep) best = Some(c)
+            }
+            best.foreach { b =>
+              state.update(b)
+              // fire as soon as the watermark passes the winning commit;
+              // the +1 guard keeps the timestamp strictly ahead of a
+              // watermark that has already caught up to it
+              state.setTimeoutTimestamp(
+                math.max(b.ts, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Spark 4 transformWithState version of the device-health processor —
     * the successor API to mapGroupsWithState: typed ValueState handles,
     * TTL support, timers, and a RocksDB-backed store

@@ -230,6 +230,64 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cur == Set(("k1", 10L), ("k3", 3L)))
   }
 
+  test("streaming CDC dedup: latest wins, deletes drop, both late contracts pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String, Timestamp)]
+    val q = StreamAggs
+      .cdcLatestExplicit(mem.toDF().toDF("k", "v", "_op", "_commit_ts"))
+      .toDF().writeStream.format("memory").queryName("cdc_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // k1 created then updated; k2 created then soft-deleted; k3 created.
+    // Duplicate k1 update replayed in-batch to exercise the fold.
+    val fixture = Seq(
+      ("k1", 1L, "c", ts("2024-01-01 10:00:00")),
+      ("k1", 10L, "u", ts("2024-01-01 11:00:00")),
+      ("k1", 10L, "u", ts("2024-01-01 11:00:00")),
+      ("k2", 2L, "c", ts("2024-01-01 10:30:00")),
+      ("k2", 0L, "d", ts("2024-01-01 11:30:00")),
+      ("k3", 3L, "c", ts("2024-01-01 10:15:00")))
+    mem.addData(fixture: _*)
+    q.processAllAvailable()
+    // sentinel advances the watermark past every key's last commit → the
+    // event-time timeout flushes each key exactly once
+    mem.addData(("z", 0L, "c", ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    val gen1 = spark.table("cdc_dedup_out").filter(col("k") =!= "z")
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(gen1 == Set(("k1", 10L), ("k3", 3L)),
+      "latest record wins; soft-deleted key emits nothing")
+
+    // stream ≡ batch: the same events through Cdc.scd1 (the batch
+    // ROW_NUMBER dedup this operator runs continuously)
+    val batch = graft.model.Cdc.scd1(
+      fixture.toDF("k", "v", "_op", "_commit_ts")
+        // scd1 keeps duplicates distinct under row_number; drop the
+        // replayed row the same way any batch CDC reader would
+        .distinct(),
+      Seq("k"))
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(batch == gen1, "streaming output must equal batch scd1")
+
+    // contract (a): an event OLDER than the watermark is dropped — the
+    // flushed record stands
+    mem.addData(("k1", 99L, "u", ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    assert(spark.table("cdc_dedup_out").filter(col("k") === "k1").count() == 1,
+      "stale late duplicate must not re-emit")
+
+    // contract (b): a key RETURNING with a fresh commit starts a new
+    // generation — downstream consumes the output as upserts by key
+    mem.addData(("k1", 77L, "u", ts("2024-01-02 01:00:00")))
+    q.processAllAvailable()
+    mem.addData(("z", 0L, "c", ts("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    val k1 = spark.table("cdc_dedup_out").filter(col("k") === "k1")
+      .select("v").as[Long].collect().toSeq.sorted
+    assert(k1 == Seq(10L, 77L), "returning key appends a second generation")
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
