@@ -298,8 +298,15 @@ object Relational2 {
     ),
 
     // ---- approx distinct (HLL) beside the exact count: the scale path for
-    //      COUNT(DISTINCT) — sketch values are engine-specific, so the
-    //      oracle covers the exact column and ScalaTest bounds the sketch ----
+    //      COUNT(DISTINCT). The raw sketch value is engine-specific, so it
+    //      cannot appear in a hash-compared column — instead the row
+    //      carries the exact count (independently recomputed by the
+    //      oracle) plus `sketch_ok`, the IN-ENGINE assertion that the HLL
+    //      estimate landed within 3× its configured rsd (0.05) of the
+    //      exact value. The oracle emits TRUE for that column: if Spark's
+    //      sketch ever drifts out of bound, the boolean flips and the
+    //      hash gate fails — the sketch error is checked on every
+    //      correctness run, not just in ScalaTest. ----
     QueryDef(
       "q_approx_distinct",
       (sp, dir) =>
@@ -307,9 +314,16 @@ object Relational2 {
           .groupBy("l_returnflag")
           .agg(
             countDistinct(col("l_partkey")).as("exact_parts"),
-            approx_count_distinct(col("l_partkey")).as("approx_parts"))
+            approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * 0.15).as("sketch_ok"))
           .orderBy("l_returnflag"),
-      None, // HLL estimate is engine-specific; bounded by ScalaTest
+      Some(
+        """SELECT l_returnflag,
+          |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          |       TRUE AS sketch_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
   )
 }
