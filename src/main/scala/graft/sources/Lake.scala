@@ -242,7 +242,12 @@ object Lake {
     next
   }
 
-  def readEvolving(spark: SparkSession, path: String): DataFrame = {
+  def readEvolving(spark: SparkSession, path: String): DataFrame =
+    evolvedRead(spark, path, None)
+
+  /** [[readEvolving]] over the whole table or a pruned file subset. */
+  private def evolvedRead(spark: SparkSession, path: String,
+      files: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col}
     val versions = readSchemaManifests(spark, path)
     require(versions.nonEmpty, s"no _graft_schema manifests under $path")
@@ -251,7 +256,9 @@ object Lake {
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.DataType.fromDDL(t))
       })
-    var df = spark.read.schema(physical).parquet(path)
+    val reader = spark.read.schema(physical).option("basePath", path)
+    var df = files.fold(reader.parquet(path))(fs =>
+      reader.parquet(fs.toIndexedSeq: _*))
     // fold renames in version order so CHAINS (a->b in v2, b->c in v3)
     // carry v1 values through; the target type comes from the version
     // that DECLARED the rename — the latest schema may have renamed it on
@@ -357,7 +364,12 @@ object Lake {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    val stats = spark.read.parquet(path)
+    // an evolved table must resolve through its schema manifests: a plain
+    // parquet read over mixed-schema files binds one footer's schema and
+    // silently drops (or nulls) the other eras' columns
+    val source = if (readSchemaManifests(spark, path).nonEmpty)
+      readEvolving(spark, path) else spark.read.parquet(path)
+    val stats = source
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val out = s"$path/_graft_stats"
@@ -431,11 +443,19 @@ object Lake {
 
   /** basePath keeps partition-dir columns in the schema when reading a
     * file subset, so the skipped read matches the unskipped one exactly.
+    * An EVOLVED table's subset resolves through the schema manifests
+    * (plain parquet reads over mixed-schema files silently drop columns).
     */
   private def readFileSubset(spark: SparkSession, path: String,
-      files: Seq[String]): DataFrame =
-    if (files.isEmpty) spark.read.parquet(path).limit(0)
+      files: Seq[String]): DataFrame = {
+    val evolved = readSchemaManifests(spark, path).nonEmpty
+    if (files.isEmpty) {
+      val full = if (evolved) readEvolving(spark, path)
+                 else spark.read.parquet(path)
+      full.limit(0)
+    } else if (evolved) evolvedRead(spark, path, Some(files))
     else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+  }
 
   /** PROBE-SET data skipping — the equality-lookup complement of
     * [[skipRange]]. Given the distinct join-key values of a (bounded)
@@ -574,9 +594,19 @@ object Lake {
       if (!fs.exists(statsDir)) Seq.empty
       else spark.read.json(statsDir.toString).schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    // an EVOLVED table's files carry DIFFERENT physical schemas: the
+    // rewrite must read through the manifests (a plain parquet read binds
+    // one footer's schema and silently drops other eras' columns) and the
+    // manifest chain must ride into the rewritten table — it stays valid
+    // over the uniform files (retired physical names read as all-null, so
+    // the rename folds are no-ops and the logical schema is unchanged)
+    val evolved = readSchemaManifests(spark, path).nonEmpty
     val children = fs.listStatus(hp)
     val leafDirs = children.filter(s => s.isDirectory &&
-      s.getPath.getName.contains("="))
+      s.getPath.getName.contains("=") && !s.getPath.getName.startsWith("_"))
+    require(!evolved || leafDirs.isEmpty,
+      s"$path mixes hive partition dirs with _graft_schema evolution; " +
+        "evolved tables are unpartitioned (writeEvolving)")
     val result = if (leafDirs.nonEmpty) {
       // hive-partitioned: recurse per partition dir (partition columns
       // live in the PATH, so each leaf compacts independently)
@@ -595,9 +625,19 @@ object Lake {
         // ignores them, so a concurrent scan of the parent table can never
         // discover a half-written "day=X.compacting" as a partition
         val staging = stagingPath(hp)
-        spark.read.parquet(path)
+        val source = if (evolved) readEvolving(spark, path)
+                     else spark.read.parquet(path)
+        source
           .coalesce(nOut.toInt)
           .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        // the schema-manifest chain publishes WITH the rewrite (one swap,
+        // no window where the table exists without its manifests); the
+        // rewritten files carry the latest LOGICAL schema, under which
+        // the old chain still reads correctly (see note above)
+        if (evolved) org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(hp, "_graft_schema"), fs,
+          new org.apache.hadoop.fs.Path(staging, "_graft_schema"),
+          false, spark.sparkContext.hadoopConfiguration)
         // publish via RENAME-ASIDE, not delete-then-rename: both complete
         // copies exist until the new one is in place, so a crash at any
         // step leaves a complete dir on disk (recoverAside above renames

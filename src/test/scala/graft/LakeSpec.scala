@@ -122,6 +122,33 @@ class LakeSpec extends SparkSpec {
     assert(scan.contains("ReadSchema"), scan)
   }
 
+  test("compaction and skipping read evolved tables through the manifests") {
+    val dir = tmp() + "/t"
+    Lake.writeEvolving(spark,
+      (1L to 40L).map(i => (i, i * 10)).toDF("id", "amt"), dir)
+    Lake.writeEvolving(spark,
+      (41L to 80L).map(i => (i, i * 10L, s"s$i")).toDF("id", "amount", "tag"),
+      dir, renames = Map("amt" -> "amount"))
+    val before = Lake.readEvolving(spark, dir).orderBy("id")
+      .collect().map(_.toString).toSeq
+    // stats over the LOGICAL column work across both physical eras
+    Lake.writeStats(spark, dir, Seq("id"))
+    val skim = Lake.readSkipping(spark, dir, Lake.skipRange("id", lit(1), lit(45)))
+    assert(skim.columns.toSeq == Seq("id", "amount", "tag"))
+    assert(skim.filter(col("id") === 30L).select("amount")
+      .as[Long].head() == 300L, "pre-rename era must fold through the subset read")
+    // compact must rewrite through the manifests — a footer-bound read
+    // would silently drop one era's columns — and carry the chain along
+    val (nb, na) = Lake.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(na < nb, s"expected a rewrite, got $nb -> $na")
+    assert(Lake.schemaVersions(spark, dir).nonEmpty)
+    val after = Lake.readEvolving(spark, dir).orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(after == before, "compaction changed the evolved table's content")
+    // the regenerated stats manifest still answers metadata counts
+    assert(Lake.rowCountFromManifest(spark, dir).contains(80L))
+  }
+
   private def dataFileCount(dir: String): Int =
     new java.io.File(dir).listFiles().count(f => f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith("."))
