@@ -110,14 +110,68 @@ object OperatorQueries {
       dir: String): String =
     signatureIndexCache.computeIfAbsent((sp, dir), { _ =>
       val p = s"${graft.pipeline.Scratch.dir("sigix")}/lanes"
-      val ix = signatureLanes(sp, dir, !incrementalBatchPred)
-      // one count at BUILD time (amortized over every screen) sizes the
-      // file count to the fixed per-file row target
-      val nFiles = math.max(4L, ix.count() / 512L).toInt
-      ix.repartitionByRange(nFiles, col("mh")).write.parquet(p)
-      graft.sources.Lake.writeStats(sp, p, Seq("mh"))
+      buildSignatureIndexAt(sp, dir, !incrementalBatchPred, p)
       p
     })
+
+  /** Range-lay the signature lanes of `pred`'s docs at `path` and publish
+    * the mh stats manifest (the build behind [[prebuildSignatureIndex]],
+    * callable on its own path so tests and re-range maintenance don't
+    * touch the session-cached index).
+    */
+  def buildSignatureIndexAt(sp: org.apache.spark.sql.SparkSession,
+      dir: String, pred: Column, path: String): Unit = {
+    val ix = signatureLanes(sp, dir, pred)
+    // one count at BUILD time (amortized over every screen) sizes the
+    // file count to the fixed per-file row target
+    val nFiles = math.max(4L, ix.count() / 512L).toInt
+    ix.repartitionByRange(nFiles, col("mh")).write.parquet(path)
+    graft.sources.Lake.writeStats(sp, path, Seq("mh"))
+  }
+
+  /** ADMIT a screened batch: append its signature lanes to the index and
+    * refresh the stats manifest — the post-screen half of the incremental
+    * loop (screen → admit → the NEXT batch screens against the grown
+    * index, so a day-2 duplicate of a day-1 doc is caught without ever
+    * re-scanning the corpus). Append cost ∝ batch. Two production notes
+    * carried as contracts here: (1) appended files span the whole mh
+    * range, so probe pruning degrades on them until a periodic re-range
+    * (re-run [[buildSignatureIndexAt]], the OPTIMIZE analog) — screens
+    * stay CORRECT throughout because the stats manifest covers the new
+    * files; (2) the manifest refresh recomputes all files — an
+    * incremental manifest append would make this O(batch), the same
+    * follow-up Delta's stats collection does.
+    */
+  def admitBatchToIndex(sp: org.apache.spark.sql.SparkSession,
+      dir: String, pred: Column, ixPath: String): Unit = {
+    signatureLanes(sp, dir, pred)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ixPath)
+    graft.sources.Lake.writeStats(sp, ixPath, Seq("mh"))
+  }
+
+  /** The SCREEN itself (the body of `dedup_incremental`, callable against
+    * any index path so the admit test can compare a grown index with a
+    * direct rebuild): probe-prune the index files with the batch's lane
+    * minima, broadcast-join the bounded batch, and report per batch doc
+    * the candidate count and the best estimated Jaccard.
+    */
+  def screenAgainstIndex(sp: org.apache.spark.sql.SparkSession,
+      dir: String, ixPath: String): org.apache.spark.sql.DataFrame = {
+    val batch = signatureLanes(sp, dir, incrementalBatchPred)
+      .select(col("doc_id").as("b_doc"), col("lane"), col("mh"))
+    // probe set: bounded by construction (25 docs × 16 lanes); the
+    // collect is metadata-sized, same class as the Lake manifest reads
+    val probes = batch.select("mh").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    val pairs = graft.sources.Lake.readProbed(sp, ixPath, "mh", probes).as("ix")
+      .join(broadcast(batch), Seq("lane", "mh"))
+      .groupBy(col("b_doc"), col("ix.doc_id").as("ix_doc"))
+      .agg(count(lit(1)).as("n_lanes"))
+    pairs.groupBy(col("b_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        (max(col("n_lanes")) / 16.0).as("best_est"))
+      .orderBy("doc_id")
+  }
 
   /** (files kept, total index files) for the registered screen's probe
     * set — surfaced so the scale bench can record how much of the index
@@ -456,23 +510,8 @@ object OperatorQueries {
     //      Jaccard — the admit/reject signal. ----
     QueryDef(
       "dedup_incremental",
-      (sp, dir) => {
-        val ixPath = prebuildSignatureIndex(sp, dir)
-        val batch = signatureLanes(sp, dir, incrementalBatchPred)
-          .select(col("doc_id").as("b_doc"), col("lane"), col("mh"))
-        // probe set: bounded by construction (25 docs × 16 lanes); the
-        // collect is metadata-sized, same class as the Lake manifest reads
-        val probes = batch.select("mh").distinct()
-          .collect().map(_.getString(0)).toIndexedSeq
-        val pairs = graft.sources.Lake.readProbed(sp, ixPath, "mh", probes).as("ix")
-          .join(broadcast(batch), Seq("lane", "mh"))
-          .groupBy(col("b_doc"), col("ix.doc_id").as("ix_doc"))
-          .agg(count(lit(1)).as("n_lanes"))
-        pairs.groupBy(col("b_doc").as("doc_id"))
-          .agg(count(lit(1)).as("n_cand"),
-            (max(col("n_lanes")) / 16.0).as("best_est"))
-          .orderBy("doc_id")
-      },
+      (sp, dir) =>
+        screenAgainstIndex(sp, dir, prebuildSignatureIndex(sp, dir)),
       Some(
         """WITH t AS (
           |  SELECT doc_id, string_split(text, ' ') AS toks

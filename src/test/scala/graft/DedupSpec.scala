@@ -94,4 +94,30 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet == Set(27L))
     assert(out(27L) == ((1L, 1.0)))
   }
+
+  test("admitting a batch grows the index; screens equal a direct rebuild") {
+    import graft.operators.{OperatorQueries => OQ}
+    val dir = "/root/testdata/sf0.001"
+    val t = java.nio.file.Files.createTempDirectory("admit").toString
+    val batchPred = col("doc_id") % 20 === 7 && col("doc_id") < 500
+    // day 1: index everything except the batch and the % 20 == 3 class
+    // (tomorrow's intake); day 2: admit that class via APPEND
+    val day2 = !batchPred && col("doc_id") % 20 === 3
+    OQ.buildSignatureIndexAt(spark, dir, !batchPred && col("doc_id") % 20 =!= 3,
+      s"$t/ix")
+    val before = OQ.screenAgainstIndex(spark, dir, s"$t/ix")
+      .collect().map(_.toString).toSeq
+    OQ.admitBatchToIndex(spark, dir, day2, s"$t/ix")
+    val after = OQ.screenAgainstIndex(spark, dir, s"$t/ix")
+      .collect().map(_.toString).toSeq
+    // the grown index must screen EXACTLY like one built over the union
+    // directly — append + manifest refresh loses nothing, and the stale-
+    // manifest guard accepted the appended files
+    OQ.buildSignatureIndexAt(spark, dir, !batchPred, s"$t/direct")
+    val direct = OQ.screenAgainstIndex(spark, dir, s"$t/direct")
+      .collect().map(_.toString).toSeq
+    assert(after == direct, "grown index diverges from a direct rebuild")
+    // and admitting can only ADD candidates
+    assert(after.size >= before.size)
+  }
 }
