@@ -477,6 +477,12 @@ object Lake {
     * Driver cost is metadata-proportional: one manifest row per file, one
     * binary search per file over the sorted probes.
     *
+    * Probes and stats bounds are compared as STRINGS: sound for string
+    * keys (the md5 signature case this serves) and for any key whose
+    * lexicographic order matches its value order (zero-padded fixed
+    * width); raw numeric keys should go through [[skipRange]], which
+    * compares in the column's own type.
+    *
     * @return (files kept, total data files in the manifest)
     */
   def probeDataFiles(spark: SparkSession, path: String, c: String,
@@ -660,6 +666,49 @@ object Lake {
     }
     if (statsCols.nonEmpty) writeStats(spark, path, statsCols)
     result
+  }
+
+  /** RE-RANGE maintenance — the OPTIMIZE analog for range-laid tables
+    * (single-column sibling of [[zorderWrite]], publish protocol of
+    * [[compact]]). Appends land as files spanning the whole key range, so
+    * probe/range pruning degrades as a table accretes (each appended file
+    * overlaps every probe); re-ranging rewrites the table ordered by `c`
+    * at a fixed rows-per-file target and republishes the stats manifest,
+    * restoring tight per-file bounds. Reads stay correct throughout —
+    * pruning quality, not correctness, is what decays — so this can run
+    * as periodic housekeeping exactly like Delta's OPTIMIZE. One range
+    * exchange; publish via the same crash-safe rename-aside as compact.
+    */
+  def rerange(spark: SparkSession, path: String, c: String,
+      targetFileRows: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAside(fs, hp)
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is schema-evolved; rerange after compact collapses the eras")
+    val statsDir = new org.apache.hadoop.fs.Path(hp, "_graft_stats")
+    val statsCols: Seq[String] =
+      if (!fs.exists(statsDir)) Seq(c)
+      else spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val nBefore = listDataFiles(fs, hp).size.toLong
+    val nOut = math.max(1L,
+      (spark.read.parquet(path).count() + targetFileRows - 1) / targetFileRows)
+    val staging = stagingPath(hp)
+    spark.read.parquet(path)
+      .repartitionByRange(nOut.toInt, col(c))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val aside = asidePath(hp)
+    fs.delete(aside, true)
+    require(fs.rename(hp, aside), s"rerange: could not move $path aside")
+    if (!fs.rename(staging, hp)) {
+      fs.rename(aside, hp)
+      sys.error(s"rerange: staging rename failed for $path (restored)")
+    }
+    fs.delete(aside, true)
+    writeStats(spark, path, statsCols)
+    (nBefore, listDataFiles(fs, hp).size.toLong)
   }
 
   /** If a crash stranded the table at `<path>.old` (between compact's two

@@ -149,6 +149,29 @@ class LakeSpec extends SparkSpec {
     assert(Lake.rowCountFromManifest(spark, dir).contains(80L))
   }
 
+  test("rerange restores probe pruning after appends span the key range") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+    rows(1 to 4000).repartitionByRange(8, col("k")).write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    val probes = Seq(f"${77}%06d")
+    val (k1, t1) = Lake.probeDataFiles(spark, dir, "k", probes)
+    assert(k1.size == 1 && t1 == 8, s"${k1.size}/$t1")
+    // an admitted batch lands as ONE file spanning the whole key range:
+    // the probe now hits it too — pruning degrades, correctness doesn't
+    rows(1 to 4000 by 97).coalesce(1).write.mode("append").parquet(dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    val (k2, _) = Lake.probeDataFiles(spark, dir, "k", probes)
+    assert(k2.size == 2, s"append should degrade pruning: ${k2.size}")
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val (nb, na) = Lake.rerange(spark, dir, "k", targetFileRows = 550)
+    assert(nb == 9 && na == 8, s"$nb -> $na")
+    // tight bounds restored; content byte-identical
+    val (k3, _) = Lake.probeDataFiles(spark, dir, "k", probes)
+    assert(k3.size == 1, s"rerange should restore pruning: ${k3.size}")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == before)
+  }
+
   private def dataFileCount(dir: String): Int =
     new java.io.File(dir).listFiles().count(f => f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith("."))
