@@ -101,7 +101,7 @@ object ScaleCheck {
     "dag_incremental", "lake_time_travel", "mm_features", "bpe_merges",
     "lake_partition_prune", "lake_zorder_skip", "emb_semdedup",
     "doc_cross_overlap", "doc_bm25", "doc_pagerank", "doc_quality_filter",
-    "dedup_incremental")
+    "dedup_incremental", "lake_schema_evolution", "q_approx_distinct")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

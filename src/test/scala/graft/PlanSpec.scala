@@ -165,6 +165,23 @@ class PlanSpec extends SparkSpec {
     assert(pruned.sameElements(full), "probed read lost matching rows")
   }
 
+  test("evolved read scans once with the manifest-built schema (no footer sweep)") {
+    val p = plan(q("lake_schema_evolution"))
+    // the scan schema must be the manifest-declared PHYSICAL union — both
+    // eras' column names — proving the reader resolved evolution from
+    // metadata (a mergeSchema footer sweep is the 100 TB anti-pattern;
+    // a footer-bound read would be missing one era's columns entirely)
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rs.isDefined, s"no ReadSchema in plan:\n$p")
+    assert(rs.get.contains("cents") && rs.get.contains("amount_cents") &&
+      rs.get.contains("source"),
+      s"scan schema missing an era's physical columns: ${rs.get}")
+    // one scan of the staged table; the rename folds are projections
+    val scanIds = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"expected one scan, got ${scanIds.size}:\n$p")
+  }
+
   test("doc_pii_scrub prunes to its three columns and stays narrow to the agg") {
     val p = plan(q("doc_pii_scrub"))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
