@@ -685,8 +685,12 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAside(fs, hp)
-    require(readSchemaManifests(spark, path).isEmpty,
-      s"$path is schema-evolved; rerange after compact collapses the eras")
+    // evolved tables re-range through the manifests, exactly like compact:
+    // the rewrite lands uniform latest-logical-schema files and the chain
+    // rides into staging so one rename publishes data + manifests together
+    val evolved = readSchemaManifests(spark, path).nonEmpty
+    def source = if (evolved) readEvolving(spark, path)
+                 else spark.read.parquet(path)
     val statsDir = new org.apache.hadoop.fs.Path(hp, "_graft_stats")
     val statsCols: Seq[String] =
       if (!fs.exists(statsDir)) Seq(c)
@@ -694,11 +698,15 @@ object Lake {
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     val nBefore = listDataFiles(fs, hp).size.toLong
     val nOut = math.max(1L,
-      (spark.read.parquet(path).count() + targetFileRows - 1) / targetFileRows)
+      (source.count() + targetFileRows - 1) / targetFileRows)
     val staging = stagingPath(hp)
-    spark.read.parquet(path)
+    source
       .repartitionByRange(nOut.toInt, col(c))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (evolved) org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(hp, "_graft_schema"), fs,
+      new org.apache.hadoop.fs.Path(staging, "_graft_schema"),
+      false, spark.sparkContext.hadoopConfiguration)
     val aside = asidePath(hp)
     fs.delete(aside, true)
     require(fs.rename(hp, aside), s"rerange: could not move $path aside")

@@ -172,6 +172,25 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == before)
   }
 
+  test("rerange on an evolved table folds eras and keeps the manifests") {
+    val dir = tmp() + "/t"
+    Lake.writeEvolving(spark,
+      (1L to 100L).map(i => (f"$i%06d", i)).toDF("k", "amt"), dir)
+    Lake.writeEvolving(spark,
+      (101L to 200L).map(i => (f"$i%06d", i, s"s$i")).toDF("k", "amount", "tag"),
+      dir, renames = Map("amt" -> "amount"))
+    val before = Lake.readEvolving(spark, dir).orderBy("k")
+      .collect().map(_.toString).toSeq
+    Lake.rerange(spark, dir, "k", targetFileRows = 50)
+    assert(Lake.schemaVersions(spark, dir).nonEmpty, "manifest chain lost")
+    val after = Lake.readEvolving(spark, dir).orderBy("k")
+      .collect().map(_.toString).toSeq
+    assert(after == before, "rerange changed the evolved table's content")
+    // the rewritten layout prunes on the rename-folded LOGICAL column set
+    val (kept, total) = Lake.probeDataFiles(spark, dir, "k", Seq(f"${7}%06d"))
+    assert(kept.size == 1 && total >= 4, s"${kept.size}/$total")
+  }
+
   private def dataFileCount(dir: String): Int =
     new java.io.File(dir).listFiles().count(f => f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith("."))
