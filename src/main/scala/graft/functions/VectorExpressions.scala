@@ -569,12 +569,68 @@ object VectorFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
-    ))
+    GraftExtensions.functions.foreach(ext.injectFunction)
     // opt-in band-join → binned equi-join rewrite (see its scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+  }
+}
+
+/** The engine's SQL-callable function surface: every graft expression
+  * whose arguments are SQL-expressible. Size/flag arguments must be
+  * LITERALS because they shape the expression (output arity, codegen
+  * loops) at plan time — a non-literal gets a clear analysis-time error,
+  * not a runtime surprise. The centroid/plane families (nearest_centroid,
+  * signed_projection_bucket, hyperplane_bucket, quantized_top_dots) take
+  * driver-resident model data (a trained codebook, a sign matrix) and are
+  * deliberately DSL-only: SQL has no literal syntax for model arrays, and
+  * smuggling them through string parsing would defeat the plan-time
+  * specialization that makes them fast.
+  */
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def litInt(es: Seq[Expression], i: Int, fn: String): Int =
+    es(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an INT literal " +
+          s"(it shapes the expression at plan time), got $other")
+    }
+
+  private def litBool(es: Seq[Expression], i: Int, fn: String): Boolean =
+    es(i) match {
+      case Literal(v: Boolean, BooleanType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a BOOLEAN literal, got $other")
+    }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    def f(name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression) =
+      (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+        builder)
+    Seq(
+      f("cosine_sim", classOf[CosineSimilarity],
+        es => CosineSimilarity(es(0), es(1))),
+      f("quantized_dot", classOf[QuantizedDot],
+        es => QuantizedDot(es(0), es(1), litInt(es, 2, "quantized_dot"))),
+      f("word_shingles", classOf[WordShingles],
+        es => WordShingles(es(0), litInt(es, 1, "word_shingles"),
+          litBool(es, 2, "word_shingles"))),
+      f("word_shingle_hashes", classOf[WordShingleHashes],
+        es => WordShingleHashes(es(0), litInt(es, 1, "word_shingle_hashes"),
+          litBool(es, 2, "word_shingle_hashes"))),
+      f("char_ngrams", classOf[CharNGrams],
+        es => CharNGrams(es(0), litInt(es, 1, "char_ngrams"))),
+      f("minhash_sig", classOf[MinHashSignature],
+        es => MinHashSignature(es(0), litInt(es, 1, "minhash_sig"))),
+      f("minhash_md5_lanes", classOf[MinHashMd5Lanes],
+        es => MinHashMd5Lanes(es(0), litInt(es, 1, "minhash_md5_lanes"))),
+      f("simhash_md5_chunks", classOf[SimHashMd5Chunks],
+        es => SimHashMd5Chunks(es(0), litInt(es, 1, "simhash_md5_chunks"),
+          litInt(es, 2, "simhash_md5_chunks"))),
+      f("simhash64", classOf[SimHash64], es => SimHash64(es(0))),
+    )
   }
 }
