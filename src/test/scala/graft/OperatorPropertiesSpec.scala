@@ -163,4 +163,62 @@ class OperatorPropertiesSpec extends SparkSpec {
       graft.functions.SignedProjectionBucket.quantize(_, 1000))
     assert(sparkSide.toSeq == native)
   }
+
+  test("schema evolution == in-memory model on random add/rename histories") {
+    // model: every row remembers its values by LOGICAL column name at
+    // write time; the unified read must equal the model projected onto
+    // the final logical schema (renames re-key history, adds null-fill)
+    import graft.sources.Lake
+    val colPool = Vector("a", "b", "c", "d", "e")
+    for (round <- 1 to 6) {
+      val rnd = new scala.util.Random(round * 7919L)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"evoprop$round").toString + "/t"
+      // logical schema state: logical name -> generation it appeared in
+      var logical = Vector("id", "a") // id is the row key, a the v1 payload
+      var model = Vector.empty[Map[String, Long]] // logical name -> value
+      var nextId = 0L
+      var gen = 0
+      while (gen < 4) {
+        gen += 1
+        // mutate schema after v1: maybe rename one payload column, maybe
+        // add a fresh one (names never reused — retirement is permanent)
+        var renames = Map.empty[String, String]
+        if (gen > 1 && rnd.nextBoolean()) {
+          val from = logical.drop(1)(rnd.nextInt(logical.size - 1))
+          val to = from + s"_r$gen"
+          renames = Map(from -> to)
+          // re-key HISTORY: old rows' values now live under the new name
+          model = model.map(m => m.get(from).fold(m)(v => m - from + (to -> v)))
+          logical = logical.map(c => if (c == from) to else c)
+        }
+        if (logical.size - 1 < colPool.size && rnd.nextBoolean()) {
+          val fresh = colPool(logical.size - 1) + s"_g$gen"
+          logical = logical :+ fresh
+        }
+        val rows = (0 until (1 + rnd.nextInt(4))).map { _ =>
+          val id = nextId; nextId += 1
+          logical.map(c => c -> (if (c == "id") id else rnd.nextLong(1000L)))
+            .toMap
+        }
+        model = model ++ rows
+        val df = rows
+          .map(r => org.apache.spark.sql.Row.fromSeq(logical.map(r)))
+        val schema = org.apache.spark.sql.types.StructType(logical.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType)))
+        Lake.writeEvolving(spark,
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(df, 1), schema),
+          dir, renames)
+      }
+      val got = Lake.readEvolving(spark, dir).orderBy("id").collect()
+        .map(r => logical.map(c =>
+          if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))))
+        .toSeq
+      val want = model.sortBy(_("id"))
+        .map(m => logical.map(m.get))
+      assert(got == want, s"round $round diverged from the model")
+    }
+  }
 }
