@@ -133,20 +133,23 @@ object OperatorQueries {
     * refresh the stats manifest — the post-screen half of the incremental
     * loop (screen → admit → the NEXT batch screens against the grown
     * index, so a day-2 duplicate of a day-1 doc is caught without ever
-    * re-scanning the corpus). Append cost ∝ batch. Two production notes
-    * carried as contracts here: (1) appended files span the whole mh
-    * range, so probe pruning degrades on them until a periodic re-range
-    * (re-run [[buildSignatureIndexAt]], the OPTIMIZE analog) — screens
-    * stay CORRECT throughout because the stats manifest covers the new
-    * files; (2) the manifest refresh recomputes all files — an
-    * incremental manifest append would make this O(batch), the same
-    * follow-up Delta's stats collection does.
+    * re-scanning the corpus). The WHOLE admit is O(batch): the lane
+    * append writes batch-sized files and [[graft.sources.Lake.appendStats]]
+    * computes manifest rows for only those files. One production note
+    * carried as a contract: appended files span the whole mh range, so
+    * probe pruning degrades on them until a periodic re-range
+    * ([[graft.sources.Lake.rerange]], the OPTIMIZE analog) — screens stay
+    * CORRECT throughout because the manifest covers the new files.
     */
   def admitBatchToIndex(sp: org.apache.spark.sql.SparkSession,
       dir: String, pred: Column, ixPath: String): Unit = {
     signatureLanes(sp, dir, pred)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ixPath)
-    graft.sources.Lake.writeStats(sp, ixPath, Seq("mh"))
+    // incremental manifest append: stats computed over the NEW files only,
+    // so the whole admit is O(batch) — a full writeStats would re-scan the
+    // corpus index on every intake
+    graft.sources.Lake.appendStats(sp, ixPath, Seq("mh"))
+    ()
   }
 
   /** The SCREEN itself (the body of `dedup_incremental`, callable against

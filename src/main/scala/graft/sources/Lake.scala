@@ -377,6 +377,57 @@ object Lake {
     spark.read.json(out).count()
   }
 
+  /** INCREMENTAL stats append — the O(batch) complement of [[writeStats]]
+    * for append-only tables: compute per-file min/max/n_rows for ONLY the
+    * data files the manifest does not cover yet (scanning just those
+    * files) and publish old + new manifest rows together. The manifest
+    * stays a single metadata-sized JSON file, rewritten via a tmp dir +
+    * rename so a reader never sees a partial manifest. This is what keeps
+    * an admit loop batch-proportional: full `writeStats` re-scans the
+    * corpus on every append, which at 100 TB turns each day's intake into
+    * a full-table statistics job.
+    *
+    * @return number of newly covered files
+    */
+  def appendStats(spark: SparkSession, path: String,
+      statsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, "appendStats needs at least one column")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    if (!fs.exists(manifestDir)) return writeStats(spark, path, statsCols)
+    val manifest = spark.read.json(manifestDir.toString)
+    val needed = statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+      Seq("file", "n_rows")
+    // a manifest from an older layout (different columns, no n_rows)
+    // cannot be appended to coherently — rebuild it in full instead
+    if (!needed.forall(manifest.schema.fieldNames.contains))
+      return writeStats(spark, path, statsCols)
+    val covered = manifest.select("file").collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val fresh = listDataFiles(fs, hp).filterNot(covered)
+    if (fresh.isEmpty) return 0L
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    // scan ONLY the fresh files — evolved tables resolve through the
+    // schema manifests like every other subset read
+    val freshStats = readFileSubset(spark, path, fresh)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val merged = manifest.select(freshStats.columns.map(col): _*)
+      .unionByName(freshStats)
+    // publish old+new together: stage under a dot-dir, swap via rename
+    val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.append")
+    fs.delete(staging, true)
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    fs.delete(manifestDir, true)
+    require(fs.rename(staging, manifestDir),
+      s"appendStats: manifest swap failed under $path (re-run writeStats)")
+    fresh.size.toLong
+  }
+
   /** Table row count from the `_graft_stats` manifest, if one exists, is
     * fresh (covers every current data file), and carries `n_rows` — a
     * METADATA-sized read replacing a full-corpus COUNT(*) scan. None →

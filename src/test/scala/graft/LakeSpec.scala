@@ -149,6 +149,27 @@ class LakeSpec extends SparkSpec {
     assert(Lake.rowCountFromManifest(spark, dir).contains(80L))
   }
 
+  test("appendStats covers only new files and matches a full rebuild") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+    rows(1 to 1000).repartitionByRange(4, col("k")).write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    rows(1001 to 1200).coalesce(1).write.mode("append").parquet(dir)
+    rows(1201 to 1300).coalesce(1).write.mode("append").parquet(dir)
+    // exactly the two appended files get fresh manifest rows
+    assert(Lake.appendStats(spark, dir, Seq("k")) == 2L)
+    assert(Lake.appendStats(spark, dir, Seq("k")) == 0L) // idempotent
+    // the merged manifest answers metadata counts and skips like a full
+    // rebuild would
+    assert(Lake.rowCountFromManifest(spark, dir).contains(1300L))
+    val probed = Lake.readProbed(spark, dir, "k", Seq(f"${1250}%06d"))
+      .select("k", "v").collect().map(_.toString).sorted.toSeq
+    Lake.writeStats(spark, dir, Seq("k")) // full rebuild, same data
+    val rebuilt = Lake.readProbed(spark, dir, "k", Seq(f"${1250}%06d"))
+      .select("k", "v").collect().map(_.toString).sorted.toSeq
+    assert(probed == rebuilt && probed.nonEmpty)
+  }
+
   test("rerange restores probe pruning after appends span the key range") {
     val dir = tmp() + "/t"
     def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
