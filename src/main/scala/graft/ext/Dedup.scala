@@ -122,7 +122,8 @@ object Dedup {
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shh").as("b_sh")), Seq("b_id"))
-      .withColumn("n_inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("n_inter",
+        graft.functions.TextFunctions.intersect_count(col("a_sh"), col("b_sh")))
       .withColumn("jaccard",
         col("n_inter") * 1.0 / (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")))
       .filter(col("jaccard") >= threshold)
@@ -186,7 +187,8 @@ object Dedup {
     cand
       .join(w.select(col("doc_id").as("src"), col("w").as("aw")), "src")
       .join(w.select(col("doc_id").as("dst"), col("w").as("bw")), "dst")
-      .withColumn("n_inter", size(array_intersect(col("aw"), col("bw"))))
+      .withColumn("n_inter",
+        graft.functions.TextFunctions.intersect_count(col("aw"), col("bw")))
       .withColumn("jaccard",
         col("n_inter") * 1.0 /
           (size(col("aw")) + size(col("bw")) - col("n_inter")))
@@ -340,7 +342,8 @@ object Dedup {
           .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
         s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            size(array_intersect(col("a.w"), col("b.w"))).as("n_inter"),
+            graft.functions.TextFunctions
+              .intersect_count(col("a.w"), col("b.w")).as("n_inter"),
             size(col("a.w")).as("n_a"), size(col("b.w")).as("n_b"))
           .withColumn("jaccard",
             col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))

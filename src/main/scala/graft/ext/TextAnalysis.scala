@@ -86,7 +86,8 @@ object TextAnalysis {
     docs
       .withColumn("doc_tris", tris(col("text")))
       .crossJoin(broadcast(profiles))
-      .withColumn("score", size(array_intersect(col("doc_tris"), col("profile"))))
+      .withColumn("score", graft.functions.TextFunctions
+        .intersect_count(col("doc_tris"), col("profile")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("profile_lang"))))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlShims.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -435,6 +435,114 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** COUNT-ONLY array intersection — `size(array_intersect(a, b))` without
+  * materializing the intersection. The dedup verification joins compute
+  * exactly this over every candidate pair (the hottest inner loop in the
+  * near-dup family), and `array_intersect` allocates a result ArrayData
+  * plus a second pass just to have `size` read its length. Semantics are
+  * bit-identical to the composed form (spec-pinned on randomized inputs):
+  * distinct elements of `a` also present in `b` are counted, a null
+  * element counts once iff present on both sides, a null ARRAY yields
+  * null. Long arrays (the shingle-hash path) count through an
+  * open-addressing long table — no boxing; string arrays go through a
+  * hash set of UTF8String.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "intersect_count"
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) if a == b &&
+          (a == LongType || a == StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "intersect_count expects two arrays of matching long/string " +
+          s"element type, got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("intersectCount", this,
+      classOf[IntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Int = elemType match {
+    case LongType => computeLong(a, b)
+    case _ => computeGeneric(a, b)
+  }
+
+  /** Open-addressing table of b's longs (power-of-two size, linear
+    * probing, tombstone-free removal by count-once flagging): one long[]
+    * + one boolean[] per call, zero boxing.
+    */
+  private def computeLong(a: ArrayData, b: ArrayData): Int = {
+    val nB = b.numElements()
+    var cap = 8
+    while (cap < nB * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val counted = new Array[Boolean](cap)
+    val mask = cap - 1
+    var bHasNull = false
+    var i = 0
+    while (i < nB) {
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val v = b.getLong(i)
+        var slot = (java.lang.Long.hashCode(v) & 0x7fffffff) & mask
+        while (used(slot) && keys(slot) != v) slot = (slot + 1) & mask
+        keys(slot) = v; used(slot) = true
+      }
+      i += 1
+    }
+    var count = 0
+    var aNullCounted = false
+    i = 0
+    val nA = a.numElements()
+    while (i < nA) {
+      if (a.isNullAt(i)) {
+        if (!aNullCounted && bHasNull) count += 1
+        aNullCounted = true
+      } else {
+        val v = a.getLong(i)
+        var slot = (java.lang.Long.hashCode(v) & 0x7fffffff) & mask
+        while (used(slot) && keys(slot) != v) slot = (slot + 1) & mask
+        if (used(slot) && !counted(slot)) { counted(slot) = true; count += 1 }
+      }
+      i += 1
+    }
+    count
+  }
+
+  private def computeGeneric(a: ArrayData, b: ArrayData): Int = {
+    val set = new java.util.HashSet[Any]()
+    var bHasNull = false
+    b.foreach(elemType, (_, v) =>
+      if (v == null) bHasNull = true else set.add(v))
+    var count = 0
+    var aNullCounted = false
+    a.foreach(elemType, (_, v) =>
+      if (v == null) {
+        if (!aNullCounted && bHasNull) count += 1
+        aNullCounted = true
+      } else if (set.remove(v)) count += 1)
+    count
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   def word_shingles(text: Column, n: Int, distinct: Boolean = false): Column =
     toCol(WordShingles(toExpr(text), n, distinct))
@@ -468,6 +576,9 @@ object TextFunctions {
   def might_contain(bf: Column, hashed: Column): Column =
     toCol(org.apache.spark.sql.catalyst.expressions
       .BloomFilterMightContain(toExpr(bf), toExpr(hashed)))
+  def intersect_count(a: Column, b: Column): Column =
+    toCol(IntersectCount(toExpr(a), toExpr(b)))
+
   def simhash64(shingles: Column): Column =
     toCol(SimHash64(toExpr(shingles)))
 }

@@ -631,6 +631,8 @@ object GraftExtensions {
         es => SimHashMd5Chunks(es(0), litInt(es, 1, "simhash_md5_chunks"),
           litInt(es, 2, "simhash_md5_chunks"))),
       f("simhash64", classOf[SimHash64], es => SimHash64(es(0))),
+      f("intersect_count", classOf[IntersectCount],
+        es => IntersectCount(es(0), es(1))),
     )
   }
 }

@@ -145,4 +145,46 @@ class TextExpressionsSpec extends SparkSpec {
       TextFunctions.simhash_md5_chunks(sh, 16, 4).as("native"), hof.as("hof"))
     assert(df.filter(col("native") =!= col("hof")).isEmpty)
   }
+
+  test("intersect_count == size(array_intersect) on randomized long/string arrays") {
+    val rnd = new scala.util.Random(4242)
+    // duplicates and nulls included: the contract is exact equivalence
+    // with the composed form, which dedups the left side and keeps null
+    // once when both sides carry one
+    def longArr() = Array.fill(rnd.nextInt(12))(
+      if (rnd.nextInt(8) == 0) null
+      else java.lang.Long.valueOf(rnd.nextLong(6L)))
+    def strArr() = Array.fill(rnd.nextInt(12))(
+      if (rnd.nextInt(8) == 0) null else s"w${rnd.nextInt(6)}")
+    val rows = (1 to 200).map(_ =>
+      org.apache.spark.sql.Row(longArr().toSeq, longArr().toSeq,
+        strArr().toSeq, strArr().toSeq))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("la",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)),
+      org.apache.spark.sql.types.StructField("lb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)),
+      org.apache.spark.sql.types.StructField("sa",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true)),
+      org.apache.spark.sql.types.StructField("sb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val checked = df.select(
+      TextFunctions.intersect_count(col("la"), col("lb")).as("nl"),
+      size(array_intersect(col("la"), col("lb"))).as("el"),
+      TextFunctions.intersect_count(col("sa"), col("sb")).as("ns"),
+      size(array_intersect(col("sa"), col("sb"))).as("es"))
+    assert(checked.filter(col("nl") =!= col("el") || col("ns") =!= col("es"))
+      .isEmpty)
+    // null ARRAY propagates null
+    val nullArr = df.limit(1).select(
+      TextFunctions.intersect_count(lit(null).cast("array<bigint>"),
+        col("lb")).as("n")).collect()
+    assert(nullArr.head.isNullAt(0))
+  }
 }
