@@ -235,9 +235,12 @@ object Lake {
       s"""{"version":$next,"fields":$fieldsJson,"renames":$renamesJson}"""
         .getBytes("UTF-8"))
     out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // NO-overwrite rename: two writers racing to publish the same next
+    // version must fail loudly, not silently clobber each other's schema
+    // (the loser retries against the listing that now shows the winner)
+    require(fs.rename(tmp, dst),
+      s"writeEvolving: schema version $next already published under $path " +
+        "(concurrent writer?) - re-read schemaVersions and retry")
     df.write.mode(SaveMode.Append).parquet(path)
     next
   }
@@ -372,9 +375,18 @@ object Lake {
     val stats = source
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    val out = s"$path/_graft_stats"
-    stats.coalesce(1).write.mode(SaveMode.Overwrite).json(out)
-    spark.read.json(out).count()
+    // staged swap (same as appendStats): a concurrent reader sees the old
+    // complete manifest or the new one, never a missing/partial dir
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.rebuild")
+    fs.delete(staging, true)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    val out = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    fs.delete(out, true)
+    require(fs.rename(staging, out),
+      s"writeStats: manifest swap failed under $path")
+    spark.read.json(out.toString).count()
   }
 
   /** INCREMENTAL stats append — the O(batch) complement of [[writeStats]]
@@ -540,6 +552,12 @@ object Lake {
       probes: Seq[String]): (Seq[String], Int) = {
     import org.apache.spark.sql.functions.col
     val manifest = validatedManifest(spark, path)
+    // string comparison on numeric bounds would order "100" < "20" and
+    // prune WRONG files — refuse instead of silently losing rows
+    require(manifest.schema(s"min_$c").dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"probeDataFiles($c): stats bounds are numeric; lexicographic probe " +
+        "pruning would be unsound - use skipRange, or zero-pad the key")
     val rows = manifest.select(col("file"),
       col(s"min_$c").cast("string"), col(s"max_$c").cast("string")).collect()
     val sorted = probes.distinct.sorted.toIndexedSeq

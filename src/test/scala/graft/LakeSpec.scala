@@ -170,6 +170,17 @@ class LakeSpec extends SparkSpec {
     assert(probed == rebuilt && probed.nonEmpty)
   }
 
+  test("probe pruning refuses numeric stats bounds (lexicographic hazard)") {
+    val dir = tmp() + "/t"
+    (1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      Lake.probeDataFiles(spark, dir, "id", Seq("20"))
+    }
+    assert(e.getMessage.contains("skipRange"), e.getMessage)
+  }
+
   test("rerange restores probe pruning after appends span the key range") {
     val dir = tmp() + "/t"
     def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
