@@ -410,17 +410,22 @@ object Lake {
     val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     if (!fs.exists(manifestDir)) return writeStats(spark, path, statsCols)
     val manifest = spark.read.json(manifestDir.toString)
-    val needed = statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-      Seq("file", "n_rows")
-    // a manifest from an older layout (different columns, no n_rows)
-    // cannot be appended to coherently — rebuild it in full instead
-    if (!needed.forall(manifest.schema.fieldNames.contains))
-      return writeStats(spark, path, statsCols)
+    // append rows for EVERY column the manifest tracks, not just the ones
+    // this caller asked about — selecting a subset would silently drop the
+    // other columns' bounds from the merged manifest (a Z-ordered table
+    // tracks several). A manifest from an older layout (missing n_rows,
+    // or not covering the requested columns) rebuilds in full instead.
+    val tracked = manifest.schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val appendCols =
+      if (statsCols.forall(tracked.contains) &&
+          manifest.schema.fieldNames.contains("n_rows")) tracked
+      else return writeStats(spark, path, statsCols)
     val covered = manifest.select("file").collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     val fresh = listDataFiles(fs, hp).filterNot(covered)
     if (fresh.isEmpty) return 0L
-    val aggs = statsCols.flatMap(c =>
+    val aggs = appendCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
     // scan ONLY the fresh files — evolved tables resolve through the

@@ -170,6 +170,20 @@ class LakeSpec extends SparkSpec {
     assert(probed == rebuilt && probed.nonEmpty)
   }
 
+  test("appendStats keeps bounds for EVERY tracked column, not the subset asked") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", f"${i * 3}%06d")).toDF("k", "k2")
+    rows(1 to 400).repartitionByRange(4, col("k")).write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("k", "k2")) // two tracked columns
+    rows(401 to 450).coalesce(1).write.mode("append").parquet(dir)
+    assert(Lake.appendStats(spark, dir, Seq("k")) == 1L) // asks for one
+    // both columns still prune after the append — the merged manifest
+    // must carry k2's bounds for every file (old and fresh)
+    val (kk, _) = Lake.probeDataFiles(spark, dir, "k", Seq(f"${50}%06d"))
+    val (k2, t2) = Lake.probeDataFiles(spark, dir, "k2", Seq(f"${150}%06d"))
+    assert(kk.nonEmpty && k2.nonEmpty && k2.size < t2, s"${k2.size}/$t2")
+  }
+
   test("probe pruning refuses numeric stats bounds (lexicographic hazard)") {
     val dir = tmp() + "/t"
     (1L to 100L).map(i => (i, i)).toDF("id", "v")
