@@ -222,6 +222,15 @@ object Lake {
           require(old == tpe,
             s"column '$name' changes type $old -> $tpe; type evolution is not supported"))
       }
+      // retirement is PERMANENT: a name ever used as a rename source may
+      // not return — the physical union keeps its original entry and the
+      // fold would silently swallow the new column's data into the rename
+      // target (old files' nulls win nothing, new files' values vanish)
+      val retired = (prior.flatMap(_.renames.map(_._1)) ++ renames.keys).toSet
+      newFields.map(_._1).find(retired).foreach(name =>
+        throw new IllegalArgumentException(
+          s"column name '$name' was retired by an earlier rename and " +
+            "cannot be reused"))
     }
     fs.mkdirs(new org.apache.hadoop.fs.Path(hp, "_graft_schema"))
     val fieldsJson = newFields.map { case (n, t) =>

@@ -108,6 +108,12 @@ class LakeSpec extends SparkSpec {
       Lake.writeEvolving(spark,
         Seq((1L, "s", "t")).toDF("id", "amount", "tag"), dir)
     }
+    // a RETIRED name may never return: the physical union still carries
+    // its v1 entry and the fold would swallow the new column's data
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark,
+        Seq((9L, 9L, "x", 5L)).toDF("id", "amount", "tag", "amt"), dir)
+    }
     // rename CHAIN across versions: v3 renames amount -> amount_c
     assert(Lake.writeEvolving(spark,
       Seq((4L, 40L, "y")).toDF("id", "amount_c", "tag"), dir,
