@@ -90,6 +90,32 @@ object Multimodal {
     * any engine (the mm_features oracle). Encoder state is per-partition
     * (`setUseCache(false)`: no temp-file spooling in executors).
     */
+  /** Adapt raw ingested media files ([[graft.sources.Lake.readBinaryFiles]]
+    * rows: path, modificationTime, length, content) to the mediaSchema
+    * contract: `doc_id` from the trailing digits of the file name (the
+    * usual `<prefix>_<id>.<ext>` landing convention; a file without
+    * digits gets a stable xxhash64 of its path), `media_type` from the
+    * extension. A NARROW projection — the blob is never decoded here, and
+    * `n_bytes` comes from file metadata, so everything downstream can
+    * filter/route on size and type without touching `content`.
+    */
+  def fromBinaryFiles(files: DataFrame): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    files.select(
+      coalesce(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1)
+          .cast("long"),
+        xxhash64(col("path"))).as("doc_id"),
+      concat(
+        when(ext.isin("png", "jpg", "jpeg", "bmp"), lit("image/"))
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), lit("audio/"))
+          .when(ext.isin("gif", "mp4", "avi", "webm"), lit("video/"))
+          .otherwise(lit("application/")),
+        ext).as("media_type"),
+      col("content").as("payload"),
+      col("length").as("n_bytes"))
+  }
+
   def asImageTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -49,6 +49,24 @@ object Lake {
     schema.fold(r.option("inferSchema", "true"))(r.schema).load(path)
   }
 
+  /** RAW MEDIA ingestion — Spark's bundled `binaryFile` source: one row
+    * per file with (path, modificationTime, length, content). This is the
+    * edge where image/audio/video corpora ENTER the lake; downstream
+    * everything flows as binary columns + typed metadata
+    * ([[graft.ext.Multimodal]]). Two scale levers matter at the edge:
+    * `pathGlobFilter` prunes non-media files at LISTING time (before any
+    * read), and `maxBytesPerFile` is deliberately not exposed — media
+    * files are atomic, a partial JPEG is garbage. Blob-dominated rows
+    * mean the FIRST thing after ingestion should be writing
+    * length/type metadata columns so later planning never touches
+    * `content` (mediaSchema's n_bytes pattern).
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Small-file compaction — the OPTIMIZE equivalent for plain parquet
     * dirs. Streaming sinks and incremental appends accrete one file per
     * micro-batch/run; at 100 TB that is a week-one pathology (every scan

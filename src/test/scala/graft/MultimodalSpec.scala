@@ -125,4 +125,39 @@ class MultimodalSpec extends SparkSpec {
         s"frame $f decoded pixel count")
     }
   }
+
+  test("raw media files ingest via binaryFile and decode like the fixtures") {
+    import spark.implicits._
+    // land REAL PNG files (same generator as the parquet fixture) plus a
+    // decoy the glob must prune at listing time
+    val dir = java.nio.file.Files.createTempDirectory("rawmedia").toString
+    val ids = Seq(3L, 7L, 11L)
+    val planted = Multimodal.asImageTable(ids.toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    planted.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"img_$id.png"), bytes)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "notes.txt"), "decoy".getBytes)
+    val ingested = Multimodal.fromBinaryFiles(
+      graft.sources.Lake.readBinaryFiles(spark, dir, Some("*.png")))
+    // listing-time pruning: the decoy never reaches the frame
+    assert(ingested.count() == 3)
+    // doc_id from the file-name digits; type from the extension; n_bytes
+    // from file METADATA (no decode)
+    assert(ingested.select("doc_id").as[Long].collect().sorted.toSeq == ids)
+    assert(ingested.select("media_type").distinct().as[String].head()
+      == "image/png")
+    // the ingested bytes decode to EXACTLY the fixture-path features
+    val viaFiles = Multimodal.extractFeatures(ingested)
+      .select("doc_id", "width", "height", "checksum")
+      .collect().map(_.toString).sorted.toSeq
+    val viaFixture = Multimodal.extractFeatures(
+      Multimodal.asImageTable(ids.toDF("doc_id")))
+      .select("doc_id", "width", "height", "checksum")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaFiles == viaFixture)
+  }
 }
