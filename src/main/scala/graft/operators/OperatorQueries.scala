@@ -157,16 +157,29 @@ object OperatorQueries {
     * direct rebuild): probe-prune the index files with the batch's lane
     * minima, broadcast-join the bounded batch, and report per batch doc
     * the candidate count and the best estimated Jaccard.
+    *
+    * `maxProbes` makes the documented graceful-degradation path REAL for
+    * arbitrary callers: the probe collect is driver-resident, so a batch
+    * whose distinct lane minima exceed the cap skips pruning and runs the
+    * one narrow shuffle-free full scan instead (correct either way — at
+    * that probe count the files would barely prune anyway, and a day's
+    * intake lands here by design). The registered query's batch is 25
+    * docs × 16 lanes, far under any cap.
     */
   def screenAgainstIndex(sp: org.apache.spark.sql.SparkSession,
-      dir: String, ixPath: String): org.apache.spark.sql.DataFrame = {
+      dir: String, ixPath: String,
+      maxProbes: Long = 100000L): org.apache.spark.sql.DataFrame = {
     val batch = signatureLanes(sp, dir, incrementalBatchPred)
       .select(col("doc_id").as("b_doc"), col("lane"), col("mh"))
-    // probe set: bounded by construction (25 docs × 16 lanes); the
-    // collect is metadata-sized, same class as the Lake manifest reads
-    val probes = batch.select("mh").distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
-    val pairs = graft.sources.Lake.readProbed(sp, ixPath, "mh", probes).as("ix")
+    val distinctMh = batch.select("mh").distinct()
+    // one tiny aggregate decides the path; the collect below is then
+    // provably bounded by maxProbes (metadata-sized, same class as the
+    // Lake manifest reads)
+    val ix =
+      if (distinctMh.count() > maxProbes) sp.read.parquet(ixPath)
+      else graft.sources.Lake.readProbed(sp, ixPath, "mh",
+        distinctMh.collect().map(_.getString(0)).toIndexedSeq)
+    val pairs = ix.as("ix")
       .join(broadcast(batch), Seq("lane", "mh"))
       .groupBy(col("b_doc"), col("ix.doc_id").as("ix_doc"))
       .agg(count(lit(1)).as("n_lanes"))

@@ -53,6 +53,47 @@ object Ingest {
   def bronzeBatch(spark: SparkSession, landingDir: String): DataFrame =
     spark.read.schema(rawEventSchema).json(landingDir)
 
+  /** Streaming RAW MEDIA ingestion — the continuous form of
+    * [[graft.sources.Lake.readBinaryFiles]]: files landing in `dir` flow
+    * as one row each (FileStreamSource tracks seen files in the
+    * checkpoint, so re-drains are exactly-once like the JSON bronze), are
+    * adapted to the mediaSchema contract by the same narrow
+    * [[graft.ext.Multimodal.fromBinaryFiles]] projection, and append to a
+    * parquet media table. Glob pruning happens at LISTING time —
+    * non-media files never even enter the source's seen-files log.
+    * `maxFilesPerTrigger` is the media-pipeline backpressure lever: blobs
+    * dominate row size, so triggers are sized by FILES, not rows.
+    */
+  def mediaStream(spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // streaming sources require an explicit schema; binaryFile's is fixed
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("modificationTime", TimestampType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val r = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    graft.ext.Multimodal.fromBinaryFiles(r.load(dir))
+  }
+
+  /** Drain all currently-landed media files into the parquet media table
+    * (Trigger.AvailableNow + checkpoint: triggered-mode parity with the
+    * event ingestion; a re-drain with no new files appends nothing).
+    */
+  def runMediaPipeline(spark: SparkSession, landingDir: String, glob: String,
+      tableDir: String, checkpointDir: String): Unit = {
+    val q = mediaStream(spark, landingDir, glob)
+      .writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Schema inference for the streaming edge — the OSS twin of Auto
     * Loader's inferred-schema mode (bronze_iot_events.sql:12-15 infers;
     * OSS FileStreamSource refuses to): sample the landing dir with a

@@ -119,5 +119,10 @@ class DedupSpec extends SparkSpec {
     assert(after == direct, "grown index diverges from a direct rebuild")
     // and admitting can only ADD candidates
     assert(after.size >= before.size)
+    // the graceful degradation path (probe cap exceeded → one narrow full
+    // scan, no driver-side probe collect) is result-identical
+    val fullScan = OQ.screenAgainstIndex(spark, dir, s"$t/ix", maxProbes = 0L)
+      .collect().map(_.toString).toSeq
+    assert(fullScan == after, "full-scan screen diverges from pruned screen")
   }
 }

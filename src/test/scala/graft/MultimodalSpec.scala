@@ -160,4 +160,40 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(viaFiles == viaFixture)
   }
+
+  test("streaming media ingestion drains exactly-once and re-drains no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mediastream").toString
+    val landing = s"$root/landing"; new java.io.File(landing).mkdirs()
+    val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    def land(ids: Seq[Long]): Unit =
+      Multimodal.asImageTable(ids.toDF("doc_id"))
+        .select("doc_id", "payload").collect()
+        .foreach(r => java.nio.file.Files.write(
+          java.nio.file.Paths.get(landing, s"img_${r.getLong(0)}.png"),
+          r.getAs[Array[Byte]](1)))
+    land(Seq(1L, 2L))
+    java.nio.file.Files.write( // decoy: pruned at LISTING, never ingested
+      java.nio.file.Paths.get(landing, "junk.txt"), "x".getBytes)
+    graft.stream.Ingest.runMediaPipeline(spark, landing, "*.png", table, ckpt)
+    def ids = spark.read.parquet(table).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+    // re-drain with nothing new: the checkpoint's seen-files log makes it
+    // a no-op (exactly-once), then a late file flows through incrementally
+    graft.stream.Ingest.runMediaPipeline(spark, landing, "*.png", table, ckpt)
+    assert(ids == Seq(1L, 2L))
+    land(Seq(5L))
+    graft.stream.Ingest.runMediaPipeline(spark, landing, "*.png", table, ckpt)
+    assert(ids == Seq(1L, 2L, 5L))
+    // ingested payloads decode identically to the fixture path
+    val feats = Multimodal.extractFeatures(spark.read.parquet(table))
+      .select("doc_id", "width", "height", "checksum")
+      .collect().map(_.toString).sorted.toSeq
+    val want = Multimodal.extractFeatures(
+      Multimodal.asImageTable(Seq(1L, 2L, 5L).toDF("doc_id")))
+      .select("doc_id", "width", "height", "checksum")
+      .collect().map(_.toString).sorted.toSeq
+    assert(feats == want)
+  }
 }
