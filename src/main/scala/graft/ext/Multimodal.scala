@@ -98,6 +98,14 @@ object Multimodal {
     * extension. A NARROW projection — the blob is never decoded here, and
     * `n_bytes` comes from file metadata, so everything downstream can
     * filter/route on size and type without touching `content`.
+    *
+    * Contracts: (1) the digit convention assumes ONE landing prefix per
+    * directory — `img_7.png` and `thumb_7.png` in the same dir would
+    * both map to doc_id 7 (land variants in separate dirs, or dedupe on
+    * ingestion); (2) `.gif` maps to `video/gif`, THIS repo's convention
+    * (the GIF is the JDK-decodable moving-picture container —
+    * [[asVideoTable]] emits the same type and [[sampleFrames]] consumes
+    * it), not the IANA `image/gif`.
     */
   def fromBinaryFiles(files: DataFrame): DataFrame = {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))

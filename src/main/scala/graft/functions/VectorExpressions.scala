@@ -606,10 +606,19 @@ object GraftExtensions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = {
+    val arity = Map("cosine_sim" -> 2, "quantized_dot" -> 3,
+      "word_shingles" -> 3, "word_shingle_hashes" -> 3, "char_ngrams" -> 2,
+      "minhash_sig" -> 2, "minhash_md5_lanes" -> 2,
+      "simhash_md5_chunks" -> 3, "simhash64" -> 1, "intersect_count" -> 2)
     def f(name: String, clazz: Class[_],
         builder: Seq[Expression] => Expression) =
       (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
-        builder)
+        (es: Seq[Expression]) => {
+          // clear arity error instead of a bare IndexOutOfBounds from es(i)
+          if (es.length != arity(name)) throw new IllegalArgumentException(
+            s"$name expects ${arity(name)} argument(s), got ${es.length}")
+          builder(es)
+        })
     Seq(
       f("cosine_sim", classOf[CosineSimilarity],
         es => CosineSimilarity(es(0), es(1))),

@@ -77,7 +77,7 @@ object OperatorQueries {
     * test dir has >= 500 docs) — the fixed-size "day's intake" whose
     * broadcast is bounded by construction, never corpus-proportional.
     */
-  private val incrementalBatchPred: Column =
+  private[graft] val incrementalBatchPred: Column =
     col("doc_id") % 20 === 7 && col("doc_id") < 500
 
   /** All 16 lane minima of the md5 minhash signature in ONE narrow pass
@@ -171,14 +171,16 @@ object OperatorQueries {
       maxProbes: Long = 100000L): org.apache.spark.sql.DataFrame = {
     val batch = signatureLanes(sp, dir, incrementalBatchPred)
       .select(col("doc_id").as("b_doc"), col("lane"), col("mh"))
-    val distinctMh = batch.select("mh").distinct()
-    // one tiny aggregate decides the path; the collect below is then
-    // provably bounded by maxProbes (metadata-sized, same class as the
-    // Lake manifest reads)
+    // ONE bounded job decides the path and fetches the probes: limit
+    // maxProbes+1 caps the driver transfer regardless of batch size, and
+    // an overflow row means "too many to prune" → the narrow full scan
+    val probeRows = batch.select("mh").distinct()
+      .limit(math.min(maxProbes + 1, Int.MaxValue).toInt)
+      .collect()
     val ix =
-      if (distinctMh.count() > maxProbes) sp.read.parquet(ixPath)
+      if (probeRows.length > maxProbes) sp.read.parquet(ixPath)
       else graft.sources.Lake.readProbed(sp, ixPath, "mh",
-        distinctMh.collect().map(_.getString(0)).toIndexedSeq)
+        probeRows.map(_.getString(0)).toIndexedSeq)
     val pairs = ix.as("ix")
       .join(broadcast(batch), Seq("lane", "mh"))
       .groupBy(col("b_doc"), col("ix.doc_id").as("ix_doc"))

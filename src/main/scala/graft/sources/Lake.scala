@@ -262,9 +262,16 @@ object Lake {
       s"""{"version":$next,"fields":$fieldsJson,"renames":$renamesJson}"""
         .getBytes("UTF-8"))
     out.close()
-    // NO-overwrite rename: two writers racing to publish the same next
-    // version must fail loudly, not silently clobber each other's schema
-    // (the loser retries against the listing that now shows the winner)
+    // Concurrent-publish guard: two writers racing to the same next
+    // version must fail loudly, not silently clobber each other's schema.
+    // On HDFS-like filesystems rename-to-existing fails by contract; on
+    // the LOCAL filesystem it silently replaces (POSIX rename), so the
+    // explicit exists-check below carries the guard there — a residual
+    // check-then-rename window remains on local FS (single-writer is the
+    // local contract; production object stores/HDFS give the atomic form).
+    require(!fs.exists(dst),
+      s"writeEvolving: schema version $next already published under $path " +
+        "(concurrent writer?) - re-read schemaVersions and retry")
     require(fs.rename(tmp, dst),
       s"writeEvolving: schema version $next already published under $path " +
         "(concurrent writer?) - re-read schemaVersions and retry")
@@ -402,18 +409,38 @@ object Lake {
     val stats = source
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    // staged swap (same as appendStats): a concurrent reader sees the old
-    // complete manifest or the new one, never a missing/partial dir
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.rebuild")
     fs.delete(staging, true)
     stats.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
     val out = new org.apache.hadoop.fs.Path(path, "_graft_stats")
-    fs.delete(out, true)
-    require(fs.rename(staging, out),
-      s"writeStats: manifest swap failed under $path")
+    publishManifest(fs, staging, out, path)
     spark.read.json(out.toString).count()
+  }
+
+  /** Publish a staged manifest dir via RENAME-ASIDE (compact's protocol,
+    * not delete-then-rename): both complete manifests exist until the new
+    * one is in place, so the no-manifest window shrinks to the instant
+    * between the two renames, and a crash leaves the aside copy on disk.
+    * The manifest is derived data — a reader hitting that instant gets
+    * validatedManifest's clear require, and re-running writeStats fully
+    * repairs; nothing is ever silently wrong, only loudly absent.
+    */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, out: org.apache.hadoop.fs.Path,
+      path: String): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(path, "._graft_stats.old")
+    fs.delete(aside, true)
+    if (fs.exists(out)) require(fs.rename(out, aside),
+      s"manifest publish: could not move $out aside")
+    if (!fs.rename(staging, out)) {
+      if (fs.exists(aside)) fs.rename(aside, out) // roll back
+      sys.error(s"manifest publish: staging rename failed under $path " +
+        "(previous manifest restored)")
+    }
+    fs.delete(aside, true)
+    ()
   }
 
   /** INCREMENTAL stats append — the O(batch) complement of [[writeStats]]
@@ -426,7 +453,10 @@ object Lake {
     * corpus on every append, which at 100 TB turns each day's intake into
     * a full-table statistics job.
     *
-    * @return number of newly covered files
+    * @return number of newly covered files; when the existing manifest
+    *         cannot be appended to (older layout, missing columns) the
+    *         call falls back to a FULL [[writeStats]] rebuild and returns
+    *         that total manifest row count instead
     */
   def appendStats(spark: SparkSession, path: String,
       statsCols: Seq[String]): Long = {
@@ -462,13 +492,11 @@ object Lake {
       .agg(aggs.head, aggs.tail: _*)
     val merged = manifest.select(freshStats.columns.map(col): _*)
       .unionByName(freshStats)
-    // publish old+new together: stage under a dot-dir, swap via rename
+    // publish old+new together via the same rename-aside as writeStats
     val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.append")
     fs.delete(staging, true)
     merged.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
-    fs.delete(manifestDir, true)
-    require(fs.rename(staging, manifestDir),
-      s"appendStats: manifest swap failed under $path (re-run writeStats)")
+    publishManifest(fs, staging, manifestDir, path)
     fresh.size.toLong
   }
 
@@ -786,6 +814,17 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAside(fs, hp)
+    // same refusals as compact: a streaming-sink log would be wiped by the
+    // swap (its readers trust the log, not the listing), and a rewrite of
+    // a hive-partitioned layout would FLATTEN it (partition values live in
+    // the path; rerange per leaf dir instead)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")),
+      s"$path carries a _spark_metadata streaming-sink log; stop the sink " +
+        "and freeze it via compact(dropStreamingMetadata = true) first")
+    require(!fs.listStatus(hp).exists(s => s.isDirectory &&
+        s.getPath.getName.contains("=") && !s.getPath.getName.startsWith("_")),
+      s"$path is hive-partitioned; rerange each leaf partition dir instead " +
+        "(a whole-table rewrite would flatten the partition layout)")
     // evolved tables re-range through the manifests, exactly like compact:
     // the rewrite lands uniform latest-logical-schema files and the chain
     // rides into staging so one rename publishes data + manifests together

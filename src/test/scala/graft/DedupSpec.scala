@@ -99,7 +99,9 @@ class DedupSpec extends SparkSpec {
     import graft.operators.{OperatorQueries => OQ}
     val dir = "/root/testdata/sf0.001"
     val t = java.nio.file.Files.createTempDirectory("admit").toString
-    val batchPred = col("doc_id") % 20 === 7 && col("doc_id") < 500
+    // the SAME predicate the screen uses — a re-tuned production batch
+    // class must not silently diverge from what this test indexes
+    val batchPred = OQ.incrementalBatchPred
     // day 1: index everything except the batch and the % 20 == 3 class
     // (tomorrow's intake); day 2: admit that class via APPEND
     val day2 = !batchPred && col("doc_id") % 20 === 3

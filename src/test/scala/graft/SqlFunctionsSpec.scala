@@ -51,6 +51,14 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql.collect().toSeq == dsl.collect().toSeq)
   }
 
+  test("wrong arity fails with the function name, not an index error") {
+    registered
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c d', 3)").collect()
+    }
+    assert(e.getMessage.contains("word_shingles expects 3"), e.getMessage)
+  }
+
   test("non-literal shape arguments fail at plan time with a clear message") {
     registered
     Seq(("abc", 1L)).toDF("text", "id").createOrReplaceTempView("sqlfn_t2")
