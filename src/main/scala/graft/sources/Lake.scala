@@ -152,6 +152,35 @@ object Lake {
     spark.read.parquet(s"$path/v=$v")
   }
 
+  /** TAKEDOWN / right-to-be-forgotten delete for versioned tables: publish
+    * a new version retaining only rows NOT matching `pred` — a rewrite,
+    * because parquet files are immutable (the same copy-on-write shape as
+    * Delta DELETE without deletion vectors). Composition is the point:
+    * readers planned against the old version keep a valid file list
+    * (writeVersioned's retention contract), the delete is time-travel
+    * AUDITABLE (readVersioned(n-1) shows exactly what was removed), and
+    * [[vacuum]] is the separate, deliberate step that makes it PHYSICAL —
+    * until vacuum runs the bytes still exist, which is what a compliance
+    * pipeline wants: audit first, destroy second.
+    *
+    * @return (new version number, rows removed)
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val current = readVersioned(spark, path)
+    // SQL DELETE semantics: remove rows where pred is TRUE; a null
+    // predicate KEEPS the row (a bare !pred would silently delete it)
+    val kept = current.filter(
+      !org.apache.spark.sql.functions.coalesce(pred,
+        org.apache.spark.sql.functions.lit(false)))
+    val v = writeVersioned(spark, kept, path)
+    // row counts from the two immutable versions — exact, no race with
+    // the write above because versions never change after publish
+    val removed = readVersioned(spark, path, Some(v - 1)).count() -
+      readVersioned(spark, path, Some(v)).count()
+    (v, removed)
+  }
+
   /** Remove versions older than the newest `keepLast` (the published
     * pointer target is always kept). Returns the removed version numbers.
     */

@@ -442,6 +442,26 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, dir).count() == 5)
   }
 
+  test("deleteWhere: audit-first takedown, vacuum makes it physical") {
+    val dir = tmp() + "/t"
+    val rows = Seq((1L, "keep"), (2L, "drop"), (3L, "keep"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "tag")
+    Lake.writeVersioned(spark, rows, dir)
+    val (v, removed) = Lake.deleteWhere(spark, dir, col("tag") === "drop")
+    assert(v == 2L && removed == 1L)
+    // null predicate KEEPS the row (SQL DELETE semantics)
+    assert(Lake.readVersioned(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // audit trail: the pre-delete version shows exactly what was removed
+    assert(Lake.readVersioned(spark, dir, Some(1L)).count() == 4L)
+    // vacuum is the deliberate physical-destruction step
+    assert(Lake.vacuum(spark, dir, keepLast = 1) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Lake.readVersioned(spark, dir, Some(1L))
+    }
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {
