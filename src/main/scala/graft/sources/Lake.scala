@@ -519,13 +519,24 @@ object Lake {
     val freshStats = readFileSubset(spark, path, fresh)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    val merged = manifest.select(freshStats.columns.map(col): _*)
-      .unionByName(freshStats)
-    // publish old+new together via the same rename-aside as writeStats
+    // the manifest is a DIRECTORY of json files: an append ADDS one
+    // metadata-sized file rather than rewriting the whole manifest — at
+    // ~800k data files a merged rewrite is ~100 MB of json churn per
+    // admit, where this is a few KB; readers (spark.read.json over the
+    // dir) see the union either way, and each added file lands via one
+    // atomic rename (a reader never sees partial rows)
     val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.append")
     fs.delete(staging, true)
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
-    publishManifest(fs, staging, manifestDir, path)
+    freshStats.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    val parts = fs.listStatus(staging).filter(f =>
+      f.isFile && f.getPath.getName.startsWith("part-"))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = new org.apache.hadoop.fs.Path(manifestDir,
+        s"append-${System.nanoTime()}-$i.json")
+      require(fs.rename(p.getPath, dst),
+        s"appendStats: could not add manifest file under $path")
+    }
+    fs.delete(staging, true)
     fresh.size.toLong
   }
 
