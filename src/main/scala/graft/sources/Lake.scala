@@ -260,6 +260,25 @@ object Lake {
           s"rename target '$to' not in the appended frame")
         require(!newFields.exists(_._1 == from),
           s"rename source '$from' still present in the appended frame")
+        // a rename target must be a NEW physical name: renaming onto a name
+        // some earlier version already wrote would make the fold silently
+        // merge two unrelated columns (live collision) or mix physical
+        // parquet types under one entry (dead collision)
+        require(!physicalSchema(prior).exists(_._1 == to),
+          s"rename target '$to' was already written by an earlier version " +
+            "and cannot be reused as a rename target")
+      }
+      // every physical name ever written stays RESERVED: a column silently
+      // dropped (just omitted from a later frame) could later be re-added
+      // with another type — the physical-union read schema keeps its old
+      // entry, so pre-drop files' values would resurrect under the logical
+      // column. Drops must be declared as what they are not supported —
+      // refuse the omission loudly.
+      prevLogical.map(_._1).filterNot(renames.contains).foreach { name =>
+        require(newFields.exists(_._1 == name),
+          s"column '$name' (schema v${prior.last.version}) is missing from " +
+            "the appended frame; dropping columns is not supported - carry " +
+            "it (null-filled if needed) or declare a rename")
       }
       // same-name columns must keep their type (see scope note above);
       // a renamed column may widen because the reader casts it explicitly
@@ -809,10 +828,14 @@ object Lake {
         // no window where the table exists without its manifests); the
         // rewritten files carry the latest LOGICAL schema, under which
         // the old chain still reads correctly (see note above)
-        if (evolved) org.apache.hadoop.fs.FileUtil.copy(fs,
+        // a failed/partial copy must abort BEFORE the rename-aside publish:
+        // publishing without the chain leaves a table readEvolving refuses
+        // (or plain reads silently bind one era's footer schema)
+        if (evolved) require(org.apache.hadoop.fs.FileUtil.copy(fs,
           new org.apache.hadoop.fs.Path(hp, "_graft_schema"), fs,
           new org.apache.hadoop.fs.Path(staging, "_graft_schema"),
-          false, spark.sparkContext.hadoopConfiguration)
+          false, spark.sparkContext.hadoopConfiguration),
+          s"compact: could not stage _graft_schema for $path (table unchanged)")
         // publish via RENAME-ASIDE, not delete-then-rename: both complete
         // copies exist until the new one is in place, so a crash at any
         // step leaves a complete dir on disk (recoverAside above renames
@@ -872,10 +895,13 @@ object Lake {
     def source = if (evolved) readEvolving(spark, path)
                  else spark.read.parquet(path)
     val statsDir = new org.apache.hadoop.fs.Path(hp, "_graft_stats")
+    // the re-range key ALWAYS ends up tracked: re-ranging exists to restore
+    // probe pruning on `c`, so a pre-existing manifest that happens not to
+    // track c must gain its bounds, not silently keep lacking them
     val statsCols: Seq[String] =
       if (!fs.exists(statsDir)) Seq(c)
-      else spark.read.json(statsDir.toString).schema.fieldNames.toSeq
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      else (spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")) :+ c).distinct
     val nBefore = listDataFiles(fs, hp).size.toLong
     val nOut = math.max(1L,
       (source.count() + targetFileRows - 1) / targetFileRows)
@@ -883,10 +909,11 @@ object Lake {
     source
       .repartitionByRange(nOut.toInt, col(c))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (evolved) org.apache.hadoop.fs.FileUtil.copy(fs,
+    if (evolved) require(org.apache.hadoop.fs.FileUtil.copy(fs,
       new org.apache.hadoop.fs.Path(hp, "_graft_schema"), fs,
       new org.apache.hadoop.fs.Path(staging, "_graft_schema"),
-      false, spark.sparkContext.hadoopConfiguration)
+      false, spark.sparkContext.hadoopConfiguration),
+      s"rerange: could not stage _graft_schema for $path (table unchanged)")
     val aside = asidePath(hp)
     fs.delete(aside, true)
     require(fs.rename(hp, aside), s"rerange: could not move $path aside")

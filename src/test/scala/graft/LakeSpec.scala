@@ -114,6 +114,16 @@ class LakeSpec extends SparkSpec {
       Lake.writeEvolving(spark,
         Seq((9L, 9L, "x", 5L)).toDF("id", "amount", "tag", "amt"), dir)
     }
+    // a silent DROP (column just omitted) is refused: the physical union
+    // would keep its entry and a later re-add would resurrect old values
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark, Seq((5L, 50L)).toDF("id", "amount"), dir)
+    }
+    // a rename target may not collide with a name an earlier version wrote
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark, Seq((5L, 50L, "z")).toDF("id", "amount", "id2"),
+        dir, renames = Map("tag" -> "id"))
+    }
     // rename CHAIN across versions: v3 renames amount -> amount_c
     assert(Lake.writeEvolving(spark,
       Seq((4L, 40L, "y")).toDF("id", "amount_c", "tag"), dir,
