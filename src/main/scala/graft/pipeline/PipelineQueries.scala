@@ -320,5 +320,43 @@ object PipelineQueries {
           |WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+
+    // ---- File-granular DELETE end-to-end (takedown on a range-laid
+    //      versioned table): publish events range-laid on day as version
+    //      1, deleteWhere a one-week day range with a `_graft_stats`
+    //      filePrune — so only the files whose bounds can contain the
+    //      range are even OPENED, and only the files that truly hold
+    //      matching rows are rewritten (the rest carry into version 2 by
+    //      reference; LakeSpec pins the file identities). The answer is
+    //      read back through the published version manifest. The oracle
+    //      recomputes the complement from raw events: a file wrongly
+    //      pruned, wrongly rewritten, or resurrected from a retired
+    //      reference all break the hash. ----
+    QueryDef(
+      "lake_delete_prune",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("del")}/events_versioned"
+        graft.sources.Lake.writeVersioned(sp,
+          base.repartitionByRange(8, col("day")), path)
+        graft.sources.Lake.writeStats(sp, path, Seq("day"))
+        val (lo, hi) = ("2024-01-08", "2024-01-14")
+        graft.sources.Lake.deleteWhere(sp, path,
+          col("day").between(lit(lo), lit(hi)),
+          filePrune = Some(graft.sources.Lake.skipRange("day", lit(lo), lit(hi))))
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
   )
 }

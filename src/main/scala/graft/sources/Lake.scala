@@ -94,36 +94,93 @@ object Lake {
     *
     * @return (filesBefore, filesAfter) across all compacted leaves
     */
-  /** Versioned table writes with time-travel reads — the snapshot half of
+  /** Versioned table writes with time-travel reads — the commit half of
     * the Delta behaviors this lake reproduces (compaction and data
-    * skipping being the others). Each write lands in its own `v=<n>`
-    * directory; readers resolve through a pointer file written with the
-    * same tmp-write + atomic-rename protocol as the other swaps, so a
-    * reader sees the previous complete version or the new complete
-    * version, never a partial write. Old versions stay readable
-    * (`readVersioned(path, Some(n))`) until `vacuum` reclaims them —
-    * exactly the retention contract that makes concurrent long scans safe
-    * at 100 TB: a reader planned against v(n) keeps its file list valid
-    * while writers publish v(n+1).
+    * skipping being the others).
+    *
+    * A VERSION IS A MANIFEST OF FILE REFERENCES: `_graft_versions/v=N.json`
+    * records the version's schema plus one `{path, n_rows}` row per data
+    * file — a metadata-sized commit, exactly the Delta/Iceberg log shape.
+    * Files UNCHANGED between versions are carried BY REFERENCE (the same
+    * physical file appears in many manifests), which is what makes the
+    * file-granular operations scale: [[appendVersioned]] links every prior
+    * file and writes O(batch); [[deleteWhere]] rewrites ONLY the files
+    * containing matching rows and links the rest, so a handful-of-rows
+    * takedown on a 100 TB table costs a few file rewrites + one manifest,
+    * not a corpus copy. Per-file `n_rows` rides in the manifest (read from
+    * parquet FOOTERS at commit time — metadata I/O), so version row counts
+    * and delete audits resolve without scanning data.
+    *
+    * Publish protocol, in load-bearing order: data files first (orphans a
+    * crash leaves behind are invisible — no manifest references them),
+    * then the version manifest (tmp-write + rename with a
+    * rename-to-existing guard against concurrent publishers), then the
+    * `_graft_latest` pointer via FileContext.rename(OVERWRITE) — one
+    * atomic swap, so a reader sees the previous complete version or the
+    * new complete version, never a partial write. Old versions stay
+    * readable (`readVersioned(path, Some(n))`) until [[vacuum]] reclaims
+    * the files no retained version references — the retention contract
+    * that makes concurrent long scans safe at 100 TB: a reader planned
+    * against v(n) keeps a valid file list while writers publish v(n+1).
+    *
+    * Pre-manifest layouts (bare `v=N` dirs) upgrade in place: the first
+    * write backfills manifests from the existing dirs' footers. Once a
+    * table is versioned, read it through [[readVersioned]] (or
+    * [[readSkipping]]/[[readProbed]], which resolve the manifest) — a
+    * plain recursive parquet read would see retired files.
+    *
+    * `writeVersioned` publishes `df` as a full new snapshot (its contract
+    * is "this frame IS the new table"); use [[appendVersioned]] /
+    * [[deleteWhere]] for the file-granular commits.
     */
   def writeVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(hp)
-    val next = listVersions(spark, path).lastOption.getOrElse(0L) + 1
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; append via writeEvolving (delete " +
+        "via deleteWhere) - writeVersioned would bypass the schema chain")
+    ensureVersionManifests(spark, path)
+    val next = nextVersion(fs, path)
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_latest.tmp")
-    val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
-    val out = fs.create(tmp, true)
-    out.write(next.toString.getBytes("UTF-8"))
-    out.close()
-    // atomic replace: FileContext.rename(OVERWRITE) swaps the pointer in
-    // one operation, so a concurrent reader never observes a missing
-    // pointer (a delete-then-rename window would throw transiently —
-    // readers also fall back to max(listVersions) as a belt-and-braces)
-    org.apache.hadoop.fs.FileContext.getFileContext(
-        ptr.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val entries = fileEntries(spark, fs, path,
+      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries)
+    writeVersionPointer(spark, fs, path, next)
+    next
+  }
+
+  /** O(batch) versioned APPEND: write only `df`'s files, publish a manifest
+    * referencing every prior file + the new ones. The commit cost is the
+    * batch plus a few KB of metadata — flat in table size, which is the
+    * property that lets a daily intake commit to a 100 TB table without
+    * touching it. Schema must match the table exactly (appends are not
+    * schema evolution — that is [[writeEvolving]]).
+    */
+  def appendVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; append via writeEvolving - " +
+        "appendVersioned would bypass the schema chain")
+    ensureVersionManifests(spark, path)
+    val versions = listVersions(spark, path)
+    if (versions.isEmpty) return writeVersioned(spark, df, path)
+    val v0 = readVersionPointer(fs, path).getOrElse(versions.last)
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val prior = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+    require(df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
+        prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
+      s"appendVersioned schema mismatch: table has ${prior.toDDL}, " +
+        s"frame has ${df.schema.toDDL}")
+    val next = nextVersion(fs, path)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val fresh = fileEntries(spark, fs, path,
+      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    writeVersionManifest(spark, fs, path, next, m0.schemaDdl,
+      m0.entries ++ fresh)
+    writeVersionPointer(spark, fs, path, next)
     next
   }
 
@@ -131,9 +188,11 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) Seq.empty
-    else fs.listStatus(hp).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+    // once a table carries version manifests they are AUTHORITATIVE: a
+    // v= dir may outlive its version (vacuum keeps files a newer manifest
+    // still references), so dir presence no longer implies existence
+    else if (fs.exists(versionsDir(path))) manifestVersions(fs, path)
+    else dirVersions(fs, hp)
   }
 
   def readVersioned(spark: SparkSession, path: String,
@@ -142,47 +201,126 @@ object Lake {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.orElse(readVersionPointer(fs, path)).getOrElse {
       // pointer momentarily absent (e.g. a non-atomic FS mid-publish):
-      // the newest complete v= dir is by construction the latest publish
+      // the newest published version is by construction the latest
       val vs = listVersions(spark, path)
       require(vs.nonEmpty, s"no versions under $path")
       vs.last
     }
-    require(fs.exists(new org.apache.hadoop.fs.Path(path, s"v=$v")),
-      s"version $v does not exist under $path (have: ${listVersions(spark, path).mkString(",")})")
-    spark.read.parquet(s"$path/v=$v")
+    if (fs.exists(versionsDir(path))) {
+      val m = readVersionManifest(spark, fs, path, v)
+      require(m.isDefined,
+        s"version $v does not exist under $path (have: " +
+          s"${listVersions(spark, path).mkString(",")})")
+      readManifestFiles(spark, fs, path, m.get)
+    } else {
+      require(fs.exists(new org.apache.hadoop.fs.Path(path, s"v=$v")),
+        s"version $v does not exist under $path (have: " +
+          s"${listVersions(spark, path).mkString(",")})")
+      spark.read.parquet(s"$path/v=$v")
+    }
   }
 
-  /** TAKEDOWN / right-to-be-forgotten delete for versioned tables: publish
-    * a new version retaining only rows NOT matching `pred` — a rewrite,
-    * because parquet files are immutable (the same copy-on-write shape as
-    * Delta DELETE without deletion vectors). Composition is the point:
-    * readers planned against the old version keep a valid file list
-    * (writeVersioned's retention contract), the delete is time-travel
-    * AUDITABLE (readVersioned(n-1) shows exactly what was removed), and
+  /** TAKEDOWN / right-to-be-forgotten delete: publish a new version
+    * retaining only rows NOT matching `pred`, rewriting ONLY the files
+    * that contain matching rows — untouched files are carried into the new
+    * version BY REFERENCE (same path, same bytes). Matching files are
+    * found with one COLUMN-PRUNED pass (parquet reads just `pred`'s
+    * columns), optionally narrowed first by the `_graft_stats` manifest:
+    * pass `filePrune` (built with [[skipRange]]) and files whose stats
+    * provably exclude every matching row are never opened — the same
+    * superset contract as [[readSkipping]]'s `keep`. Delete cost therefore
+    * scales with MATCHED files, not table size.
+    *
+    * Composition: readers planned against the old version keep a valid
+    * file list, the delete is time-travel AUDITABLE (`readVersioned(v0)`
+    * shows exactly what was removed; `removed` itself is computed from the
+    * manifests' per-file n_rows — metadata, no counting scan), and
     * [[vacuum]] is the separate, deliberate step that makes it PHYSICAL —
     * until vacuum runs the bytes still exist, which is what a compliance
     * pipeline wants: audit first, destroy second.
     *
-    * @return (new version number, rows removed)
+    * Works on any table shape: versioned tables delete in place; a plain
+    * or schema-evolving table is BOOTSTRAPPED (current files become
+    * version 1) and the delete publishes version 2 — evolved tables
+    * resolve through their schema manifests on every read and rewrite,
+    * and the rewritten files carry the latest logical schema (the same
+    * invariant as [[compact]] on an evolved table).
+    *
+    * @return (published version, rows removed); no matching rows →
+    *         (current version, 0) with nothing written
     */
   def deleteWhere(spark: SparkSession, path: String,
-      pred: org.apache.spark.sql.Column): (Long, Long) = {
-    val current = readVersioned(spark, path)
+      pred: org.apache.spark.sql.Column,
+      filePrune: Option[org.apache.spark.sql.Column] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit}
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureVersionManifests(spark, path)
+    if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    val v0 = readVersionPointer(fs, path).getOrElse {
+      val vs = listVersions(spark, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val root = rootPath(fs, hp)
+    val abs0 = m0.entries.map(e => s"$root/${e._1}")
+    // files whose stats bounds exclude every matching row are not even
+    // OPENED; files the stats manifest does not cover stay candidates
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    val candidates: Seq[String] = filePrune match {
+      case Some(keep) if fs.exists(statsDir) =>
+        val stats = spark.read.json(statsDir.toString)
+        def fileSet(df: DataFrame) = df.select("file").collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+        val covered = fileSet(stats)
+        val kept = fileSet(stats.filter(keep))
+        abs0.filter(f => kept(f) || !covered(f))
+      case _ => abs0
+    }
+    // ONE column-pruned discovery pass: which candidate files hold a
+    // matching row? Parquet reads only pred's columns; nothing is written
+    val matched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
+        .filter(pred).select(input_file_name().as("f")).distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    if (matched.isEmpty) return (v0, 0L)
+    val next = nextVersion(fs, path)
     // SQL DELETE semantics: remove rows where pred is TRUE; a null
     // predicate KEEPS the row (a bare !pred would silently delete it)
-    val kept = current.filter(
-      !org.apache.spark.sql.functions.coalesce(pred,
-        org.apache.spark.sql.functions.lit(false)))
-    val v = writeVersioned(spark, kept, path)
-    // row counts from the two immutable versions — exact, no race with
-    // the write above because versions never change after publish
-    val removed = readVersioned(spark, path, Some(v - 1)).count() -
-      readVersioned(spark, path, Some(v)).count()
-    (v, removed)
+    readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
+      .filter(!coalesce(pred, lit(false)))
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val rewritten = fileEntries(spark, fs, path,
+      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    val entries =
+      m0.entries.filterNot(e => matched(s"$root/${e._1}")) ++ rewritten
+    // an evolved rewrite lands latest-LOGICAL-schema files (compact's
+    // invariant); the manifest schema follows
+    val ddl =
+      if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
+      else m0.schemaDdl
+    writeVersionManifest(spark, fs, path, next, ddl, entries)
+    writeVersionPointer(spark, fs, path, next)
+    // keep an existing skipping manifest live: the rewritten files gain
+    // stats rows incrementally (O(rewritten), not a corpus re-scan)
+    if (fs.exists(statsDir)) {
+      val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (tracked.nonEmpty) appendStats(spark, path, tracked)
+    }
+    // metadata-only audit count: the resolved SOURCE manifest vs the
+    // published one (never a dir-listing guess, never a counting scan)
+    val removed = m0.entries.map(_._2).sum - entries.map(_._2).sum
+    (next, removed)
   }
 
   /** Remove versions older than the newest `keepLast` (the published
-    * pointer target is always kept). Returns the removed version numbers.
+    * pointer target is always kept), then delete only the data files NO
+    * retained version references — shared files survive, which is what
+    * file-granular commits require. Returns the removed version numbers.
     */
   def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
@@ -191,8 +329,28 @@ object Lake {
     val all = listVersions(spark, path)
     val current = readVersionPointer(fs, path)
     val drop = all.dropRight(keepLast).filterNot(current.contains)
-    drop.foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"v=$v"), true))
+    if (!fs.exists(versionsDir(path))) {
+      // pre-manifest layout: a version owns its dir outright
+      drop.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"v=$v"), true))
+      return drop
+    }
+    val retained = all.filterNot(drop.contains)
+    val referenced = retained.flatMap(v =>
+      readVersionManifest(spark, fs, path, v).toSeq.flatMap(_.entries.map(_._1)))
+      .toSet
+    val root = rootPath(fs, hp)
+    drop.foreach { v =>
+      readVersionManifest(spark, fs, path, v).foreach(_.entries.map(_._1)
+        .filterNot(referenced).foreach(rel =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false)))
+      fs.delete(versionManifestFile(path, v), false)
+    }
+    // fold away v= dirs that no longer hold any data file
+    fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .foreach(d =>
+        if (listDataFiles(fs, d.getPath).isEmpty) fs.delete(d.getPath, true))
     drop
   }
 
@@ -207,6 +365,189 @@ object Lake {
       Some(s.toLong)
     }
   }
+
+  private def writeVersionPointer(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_latest.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+    // atomic replace: FileContext.rename(OVERWRITE) swaps the pointer in
+    // one operation, so a concurrent reader never observes a missing
+    // pointer (a delete-then-rename window would throw transiently —
+    // readers also fall back to max(listVersions) as a belt-and-braces)
+    org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ---------- version-manifest plumbing ----------
+
+  private case class VersionManifest(version: Long, schemaDdl: String,
+      entries: Seq[(String, Long)])
+
+  private def versionsDir(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_versions")
+
+  private def versionManifestFile(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(path, s"_graft_versions/v=$v.json")
+
+  /** The table root as a scheme-less absolute path — the base every
+    * manifest-relative file reference resolves against (manifests store
+    * RELATIVE paths so a table survives relocation).
+    */
+  private def rootPath(fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path): String =
+    fs.makeQualified(hp).toUri.getPath
+
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] =
+    fs.listStatus(versionsDir(path)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+      .map(_.stripPrefix("v=").stripSuffix(".json").toLong).sorted
+
+  private def dirVersions(fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+
+  /** Next unused version number: above every manifest AND every v= dir, so
+    * a crash-orphaned dir (data written, manifest never published) is
+    * skipped over, never collided with.
+    */
+  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val ms =
+      if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
+    ((ms ++ dirVersions(fs, hp)) :+ 0L).max + 1
+  }
+
+  /** {relative path, footer row count} for a batch of just-written files —
+    * per-file n_rows comes from parquet FOOTERS (metadata I/O, no scan).
+    */
+  private def fileEntries(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      files: Seq[String]): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
+    files.map { abs =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      (abs.stripPrefix(root + "/"), n)
+    }
+  }
+
+  private def writeVersionManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
+      schemaDdl: String, entries: Seq[(String, Long)]): Unit = {
+    fs.mkdirs(versionsDir(path))
+    val filesJson = entries.map { case (rel, n) =>
+      s"""{"path":${jsonStr(rel)},"n_rows":$n}""" }.mkString("[", ",", "]")
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_graft_versions/.v=$v.tmp")
+    val dst = versionManifestFile(path, v)
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"version":$v,"schema":${jsonStr(schemaDdl)},"files":$filesJson}"""
+        .getBytes("UTF-8"))
+    out.close()
+    // same concurrent-publish guard as the schema manifests: two writers
+    // racing to one version number must fail loudly, not clobber
+    require(!fs.exists(dst),
+      s"version $v already published under $path (concurrent writer?)")
+    require(fs.rename(tmp, dst),
+      s"version $v already published under $path (concurrent writer?)")
+  }
+
+  private def readVersionManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      v: Long): Option[VersionManifest] = {
+    val f = versionManifestFile(path, v)
+    if (!fs.exists(f)) None
+    else {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("version", LongType),
+        StructField("schema", StringType),
+        StructField("files", ArrayType(StructType(Seq(
+          StructField("path", StringType), StructField("n_rows", LongType)))))))
+      val r = spark.read.schema(schema).json(f.toString).head()
+      Some(VersionManifest(r.getLong(0), r.getString(1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(e => (e.getString(0), e.getLong(1)))))
+    }
+  }
+
+  /** Read a version's file set. Empty manifests reconstruct their schema
+    * from the recorded DDL; evolved tables resolve through the schema
+    * chain (returning the latest LOGICAL schema — time travel rewinds
+    * DATA, the column mapping stays current).
+    */
+  private def readManifestFiles(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      m: VersionManifest): DataFrame = {
+    val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
+    readSomeFiles(spark, fs, path,
+      m.entries.map(e => s"$root/${e._1}"), m.schemaDdl)
+  }
+
+  private def readSomeFiles(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      files: Seq[String], schemaDdl: String): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    else if (readSchemaManifests(spark, path).nonEmpty)
+      evolvedRead(spark, path, Some(files))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+
+  /** Upgrade a pre-manifest versioned layout in place: every bare `v=N`
+    * dir gets a manifest built from its own files' footers. No-op for
+    * manifested or unversioned tables.
+    */
+  private def ensureVersionManifests(spark: SparkSession,
+      path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp) || fs.exists(versionsDir(path))) return
+    dirVersions(fs, hp).foreach { v =>
+      val vd = new org.apache.hadoop.fs.Path(path, s"v=$v")
+      val files = listDataFiles(fs, vd)
+      val ddl = spark.read.parquet(vd.toString).schema.toDDL
+      writeVersionManifest(spark, fs, path, v, ddl,
+        fileEntries(spark, fs, path, files))
+    }
+  }
+
+  /** Version a plain (or schema-evolving) table in place: the current data
+    * files become version 1 by reference — a metadata-only commit, no data
+    * is moved or rewritten.
+    */
+  private def bootstrapRootVersion(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val files = listDataFiles(fs, hp)
+    require(files.nonEmpty, s"no versions and no data files under $path")
+    val ddl =
+      if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
+      else spark.read.parquet(path).schema.toDDL
+    writeVersionManifest(spark, fs, path, 1L, ddl,
+      fileEntries(spark, fs, path, files))
+    writeVersionPointer(spark, fs, path, 1L)
+  }
+
+  /** The latest LOGICAL schema of an evolved table as DDL. */
+  private def logicalDdl(spark: SparkSession, path: String): String =
+    org.apache.spark.sql.types.StructType(
+      logicalSchema(readSchemaManifests(spark, path)).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DataType.fromDDL(t))
+      }).toDDL
 
   /** SCHEMA EVOLUTION for plain-parquet lake tables — the versioned-schema
     * half of what Delta/Iceberg column mapping does, on an explicit
@@ -323,14 +664,46 @@ object Lake {
     require(fs.rename(tmp, dst),
       s"writeEvolving: schema version $next already published under $path " +
         "(concurrent writer?) - re-read schemaVersions and retry")
+    // a deleteWhere may have versioned this table: the append then also
+    // publishes a version manifest (prior files by reference + the new
+    // files) so version-resolving readers see the appended rows
+    val versioned = fs.exists(versionsDir(path))
+    val before: Set[String] =
+      if (versioned) listDataFiles(fs, hp).toSet else Set.empty
     df.write.mode(SaveMode.Append).parquet(path)
+    if (versioned) {
+      val v0 = readVersionPointer(fs, path).getOrElse(
+        manifestVersions(fs, path).last)
+      val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+        sys.error(s"version $v0 has no manifest under $path"))
+      val freshFiles = listDataFiles(fs, hp).filterNot(before)
+      val nextV = nextVersion(fs, path)
+      val ddl = org.apache.spark.sql.types.StructType(newFields.map {
+        case (n, t) => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DataType.fromDDL(t))
+      }).toDDL
+      writeVersionManifest(spark, fs, path, nextV, ddl,
+        m0.entries ++ fileEntries(spark, fs, path, freshFiles))
+      writeVersionPointer(spark, fs, path, nextV)
+    }
     next
   }
 
-  def readEvolving(spark: SparkSession, path: String): DataFrame =
-    evolvedRead(spark, path, None)
+  def readEvolving(spark: SparkSession, path: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a deleteWhere bootstraps version manifests onto an evolved table;
+    // from then on the published version's file list is the table (a
+    // recursive dir read would see retired pre-delete files)
+    if (fs.exists(versionsDir(path))) readVersioned(spark, path)
+    else evolvedRead(spark, path, None)
+  }
 
-  /** [[readEvolving]] over the whole table or a pruned file subset. */
+  /** [[readEvolving]] over the whole table or a pruned file subset.
+    * No basePath: evolved tables are unpartitioned by contract (compact's
+    * guard), and a basePath over a post-delete `v=N` rewrite dir would
+    * hallucinate a `v` partition column.
+    */
   private def evolvedRead(spark: SparkSession, path: String,
       files: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col}
@@ -341,7 +714,7 @@ object Lake {
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.DataType.fromDDL(t))
       })
-    val reader = spark.read.schema(physical).option("basePath", path)
+    val reader = spark.read.schema(physical)
     var df = files.fold(reader.parquet(path))(fs =>
       reader.parquet(fs.toIndexedSeq: _*))
     // fold renames in version order so CHAINS (a->b in v2, b->c in v3)
@@ -449,11 +822,18 @@ object Lake {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    // an evolved table must resolve through its schema manifests: a plain
+    // an evolved table must resolve through its schema manifests (a plain
     // parquet read over mixed-schema files binds one footer's schema and
-    // silently drops (or nulls) the other eras' columns
-    val source = if (readSchemaManifests(spark, path).nonEmpty)
-      readEvolving(spark, path) else spark.read.parquet(path)
+    // silently drops the other eras' columns); a VERSIONED table must
+    // resolve through its version manifest (a recursive read would scan
+    // retired files) — readVersioned composes both
+    val hp0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = hp0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val source =
+      if (fs0.exists(versionsDir(path))) readVersioned(spark, path)
+      else if (readSchemaManifests(spark, path).nonEmpty)
+        readEvolving(spark, path)
+      else spark.read.parquet(path)
     val stats = source
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -528,7 +908,7 @@ object Lake {
       else return writeStats(spark, path, statsCols)
     val covered = manifest.select("file").collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
-    val fresh = listDataFiles(fs, hp).filterNot(covered)
+    val fresh = currentDataFiles(spark, fs, hp, path).filterNot(covered)
     if (fresh.isEmpty) return 0L
     val aggs = appendCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
@@ -578,7 +958,7 @@ object Lake {
         // driver, summing only files that still exist (a manifest may
         // carry rows for since-compacted files; counting them would
         // overstate, and a file NOT covered at all means stale → None)
-        val current = listDataFiles(fs, hp).toSet
+        val current = currentDataFiles(spark, fs, hp, path).toSet
         val rows = manifest.select("file", "n_rows").collect()
           .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
         if (!current.subsetOf(rows.map(_._1).toSet)) None
@@ -596,31 +976,60 @@ object Lake {
 
   def readSkipping(spark: SparkSession, path: String,
       keep: org.apache.spark.sql.Column): DataFrame = {
-    val manifest = validatedManifest(spark, path)
-    val files = manifest.filter(keep).select("file").collect().map(_.getString(0))
+    val (manifest, current) = validatedManifest(spark, path)
+    // intersect with the CURRENT file set: a versioned table's stats
+    // manifest may still carry rows for files a delete retired — reading
+    // one would resurrect deleted rows
+    val files = manifest.filter(keep).select("file").collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath)
+      .filter(current)
     readFileSubset(spark, path, files.toIndexedSeq)
   }
+
+  /** The CURRENT data files of a table: the published version manifest's
+    * file list when the table is versioned (files retired by deletes are
+    * invisible even while vacuum-retained on disk), the recursive dir
+    * listing otherwise.
+    */
+  private def currentDataFiles(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, hp: org.apache.hadoop.fs.Path,
+      path: String): Seq[String] =
+    if (!fs.exists(versionsDir(path))) listDataFiles(fs, hp)
+    else {
+      val v = readVersionPointer(fs, path).getOrElse {
+        val vs = manifestVersions(fs, path)
+        require(vs.nonEmpty, s"no versions under $path")
+        vs.last
+      }
+      val m = readVersionManifest(spark, fs, path, v).getOrElse(
+        sys.error(s"version $v has no manifest under $path"))
+      val root = rootPath(fs, hp)
+      m.entries.map(e => s"$root/${e._1}")
+    }
 
   /** Load the `_graft_stats` manifest with the stale-manifest guard: every
     * CURRENT data file must be covered, or a skip could silently drop rows
     * written after the manifest. The listing is RECURSIVE so
     * hive-partitioned layouts (data files one level down in day=… dirs)
     * are guarded too — a top-level-only list would come back empty there
-    * and pass the subset check vacuously.
+    * and pass the subset check vacuously. Returns the manifest plus the
+    * current-file set (callers must intersect their file picks with it —
+    * covered-but-retired files would resurrect deleted rows).
     */
-  private def validatedManifest(spark: SparkSession, path: String): DataFrame = {
+  private def validatedManifest(spark: SparkSession,
+      path: String): (DataFrame, Set[String]) = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     require(fs.exists(manifestDir), s"no _graft_stats manifest under $path")
     val manifest = spark.read.json(manifestDir.toString)
-    val current = listDataFiles(fs, hp).toSet
+    val current = currentDataFiles(spark, fs, hp, path).toSet
     val listed = manifest.select("file").collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     require(current.subsetOf(listed),
       s"stale _graft_stats manifest under $path: " +
         s"${(current -- listed).size} data file(s) not covered - re-run writeStats")
-    manifest
+    (manifest, current)
   }
 
   /** basePath keeps partition-dir columns in the schema when reading a
@@ -631,11 +1040,18 @@ object Lake {
   private def readFileSubset(spark: SparkSession, path: String,
       files: Seq[String]): DataFrame = {
     val evolved = readSchemaManifests(spark, path).nonEmpty
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versioned = fs.exists(versionsDir(path))
     if (files.isEmpty) {
-      val full = if (evolved) readEvolving(spark, path)
+      val full = if (versioned) readVersioned(spark, path)
+                 else if (evolved) readEvolving(spark, path)
                  else spark.read.parquet(path)
       full.limit(0)
     } else if (evolved) evolvedRead(spark, path, Some(files))
+    // versioned tables are unpartitioned (our writers): no basePath, which
+    // over `v=N` rewrite dirs would hallucinate a `v` partition column
+    else if (versioned) spark.read.parquet(files.toIndexedSeq: _*)
     else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
   }
 
@@ -670,15 +1086,18 @@ object Lake {
   def probeDataFiles(spark: SparkSession, path: String, c: String,
       probes: Seq[String]): (Seq[String], Int) = {
     import org.apache.spark.sql.functions.col
-    val manifest = validatedManifest(spark, path)
+    val (manifest, current) = validatedManifest(spark, path)
     // string comparison on numeric bounds would order "100" < "20" and
     // prune WRONG files — refuse instead of silently losing rows
     require(manifest.schema(s"min_$c").dataType ==
         org.apache.spark.sql.types.StringType,
       s"probeDataFiles($c): stats bounds are numeric; lexicographic probe " +
         "pruning would be unsound - use skipRange, or zero-pad the key")
+    // current-file intersection: covered-but-retired rows must not count
+    // as prunable candidates, let alone be read
     val rows = manifest.select(col("file"),
       col(s"min_$c").cast("string"), col(s"max_$c").cast("string")).collect()
+      .filter(r => current(new java.net.URI(r.getString(0)).getPath))
     val sorted = probes.distinct.sorted.toIndexedSeq
     // any probe in [lo, hi]? binary-search the first probe >= lo
     def anyIn(lo: String, hi: String): Boolean = {
@@ -772,6 +1191,13 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAside(fs, hp) // finish a publish a prior crash left half-done
+    // a versioned table's v= dirs are not partitions and its files are
+    // shared across version manifests: a dir rewrite would corrupt every
+    // manifest. Maintenance on versioned tables = publish a new version.
+    require(!fs.exists(versionsDir(path)),
+      s"$path carries _graft_versions manifests; compact the data by " +
+        "publishing a rewritten version (writeVersioned) and vacuum old " +
+        "versions instead of rewriting shared files in place")
     val meta = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
     if (fs.exists(meta)) {
       require(dropStreamingMetadata,
@@ -877,6 +1303,10 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAside(fs, hp)
+    require(!fs.exists(versionsDir(path)),
+      s"$path carries _graft_versions manifests; re-range by publishing a " +
+        "rewritten version (writeVersioned) instead of rewriting shared " +
+        "files in place")
     // same refusals as compact: a streaming-sink log would be wiped by the
     // swap (its readers trust the log, not the listing), and a rewrite of
     // a hive-partitioned layout would FLATTEN it (partition values live in

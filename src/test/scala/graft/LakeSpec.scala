@@ -472,6 +472,133 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  /** Every data file under `dir`, rel path -> (length, mtime) — the
+    * identity fingerprint file-granular commits must preserve.
+    */
+  private def fileIdentity(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Seq.empty
+      else if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .map(f => (f.getAbsolutePath.stripPrefix(dir + "/"),
+        (f.length(), f.lastModified()))).toMap
+  }
+
+  test("deleteWhere rewrites only matched files; untouched survive by identity") {
+    val dir = tmp() + "/t"
+    (1 to 1000).map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    val before = fileIdentity(dir)
+    assert(before.size == 8)
+    val (lo, hi) = (f"${100}%06d", f"${110}%06d")
+    val (v, removed) = Lake.deleteWhere(spark, dir, col("k").between(lo, hi),
+      filePrune = Some(Lake.skipRange("k", lit(lo), lit(hi))))
+    // bootstrap made the plain table version 1; the delete published 2
+    assert(v == 2L && removed == 11L)
+    val after = fileIdentity(dir)
+    // NO original file was rewritten in place: all 8 survive by identity
+    // (the matched one stays on disk for time travel until vacuum) and the
+    // delete's only writes landed under the new version's dir
+    assert(before.forall { case (p, id) => after.get(p).contains(id) },
+      "a pre-delete file was rewritten in place")
+    val rewritten = after.keySet -- before.keySet
+    assert(rewritten.nonEmpty && rewritten.forall(_.startsWith("v=2/")),
+      rewritten.toString)
+    // reads: current excludes the range, v1 is the full pre-delete table
+    assert(Lake.readVersioned(spark, dir).count() == 989)
+    assert(Lake.readVersioned(spark, dir, Some(1L)).count() == 1000)
+    // the skipping manifest stayed live across the delete (incremental
+    // append for the rewritten files): probes prune and cannot resurrect
+    val gone = Lake.readProbed(spark, dir, "k", Seq(f"${105}%06d"))
+    assert(gone.filter(col("k") === f"${105}%06d").count() == 0)
+    val there = Lake.readProbed(spark, dir, "k", Seq(f"${500}%06d"))
+    assert(there.filter(col("k") === f"${500}%06d").count() == 1)
+    // vacuum makes the delete physical: exactly ONE of the 8 range-laid
+    // files matched and goes; the 7 others are shared with v2 by
+    // reference and stay byte-identical; v1 is no longer readable
+    assert(Lake.vacuum(spark, dir, keepLast = 1) == Seq(1L))
+    val postVacuum = fileIdentity(dir)
+    val survivors = before.filter { case (p, id) =>
+      postVacuum.get(p).contains(id) }
+    assert(survivors.size == 7, s"survivors=${survivors.size}")
+    assert(postVacuum.size == 7 + rewritten.size)
+    intercept[IllegalArgumentException] {
+      Lake.readVersioned(spark, dir, Some(1L))
+    }
+    assert(Lake.readVersioned(spark, dir).count() == 989)
+  }
+
+  test("appendVersioned links prior files by reference and writes O(batch)") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    assert(Lake.writeVersioned(spark, rows(1 to 100), dir) == 1L)
+    val before = fileIdentity(dir)
+    assert(Lake.appendVersioned(spark, rows(101 to 120), dir) == 2L)
+    val after = fileIdentity(dir)
+    // every v1 file carried by identity; only batch-sized v=2 files added
+    assert(before.forall { case (p, id) => after.get(p).contains(id) })
+    assert((after.keySet -- before.keySet).forall(_.startsWith("v=2/")))
+    assert(Lake.readVersioned(spark, dir).count() == 120)
+    assert(Lake.readVersioned(spark, dir, Some(1L)).count() == 100)
+    // appends are not schema evolution: name or type drift is refused
+    intercept[IllegalArgumentException] {
+      Lake.appendVersioned(spark,
+        Seq((1L, 2L)).toDF("id", "n"), dir)
+    }
+    // vacuum drops v1 but deletes NO shared file: v2 references them all
+    assert(Lake.vacuum(spark, dir, keepLast = 1) == Seq(1L))
+    assert(Lake.readVersioned(spark, dir).count() == 120)
+    assert(Lake.listVersions(spark, dir) == Seq(2L))
+    assert(before.forall { case (p, id) =>
+      fileIdentity(dir).get(p).contains(id) })
+  }
+
+  test("deleteWhere composes with schema evolution: evolve, delete, time travel") {
+    val dir = tmp() + "/t"
+    Lake.writeEvolving(spark,
+      (1L to 40L).map(i => (i, i * 10)).toDF("id", "amt"), dir)
+    Lake.writeEvolving(spark,
+      (41L to 80L).map(i => (i, i * 10L, s"s$i")).toDF("id", "amount", "tag"),
+      dir, renames = Map("amt" -> "amount"))
+    val (v, removed) = Lake.deleteWhere(spark, dir, col("id") % 10 === 0)
+    assert(v == 2L && removed == 8L)
+    // current read: latest logical schema, deleted rows gone, folds intact
+    val cur = Lake.readEvolving(spark, dir).orderBy("id")
+    assert(cur.columns.toSeq == Seq("id", "amount", "tag"))
+    assert(cur.count() == 72)
+    assert(cur.filter(col("id") === 30L).isEmpty)
+    assert(cur.filter(col("id") === 31L).select("amount").as[Long].head() == 310L)
+    // time travel: version 1 is the complete pre-delete table, read under
+    // the same (current) logical column mapping
+    val v1 = Lake.readVersioned(spark, dir, Some(1L))
+    assert(v1.columns.toSeq == Seq("id", "amount", "tag"))
+    assert(v1.count() == 80)
+    assert(v1.filter(col("id") === 30L).select("amount").as[Long].head() == 300L)
+    // an evolving append AFTER the delete publishes the next version and
+    // both manifest chains stay consistent
+    Lake.writeEvolving(spark,
+      Seq((81L, 810L, "s81")).toDF("id", "amount", "tag"), dir)
+    assert(Lake.readEvolving(spark, dir).count() == 73)
+    assert(Lake.listVersions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(Lake.readVersioned(spark, dir, Some(2L)).count() == 72)
+  }
+
+  test("deleteWhere matching everything empties the table, schema survives") {
+    val dir = tmp() + "/t"
+    Lake.writeVersioned(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir)
+    val (v, removed) = Lake.deleteWhere(spark, dir, lit(true))
+    assert(v == 2L && removed == 2L)
+    val cur = Lake.readVersioned(spark, dir)
+    assert(cur.isEmpty && cur.columns.toSeq == Seq("id", "tag"))
+    // and a no-match delete publishes nothing at all
+    val (v2, r2) = Lake.deleteWhere(spark, dir, col("id") === 99L)
+    assert(v2 == 2L && r2 == 0L)
+    assert(Lake.listVersions(spark, dir) == Seq(1L, 2L))
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {
