@@ -292,6 +292,43 @@ object PipelineQueries {
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
+    // ---- Type widening end-to-end (the CDC-payload drift the reference's
+    //      aspirational surface describes, README_DBT.md:163-169): era-1
+    //      writes `cents` as INT, era-2 appends it as BIGINT — the unified
+    //      read must bind the WIDE type (asserted in-engine: a regression
+    //      to footer-bound int fails the query, not just the hash), carry
+    //      era-1 values exactly, and aggregate across both eras. The
+    //      oracle recomputes from raw events, blind to the layout. ----
+    QueryDef(
+      "lake_type_widening",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val cut = lit("2024-01-15").cast("date")
+        val path = s"${Scratch.dir("wid")}/user_day"
+        graft.sources.Lake.writeEvolving(sp,
+          base.filter(col("day") <= cut).select(col("user_id"), col("day"),
+            col("cents").cast("int").as("cents")),
+          path)
+        graft.sources.Lake.writeEvolving(sp,
+          base.filter(col("day") > cut).select("user_id", "day", "cents"),
+          path)
+        val unified = graft.sources.Lake.readEvolving(sp, path)
+        require(unified.schema("cents").dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"widened read must bind bigint, got ${unified.schema("cents").dataType}")
+        unified.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM events
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
     // ---- Time travel end-to-end: publish snapshot v1 (events through
     //      Jan 15), publish v2 (all events), then read the TIME-TRAVELED
     //      v1 — proving the old version stays byte-intact and readable

@@ -578,10 +578,14 @@ object Lake {
     * logical column set. Added columns read null for files written before
     * them; renamed columns carry old-file values under the new name.
     *
-    * Scope: column ADDS and RENAMES. A type change for an existing name is
-    * refused at write time (`require`) — type widening needs per-file cast
-    * planning (Delta's reader does this from its log) and silently mixing
-    * physical types corrupts; refusing is the honest contract.
+    * Scope: column ADDS, RENAMES, and lossless type WIDENING
+    * (tinyint<smallint<int<bigint, float<double): the unified read
+    * requests the WIDEST type any version declared and the parquet
+    * vectorized reader up-casts older narrower eras natively — no file
+    * rewrite, no footer sweep. Narrowing and cross-family changes are
+    * refused at write time (they need per-file cast planning and can
+    * corrupt), as are silent column drops; refusing is the honest
+    * contract.
     */
   def writeEvolving(spark: SparkSession, df: DataFrame, path: String,
       renames: Map[String, String] = Map.empty): Long = {
@@ -621,13 +625,21 @@ object Lake {
             "the appended frame; dropping columns is not supported - carry " +
             "it (null-filled if needed) or declare a rename")
       }
-      // same-name columns must keep their type (see scope note above);
-      // a renamed column may widen because the reader casts it explicitly
+      // same-name columns may keep their type or WIDEN it along a lossless
+      // chain (tinyint<smallint<int<bigint, float<double): the reader
+      // hands the parquet scan the WIDEST recorded type and the vectorized
+      // reader up-casts older-era files natively, so no value can be lost
+      // or changed. Anything else — narrowing, cross-family, string/date —
+      // is refused: it would need per-file cast planning and can corrupt.
+      // (A renamed column may change type freely because the reader casts
+      // the fold explicitly.)
       val priorTypes = physicalSchema(prior).toMap
       newFields.filterNot(f => renames.valuesIterator.contains(f._1)).foreach {
         case (name, tpe) => priorTypes.get(name).foreach(old =>
-          require(old == tpe,
-            s"column '$name' changes type $old -> $tpe; type evolution is not supported"))
+          require(old == tpe || widens(old, tpe),
+            s"column '$name' changes type $old -> $tpe; only lossless " +
+              "widening (tinyint<smallint<int<bigint, float<double) is " +
+              "supported"))
       }
       // retirement is PERMANENT: a name ever used as a rename source may
       // not return — the physical union keeps its original entry and the
@@ -727,7 +739,11 @@ object Lake {
           coalesce(col(to), col(from).cast(vTypes(to)))).drop(from)
       }
     }
-    df.select(logicalSchema(versions).map(f => col(f._1)): _*)
+    // cast to the LATEST declared type: a rename fold lands at its
+    // declare-time type, which a later version may have widened (the
+    // cast is a no-op wherever the physical read is already widest)
+    df.select(logicalSchema(versions)
+      .map { case (n, t) => col(n).cast(t).as(n) }: _*)
   }
 
   def schemaVersions(spark: SparkSession, path: String): Seq[Long] =
@@ -766,13 +782,32 @@ object Lake {
     }
   }
 
-  /** Every physical column any version wrote (first-appearance order) —
-    * the read schema that makes old files resolvable without footers.
+  /** Lossless widening chains. The parquet vectorized reader up-casts a
+    * narrower physical type to the requested wider one natively, which is
+    * what lets the unified read use ONE schema over mixed-width eras.
+    */
+  private def widens(old: String, nw: String): Boolean = {
+    val ints = Seq("tinyint", "smallint", "int", "bigint")
+    val floats = Seq("float", "double")
+    def wider(chain: Seq[String]) = {
+      val (a, b) = (chain.indexOf(old), chain.indexOf(nw))
+      a >= 0 && b > a
+    }
+    wider(ints) || wider(floats)
+  }
+
+  /** Every physical column any version wrote (first-appearance order), at
+    * the WIDEST type any version declared for it — the read schema that
+    * makes old files resolvable without footers, with older narrower eras
+    * up-cast by the parquet reader itself.
     */
   private def physicalSchema(
       versions: Seq[SchemaVersion]): Seq[(String, String)] =
     versions.flatMap(_.fields).foldLeft(Vector.empty[(String, String)]) {
-      case (acc, f) => if (acc.exists(_._1 == f._1)) acc else acc :+ f
+      case (acc, (n, t)) => acc.indexWhere(_._1 == n) match {
+        case -1 => acc :+ (n -> t)
+        case i => if (widens(acc(i)._2, t)) acc.updated(i, n -> t) else acc
+      }
     }
 
   /** The LATEST version's column set in its declared order. */
@@ -937,6 +972,38 @@ object Lake {
     }
     fs.delete(staging, true)
     fresh.size.toLong
+  }
+
+  /** METADATA-ONLY stats-manifest compaction: fold the `append-*.json`
+    * files [[appendStats]] accretes (one per admit — deliberately, to keep
+    * each admit O(batch)) back into ONE manifest file. After 10k admits
+    * every screen's `spark.read.json(_graft_stats)` pays a 10k-file
+    * listing; this folds them reading only the manifest itself — never
+    * data — and publishes via the same staged-write + rename-aside swap as
+    * [[writeStats]], with bit-identical pruning decisions before and
+    * after. ([[writeStats]] also yields a single file but at corpus-scan
+    * cost; [[rerange]] folds as a side effect of its writeStats rebuild
+    * but rewrites the data too. This is the pure-housekeeping form: run it
+    * periodically the way Delta checkpoints its log.)
+    *
+    * @return (manifest files before, after) — (n, n) when already compact
+    */
+  def compactStats(spark: SparkSession, path: String): (Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    require(fs.exists(manifestDir), s"no _graft_stats manifest under $path")
+    def manifestFiles() = fs.listStatus(manifestDir).count(f =>
+      f.isFile && !f.getPath.getName.startsWith(".") &&
+        !f.getPath.getName.startsWith("_"))
+    val nBefore = manifestFiles().toLong
+    if (nBefore <= 1) return (nBefore, nBefore)
+    val manifest = spark.read.json(manifestDir.toString)
+    val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.rebuild")
+    fs.delete(staging, true)
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    publishManifest(fs, staging, manifestDir, path)
+    (nBefore, manifestFiles().toLong)
   }
 
   /** Table row count from the `_graft_stats` manifest, if one exists, is

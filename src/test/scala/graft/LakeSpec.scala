@@ -138,6 +138,37 @@ class LakeSpec extends SparkSpec {
     assert(scan.contains("ReadSchema"), scan)
   }
 
+  test("schema evolution widens int->long and float->double, refuses narrowing") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = tmp() + "/t"
+    // v1: amt int, ratio float
+    Lake.writeEvolving(spark,
+      Seq((1L, 10, 1.5f)).toDF("id", "amt", "ratio"), dir)
+    // v2: both widened — values only a wide type can hold
+    Lake.writeEvolving(spark,
+      Seq((2L, 5000000000L, 2.5d)).toDF("id", "amt", "ratio"), dir)
+    val out = Lake.readEvolving(spark, dir).orderBy("id")
+    assert(out.schema("amt").dataType == LongType)
+    assert(out.schema("ratio").dataType == DoubleType)
+    val rows = out.collect()
+    // era-1 values survive the up-cast exactly; era-2 needs the width
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 5000000000L))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5d, 2.5d))
+    // NARROWING refused (long -> int), cross-family refused (long -> double)
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark, Seq((3L, 3, 3.5d)).toDF("id", "amt", "ratio"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark,
+        Seq((3L, 3.5d, 3.5d)).toDF("id", "amt", "ratio"), dir)
+    }
+    // widening composes with skipping: stats over the mixed-width eras
+    Lake.writeStats(spark, dir, Seq("id"))
+    val skim = Lake.readSkipping(spark, dir, Lake.skipRange("id", lit(1), lit(2)))
+    assert(skim.schema("amt").dataType == LongType)
+    assert(skim.filter(col("id") === 1L).select("amt").as[Long].head() == 10L)
+  }
+
   test("compaction and skipping read evolved tables through the manifests") {
     val dir = tmp() + "/t"
     Lake.writeEvolving(spark,
@@ -198,6 +229,33 @@ class LakeSpec extends SparkSpec {
     val (kk, _) = Lake.probeDataFiles(spark, dir, "k", Seq(f"${50}%06d"))
     val (k2, t2) = Lake.probeDataFiles(spark, dir, "k2", Seq(f"${150}%06d"))
     assert(kk.nonEmpty && k2.nonEmpty && k2.size < t2, s"${k2.size}/$t2")
+  }
+
+  test("compactStats folds N append manifests to one file, pruning identical") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+    rows(1 to 400).repartitionByRange(4, col("k")).write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    for (b <- 0 until 5) {
+      rows(401 + b * 10 to 410 + b * 10).coalesce(1)
+        .write.mode("append").parquet(dir)
+      assert(Lake.appendStats(spark, dir, Seq("k")) == 1L)
+    }
+    def statsFiles() = new java.io.File(dir, "_graft_stats").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    assert(statsFiles() == 6) // base rebuild + 5 per-admit appends
+    val probe = Seq(f"${105}%06d", f"${425}%06d")
+    val (k1, t1) = Lake.probeDataFiles(spark, dir, "k", probe)
+    val (nb, na) = Lake.compactStats(spark, dir)
+    assert(nb == 6 && na == 1, s"$nb -> $na")
+    assert(statsFiles() == 1)
+    // identical pruning decisions and metadata counts after the fold
+    val (k2, t2) = Lake.probeDataFiles(spark, dir, "k", probe)
+    assert(k1.toSet == k2.toSet && t1 == t2 && k1.nonEmpty)
+    assert(Lake.rowCountFromManifest(spark, dir).contains(450L))
+    // idempotent: an already-compact manifest is untouched
+    assert(Lake.compactStats(spark, dir) == (1L, 1L))
   }
 
   test("probe pruning refuses numeric stats bounds (lexicographic hazard)") {

@@ -164,10 +164,11 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(sparkSide.toSeq == native)
   }
 
-  test("schema evolution == in-memory model on random add/rename histories") {
+  test("schema evolution == in-memory model on random add/rename/widen histories") {
     // model: every row remembers its values by LOGICAL column name at
     // write time; the unified read must equal the model projected onto
-    // the final logical schema (renames re-key history, adds null-fill)
+    // the final logical schema (renames re-key history, adds null-fill,
+    // int->long widening changes no value)
     import graft.sources.Lake
     val colPool = Vector("a", "b", "c", "d", "e")
     for (round <- 1 to 6) {
@@ -176,13 +177,16 @@ class OperatorPropertiesSpec extends SparkSpec {
         .createTempDirectory(s"evoprop$round").toString + "/t"
       // logical schema state: logical name -> generation it appeared in
       var logical = Vector("id", "a") // id is the row key, a the v1 payload
+      // declared type per payload column; int columns may WIDEN to long
+      var types = Map("id" -> "long", "a" -> "int")
       var model = Vector.empty[Map[String, Long]] // logical name -> value
       var nextId = 0L
       var gen = 0
       while (gen < 4) {
         gen += 1
         // mutate schema after v1: maybe rename one payload column, maybe
-        // add a fresh one (names never reused — retirement is permanent)
+        // widen an int column, maybe add a fresh one (names never reused —
+        // retirement is permanent)
         var renames = Map.empty[String, String]
         if (gen > 1 && rnd.nextBoolean()) {
           val from = logical.drop(1)(rnd.nextInt(logical.size - 1))
@@ -191,10 +195,17 @@ class OperatorPropertiesSpec extends SparkSpec {
           // re-key HISTORY: old rows' values now live under the new name
           model = model.map(m => m.get(from).fold(m)(v => m - from + (to -> v)))
           logical = logical.map(c => if (c == from) to else c)
+          types = types - from + (to -> types(from))
+        }
+        if (gen > 1 && rnd.nextBoolean()) {
+          val ints = logical.filter(c => types(c) == "int")
+          if (ints.nonEmpty)
+            types += ints(rnd.nextInt(ints.size)) -> "long"
         }
         if (logical.size - 1 < colPool.size && rnd.nextBoolean()) {
           val fresh = colPool(logical.size - 1) + s"_g$gen"
           logical = logical :+ fresh
+          types += fresh -> (if (rnd.nextBoolean()) "int" else "long")
         }
         val rows = (0 until (1 + rnd.nextInt(4))).map { _ =>
           val id = nextId; nextId += 1
@@ -202,11 +213,13 @@ class OperatorPropertiesSpec extends SparkSpec {
             .toMap
         }
         model = model ++ rows
-        val df = rows
-          .map(r => org.apache.spark.sql.Row.fromSeq(logical.map(r)))
+        val df = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+          logical.map(c =>
+            if (types(c) == "int") r(c).toInt else r(c))))
         val schema = org.apache.spark.sql.types.StructType(logical.map(c =>
           org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.LongType)))
+            if (types(c) == "int") org.apache.spark.sql.types.IntegerType
+            else org.apache.spark.sql.types.LongType)))
         Lake.writeEvolving(spark,
           spark.createDataFrame(
             spark.sparkContext.parallelize(df, 1), schema),
@@ -214,7 +227,8 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
       val got = Lake.readEvolving(spark, dir).orderBy("id").collect()
         .map(r => logical.map(c =>
-          if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))))
+          if (r.isNullAt(r.fieldIndex(c))) None
+          else Some(r.getAs[Number](r.fieldIndex(c)).longValue)))
         .toSeq
       val want = model.sortBy(_("id"))
         .map(m => logical.map(m.get))
