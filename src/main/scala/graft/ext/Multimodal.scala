@@ -53,19 +53,43 @@ object Multimodal {
     * these queries. The repartition shuffles only the fixture's megabytes.
     */
   private def fixture(sp: SparkSession, sfDir: String, kind: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
+    sp.read.parquet(fixturePath(sp, sfDir, kind)(build))
+      .repartition(sp.sparkContext.defaultParallelism)
+
+  /** Materialize the fixture if needed and return its parquet path. The
+    * corpus is written RANGE-LAID on doc_id with a `_graft_stats` manifest
+    * — a planted media table is still a LAKE table, and a doc-id-ranged
+    * decode job (backfill a shard, reprocess an intake window) must prune
+    * files before touching any blob, exactly like every other manifest-
+    * covered table (PlanSpec pins the pruning). A pre-manifest cache dir
+    * heals in place: stats are (re)written over the existing files.
+    */
+  private[graft] def fixturePath(sp: SparkSession, sfDir: String,
+      kind: String)(build: => DataFrame): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_media_fix/$key/$kind"
+    // _v2: layout is load-bearing (range-laid + stats); a version bump
+    // rebuilds stale caches from before the layout change
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_media_fix_v2/$key/$kind"
     fixtureLock.synchronized {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(sp.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-        build.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        build.repartitionByRange(4, col("doc_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_stats")))
+        graft.sources.Lake.writeStats(sp, path, Seq("doc_id"))
     }
-    sp.read.parquet(path)
-      .repartition(sp.sparkContext.defaultParallelism)
+    path
   }
   private val fixtureLock = new Object
+
+  /** The planted-PNG corpus path for `sfDir` — the fixture PlanSpec uses
+    * to pin manifest pruning on a media table.
+    */
+  def imageFixturePath(sp: SparkSession, sfDir: String): String =
+    fixturePath(sp, sfDir, "images")(
+      asImageTable(graft.Tables.documents(sp, sfDir)))
 
   /** Build a media table: the document text bytes stand in for an opaque
     * media payload (deterministic; real pipelines read image/audio files).

@@ -168,9 +168,20 @@ object OperatorQueries {
     */
   def screenAgainstIndex(sp: org.apache.spark.sql.SparkSession,
       dir: String, ixPath: String,
+      maxProbes: Long = 100000L): org.apache.spark.sql.DataFrame =
+    screenBatchAgainstIndex(sp,
+      signatureLanes(sp, dir, incrementalBatchPred)
+        .select(col("doc_id").as("b_doc"), col("lane"), col("mh")),
+      ixPath, maxProbes)
+
+  /** [[screenAgainstIndex]] for an arbitrary signature-lane batch
+    * `(b_doc, lane, mh)` — the form the admit loop needs on day 2, when
+    * the incoming batch is new intake (new doc ids), not the registered
+    * sampling predicate.
+    */
+  def screenBatchAgainstIndex(sp: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, ixPath: String,
       maxProbes: Long = 100000L): org.apache.spark.sql.DataFrame = {
-    val batch = signatureLanes(sp, dir, incrementalBatchPred)
-      .select(col("doc_id").as("b_doc"), col("lane"), col("mh"))
     // ONE bounded job decides the path and fetches the probes: limit
     // maxProbes+1 caps the driver transfer regardless of batch size, and
     // an overflow row means "too many to prune" → the narrow full scan
@@ -554,6 +565,61 @@ object OperatorQueries {
           |  WHERE (b.doc_id % 20 = 7 AND b.doc_id < 500)
           |    AND NOT (ix.doc_id % 20 = 7 AND ix.doc_id < 500)
           |  GROUP BY b.doc_id, ix.doc_id)
+          |SELECT b_doc AS doc_id, count(*) AS n_cand,
+          |       max(n_lanes) / 16.0 AS best_est
+          |FROM pairs GROUP BY b_doc ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ---- The ADMIT LOOP end-to-end (the post-screen half that was
+    //      spec-only until now): build the day-0 index, ADMIT the day-1
+    //      batch (O(batch) lane append + incremental stats), then screen a
+    //      day-2 re-crawl of the same pages under NEW doc ids. Every
+    //      re-crawled doc must hit its day-1 twin at 16/16 lanes
+    //      (best_est = 1.0) — possible ONLY if the admit actually landed
+    //      in the index — plus day-1's own corpus candidates. The oracle
+    //      replays the two-step screen as one SQL join of the batch lanes
+    //      against ALL docs' lanes (= admitted index), so a dropped admit
+    //      file, a stale manifest, or a mispruned probe all break the
+    //      hash. ----
+    QueryDef(
+      "dedup_admit_rescreen",
+      (sp, dir) => {
+        val ixPath = s"${graft.pipeline.Scratch.dir("admix")}/lanes"
+        // day 0: corpus index without the day-1 intake
+        buildSignatureIndexAt(sp, dir, !incrementalBatchPred, ixPath)
+        // day 1: admit the screened batch (screen itself is the
+        // dedup_incremental row; the admit is what this row exercises)
+        admitBatchToIndex(sp, dir, incrementalBatchPred, ixPath)
+        // day 2: same pages re-crawled under new ids — the duplicate
+        // intake a production screen exists to catch
+        val recrawl = signatureLanes(sp, dir, incrementalBatchPred)
+          .select((col("doc_id") + 1000000L).as("b_doc"),
+            col("lane"), col("mh"))
+        screenBatchAgainstIndex(sp, recrawl, ixPath)
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          |i AS (
+          |  SELECT doc_id, toks,
+          |         unnest(generate_series(1, len(toks) - 2)) AS idx
+          |  FROM t),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         array_to_string(toks[idx : idx + 2], ' ') AS sh
+          |  FROM i),
+          |gl AS (
+          |  SELECT doc_id, sh, unnest(generate_series(0, 15)) AS lane FROM g),
+          |l AS (
+          |  SELECT doc_id, lane, min(md5(lane || ':' || sh)) AS mh
+          |  FROM gl GROUP BY doc_id, lane),
+          |pairs AS (
+          |  SELECT b.doc_id + 1000000 AS b_doc, ix.doc_id AS ix_doc,
+          |         count(*) AS n_lanes
+          |  FROM l ix JOIN l b ON ix.lane = b.lane AND ix.mh = b.mh
+          |  WHERE (b.doc_id % 20 = 7 AND b.doc_id < 500)
+          |  GROUP BY 1, 2)
           |SELECT b_doc AS doc_id, count(*) AS n_cand,
           |       max(n_lanes) / 16.0 AS best_est
           |FROM pairs GROUP BY b_doc ORDER BY doc_id""".stripMargin),

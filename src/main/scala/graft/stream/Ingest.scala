@@ -81,9 +81,13 @@ object Ingest {
   /** Drain all currently-landed media files into the parquet media table
     * (Trigger.AvailableNow + checkpoint: triggered-mode parity with the
     * event ingestion; a re-drain with no new files appends nothing).
+    * `statsCols` makes the sink a first-class Lake table (see
+    * [[publishStreamStats]]) — media tables typically track `n_bytes` or
+    * the content key so downstream decode jobs prune before touching blobs.
     */
   def runMediaPipeline(spark: SparkSession, landingDir: String, glob: String,
-      tableDir: String, checkpointDir: String): Unit = {
+      tableDir: String, checkpointDir: String,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     val q = mediaStream(spark, landingDir, glob)
       .writeStream
       .format("parquet")
@@ -92,7 +96,26 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (statsCols.nonEmpty) publishStreamStats(spark, tableDir, statsCols)
+    ()
   }
+
+  /** Make a stream-written parquet dir a FIRST-CLASS Lake table: append
+    * `_graft_stats` manifest rows for exactly the data files the manifest
+    * does not cover yet — the micro-batch files the last drain added.
+    * O(new files) per drain (the first call covers the whole table, which
+    * at that point IS the streamed backlog), IDEMPOTENT on a no-op
+    * re-drain, and it leaves `_spark_metadata` alone (log-trusting
+    * readers keep working; Lake's skipping readers list files directly).
+    * Without this, a stream-written table `require`-fails every
+    * readSkipping/readProbed until someone pays a corpus-scan writeStats —
+    * correct but unusable. Triggered pipelines call it post-drain;
+    * a continuous deployment would call it from foreachBatch after each
+    * commit (same cost shape: stats for that batch's files only).
+    */
+  def publishStreamStats(spark: SparkSession, tableDir: String,
+      statsCols: Seq[String]): Long =
+    graft.sources.Lake.appendStats(spark, tableDir, statsCols)
 
   /** Schema inference for the streaming edge — the OSS twin of Auto
     * Loader's inferred-schema mode (bronze_iot_events.sql:12-15 infers;
@@ -172,7 +195,8 @@ object Ingest {
   def runQuarantinedSilverPipeline(spark: SparkSession, landingDir: String,
       silverDir: String, quarantineDir: String, checkpointDir: String,
       compactSilverEveryBatches: Option[Int] = None,
-      compactTargetFileBytes: Long = 128L << 20): StreamingQuery = {
+      compactTargetFileBytes: Long = 128L << 20,
+      statsCols: Seq[String] = Seq.empty): StreamingQuery = {
     import graft.dq.Expectations
     val bronze = bronzeStreamInferred(spark, landingDir)
     val dataCols = bronze.schema.fieldNames.filterNot(_ == RescuedCol)
@@ -204,6 +228,9 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // post-drain, after any compaction hook ran: compact republishes the
+    // manifest it invalidates, and this append covers whatever is newer
+    if (statsCols.nonEmpty) publishStreamStats(spark, silverDir, statsCols)
     q
   }
 
@@ -226,7 +253,8 @@ object Ingest {
     * exactly-once, and block until drained.
     */
   def runSilverPipeline(spark: SparkSession, landingDir: String,
-      silverDir: String, checkpointDir: String): StreamingQuery = {
+      silverDir: String, checkpointDir: String,
+      statsCols: Seq[String] = Seq.empty): StreamingQuery = {
     val q = silverTransform(bronzeStream(spark, landingDir))
       .writeStream
       .format("parquet")
@@ -236,6 +264,7 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (statsCols.nonEmpty) publishStreamStats(spark, silverDir, statsCols)
     q
   }
 

@@ -165,6 +165,24 @@ class PlanSpec extends SparkSpec {
     assert(pruned.sameElements(full), "probed read lost matching rows")
   }
 
+  test("media fixture is manifest-covered: a doc_id range prunes blob files") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // the planted-PNG corpus is a Lake table (range-laid on doc_id +
+    // _graft_stats): a ranged decode job must drop whole blob FILES at
+    // planning time — on a 100 TB media lake the pruned bytes are the
+    // dominant cost, since every surviving row carries a payload blob
+    val path = ext.Multimodal.imageFixturePath(spark, dir)
+    val total = spark.read.parquet(path).inputFiles.length
+    val pruned = sources.Lake.readSkipping(spark, path,
+      sources.Lake.skipRange("doc_id", lit(0), lit(99)))
+    assert(pruned.inputFiles.length < total,
+      s"doc_id range pruned nothing: ${pruned.inputFiles.length} of $total")
+    // superset guarantee: re-filtering the pruned read equals the full scan
+    val got = pruned.filter(col("doc_id") <= 99).count()
+    val want = spark.read.parquet(path).filter(col("doc_id") <= 99).count()
+    assert(got == want && want == 100L, s"$got != $want")
+  }
+
   test("evolved read scans once with the manifest-built schema (no footer sweep)") {
     val p = plan(q("lake_schema_evolution"))
     // the scan schema must be the manifest-declared PHYSICAL union — both

@@ -46,6 +46,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("quality_flag") === " Good ").count() == 1)
   }
 
+  test("streamed tables are first-class Lake tables: drain -> skip, re-drain appends") {
+    val root = Files.createTempDirectory("graft-stream-lake")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    val ckpt = root.resolve("ckpt").toString
+    writeFile(landing, "b1.jsonl", (0 until 50).map(i =>
+      evt(f"d$i%03d", "l1", f"2024-01-01T00:${i % 60}%02d:00", "temperature",
+        "good", i.toDouble)))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
+      statsCols = Seq("device_id"))
+    // the stream-written table skips/probes WITHOUT any corpus-scan
+    // writeStats: the manifest is fresh (validatedManifest's stale guard
+    // passes) and the sink log is untouched
+    import graft.sources.Lake
+    assert(new java.io.File(silverDir, "_spark_metadata").exists())
+    assert(Lake.rowCountFromManifest(spark, silverDir).contains(50L))
+    val skim = Lake.readSkipping(spark, silverDir,
+      Lake.skipRange("device_id", lit("d000"), lit("d009")))
+    assert(skim.filter(col("device_id") <= "d009").count() == 10)
+    // a second drain appends a batch file; stats follow INCREMENTALLY
+    // (appendStats covers just the new file) and stay fresh
+    writeFile(landing, "b2.jsonl", (50 until 70).map(i =>
+      evt(f"d$i%03d", "l2", f"2024-01-01T01:${i % 60}%02d:00", "temperature",
+        "good", i.toDouble)))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
+      statsCols = Seq("device_id"))
+    assert(Lake.rowCountFromManifest(spark, silverDir).contains(70L))
+    val skim2 = Lake.readSkipping(spark, silverDir,
+      Lake.skipRange("device_id", lit("d060"), lit("d069")))
+    assert(skim2.filter(col("device_id") >= "d060").count() == 10)
+    // files really prune: the d060+ probe cannot need the batch-1 file
+    assert(skim2.inputFiles.length <
+      spark.read.parquet(silverDir).inputFiles.length)
+    // idempotent: a no-op re-drain adds no stats rows
+    assert(Ingest.publishStreamStats(spark, silverDir, Seq("device_id")) == 0L)
+  }
+
   test("re-running the drained stream is a no-op (exactly-once)") {
     val root = Files.createTempDirectory("graft-stream2")
     val landing = Files.createDirectory(root.resolve("landing"))
