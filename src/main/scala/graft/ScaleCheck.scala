@@ -87,6 +87,54 @@ object SignatureScreenBench {
   }
 }
 
+/** Delete-cost scaling for file-granular versioned commits (r7 verdict
+  * item 1): deleteWhere must cost ∝ MATCHED files, not corpus. Build a
+  * versioned events table range-laid on user_id at a FIXED rows-per-file
+  * target (so the file count grows with the corpus), delete a fixed
+  * user-id range with a `_graft_stats` filePrune, and print build/delete
+  * times plus rewritten-vs-total file counts. On the 10× replica (user
+  * ids offset per replica) the matched range lives in ~the same few
+  * files, so rewritten files and delete time stay ~flat while total
+  * files grow 10× — the evidence BASELINE.md records.
+  */
+object DeleteBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    import graft.sources.Lake
+    args.foreach { dir =>
+      val events = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      // fixed rows-per-file: the file count GROWS with the corpus, which
+      // is the regime the matched-files claim is about (production:
+      // fixed ~128 MB files)
+      val nFiles = math.max(8L, events.count() / 20000L).toInt
+      val path = s"${graft.pipeline.Scratch.dir("delbench")}/t"
+      val t0 = System.nanoTime()
+      Lake.writeVersioned(spark,
+        events.repartitionByRange(nFiles, col("user_id")), path)
+      Lake.writeStats(spark, path, Seq("user_id"))
+      val build = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (v, removed) = Lake.deleteWhere(spark, path,
+        col("user_id").between(4L, 8L),
+        filePrune = Some(Lake.skipRange("user_id", lit(4L), lit(8L))))
+      val del = (System.nanoTime() - t1) / 1e9
+      val rewritten = new java.io.File(s"$path/v=$v").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      println(f"$dir%-24s build=$build%6.2fs delete=$del%6.2fs " +
+        f"removed=$removed rewritten=$rewritten/$nFiles files")
+    }
+    spark.stop()
+  }
+}
+
 object ScaleCheck {
   private val flagship = Seq(
     "q1_agg", "q3_shipping", "q5_nation_revenue", "q18_big_orders",
@@ -101,7 +149,8 @@ object ScaleCheck {
     "dag_incremental", "lake_time_travel", "mm_features", "bpe_merges",
     "lake_partition_prune", "lake_zorder_skip", "emb_semdedup",
     "doc_cross_overlap", "doc_bm25", "doc_pagerank", "doc_quality_filter",
-    "dedup_incremental", "lake_schema_evolution", "q_approx_distinct")
+    "dedup_incremental", "lake_schema_evolution", "q_approx_distinct",
+    "lake_delete_prune", "lake_type_widening", "dedup_admit_rescreen")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -45,6 +45,26 @@ class PlanSpec extends SparkSpec {
     assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
   }
 
+  test("q8/q9 snowflakes: AQE lands the dim broadcasts the dropped hints left to it") {
+    // round 7 removed the explicit broadcast() hints from every
+    // SF-proportional TPC-H side; the protection is AQE's runtime size
+    // check. This pins the OUTCOME on the AQE-final executed plan: the
+    // dims still come in as broadcast joins, and at most the fact-fact
+    // spine (lineitem⋈orders) pays a shuffle join.
+    for (name <- Seq("q8_market_share", "q9_profit")) {
+      val df = q(name)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(executed).length
+      val nShuffleJoin = "SortMergeJoin".r.findAllIn(executed).length +
+        "ShuffledHashJoin".r.findAllIn(executed).length
+      assert(nBroadcast >= 3,
+        s"$name: expected >=3 AQE broadcast joins, got $nBroadcast:\n$executed")
+      assert(nShuffleJoin <= 1,
+        s"$name: ${nShuffleJoin} shuffle joins (only the fact-fact spine may):\n$executed")
+    }
+  }
+
   test("q1 aggregate is two-phase (partial before the exchange) and codegens") {
     val p = plan(q("q1_agg"))
     assert(p.contains("partial_sum"), s"no partial (map-side) aggregation:\n$p")
