@@ -318,6 +318,45 @@ object PipelineQueries {
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
+    // ---- O(batch) versioned APPENDS + OPTIMIZE end-to-end: commit events
+    //      week by week (each commit writes only its batch and links every
+    //      prior file by reference), fold the accreted small files with
+    //      optimizeVersioned (a NEW version; compact files carry by
+    //      reference — LakeSpec pins the file identities), and read the
+    //      result through the published manifest. The oracle recomputes
+    //      from raw events: a dropped batch, a mis-linked reference, or a
+    //      fold that lost rows all break the hash. ----
+    QueryDef(
+      "lake_append_optimize",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        def week(lo: String, hi: String) = base.filter(
+          col("day").between(lit(lo), lit(hi)))
+        val path = s"${Scratch.dir("appopt")}/events_weekly"
+        graft.sources.Lake.writeVersioned(sp,
+          week("2024-01-01", "2024-01-07"), path)
+        graft.sources.Lake.appendVersioned(sp,
+          week("2024-01-08", "2024-01-14"), path)
+        graft.sources.Lake.appendVersioned(sp,
+          week("2024-01-15", "2024-01-21"), path)
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > lit("2024-01-21")), path)
+        graft.sources.Lake.optimizeVersioned(sp, path,
+          targetFileBytes = 4L << 20)
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |FROM events
+          |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
     // ---- Type widening end-to-end (the CDC-payload drift the reference's
     //      aspirational surface describes, README_DBT.md:163-169): era-1
     //      writes `cents` as INT, era-2 appends it as BIGINT — the unified

@@ -354,6 +354,65 @@ object Lake {
     drop
   }
 
+  /** OPTIMIZE for versioned tables — small-file compaction published as a
+    * NEW VERSION, never an in-place rewrite (shared files are immutable;
+    * that is why [[compact]]/[[rerange]] refuse versioned tables). Files
+    * smaller than half the target are bin-packed into ~targetFileBytes
+    * rewrites; every already-compact file carries into the new version BY
+    * REFERENCE. Cost is therefore ∝ SMALL-FILE bytes, not table size —
+    * after a year of O(batch) [[appendVersioned]] commits, the periodic
+    * optimize pays only for the accreted tail, exactly Delta's OPTIMIZE
+    * shape. Readers are never disturbed: old versions keep their file
+    * lists, [[vacuum]] later reclaims the folded originals.
+    *
+    * @return (new version, files folded); ((current, 0)) when fewer than
+    *         two small files exist — nothing to fold, nothing published
+    */
+  def optimizeVersioned(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureVersionManifests(spark, path)
+    val v0 = readVersionPointer(fs, path).getOrElse {
+      val vs = listVersions(spark, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val root = rootPath(fs, hp)
+    val sized = m0.entries.map { e =>
+      (e, fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/${e._1}")).getLen)
+    }
+    val small = sized.filter(_._2 < targetFileBytes / 2)
+    if (small.size <= 1) return (v0, 0L)
+    val smallBytes = small.map(_._2).sum
+    val nOut = math.max(1L,
+      (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val next = nextVersion(fs, path)
+    readSomeFiles(spark, fs, path,
+      small.map(e => s"$root/${e._1._1}"), m0.schemaDdl)
+      .coalesce(nOut) // NARROW: compaction moves bytes, never an exchange
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val folded = fileEntries(spark, fs, path,
+      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    val smallSet = small.map(_._1._1).toSet
+    val ddl =
+      if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
+      else m0.schemaDdl
+    writeVersionManifest(spark, fs, path, next, ddl,
+      m0.entries.filterNot(e => smallSet(e._1)) ++ folded)
+    writeVersionPointer(spark, fs, path, next)
+    // keep an existing skipping manifest live over the folded files
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    if (fs.exists(statsDir)) {
+      val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (tracked.nonEmpty) appendStats(spark, path, tracked)
+    }
+    (next, small.size.toLong)
+  }
+
   private def readVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[Long] = {
     val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
@@ -531,6 +590,15 @@ object Lake {
   private def bootstrapRootVersion(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
+    // hive-partitioned layouts are refused: version manifests read files
+    // EXPLICITLY (no basePath — see readFileSubset), so partition-dir
+    // columns would silently vanish from every versioned read and from
+    // the delete rewrite. Partitioned tables delete per leaf dir.
+    require(!fs.listStatus(hp).exists(s => s.isDirectory &&
+        s.getPath.getName.contains("=") && !s.getPath.getName.startsWith("_")),
+      s"$path is hive-partitioned; version/delete each leaf partition dir " +
+        "instead (partition values live in the PATH and would be lost by " +
+        "a file-reference read)")
     val files = listDataFiles(fs, hp)
     require(files.nonEmpty, s"no versions and no data files under $path")
     val ddl =
@@ -1262,9 +1330,9 @@ object Lake {
     // shared across version manifests: a dir rewrite would corrupt every
     // manifest. Maintenance on versioned tables = publish a new version.
     require(!fs.exists(versionsDir(path)),
-      s"$path carries _graft_versions manifests; compact the data by " +
-        "publishing a rewritten version (writeVersioned) and vacuum old " +
-        "versions instead of rewriting shared files in place")
+      s"$path carries _graft_versions manifests; use optimizeVersioned " +
+        "(small files fold into a NEW version, shared files stay " +
+        "immutable) and vacuum old versions instead of an in-place rewrite")
     val meta = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
     if (fs.exists(meta)) {
       require(dropStreamingMetadata,
@@ -1372,8 +1440,8 @@ object Lake {
     recoverAside(fs, hp)
     require(!fs.exists(versionsDir(path)),
       s"$path carries _graft_versions manifests; re-range by publishing a " +
-        "rewritten version (writeVersioned) instead of rewriting shared " +
-        "files in place")
+        "rewritten version (writeVersioned, or optimizeVersioned for " +
+        "small-file folding) instead of rewriting shared files in place")
     // same refusals as compact: a streaming-sink log would be wiped by the
     // swap (its readers trust the log, not the listing), and a rewrite of
     // a hive-partitioned layout would FLATTEN it (partition values live in

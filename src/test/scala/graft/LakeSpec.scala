@@ -643,6 +643,48 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, dir, Some(2L)).count() == 72)
   }
 
+  test("optimizeVersioned folds only small files, links compact ones, O(tail)") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (i.toLong, s"payload-$i")).toDF("id", "s")
+    // one compact base file + many tiny O(batch) append commits
+    Lake.writeVersioned(spark, rows(1 to 20000).coalesce(1), dir)
+    for (b <- 0 until 5)
+      Lake.appendVersioned(spark,
+        rows(20001 + b * 10 to 20010 + b * 10).coalesce(1), dir)
+    val before = Lake.readVersioned(spark, dir).collect().toSet
+    val beforeFiles = fileIdentity(dir)
+    // the base file (~100s of KB) is already above half the 64 KB target;
+    // the five tiny append files fold into one
+    val (v, folded) = Lake.optimizeVersioned(spark, dir, targetFileBytes = 64L << 10)
+    assert(v == 7L && folded == 5L, s"v=$v folded=$folded")
+    assert(Lake.readVersioned(spark, dir).collect().toSet == before)
+    // the compact base file is carried BY REFERENCE (same path, same bytes)
+    val base = beforeFiles.filter(_._1.startsWith("v=1/"))
+    assert(base.size == 1 &&
+      base.forall { case (p, id) => fileIdentity(dir).get(p).contains(id) })
+    // time travel to a pre-optimize version still works; vacuum then
+    // reclaims the folded originals but never the shared base file
+    assert(Lake.readVersioned(spark, dir, Some(6L)).collect().toSet == before)
+    assert(Lake.vacuum(spark, dir, keepLast = 1) == (1L to 6L))
+    assert(Lake.readVersioned(spark, dir).collect().toSet == before)
+    assert(base.forall { case (p, id) => fileIdentity(dir).get(p).contains(id) })
+    // idempotent: a second optimize finds nothing to fold
+    assert(Lake.optimizeVersioned(spark, dir, 64L << 10) == (7L, 0L))
+  }
+
+  test("deleteWhere refuses hive-partitioned layouts (partition cols would vanish)") {
+    val dir = tmp() + "/t"
+    spark.range(100).select(col("id"), (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Lake.deleteWhere(spark, dir, col("id") < 10)
+    }
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    // per-leaf delete is the documented path and works
+    val (v, removed) = Lake.deleteWhere(spark, s"$dir/p=1", col("id") < 10)
+    assert(v == 2L && removed == 3L) // ids 1,4,7
+  }
+
   test("deleteWhere matching everything empties the table, schema survives") {
     val dir = tmp() + "/t"
     Lake.writeVersioned(spark,
