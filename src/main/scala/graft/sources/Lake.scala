@@ -99,17 +99,26 @@ object Lake {
     * skipping being the others).
     *
     * A VERSION IS A MANIFEST OF FILE REFERENCES: `_graft_versions/v=N.json`
-    * records the version's schema plus one `{path, n_rows}` row per data
-    * file — a metadata-sized commit, exactly the Delta/Iceberg log shape.
+    * records the version's schema plus `{path, n_rows}` file references —
+    * exactly the Delta/Iceberg log shape, including the log-vs-checkpoint
+    * split: a snapshot publish writes a FULL manifest, while the
+    * file-granular commits ([[appendVersioned]], [[deleteWhere]],
+    * [[optimizeVersioned]]) write DELTA manifests recording only the
+    * added/removed references against a base version, so commit metadata
+    * is O(changed files) — an append to an 800k-file table writes a few
+    * KB, never an ~80 MB file-list rewrite. Chains self-checkpoint at a
+    * bounded depth, and [[vacuum]] materializes any retained manifest
+    * whose chain passes through a dropped version, so resolution is
+    * always a bounded number of metadata-sized reads and never dangles.
     * Files UNCHANGED between versions are carried BY REFERENCE (the same
-    * physical file appears in many manifests), which is what makes the
-    * file-granular operations scale: [[appendVersioned]] links every prior
-    * file and writes O(batch); [[deleteWhere]] rewrites ONLY the files
+    * physical file appears in many resolved manifests), which is what
+    * makes the file-granular operations scale: an append links every
+    * prior file and writes O(batch); a delete rewrites ONLY the files
     * containing matching rows and links the rest, so a handful-of-rows
-    * takedown on a 100 TB table costs a few file rewrites + one manifest,
-    * not a corpus copy. Per-file `n_rows` rides in the manifest (read from
-    * parquet FOOTERS at commit time — metadata I/O), so version row counts
-    * and delete audits resolve without scanning data.
+    * takedown on a 100 TB table costs a few file rewrites + a few KB of
+    * metadata, not a corpus copy. Per-file `n_rows` rides in the manifest
+    * (read from parquet FOOTERS at commit time — metadata I/O), so
+    * version row counts and delete audits resolve without scanning data.
     *
     * Publish protocol, in load-bearing order: data files first (orphans a
     * crash leaves behind are invisible — no manifest references them),
@@ -167,9 +176,12 @@ object Lake {
     val versions = listVersions(spark, path)
     if (versions.isEmpty) return writeVersioned(spark, df, path)
     val v0 = readVersionPointer(fs, path).getOrElse(versions.last)
-    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+    // the raw manifest header carries the schema — an append never needs
+    // the resolved file list, which is what keeps the whole commit
+    // O(batch) in data AND metadata
+    val raw0 = readRawManifest(spark, fs, path, v0).getOrElse(
       sys.error(s"version $v0 has no manifest under $path"))
-    val prior = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+    val prior = org.apache.spark.sql.types.StructType.fromDDL(raw0.schemaDdl)
     require(df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
         prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
       s"appendVersioned schema mismatch: table has ${prior.toDDL}, " +
@@ -178,8 +190,8 @@ object Lake {
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
     val fresh = fileEntries(spark, fs, path,
       listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
-    writeVersionManifest(spark, fs, path, next, m0.schemaDdl,
-      m0.entries ++ fresh)
+    writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
+      base = v0, add = fresh, remove = Seq.empty)
     writeVersionPointer(spark, fs, path, next)
     next
   }
@@ -295,14 +307,16 @@ object Lake {
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
     val rewritten = fileEntries(spark, fs, path,
       listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
-    val entries =
-      m0.entries.filterNot(e => matched(s"$root/${e._1}")) ++ rewritten
+    val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
     // an evolved rewrite lands latest-LOGICAL-schema files (compact's
     // invariant); the manifest schema follows
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
-    writeVersionManifest(spark, fs, path, next, ddl, entries)
+    // O(changed-files) delta commit: only the matched removals and the
+    // rewrites are written, never the full file list
+    writeVersionDelta(spark, fs, path, next, ddl,
+      base = v0, add = rewritten, remove = matchedEntries.map(_._1))
     writeVersionPointer(spark, fs, path, next)
     // keep an existing skipping manifest live: the rewritten files gain
     // stats rows incrementally (O(rewritten), not a corpus re-scan)
@@ -311,9 +325,10 @@ object Lake {
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       if (tracked.nonEmpty) appendStats(spark, path, tracked)
     }
-    // metadata-only audit count: the resolved SOURCE manifest vs the
-    // published one (never a dir-listing guess, never a counting scan)
-    val removed = m0.entries.map(_._2).sum - entries.map(_._2).sum
+    // metadata-only audit count from the manifests' per-file n_rows: rows
+    // in the matched (resolved-source) files minus rows in their rewrites
+    // — never a dir-listing guess, never a counting scan
+    val removed = matchedEntries.map(_._2).sum - rewritten.map(_._2).sum
     (next, removed)
   }
 
@@ -339,11 +354,37 @@ object Lake {
     val referenced = retained.flatMap(v =>
       readVersionManifest(spark, fs, path, v).toSeq.flatMap(_.entries.map(_._1)))
       .toSet
+    // a retained DELTA manifest may resolve through a version being
+    // dropped: materialize it to a full checkpoint FIRST (metadata-only
+    // atomic swap), so no chain ever dangles. Ascending order: once an
+    // older retained version is full, newer chains stop at it.
+    val dropSet = drop.toSet
+    def chainHitsDropped(v: Long): Boolean = {
+      var cur = readRawManifest(spark, fs, path, v)
+      while (cur.exists(_.files.isEmpty)) {
+        val b = cur.get.base.get
+        if (dropSet(b)) return true
+        cur = readRawManifest(spark, fs, path, b)
+      }
+      false
+    }
+    retained.foreach { v =>
+      if (chainHitsDropped(v)) {
+        val m = readVersionManifest(spark, fs, path, v).getOrElse(
+          sys.error(s"version $v has no manifest under $path"))
+        writeVersionManifest(spark, fs, path, v, m.schemaDdl, m.entries,
+          replace = true)
+      }
+    }
     val root = rootPath(fs, hp)
-    drop.foreach { v =>
-      readVersionManifest(spark, fs, path, v).foreach(_.entries.map(_._1)
-        .filterNot(referenced).foreach(rel =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false)))
+    // resolve every dropped version BEFORE deleting any manifest — a
+    // dropped delta may resolve through another dropped version's file
+    val droppedEntries: Seq[(Long, Seq[String])] = drop.map(v =>
+      v -> readVersionManifest(spark, fs, path, v).toSeq
+        .flatMap(_.entries.map(_._1)))
+    droppedEntries.foreach { case (v, rels) =>
+      rels.filterNot(referenced).foreach(rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
       fs.delete(versionManifestFile(path, v), false)
     }
     // fold away v= dirs that no longer hold any data file
@@ -396,12 +437,11 @@ object Lake {
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
     val folded = fileEntries(spark, fs, path,
       listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
-    val smallSet = small.map(_._1._1).toSet
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
-    writeVersionManifest(spark, fs, path, next, ddl,
-      m0.entries.filterNot(e => smallSet(e._1)) ++ folded)
+    writeVersionDelta(spark, fs, path, next, ddl,
+      base = v0, add = folded, remove = small.map(_._1._1))
     writeVersionPointer(spark, fs, path, next)
     // keep an existing skipping manifest live over the folded files
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
@@ -442,9 +482,28 @@ object Lake {
   }
 
   // ---------- version-manifest plumbing ----------
+  //
+  // Two manifest shapes, exactly Delta's log-vs-checkpoint split:
+  //   FULL  {"version","schema","depth":0,"files":[{path,n_rows}...]}
+  //   DELTA {"version","schema","depth","base","add":[...],"remove":[...]}
+  // A delta records only what the commit CHANGED, so an O(batch) append
+  // to an 800k-file table writes a few KB of metadata, not an ~80 MB
+  // file-list rewrite. Readers resolve the chain delta→…→full; chains are
+  // DEPTH-CAPPED (a commit that would exceed MaxChainDepth writes a full
+  // manifest instead — the self-checkpointing that bounds resolution to
+  // O(MaxChainDepth) metadata reads). vacuum materializes any retained
+  // manifest whose chain passes through a dropped version before dropping
+  // it, so resolution never dangles.
 
   private case class VersionManifest(version: Long, schemaDdl: String,
       entries: Seq[(String, Long)])
+
+  /** Raw on-disk form: full (files defined) or delta (base defined). */
+  private case class RawManifest(version: Long, schemaDdl: String,
+      depth: Long, files: Option[Seq[(String, Long)]], base: Option[Long],
+      add: Seq[(String, Long)], remove: Seq[String])
+
+  private val MaxChainDepth = 32L
 
   private def versionsDir(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_versions")
@@ -501,45 +560,121 @@ object Lake {
     }
   }
 
-  private def writeVersionManifest(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
-      schemaDdl: String, entries: Seq[(String, Long)]): Unit = {
-    fs.mkdirs(versionsDir(path))
-    val filesJson = entries.map { case (rel, n) =>
+  private def entriesJson(entries: Seq[(String, Long)]): String =
+    entries.map { case (rel, n) =>
       s"""{"path":${jsonStr(rel)},"n_rows":$n}""" }.mkString("[", ",", "]")
+
+  private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long, body: String, replace: Boolean): Unit = {
+    fs.mkdirs(versionsDir(path))
     val tmp = new org.apache.hadoop.fs.Path(path, s"_graft_versions/.v=$v.tmp")
     val dst = versionManifestFile(path, v)
     val out = fs.create(tmp, true)
-    out.write(
-      s"""{"version":$v,"schema":${jsonStr(schemaDdl)},"files":$filesJson}"""
-        .getBytes("UTF-8"))
+    out.write(body.getBytes("UTF-8"))
     out.close()
-    // same concurrent-publish guard as the schema manifests: two writers
-    // racing to one version number must fail loudly, not clobber
-    require(!fs.exists(dst),
-      s"version $v already published under $path (concurrent writer?)")
-    require(fs.rename(tmp, dst),
-      s"version $v already published under $path (concurrent writer?)")
+    if (replace) {
+      // materialization rewrite (vacuum): atomic swap over the existing file
+      org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, fs.getConf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else {
+      // same concurrent-publish guard as the schema manifests: two writers
+      // racing to one version number must fail loudly, not clobber
+      require(!fs.exists(dst),
+        s"version $v already published under $path (concurrent writer?)")
+      require(fs.rename(tmp, dst),
+        s"version $v already published under $path (concurrent writer?)")
+    }
   }
 
-  private def readVersionManifest(spark: SparkSession,
+  /** Publish a FULL (checkpoint) manifest: the complete file list. */
+  private def writeVersionManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
+      schemaDdl: String, entries: Seq[(String, Long)],
+      replace: Boolean = false): Unit =
+    writeManifestFile(fs, path, v,
+      s"""{"version":$v,"schema":${jsonStr(schemaDdl)},"depth":0,""" +
+        s""""files":${entriesJson(entries)}}""",
+      replace)
+
+  /** Publish an O(changed-files) DELTA manifest against `base` — or, when
+    * the chain would exceed [[MaxChainDepth]], a full checkpoint built by
+    * resolving base and applying the change (the caller passes `resolved`
+    * lazily so the common case never materializes it).
+    */
+  private def writeVersionDelta(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
+      schemaDdl: String, base: Long, add: Seq[(String, Long)],
+      remove: Seq[String]): Unit = {
+    val parentDepth = readRawManifest(spark, fs, path, base)
+      .map(_.depth).getOrElse(
+        sys.error(s"delta base version $base has no manifest under $path"))
+    if (parentDepth + 1 > MaxChainDepth) {
+      val resolved = readVersionManifest(spark, fs, path, base).get
+      val rm = remove.toSet
+      writeVersionManifest(spark, fs, path, v, schemaDdl,
+        resolved.entries.filterNot(e => rm(e._1)) ++ add)
+    } else {
+      val removeJson = remove.map(jsonStr).mkString("[", ",", "]")
+      writeManifestFile(fs, path, v,
+        s"""{"version":$v,"schema":${jsonStr(schemaDdl)},""" +
+          s""""depth":${parentDepth + 1},"base":$base,""" +
+          s""""add":${entriesJson(add)},"remove":$removeJson}""",
+        replace = false)
+    }
+  }
+
+  private def readRawManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
-      v: Long): Option[VersionManifest] = {
+      v: Long): Option[RawManifest] = {
     val f = versionManifestFile(path, v)
     if (!fs.exists(f)) None
     else {
       import org.apache.spark.sql.types._
+      val entry = StructType(Seq(
+        StructField("path", StringType), StructField("n_rows", LongType)))
       val schema = StructType(Seq(
         StructField("version", LongType),
         StructField("schema", StringType),
-        StructField("files", ArrayType(StructType(Seq(
-          StructField("path", StringType), StructField("n_rows", LongType)))))))
+        StructField("depth", LongType),
+        StructField("files", ArrayType(entry)),
+        StructField("base", LongType),
+        StructField("add", ArrayType(entry)),
+        StructField("remove", ArrayType(StringType))))
       val r = spark.read.schema(schema).json(f.toString).head()
-      Some(VersionManifest(r.getLong(0), r.getString(1),
-        r.getSeq[org.apache.spark.sql.Row](2)
-          .map(e => (e.getString(0), e.getLong(1)))))
+      def pairs(i: Int): Seq[(String, Long)] =
+        if (r.isNullAt(i)) Seq.empty
+        else r.getSeq[org.apache.spark.sql.Row](i)
+          .map(e => (e.getString(0), e.getLong(1)))
+      Some(RawManifest(r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) None else Some(pairs(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        pairs(5),
+        if (r.isNullAt(6)) Seq.empty else r.getSeq[String](6)))
     }
   }
+
+  /** Resolve a version's COMPLETE manifest, walking the delta chain back
+    * to its checkpoint. Bounded by [[MaxChainDepth]] metadata-sized reads.
+    */
+  private def readVersionManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      v: Long): Option[VersionManifest] =
+    readRawManifest(spark, fs, path, v).map { raw =>
+      raw.files match {
+        case Some(entries) =>
+          VersionManifest(raw.version, raw.schemaDdl, entries)
+        case None =>
+          val base = readVersionManifest(spark, fs, path, raw.base.get)
+            .getOrElse(sys.error(
+              s"version ${raw.version} under $path resolves through " +
+                s"missing base ${raw.base.get} - manifest chain broken"))
+          val rm = raw.remove.toSet
+          VersionManifest(raw.version, raw.schemaDdl,
+            base.entries.filterNot(e => rm(e._1)) ++ raw.add)
+      }
+    }
 
   /** Read a version's file set. Empty manifests reconstruct their schema
     * from the recorded DDL; evolved tables resolve through the schema
@@ -754,16 +889,15 @@ object Lake {
     if (versioned) {
       val v0 = readVersionPointer(fs, path).getOrElse(
         manifestVersions(fs, path).last)
-      val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
-        sys.error(s"version $v0 has no manifest under $path"))
       val freshFiles = listDataFiles(fs, hp).filterNot(before)
       val nextV = nextVersion(fs, path)
       val ddl = org.apache.spark.sql.types.StructType(newFields.map {
         case (n, t) => org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.DataType.fromDDL(t))
       }).toDDL
-      writeVersionManifest(spark, fs, path, nextV, ddl,
-        m0.entries ++ fileEntries(spark, fs, path, freshFiles))
+      writeVersionDelta(spark, fs, path, nextV, ddl,
+        base = v0, add = fileEntries(spark, fs, path, freshFiles),
+        remove = Seq.empty)
       writeVersionPointer(spark, fs, path, nextV)
     }
     next
