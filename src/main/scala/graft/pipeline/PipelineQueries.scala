@@ -357,6 +357,58 @@ object PipelineQueries {
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
+    // ---- File-granular MERGE (upsert) end-to-end — the versioned-lake
+    //      form of the reference's `unique_key` incremental model
+    //      (dbt_project.yml:11-19; dag_incremental is the overwrite
+    //      form): target = per-user totals through Jan 20 as version 1,
+    //      source = refreshed FULL-history totals for users active after
+    //      Jan 20. mergeInto replaces exactly the active users' rows and
+    //      inserts any brand-new users, rewriting only the files that
+    //      hold a matched key (LakeSpec pins the file identities). The
+    //      oracle recomputes the merged state from raw events: a row
+    //      updated twice, a dropped unmatched row, or a resurrected
+    //      pre-merge file all break the hash. ----
+    QueryDef(
+      "lake_merge_upsert",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        def totals(pred: org.apache.spark.sql.Column) = base.filter(pred)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        val cut = lit("2024-01-20").cast("date")
+        val path = s"${Scratch.dir("mrg")}/user_totals"
+        graft.sources.Lake.writeVersioned(sp,
+          totals(col("day") <= cut).repartitionByRange(4, col("user_id")),
+          path)
+        val active = base.filter(col("day") > cut)
+          .select("user_id").distinct()
+        graft.sources.Lake.mergeInto(sp, path,
+          totals(lit(true)).join(active, Seq("user_id"), "leftsemi"),
+          Seq("user_id"))
+        graft.sources.Lake.readVersioned(sp, path).orderBy("user_id")
+      },
+      Some(
+        """WITH old_t AS (
+          |  SELECT user_id, count(*) AS n_events,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20' GROUP BY 1),
+          |new_t AS (
+          |  SELECT user_id, count(*) AS n_events,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM events GROUP BY 1),
+          |act AS (
+          |  SELECT DISTINCT user_id FROM events
+          |  WHERE CAST(ts AS DATE) > DATE '2024-01-20')
+          |SELECT user_id, n_events, total_cents FROM new_t
+          |WHERE user_id IN (SELECT user_id FROM act)
+          |UNION ALL
+          |SELECT user_id, n_events, total_cents FROM old_t
+          |WHERE user_id NOT IN (SELECT user_id FROM act)
+          |ORDER BY user_id""".stripMargin),
+    ),
+
     // ---- Type widening end-to-end (the CDC-payload drift the reference's
     //      aspirational surface describes, README_DBT.md:163-169): era-1
     //      writes `cents` as INT, era-2 appends it as BIGINT — the unified

@@ -332,6 +332,114 @@ object Lake {
     (next, removed)
   }
 
+  /** File-granular MERGE (upsert) — Delta's `MERGE … WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, published as a new
+    * version: rows whose key appears in `source` are REPLACED by the
+    * source row, unmatched target rows are carried (by reference wherever
+    * their whole FILE holds no matched key), and source rows with new
+    * keys are inserted. Only files CONTAINING a matched key are rewritten
+    * — discovery is one column-pruned semi-join pass, narrowed first by
+    * `filePrune` against `_graft_stats` when given (the [[deleteWhere]]
+    * contract) — so a daily upsert batch against a 100 TB table rewrites
+    * the few files it touches plus one O(changed-files) delta manifest.
+    *
+    * `source` must be unique on `keyCols` (refused otherwise — with
+    * duplicate keys "the" replacement row is undefined; Delta errors on
+    * multi-matches the same way) and must match the table schema exactly.
+    * This is the versioned-lake form of the reference's dbt
+    * `unique_key` incremental materialization ([[graft.pipeline.Dag]]
+    * runs the same semantics as a whole-table overwrite).
+    *
+    * @return (published version, (rows updated, rows inserted)); counts
+    *         come from manifest n_rows + one source count (no table
+    *         scan), exact when the TARGET is key-unique too — the normal
+    *         state of an upsert-maintained table (a dup-keyed target
+    *         still merges correctly; only the update/insert split blurs)
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      filePrune: Option[org.apache.spark.sql.Column] = None)
+      : (Long, (Long, Long)) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureVersionManifests(spark, path)
+    if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    val v0 = readVersionPointer(fs, path).getOrElse {
+      val vs = listVersions(spark, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val prior = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+    require(source.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
+        prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
+      s"mergeInto schema mismatch: table has ${prior.toDDL}, " +
+        s"source has ${source.schema.toDDL}")
+    // multi-match guard: a key mapping to two source rows has no defined
+    // replacement — count once, reuse the frame (caller-supplied source
+    // may be expensive; persist for the guard + the two joins below)
+    val src = source.persist()
+    val srcKeys = src.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_graft_n"))
+    require(srcKeys.filter(col("_graft_n") > 1).isEmpty,
+      s"mergeInto source is not unique on (${keyCols.mkString(",")})")
+    val root = rootPath(fs, hp)
+    val abs0 = m0.entries.map(e => s"$root/${e._1}")
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    val candidates: Seq[String] = filePrune match {
+      case Some(keep) if fs.exists(statsDir) =>
+        val stats = spark.read.json(statsDir.toString)
+        def fileSet(df: DataFrame) = df.select("file").collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+        val covered = fileSet(stats)
+        val kept = fileSet(stats.filter(keep))
+        abs0.filter(f => kept(f) || !covered(f))
+      case _ => abs0
+    }
+    // ONE column-pruned discovery pass: which files hold a matched key?
+    // (file name bound AT THE SCAN — after the join the row has two
+    // sources and input_file_name is undefined)
+    val matched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
+        .withColumn("_graft_file", input_file_name())
+        .join(org.apache.spark.sql.functions.broadcast(
+          srcKeys.select(keyCols.map(col): _*)), keyCols, "leftsemi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val next = nextVersion(fs, path)
+    // rewrite = unmatched rows of matched files + EVERY source row
+    // (updated keys replace, new keys insert) — one write
+    val keptOld = readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
+      .join(org.apache.spark.sql.functions.broadcast(
+        srcKeys.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      .select(prior.fieldNames.map(col): _*)
+    keptOld.unionByName(src.select(prior.fieldNames.map(col): _*))
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val rewritten = fileEntries(spark, fs, path,
+      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
+    writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
+      base = v0, add = rewritten, remove = matchedEntries.map(_._1))
+    writeVersionPointer(spark, fs, path, next)
+    if (fs.exists(statsDir)) {
+      val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (tracked.nonEmpty) appendStats(spark, path, tracked)
+    }
+    // audit counts from manifest n_rows + one source count: rows that
+    // left the matched files were UPDATES (replaced), the rest of the
+    // source INSERTED — no table-wide counting scan
+    val nSrc = src.count()
+    src.unpersist()
+    val updated = matchedEntries.map(_._2).sum -
+      (rewritten.map(_._2).sum - nSrc)
+    (next, (updated, nSrc - updated))
+  }
+
   /** Remove versions older than the newest `keepLast` (the published
     * pointer target is always kept), then delete only the data files NO
     * retained version references — shared files survive, which is what

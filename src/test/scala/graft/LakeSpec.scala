@@ -719,6 +719,49 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, dir, Some(40L)).count() == 10390)
   }
 
+  test("mergeInto upserts file-granularly: untouched files carry by reference") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int], tag: String) =
+      r.map(i => (f"$i%06d", tag)).toDF("k", "s")
+    Lake.writeVersioned(spark,
+      rows(1 to 800, "old").repartitionByRange(8, col("k")), dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    val before = fileIdentity(dir)
+    // source: update keys 100-110 (live in ONE range file), insert 2 new
+    val src = rows((100 to 110) ++ Seq(900, 901), "new")
+    val (lo, hi) = (f"${100}%06d", f"${901}%06d")
+    val (v, (updated, inserted)) = Lake.mergeInto(spark, dir, src, Seq("k"),
+      filePrune = Some(Lake.skipRange("k", lit(lo), lit(hi))))
+    assert(v == 2L && updated == 11L && inserted == 2L, s"$v $updated $inserted")
+    // no original file rewritten in place; 7 of 8 never even retired
+    assert(before.forall { case (p, id) =>
+      fileIdentity(dir).get(p).contains(id) })
+    val cur = Lake.readVersioned(spark, dir)
+    assert(cur.count() == 802)
+    assert(cur.filter(col("s") === "new").count() == 13)
+    assert(cur.filter(col("k") === f"${105}%06d").select("s")
+      .as[String].head() == "new")
+    assert(cur.filter(col("k") === f"${500}%06d").select("s")
+      .as[String].head() == "old")
+    // keys stay unique after the upsert; time travel shows the old state
+    assert(cur.select("k").distinct().count() == 802)
+    assert(Lake.readVersioned(spark, dir, Some(1L)).count() == 800)
+    // the skipping manifest stayed live; probes keep pruning
+    val probed = Lake.readProbed(spark, dir, "k", Seq(f"${900}%06d"))
+    assert(probed.filter(col("k") === f"${900}%06d").count() == 1)
+    // dup-keyed source refused
+    intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, dir, rows(Seq(5, 5), "dup"), Seq("k"))
+    }
+    // post-vacuum: only the matched files are gone (the 11-key range can
+    // straddle one range-file boundary, so 1 or 2 of 8 files matched)
+    assert(Lake.vacuum(spark, dir, keepLast = 1) == Seq(1L))
+    val survivors = before.filter { case (p, id) =>
+      fileIdentity(dir).get(p).contains(id) }
+    assert(survivors.size >= 6, s"survivors=${survivors.size}")
+    assert(Lake.readVersioned(spark, dir).count() == 802)
+  }
+
   test("deleteWhere matching everything empties the table, schema survives") {
     val dir = tmp() + "/t"
     Lake.writeVersioned(spark,
