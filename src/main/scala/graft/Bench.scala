@@ -37,6 +37,7 @@ object Bench {
       graft.operators.OperatorQueries.prebuildSignatureIndex(spark, sfDir)
       graft.operators.OperatorQueries.prebuildAdmittedIndex(spark, sfDir)
       graft.pipeline.PipelineQueries.prebuildDeleteFixture(spark, sfDir)
+      graft.pipeline.PipelineQueries.prebuildMergeTarget(spark, sfDir)
     } catch { case _: Throwable => () }
     // Host-load context makes contended runs SELF-IDENTIFYING: same-binary
     // totals on this box swing ~30% with co-tenant load (BASELINE.md),
