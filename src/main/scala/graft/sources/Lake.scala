@@ -495,6 +495,25 @@ object Lake {
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
       fs.delete(versionManifestFile(path, v), false)
     }
+    // reclaim CRASH ORPHANS: files in a v= dir BELOW the newest manifest
+    // whose own manifest never published were written by a commit that
+    // never completed (commits only target a fresh max+1 dir, so nothing
+    // below the max manifest is in flight) — unless a RETAINED manifest
+    // references them (a vacuumed version's dir legitimately holds shared
+    // files). Dirs at or above the max are left alone: that is exactly
+    // where a live writer works.
+    val live = manifestVersions(fs, path).toSet
+    if (live.nonEmpty) {
+      val maxLive = live.max
+      dirVersions(fs, hp)
+        .filter(v => v < maxLive && !live.contains(v))
+        .foreach { v =>
+          listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$v"))
+            .map(_.stripPrefix(root + "/")).filterNot(referenced)
+            .foreach(rel =>
+              fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
+        }
+    }
     // fold away v= dirs that no longer hold any data file
     fs.listStatus(hp).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))

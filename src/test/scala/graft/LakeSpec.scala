@@ -762,6 +762,32 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, dir).count() == 802)
   }
 
+  test("mergeInto composes with schema evolution (logical-schema source)") {
+    val dir = tmp() + "/t"
+    Lake.writeEvolving(spark,
+      (1L to 30L).map(i => (i, i * 10)).toDF("id", "amt"), dir)
+    Lake.writeEvolving(spark,
+      (31L to 60L).map(i => (i, i * 10L, s"s$i")).toDF("id", "amount", "tag"),
+      dir, renames = Map("amt" -> "amount"))
+    // source speaks the LATEST LOGICAL schema; ids 10,40 update, 99 inserts
+    val src = Seq((10L, 1L, "upd"), (40L, 2L, "upd"), (99L, 3L, "new"))
+      .toDF("id", "amount", "tag")
+    val (v, (updated, inserted)) = Lake.mergeInto(spark, dir, src, Seq("id"))
+    assert(v == 2L && updated == 2L && inserted == 1L)
+    val cur = Lake.readEvolving(spark, dir).orderBy("id")
+    assert(cur.count() == 61)
+    // era-1 rows still fold through the rename; merged rows replaced
+    assert(cur.filter(col("id") === 5L).select("amount").as[Long].head() == 50L)
+    assert(cur.filter(col("id") === 10L).select("tag").as[String].head() == "upd")
+    assert(cur.filter(col("id") === 40L).select("amount").as[Long].head() == 2L)
+    assert(cur.filter(col("id") === 99L).count() == 1)
+    // a source speaking a RETIRED physical schema is refused
+    intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, dir,
+        Seq((7L, 70L)).toDF("id", "amt"), Seq("id"))
+    }
+  }
+
   test("deleteWhere matching everything empties the table, schema survives") {
     val dir = tmp() + "/t"
     Lake.writeVersioned(spark,
@@ -774,6 +800,77 @@ class LakeSpec extends SparkSpec {
     val (v2, r2) = Lake.deleteWhere(spark, dir, col("id") === 99L)
     assert(v2 == 2L && r2 == 0L)
     assert(Lake.listVersions(spark, dir) == Seq(1L, 2L))
+  }
+
+  test("vacuum reclaims crash-orphaned commit dirs, never shared or live files") {
+    val dir = tmp() + "/t"
+    Lake.writeVersioned(spark, spark.range(100).toDF("id"), dir)
+    Lake.appendVersioned(spark, spark.range(100, 120).toDF("id"), dir)
+    // simulate a crash: a commit wrote its data files to the next v= dir
+    // but died before publishing the manifest
+    spark.range(900, 950).toDF("id").write.parquet(s"$dir/v=3")
+    assert(Lake.listVersions(spark, dir) == Seq(1L, 2L)) // invisible
+    // the next commit skips the orphan number instead of colliding
+    assert(Lake.appendVersioned(spark, spark.range(120, 130).toDF("id"), dir) == 4L)
+    assert(Lake.readVersioned(spark, dir).count() == 130)
+    // vacuum drops v1+v2 (keepLast=1), reclaims the orphan files, but
+    // keeps every file v4 still references (v1/v2 files are shared)
+    assert(Lake.vacuum(spark, dir, keepLast = 1) == Seq(1L, 2L))
+    assert(!new java.io.File(s"$dir/v=3").exists(), "orphan dir survived")
+    assert(Lake.readVersioned(spark, dir).count() == 130)
+  }
+
+  test("versioned commit sequences == in-memory model (randomized)") {
+    // model-based check over the delta-manifest machinery: random
+    // sequences of append / delete / merge / optimize / vacuum must keep
+    // the published version's content equal to a plain in-memory map
+    for (round <- 1 to 3) {
+      val rnd = new scala.util.Random(round * 104729L)
+      val dir = tmp() + s"/t$round"
+      var model = Map.empty[Long, Long] // k -> v
+      var nextKey = 0L
+      def frame(rows: Seq[(Long, Long)]) =
+        rows.toDF("k", "v").repartition(1 + rnd.nextInt(3))
+      def freshRows(n: Int): Seq[(Long, Long)] = (0 until n).map { _ =>
+        val k = nextKey; nextKey += 1; (k, rnd.nextLong(1000L))
+      }
+      val init = freshRows(30)
+      model = init.toMap
+      Lake.writeVersioned(spark, frame(init), dir)
+      for (_ <- 0 until 12) {
+        rnd.nextInt(5) match {
+          case 0 => // O(batch) append of new keys
+            val rows = freshRows(1 + rnd.nextInt(8))
+            model = model ++ rows
+            Lake.appendVersioned(spark, frame(rows), dir)
+          case 1 => // range delete
+            val lo = rnd.nextLong(math.max(1L, nextKey))
+            val hi = lo + rnd.nextInt(10)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            Lake.deleteWhere(spark, dir, col("k").between(lo, hi))
+          case 2 => // merge: update a sample of existing keys + insert new
+            val updates = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextInt(5) == 0)
+              .map(k => (k, rnd.nextLong(1000L)))
+            val inserts = freshRows(rnd.nextInt(4))
+            val src = updates ++ inserts
+            if (src.nonEmpty) {
+              model = model ++ src
+              Lake.mergeInto(spark, dir, frame(src), Seq("k"))
+            }
+          case 3 =>
+            Lake.optimizeVersioned(spark, dir, targetFileBytes = 32L << 10)
+          case 4 =>
+            Lake.vacuum(spark, dir, keepLast = 1 + rnd.nextInt(3))
+        }
+        val got = Lake.readVersioned(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got.size == got.map(_._1).distinct.size,
+          s"round $round: duplicate keys surfaced")
+        assert(got.toMap == model,
+          s"round $round: table diverged from the model")
+      }
+    }
   }
 
   test("csv, json, and orc round-trip the same rows") {
