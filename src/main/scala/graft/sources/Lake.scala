@@ -139,8 +139,9 @@ object Lake {
     * plain recursive parquet read would see retired files.
     *
     * `writeVersioned` publishes `df` as a full new snapshot (its contract
-    * is "this frame IS the new table"); use [[appendVersioned]] /
-    * [[deleteWhere]] for the file-granular commits.
+    * is "this frame IS the new table"); the file-granular commits are
+    * [[appendVersioned]] (insert), [[deleteWhere]] (delete),
+    * [[mergeInto]] (upsert) and [[optimizeVersioned]] (maintenance).
     */
   def writeVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -1326,11 +1327,24 @@ object Lake {
       f.isFile && !f.getPath.getName.startsWith(".") &&
         !f.getPath.getName.startsWith("_"))
     val nBefore = manifestFiles().toLong
-    if (nBefore <= 1) return (nBefore, nBefore)
     val manifest = spark.read.json(manifestDir.toString)
+    // drop rows for files no longer ON DISK (vacuumed / compacted away):
+    // current readers already ignore them, but without this the manifest
+    // grows forever under a delete/merge-heavy table. Files merely
+    // RETIRED (still on disk for time travel) keep their rows — harmless,
+    // and a restored version could need them again.
+    val onDisk = listDataFiles(fs, hp).toSet
+    val keep = manifest.collect().filter { r =>
+      onDisk(new java.net.URI(
+        r.getString(r.fieldIndex("file"))).getPath)
+    }
+    val dead = manifest.count() - keep.length
+    if (nBefore <= 1 && dead == 0L) return (nBefore, nBefore)
+    val kept = spark.createDataFrame(
+      spark.sparkContext.parallelize(keep.toIndexedSeq, 1), manifest.schema)
     val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.rebuild")
     fs.delete(staging, true)
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    kept.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
     publishManifest(fs, staging, manifestDir, path)
     (nBefore, manifestFiles().toLong)
   }

@@ -586,6 +586,13 @@ class LakeSpec extends SparkSpec {
       Lake.readVersioned(spark, dir, Some(1L))
     }
     assert(Lake.readVersioned(spark, dir).count() == 989)
+    // stats-manifest hygiene: compactStats drops the vacuumed file's rows
+    // (readers already ignored them; this stops unbounded manifest growth)
+    Lake.compactStats(spark, dir)
+    assert(spark.read.json(s"$dir/_graft_stats").count() ==
+      7L + rewritten.size)
+    val again = Lake.readProbed(spark, dir, "k", Seq(f"${500}%06d"))
+    assert(again.filter(col("k") === f"${500}%06d").count() == 1)
   }
 
   test("appendVersioned links prior files by reference and writes O(batch)") {
