@@ -151,10 +151,12 @@ object Lake {
       s"$path is a schema-evolving table; append via writeEvolving (delete " +
         "via deleteWhere) - writeVersioned would bypass the schema chain")
     ensureVersionManifests(spark, path)
-    val next = nextVersion(fs, path)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    val entries = fileEntries(spark, fs, path,
-      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    // snapshot dir is a namespace; the commit number continues the
+    // manifest chain contiguously (base+1) so every commit type contends
+    // on the same next number — the linearization the rename guard needs
+    val (dataDir, entries) = writeClaimedDir(spark, fs, path, df)
+    val ms = if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
+    val next = if (ms.nonEmpty) ms.last + 1 else dataDir
     writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries)
     writeVersionPointer(spark, fs, path, next)
     next
@@ -166,6 +168,19 @@ object Lake {
     * property that lets a daily intake commit to a 100 TB table without
     * touching it. Schema must match the table exactly (appends are not
     * schema evolution — that is [[writeEvolving]]).
+    *
+    * CONCURRENT appends REBASE instead of failing: appends commute (each
+    * only ADDS files), so the loser of the manifest-publish race re-reads
+    * the new latest version, re-checks the schema against it, and
+    * republishes its delta against that base — the data files, already on
+    * disk, are never rewritten. This is Delta's optimistic-concurrency
+    * behavior for AddFile-only commits. The linearization point is the
+    * manifest rename: manifest numbers contend on max(published)+1, so
+    * sibling commits against one base are impossible — the second writer
+    * always observes the first's manifest and chains behind it.
+    * NON-commuting commits ([[deleteWhere]]/[[mergeInto]]/
+    * [[optimizeVersioned]] — their removals depend on the base file set)
+    * keep the fail-loudly contract.
     */
   def appendVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -176,25 +191,61 @@ object Lake {
     ensureVersionManifests(spark, path)
     val versions = listVersions(spark, path)
     if (versions.isEmpty) return writeVersioned(spark, df, path)
-    val v0 = readVersionPointer(fs, path).getOrElse(versions.last)
-    // the raw manifest header carries the schema — an append never needs
-    // the resolved file list, which is what keeps the whole commit
-    // O(batch) in data AND metadata
-    val raw0 = readRawManifest(spark, fs, path, v0).getOrElse(
-      sys.error(s"version $v0 has no manifest under $path"))
-    val prior = org.apache.spark.sql.types.StructType.fromDDL(raw0.schemaDdl)
-    require(df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
-        prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
-      s"appendVersioned schema mismatch: table has ${prior.toDDL}, " +
-        s"frame has ${df.schema.toDDL}")
-    val next = nextVersion(fs, path)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    val fresh = fileEntries(spark, fs, path,
-      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
-    writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
-      base = v0, add = fresh, remove = Seq.empty)
-    writeVersionPointer(spark, fs, path, next)
-    next
+    def schemaCheck(baseDdl: String): Unit = {
+      val prior = org.apache.spark.sql.types.StructType.fromDDL(baseDdl)
+      require(df.schema.fields.map(f =>
+          (f.name, f.dataType.catalogString)).toSeq ==
+          prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
+        s"appendVersioned schema mismatch: table has ${prior.toDDL}, " +
+          s"frame has ${df.schema.toDDL}")
+    }
+    // phase 1 — write the batch ONCE into a uniquely-claimed dir (see
+    // writeClaimedDir for the claim protocol and why the dir number is a
+    // namespace, not the commit number)
+    val (_, fresh) = writeClaimedDir(spark, fs, path, df)
+    var attempts = 0
+    // phase 2 — publish the delta manifest, REBASING on conflict: the
+    // base is re-read each attempt, so after losing a race the commit
+    // chains behind the winner instead of forking a sibling lineage
+    attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= MaxCommitRetries,
+        s"appendVersioned: lost the manifest race under $path " +
+          s"$MaxCommitRetries times (livelock? raise MaxCommitRetries)")
+      // the base is the NEWEST MANIFEST, never the pointer: the pointer
+      // can lag a concurrent commit (it is written after the manifest),
+      // and chaining a delta onto a lagging base would silently drop the
+      // newer commit's files from this lineage
+      val published = manifestVersions(fs, path)
+      val v0 = published.last
+      val raw0 = readRawManifest(spark, fs, path, v0).getOrElse(
+        sys.error(s"version $v0 has no manifest under $path"))
+      schemaCheck(raw0.schemaDdl) // a concurrent evolve/merge may have changed it
+      val next = v0 + 1
+      try {
+        writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
+          base = v0, add = fresh, remove = Seq.empty)
+        writeVersionPointer(spark, fs, path, next)
+        // keep an existing skipping manifest live over the appended files
+        // (the deleteWhere/merge/optimize invariant — appends are exactly
+        // the commits that degrade probe pruning, so leaving the manifest
+        // stale here would make every post-append readSkipping refuse):
+        // O(batch) — stats are computed for the fresh files only
+        val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+        if (fs.exists(statsDir)) {
+          val tracked = spark.read.json(statsDir.toString).schema.fieldNames
+            .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+          if (tracked.nonEmpty) appendStats(spark, path, tracked)
+        }
+        return next
+      } catch {
+        case _: IllegalArgumentException
+            if fs.exists(versionManifestFile(path, next)) =>
+          () // manifest race lost: re-read the new base and rebase
+      }
+    }
+    sys.error("unreachable")
   }
 
   def listVersions(spark: SparkSession, path: String): Seq[Long] = {
@@ -231,6 +282,56 @@ object Lake {
           s"${listVersions(spark, path).mkString(",")})")
       spark.read.parquet(s"$path/v=$v")
     }
+  }
+
+  /** TIMESTAMP time travel — `readVersioned` resolved by commit time: the
+    * NEWEST version whose commit timestamp is ≤ `asOfMillis` (the Delta
+    * `TIMESTAMP AS OF` contract). Version manifests are stamped at
+    * publish, vacuum's checkpoint materialization preserves the original
+    * stamp, and resolution is a metadata-only walk over the manifest
+    * headers — no data I/O until the returned frame is acted on.
+    *
+    * Versions written before timestamps existed sort BEFORE every stamped
+    * one (they are genuinely older — stamping began when this table's
+    * first stamped commit landed), so mixed-era tables resolve sanely.
+    * An `asOfMillis` before the first commit is refused loudly: there was
+    * no table then, and silently returning the oldest version would
+    * invent history.
+    */
+  def readVersionedAsOf(spark: SparkSession, path: String,
+      asOfMillis: Long): DataFrame =
+    readVersioned(spark, path, Some(versionAsOf(spark, path, asOfMillis)))
+
+  /** The version number `asOfMillis` resolves to (see
+    * [[readVersionedAsOf]]); public so callers can log/audit which
+    * version a timestamp query actually read.
+    */
+  def versionAsOf(spark: SparkSession, path: String,
+      asOfMillis: Long): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(versionsDir(path)),
+      s"$path has no _graft_versions manifests - timestamp travel needs " +
+        "manifest commit stamps (write through the versioned API first)")
+    val stamped = manifestVersions(fs, path).map(v =>
+      v -> readRawManifest(spark, fs, path, v).flatMap(_.ts).getOrElse(0L))
+    require(stamped.nonEmpty, s"no versions under $path")
+    val eligible = stamped.filter(_._2 <= asOfMillis).map(_._1)
+    require(eligible.nonEmpty,
+      s"no version of $path committed at or before $asOfMillis " +
+        s"(earliest commit: ${stamped.map(_._2).min})")
+    eligible.max
+  }
+
+  /** (version, commit epoch-millis) per retained version, ascending — the
+    * DESCRIBE HISTORY surface; 0 for pre-timestamp manifests.
+    */
+  def versionHistory(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(versionsDir(path))) Seq.empty
+    else manifestVersions(fs, path).map(v =>
+      v -> readRawManifest(spark, fs, path, v).flatMap(_.ts).getOrElse(0L))
   }
 
   /** TAKEDOWN / right-to-be-forgotten delete: publish a new version
@@ -300,22 +401,26 @@ object Lake {
         .filter(pred).select(input_file_name().as("f")).distinct()
         .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
     if (matched.isEmpty) return (v0, 0L)
-    val next = nextVersion(fs, path)
     // SQL DELETE semantics: remove rows where pred is TRUE; a null
-    // predicate KEEPS the row (a bare !pred would silently delete it)
-    readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
-      .filter(!coalesce(pred, lit(false)))
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    val rewritten = fileEntries(spark, fs, path,
-      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    // predicate KEEPS the row (a bare !pred would silently delete it).
+    // The rewrite lands in a claimed namespace dir; the COMMIT number is
+    // exactly base+1 — see the contiguity note below
+    val (_, rewritten) = writeClaimedDir(spark, fs, path,
+      readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
+        .filter(!coalesce(pred, lit(false))))
     val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
     // an evolved rewrite lands latest-LOGICAL-schema files (compact's
     // invariant); the manifest schema follows
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
-    // O(changed-files) delta commit: only the matched removals and the
-    // rewrites are written, never the full file list
+    // O(changed-files) delta commit published at EXACTLY base+1: version
+    // numbers are contiguous, so any commit that landed since our base
+    // read owns that number and the manifest rename guard refuses us —
+    // the fail-loudly contract for NON-commuting commits (our removals
+    // were computed against the base's file set; publishing over a newer
+    // commit would silently drop its changes)
+    val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, ddl,
       base = v0, add = rewritten, remove = matchedEntries.map(_._1))
     writeVersionPointer(spark, fs, path, next)
@@ -359,9 +464,112 @@ object Lake {
     */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
-      filePrune: Option[org.apache.spark.sql.Column] = None)
-      : (Long, (Long, Long)) = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+      filePrune: Option[org.apache.spark.sql.Column] = None,
+      maxBroadcastKeys: Long = 1000000L): (Long, (Long, Long)) = {
+    // exact-schema contract for the plain upsert (the CDC form allows
+    // extra source columns because the delete flag rides there)
+    val priorDdl = currentSchemaDdl(spark, path)
+    priorDdl.foreach { ddl =>
+      val prior = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      require(source.schema.fields.map(f =>
+          (f.name, f.dataType.catalogString)).toSeq ==
+          prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
+        s"mergeInto schema mismatch: table has ${prior.toDDL}, " +
+          s"source has ${source.schema.toDDL}")
+    }
+    val (v, (upd, ins, _)) = mergeImpl(spark, path, source, keyCols,
+      deleteWhen = None, filePrune, maxBroadcastKeys)
+    (v, (upd, ins))
+  }
+
+  /** MERGE with CONDITIONAL CLAUSES — the Delta `WHEN MATCHED AND cond
+    * THEN DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT *` form, so a Debezium-shaped CDC feed (rows flagged
+    * `_is_deleted`, reference README_DBT.md:243) applies in ONE
+    * file-granular commit instead of mergeInto + deleteWhere (two
+    * versions, two discovery passes, two rewrite generations).
+    *
+    * `deleteWhen` is evaluated per SOURCE row: matching target rows of a
+    * delete-flagged source row are removed; delete-flagged rows whose key
+    * matches nothing are no-ops (Delta's WHEN MATCHED semantics — a
+    * delete for an absent key inserts nothing); unflagged rows upsert
+    * exactly like [[mergeInto]]. The source may carry EXTRA columns (the
+    * flag itself) beyond the table schema — they are dropped at write;
+    * it must still contain every table column at its exact type and be
+    * unique on `keyCols` across the whole batch (a key that both deletes
+    * and updates in one batch has no defined outcome).
+    *
+    * @return (published version, (target rows updated, source rows
+    *         inserted, target rows deleted)); counts come from the
+    *         discovery pass's per-arm tallies (column-pruned, matched
+    *         files only — never a table scan)
+    */
+  def mergeCdc(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], deleteWhen: org.apache.spark.sql.Column,
+      filePrune: Option[org.apache.spark.sql.Column] = None,
+      maxBroadcastKeys: Long = 1000000L): (Long, (Long, Long, Long)) =
+    mergeImpl(spark, path, source, keyCols, Some(deleteWhen), filePrune,
+      maxBroadcastKeys)
+
+  /** The table's current schema DDL if it is already versioned/evolved/
+    * readable — None only when nothing exists yet to compare against.
+    */
+  private def currentSchemaDdl(spark: SparkSession,
+      path: String): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) None
+    else if (fs.exists(versionsDir(path))) {
+      val v = readVersionPointer(fs, path).orElse(
+        manifestVersions(fs, path).lastOption)
+      v.flatMap(readRawManifest(spark, fs, path, _)).map(_.schemaDdl)
+    } else if (readSchemaManifests(spark, path).nonEmpty)
+      Some(logicalDdl(spark, path))
+    else if (listDataFiles(fs, hp).nonEmpty)
+      Some(spark.read.parquet(path).schema.toDDL)
+    else None
+  }
+
+  /** Broadcast the merge probe only when it is PROVABLY small: an
+    * explicit hint bypasses AQE's size protection, and a backfill-sized
+    * source (hundreds of millions of keys) must degrade to a shuffle
+    * join, not OOM the broadcast. nSrc is exact and already paid for.
+    */
+  private def hintedProbe(df: DataFrame, nSrc: Long,
+      maxBroadcastKeys: Long): DataFrame =
+    if (nSrc <= maxBroadcastKeys)
+      org.apache.spark.sql.functions.broadcast(df) else df
+
+  /** The merge DISCOVERY join exactly as [[mergeInto]] plans it (current
+    * version's files ⋈ source keys), exposed package-private so PlanSpec
+    * can pin the join strategy on the real code path: hinted broadcast
+    * under the size guard, planner/AQE's free choice above it.
+    */
+  private[graft] def mergeDiscoveryFrame(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      maxBroadcastKeys: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = readVersionPointer(fs, path).getOrElse(
+      manifestVersions(fs, path).last)
+    val m0 = readVersionManifest(spark, fs, path, v0).get
+    val root = rootPath(fs, hp)
+    val probe = hintedProbe(source.select(keyCols.map(col): _*),
+      source.count(), maxBroadcastKeys)
+    readSomeFiles(spark, fs, path, m0.entries.map(e => s"$root/${e._1}"),
+      m0.schemaDdl)
+      .withColumn("_graft_file", input_file_name())
+      .select((keyCols.map(col) :+ col("_graft_file")): _*)
+      .join(probe, keyCols, "inner")
+  }
+
+  private def mergeImpl(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      filePrune: Option[org.apache.spark.sql.Column],
+      maxBroadcastKeys: Long): (Long, (Long, Long, Long)) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, sum, when}
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -375,70 +583,166 @@ object Lake {
     val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
       sys.error(s"version $v0 has no manifest under $path"))
     val prior = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
-    require(source.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
-        prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
-      s"mergeInto schema mismatch: table has ${prior.toDDL}, " +
-        s"source has ${source.schema.toDDL}")
-    // multi-match guard: a key mapping to two source rows has no defined
-    // replacement — count once, reuse the frame (caller-supplied source
-    // may be expensive; persist for the guard + the two joins below)
+    prior.fields.foreach { f =>
+      require(source.schema.fields.exists(s => s.name == f.name &&
+          s.dataType.catalogString == f.dataType.catalogString),
+        s"merge source is missing table column ${f.name}: " +
+          s"${f.dataType.catalogString} (table ${prior.toDDL})")
+    }
+    // caller-supplied source may be expensive; persist for the guard +
+    // counts + the joins below, released even when a require throws
     val src = source.persist()
-    val srcKeys = src.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_graft_n"))
-    require(srcKeys.filter(col("_graft_n") > 1).isEmpty,
-      s"mergeInto source is not unique on (${keyCols.mkString(",")})")
+    try {
+      // multi-match guard: a key mapping to two source rows has no defined
+      // outcome (Delta errors on multi-matches the same way)
+      val srcKeys = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_graft_n"))
+      require(srcKeys.filter(col("_graft_n") > 1).isEmpty,
+        s"mergeInto source is not unique on (${keyCols.mkString(",")})")
+      val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
+        .getOrElse(lit(false))
+      val nSrc = src.count()
+      val nDel =
+        if (deleteWhen.isEmpty) 0L else src.filter(delFlag).count()
+      val nUp = nSrc - nDel
+      val probe = hintedProbe(src.select(
+        (keyCols.map(col) :+ delFlag.as("_graft_del")): _*),
+        nSrc, maxBroadcastKeys)
+      val root = rootPath(fs, hp)
+      val abs0 = m0.entries.map(e => s"$root/${e._1}")
+      val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+      val candidates: Seq[String] = filePrune match {
+        case Some(keep) if fs.exists(statsDir) =>
+          val stats = spark.read.json(statsDir.toString)
+          def fileSet(df: DataFrame) = df.select("file").collect()
+            .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          val covered = fileSet(stats)
+          val kept = fileSet(stats.filter(keep))
+          abs0.filter(f => kept(f) || !covered(f))
+        case _ => abs0
+      }
+      // ONE column-pruned discovery pass: which files hold a matched key,
+      // and how many target rows does each merge arm touch? (file name
+      // bound AT THE SCAN — after the join the row has two sources and
+      // input_file_name is undefined)
+      val fileArms: Seq[(String, Long, Long)] =
+        if (candidates.isEmpty) Seq.empty
+        else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
+          .withColumn("_graft_file", input_file_name())
+          .select((keyCols.map(col) :+ col("_graft_file")): _*)
+          .join(probe, keyCols, "inner")
+          .groupBy(col("_graft_file"))
+          .agg(
+            sum(when(col("_graft_del"), lit(0L)).otherwise(lit(1L)))
+              .as("n_upd"),
+            sum(when(col("_graft_del"), lit(1L)).otherwise(lit(0L)))
+              .as("n_del"))
+          .collect().toSeq.map(r => (
+            new java.net.URI(r.getString(0)).getPath,
+            r.getLong(1), r.getLong(2)))
+      val matched: Set[String] = fileArms.map(_._1).toSet
+      // target-row tallies per arm, exact whatever the target's key shape
+      val updated = fileArms.map(_._2).sum
+      val deleted = fileArms.map(_._3).sum
+      if (matched.isEmpty && nUp == 0L) return (v0, (0L, 0L, 0L))
+      // rewrite = unmatched rows of matched files + every UPSERT source
+      // row (updated keys replace, new keys insert; delete-flagged rows
+      // contribute removals only) — one write into a claimed namespace
+      // dir; the commit number is base+1 (contiguity — see deleteWhere)
+      val keptOld = readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
+        .join(probe, keyCols, "left_anti")
+        .select(prior.fieldNames.map(col): _*)
+      val (_, rewritten) = writeClaimedDir(spark, fs, path,
+        keptOld.unionByName(
+          src.filter(!delFlag).select(prior.fieldNames.map(col): _*)))
+      val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
+      val next = v0 + 1
+      writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
+        base = v0, add = rewritten, remove = matchedEntries.map(_._1))
+      writeVersionPointer(spark, fs, path, next)
+      if (fs.exists(statsDir)) {
+        val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+          .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        if (tracked.nonEmpty) appendStats(spark, path, tracked)
+      }
+      // inserted = upsert rows whose key matched nothing; with a
+      // key-unique target (the normal state of a merge-maintained table)
+      // `updated` counts exactly the matched upsert keys, so the split is
+      // exact — a dup-keyed target still merges correctly, only the
+      // update/insert split blurs (deleted stays exact: it tallies
+      // target rows directly)
+      (next, (updated, nUp - updated, deleted))
+    } finally { src.unpersist(); () }
+  }
+
+  /** Make a STREAM-WRITTEN table versioned — the commit half of the
+    * reference's streaming-table shape (`bronze_iot_events.sql:1-6` is a
+    * Delta streaming table: every drain lands in a transaction log with
+    * time travel for free). Our streaming sinks write flat parquet files
+    * at the table root plus a `_spark_metadata` sink log; this publishes
+    * every ROOT-LEVEL data file not yet referenced by any retained
+    * version manifest as one `appendVersioned`-style delta commit —
+    * METADATA-ONLY (files are adopted by reference, never moved), so the
+    * per-drain commit cost is O(new files) exactly like the stats append.
+    *
+    * Idempotence is by FILE DIFF, which is strictly stronger than
+    * batch-id dedup: a re-drain that adds no files publishes no version;
+    * a crash between drain and commit self-heals (the next commit adopts
+    * both drains' files); calling it twice is a no-op. Root-level only is
+    * load-bearing: files under `v=N` dirs belong to versioned REWRITES
+    * (delete/merge/optimize) — a crash-orphaned rewrite dir must never be
+    * adopted as streamed data (vacuum reclaims it instead).
+    *
+    * After the first commit the table is a first-class versioned Lake
+    * table: `readVersioned`/time travel/`deleteWhere`/`mergeInto`/
+    * `optimizeVersioned`/`vacuum` all work with NO bootstrap step. The
+    * `_spark_metadata` log keeps serving the SINK's exactly-once
+    * bookkeeping, but versioned readers resolve manifests (explicit file
+    * lists never consult the sink log), so the two metadata systems no
+    * longer conflict — batch consumers of a versioned streamed table
+    * should read through [[readVersioned]], not a raw dir scan.
+    *
+    * @return the published version, or None when no new files exist
+    */
+  def commitStreamVersion(spark: SparkSession, path: String): Option[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return None
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; streamed commits assume the " +
+        "sink's fixed schema (evolve via writeEvolving, not a stream)")
+    def rootFiles(): Seq[String] = fs.listStatus(hp).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toUri.getPath)
+    if (!fs.exists(versionsDir(path))) {
+      if (rootFiles().isEmpty) return None
+      bootstrapRootVersion(spark, fs, path)
+      return Some(1L)
+    }
+    // every file ANY retained version references is already owned —
+    // including files a delete RETIRED but vacuum still retains, which a
+    // naive current-version diff would wrongly re-adopt (resurrecting
+    // deleted rows on the next drain)
+    val known: Set[String] = manifestVersions(fs, path).flatMap(v =>
+      readVersionManifest(spark, fs, path, v).toSeq.flatMap(_.entries.map(_._1)))
+      .toSet
     val root = rootPath(fs, hp)
-    val abs0 = m0.entries.map(e => s"$root/${e._1}")
-    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
-    val candidates: Seq[String] = filePrune match {
-      case Some(keep) if fs.exists(statsDir) =>
-        val stats = spark.read.json(statsDir.toString)
-        def fileSet(df: DataFrame) = df.select("file").collect()
-          .map(r => new java.net.URI(r.getString(0)).getPath).toSet
-        val covered = fileSet(stats)
-        val kept = fileSet(stats.filter(keep))
-        abs0.filter(f => kept(f) || !covered(f))
-      case _ => abs0
-    }
-    // ONE column-pruned discovery pass: which files hold a matched key?
-    // (file name bound AT THE SCAN — after the join the row has two
-    // sources and input_file_name is undefined)
-    val matched: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
-        .withColumn("_graft_file", input_file_name())
-        .join(org.apache.spark.sql.functions.broadcast(
-          srcKeys.select(keyCols.map(col): _*)), keyCols, "leftsemi")
-        .select(col("_graft_file")).distinct()
-        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-    val next = nextVersion(fs, path)
-    // rewrite = unmatched rows of matched files + EVERY source row
-    // (updated keys replace, new keys insert) — one write
-    val keptOld = readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
-      .join(org.apache.spark.sql.functions.broadcast(
-        srcKeys.select(keyCols.map(col): _*)), keyCols, "left_anti")
-      .select(prior.fieldNames.map(col): _*)
-    keptOld.unionByName(src.select(prior.fieldNames.map(col): _*))
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    val rewritten = fileEntries(spark, fs, path,
-      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
-    val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
-    writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
-      base = v0, add = rewritten, remove = matchedEntries.map(_._1))
+    val fresh = rootFiles().map(_.stripPrefix(root + "/")).filterNot(known)
+    if (fresh.isEmpty) return None
+    // base on the newest MANIFEST and publish at base+1 — the contiguity
+    // contract every delta commit follows (see deleteWhere)
+    val vs = manifestVersions(fs, path)
+    require(vs.nonEmpty, s"no versions under $path")
+    val v0 = vs.last
+    val raw0 = readRawManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val entries = fileEntries(spark, fs, path, fresh.map(r => s"$root/$r"))
+    val next = v0 + 1
+    writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
+      base = v0, add = entries, remove = Seq.empty)
     writeVersionPointer(spark, fs, path, next)
-    if (fs.exists(statsDir)) {
-      val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-      if (tracked.nonEmpty) appendStats(spark, path, tracked)
-    }
-    // audit counts from manifest n_rows + one source count: rows that
-    // left the matched files were UPDATES (replaced), the rest of the
-    // source INSERTED — no table-wide counting scan
-    val nSrc = src.count()
-    src.unpersist()
-    val updated = matchedEntries.map(_._2).sum -
-      (rewritten.map(_._2).sum - nSrc)
-    (next, (updated, nSrc - updated))
+    Some(next)
   }
 
   /** Remove versions older than the newest `keepLast` (the published
@@ -446,7 +750,8 @@ object Lake {
     * retained version references — shared files survive, which is what
     * file-granular commits require. Returns the removed version numbers.
     */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[Long] = {
+  def vacuum(spark: SparkSession, path: String, keepLast: Int,
+      orphanGraceMs: Long = 86400000L): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -481,8 +786,11 @@ object Lake {
       if (chainHitsDropped(v)) {
         val m = readVersionManifest(spark, fs, path, v).getOrElse(
           sys.error(s"version $v has no manifest under $path"))
+        // carry the ORIGINAL commit ts into the checkpoint: asOf time
+        // travel must resolve identically before and after a vacuum
+        val origTs = readRawManifest(spark, fs, path, v).flatMap(_.ts)
         writeVersionManifest(spark, fs, path, v, m.schemaDdl, m.entries,
-          replace = true)
+          replace = true, ts = origTs)
       }
     }
     val root = rootPath(fs, hp)
@@ -496,30 +804,44 @@ object Lake {
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
       fs.delete(versionManifestFile(path, v), false)
     }
-    // reclaim CRASH ORPHANS: files in a v= dir BELOW the newest manifest
-    // whose own manifest never published were written by a commit that
-    // never completed (commits only target a fresh max+1 dir, so nothing
-    // below the max manifest is in flight) — unless a RETAINED manifest
-    // references them (a vacuumed version's dir legitimately holds shared
-    // files). Dirs at or above the max are left alone: that is exactly
-    // where a live writer works.
-    val live = manifestVersions(fs, path).toSet
-    if (live.nonEmpty) {
-      val maxLive = live.max
-      dirVersions(fs, hp)
-        .filter(v => v < maxLive && !live.contains(v))
-        .foreach { v =>
-          listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$v"))
-            .map(_.stripPrefix(root + "/")).filterNot(referenced)
-            .foreach(rel =>
-              fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
-        }
-    }
-    // fold away v= dirs that no longer hold any data file
+    // reclaim CRASH ORPHANS — unreferenced files in v= dirs, gated by an
+    // MTIME GRACE window (Delta VACUUM's model): a file no retained
+    // manifest references is either a crashed commit's leavings (its
+    // writer died before publishing) or a LIVE commit's work in progress
+    // (its writer will publish soon). Version numbers cannot tell the two
+    // apart once data-dir numbers and manifest numbers decouple (a rebase
+    // can publish manifest v=7 over dir v=5, and concurrent manifests can
+    // catch up past a live writer's dir), so the discriminator is AGE:
+    // a live commit publishes within minutes, a crashed one never does —
+    // files older than `orphanGraceMs` (default 24 h) with no reference
+    // are dead. Root-level files are NEVER touched here: on a streamed
+    // table they may be drained-but-not-yet-committed batches
+    // ([[commitStreamVersion]] adopts them).
+    val now = System.currentTimeMillis()
+    def expired(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime + orphanGraceMs <= now
     fs.listStatus(hp).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .foreach(d =>
-        if (listDataFiles(fs, d.getPath).isEmpty) fs.delete(d.getPath, true))
+      .foreach { d =>
+        listDataFiles(fs, d.getPath)
+          .filterNot(f => referenced(f.stripPrefix(root + "/")))
+          .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)))
+          .filter(expired)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    // fold away v= dirs with no data files left, under the same grace:
+    // a raw-empty dir deletes immediately; a dir holding only expired
+    // crumbs (claim markers, _SUCCESS, stale _temporary) deletes with
+    // them; a dir with any RECENT entry is a live writer's workspace and
+    // survives untouched
+    fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .foreach { d =>
+        val crumbs = fs.listStatus(d.getPath).toSeq
+        if (crumbs.isEmpty ||
+            (listDataFiles(fs, d.getPath).isEmpty && crumbs.forall(expired)))
+          fs.delete(d.getPath, true)
+      }
     drop
   }
 
@@ -558,16 +880,16 @@ object Lake {
     val smallBytes = small.map(_._2).sum
     val nOut = math.max(1L,
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val next = nextVersion(fs, path)
-    readSomeFiles(spark, fs, path,
-      small.map(e => s"$root/${e._1._1}"), m0.schemaDdl)
-      .coalesce(nOut) // NARROW: compaction moves bytes, never an exchange
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    val folded = fileEntries(spark, fs, path,
-      listDataFiles(fs, new org.apache.hadoop.fs.Path(path, s"v=$next")))
+    // fold dir is a claimed namespace; the commit number is base+1 (the
+    // non-commuting contiguity contract — see deleteWhere)
+    val (_, folded) = writeClaimedDir(spark, fs, path,
+      readSomeFiles(spark, fs, path,
+        small.map(e => s"$root/${e._1._1}"), m0.schemaDdl)
+        .coalesce(nOut)) // NARROW: compaction moves bytes, never an exchange
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
+    val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, ddl,
       base = v0, add = folded, remove = small.map(_._1._1))
     writeVersionPointer(spark, fs, path, next)
@@ -581,21 +903,104 @@ object Lake {
     (next, small.size.toLong)
   }
 
+  /** Sort-order OPTIMIZE for VERSIONED tables — the [[rerange]] analog
+    * published as a new version instead of an in-place dir swap (shared
+    * files are immutable). Interleaved [[appendVersioned]] batches each
+    * span the whole key range, so probe/range pruning on `c` degrades
+    * permanently as a versioned table accretes — the exact decay
+    * [[rerange]] fixes for plain tables, which until now had no versioned
+    * counterpart ([[optimizeVersioned]] bin-packs but never re-sorts).
+    * This rewrites the CURRENT file set range-clustered on `c` (one range
+    * exchange, ~targetFileRows rows per file) and publishes it as a full
+    * checkpoint manifest — a full manifest, not a delta, because the
+    * commit replaces every reference anyway (a delta would be checkpoint-
+    * sized). Old versions keep their file lists and stay time-travelable;
+    * [[vacuum]] later reclaims the superseded originals; the `_graft_stats`
+    * manifest gains rows for the new files so probe pruning is restored
+    * immediately. Row counts come from manifest n_rows — no counting scan.
+    *
+    * Cost is ∝ CURRENT table bytes (every live row is rewritten once) —
+    * run it as periodic housekeeping after enough appends have degraded
+    * pruning, exactly like Delta's OPTIMIZE ZORDER.
+    *
+    * @return (published version, data files after the rewrite)
+    */
+  def rerangeVersioned(spark: SparkSession, path: String, c: String,
+      targetFileRows: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(versionsDir(path)),
+      s"$path carries no _graft_versions manifests; use rerange (in-place " +
+        "dir swap) for plain tables")
+    val v0 = readVersionPointer(fs, path).getOrElse {
+      val vs = manifestVersions(fs, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    if (m0.entries.isEmpty) return (v0, 0L)
+    val nRows = m0.entries.map(_._2).sum
+    val nOut = math.max(1L, (nRows + targetFileRows - 1) / targetFileRows)
+    // rewrite dir is a claimed namespace; the commit number is base+1
+    // (the non-commuting contiguity contract — see deleteWhere)
+    val (_, rewritten) = writeClaimedDir(spark, fs, path,
+      readManifestFiles(spark, fs, path, m0)
+        .repartitionByRange(nOut.toInt, col(c)))
+    val ddl =
+      if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
+      else m0.schemaDdl
+    val next = v0 + 1
+    writeVersionManifest(spark, fs, path, next, ddl, rewritten)
+    writeVersionPointer(spark, fs, path, next)
+    // the re-range key ALWAYS ends up tracked (rerange's contract): with c
+    // already tracked this is an O(new files) append; a manifest not yet
+    // tracking c (or absent) rebuilds in full — same cost class as the
+    // rewrite that just ran
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    val statsCols: Seq[String] =
+      if (!fs.exists(statsDir)) Seq(c)
+      else (spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")) :+ c).distinct
+    if (fs.exists(statsDir)) appendStats(spark, path, statsCols)
+    else writeStats(spark, path, statsCols)
+    (next, rewritten.size.toLong)
+  }
+
   private def readVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[Long] = {
     val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
     if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val s = scala.io.Source.fromInputStream(in).mkString.trim
-      in.close()
-      Some(s.toLong)
-    }
+    else
+      // the pointer is a HINT, not the truth (manifests are authoritative
+      // and every caller falls back to max(manifest)): a read that races
+      // a concurrent swap (local-FS ChecksumFs renames data+crc as two
+      // ops) degrades to the fallback instead of failing the caller
+      try {
+        val in = fs.open(ptr)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+                finally in.close()
+        Some(s.toLong)
+      } catch {
+        case _: java.io.IOException | _: NumberFormatException => None
+      }
   }
 
   private def writeVersionPointer(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_latest.tmp")
+    // MONOTONIC advance: with concurrent appends the loser republishes at
+    // a higher number after the winner — a stale writer must never swing
+    // the pointer backwards over a commit it never saw. (Check-then-swap
+    // has a residual window; a lagging pointer is self-healing — readers
+    // fall back to max(manifest) and the next commit re-advances it.)
+    if (readVersionPointer(fs, path).exists(_ >= v)) return
+    // tmp name is PER-WRITER unique: a shared tmp path under concurrent
+    // commits lets writer B overwrite the tmp writer A is mid-renaming —
+    // the crc/data tear the concurrent-append spec caught
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._graft_latest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val ptr = new org.apache.hadoop.fs.Path(path, "_graft_latest")
     val out = fs.create(tmp, true)
     out.write(v.toString.getBytes("UTF-8"))
@@ -626,12 +1031,65 @@ object Lake {
   private case class VersionManifest(version: Long, schemaDdl: String,
       entries: Seq[(String, Long)])
 
-  /** Raw on-disk form: full (files defined) or delta (base defined). */
+  /** Raw on-disk form: full (files defined) or delta (base defined).
+    * `ts` is the commit wall-clock (epoch millis), stamped at publish and
+    * PRESERVED by vacuum's materialization rewrite; None only for
+    * manifests written before timestamps existed.
+    */
   private case class RawManifest(version: Long, schemaDdl: String,
       depth: Long, files: Option[Seq[(String, Long)]], base: Option[Long],
-      add: Seq[(String, Long)], remove: Seq[String])
+      add: Seq[(String, Long)], remove: Seq[String], ts: Option[Long])
 
   private val MaxChainDepth = 32L
+
+  /** Bound on optimistic-concurrency retries in [[appendVersioned]] —
+    * losing 20 straight manifest races means pathological contention, not
+    * bad luck; fail loudly rather than spin.
+    */
+  private val MaxCommitRetries = 20
+
+  /** Claim a fresh `v=N` data dir and write `df` into it; every commit's
+    * data write goes through here. The dir NUMBER is a NAMESPACE, not the
+    * commit number (a rebased commit may publish manifest v=7 over files
+    * living in dir v=5 — manifests reference files by path, so nothing
+    * requires the two to agree, and vacuum's orphan reclaim is
+    * reference+grace-based). The claim is a create-no-overwrite marker
+    * file, NOT the data write itself: DataFrameWriter's ErrorIfExists
+    * check runs at job submit, so two simultaneous writers could both
+    * pass it and interleave their task files in one dir — the marker's
+    * exclusive create closes that window to a single metadata op (atomic
+    * on HDFS/object stores; microseconds on local FS). A loser retries
+    * with a fresh number; the frame is written exactly once, into a dir
+    * only this writer owns.
+    *
+    * @return (claimed dir number, the written files' manifest entries)
+    */
+  private def writeClaimedDir(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      df: DataFrame): (Long, Seq[(String, Long)]) = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= MaxCommitRetries,
+        s"could not claim a data dir under $path after " +
+          s"$MaxCommitRetries attempts")
+      val d = nextVersion(fs, path)
+      val dirPath = new org.apache.hadoop.fs.Path(path, s"v=$d")
+      val claimed =
+        try {
+          fs.create(new org.apache.hadoop.fs.Path(dirPath, "._graft_claim"),
+            false).close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (claimed) {
+        // Append, not ErrorIfExists: the dir exists now (it holds our
+        // claim marker) and is exclusively ours
+        df.write.mode(SaveMode.Append).parquet(dirPath.toString)
+        return (d, fileEntries(spark, fs, path, listDataFiles(fs, dirPath)))
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private def versionsDir(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_versions")
@@ -715,15 +1173,26 @@ object Lake {
     }
   }
 
-  /** Publish a FULL (checkpoint) manifest: the complete file list. */
+  /** Publish a FULL (checkpoint) manifest: the complete file list. `ts`
+    * defaults to now; vacuum's materialization passes the ORIGINAL commit
+    * time through so `asOf` resolution survives checkpointing.
+    */
   private def writeVersionManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, entries: Seq[(String, Long)],
-      replace: Boolean = false): Unit =
+      replace: Boolean = false, ts: Option[Long] = None): Unit = {
+    // a fresh commit stamps now; a materialization rewrite (replace)
+    // carries the original ts through — or keeps having NONE for
+    // pre-timestamp manifests (stamping those "now" would teleport an old
+    // version to the present under asOf resolution)
+    val tsField = (if (replace) ts
+                   else ts.orElse(Some(System.currentTimeMillis())))
+      .map(t => s""""ts":$t,""").getOrElse("")
     writeManifestFile(fs, path, v,
-      s"""{"version":$v,"schema":${jsonStr(schemaDdl)},"depth":0,""" +
+      s"""{"version":$v,$tsField"schema":${jsonStr(schemaDdl)},"depth":0,""" +
         s""""files":${entriesJson(entries)}}""",
       replace)
+  }
 
   /** Publish an O(changed-files) DELTA manifest against `base` — or, when
     * the chain would exceed [[MaxChainDepth]], a full checkpoint built by
@@ -745,7 +1214,8 @@ object Lake {
     } else {
       val removeJson = remove.map(jsonStr).mkString("[", ",", "]")
       writeManifestFile(fs, path, v,
-        s"""{"version":$v,"schema":${jsonStr(schemaDdl)},""" +
+        s"""{"version":$v,"ts":${System.currentTimeMillis()},""" +
+          s""""schema":${jsonStr(schemaDdl)},""" +
           s""""depth":${parentDepth + 1},"base":$base,""" +
           s""""add":${entriesJson(add)},"remove":$removeJson}""",
         replace = false)
@@ -758,28 +1228,29 @@ object Lake {
     val f = versionManifestFile(path, v)
     if (!fs.exists(f)) None
     else {
-      import org.apache.spark.sql.types._
-      val entry = StructType(Seq(
-        StructField("path", StringType), StructField("n_rows", LongType)))
-      val schema = StructType(Seq(
-        StructField("version", LongType),
-        StructField("schema", StringType),
-        StructField("depth", LongType),
-        StructField("files", ArrayType(entry)),
-        StructField("base", LongType),
-        StructField("add", ArrayType(entry)),
-        StructField("remove", ArrayType(StringType))))
-      val r = spark.read.schema(schema).json(f.toString).head()
-      def pairs(i: Int): Seq[(String, Long)] =
-        if (r.isNullAt(i)) Seq.empty
-        else r.getSeq[org.apache.spark.sql.Row](i)
-          .map(e => (e.getString(0), e.getLong(1)))
-      Some(RawManifest(r.getLong(0), r.getString(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2),
-        if (r.isNullAt(3)) None else Some(pairs(3)),
-        if (r.isNullAt(4)) None else Some(r.getLong(4)),
-        pairs(5),
-        if (r.isNullAt(6)) Seq.empty else r.getSeq[String](6)))
+      // manifests are KB-sized single JSON objects: parse on the driver in
+      // one stream read instead of launching a Spark job per manifest —
+      // every commit reads its base and vacuum walks O(retained × chain)
+      // manifests, so a per-read job would turn metadata housekeeping into
+      // a job storm (jackson-databind ships with Spark core)
+      val in = fs.open(f)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      def opt(name: String) = Option(n.get(name)).filterNot(_.isNull)
+      def pairs(name: String): Seq[(String, Long)] =
+        opt(name).fold(Seq.empty[(String, Long)])(a =>
+          (0 until a.size).map(i =>
+            (a.get(i).get("path").asText, a.get(i).get("n_rows").asLong)))
+      Some(RawManifest(n.get("version").asLong, n.get("schema").asText,
+        opt("depth").fold(0L)(_.asLong),
+        opt("files").map(_ => pairs("files")),
+        opt("base").map(_.asLong),
+        pairs("add"),
+        opt("remove").fold(Seq.empty[String])(a =>
+          (0 until a.size).map(a.get(_).asText)),
+        opt("ts").map(_.asLong)))
     }
   }
 
@@ -817,6 +1288,19 @@ object Lake {
       m.entries.map(e => s"$root/${e._1}"), m.schemaDdl)
   }
 
+  /** Internal identity form of file paths is SCHEME-LESS (URI.getPath —
+    * what input_file_name/stats manifests normalize to), but a path handed
+    * to `spark.read` must carry its scheme/authority back: a scheme-less
+    * path resolves against the DEFAULT filesystem, which is wrong whenever
+    * the table lives elsewhere (s3a table under an hdfs defaultFS). The
+    * table's own FileSystem re-qualifies; already-qualified paths pass
+    * through unchanged.
+    */
+  private def qualifyForRead(fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[String]): Seq[String] =
+    files.toIndexedSeq.map(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString)
+
   private def readSomeFiles(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
       files: Seq[String], schemaDdl: String): DataFrame =
@@ -826,7 +1310,7 @@ object Lake {
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     else if (readSchemaManifests(spark, path).nonEmpty)
       evolvedRead(spark, path, Some(files))
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    else spark.read.parquet(qualifyForRead(fs, files): _*)
 
   /** Upgrade a pre-manifest versioned layout in place: every bare `v=N`
     * dir gets a manifest built from its own files' footers. No-op for
@@ -1015,10 +1499,9 @@ object Lake {
       if (versioned) listDataFiles(fs, hp).toSet else Set.empty
     df.write.mode(SaveMode.Append).parquet(path)
     if (versioned) {
-      val v0 = readVersionPointer(fs, path).getOrElse(
-        manifestVersions(fs, path).last)
+      val v0 = manifestVersions(fs, path).last
       val freshFiles = listDataFiles(fs, hp).filterNot(before)
-      val nextV = nextVersion(fs, path)
+      val nextV = v0 + 1
       val ddl = org.apache.spark.sql.types.StructType(newFields.map {
         case (n, t) => org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.DataType.fromDDL(t))
@@ -1056,9 +1539,11 @@ object Lake {
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.DataType.fromDDL(t))
       })
+    val tableFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reader = spark.read.schema(physical)
     var df = files.fold(reader.parquet(path))(fs =>
-      reader.parquet(fs.toIndexedSeq: _*))
+      reader.parquet(qualifyForRead(tableFs, fs): _*))
     // fold renames in version order so CHAINS (a->b in v2, b->c in v3)
     // carry v1 values through; the target type comes from the version
     // that DECLARED the rename — the latest schema may have renamed it on
@@ -1332,16 +1817,26 @@ object Lake {
     // current readers already ignore them, but without this the manifest
     // grows forever under a delete/merge-heavy table. Files merely
     // RETIRED (still on disk for time travel) keep their rows — harmless,
-    // and a restored version could need them again.
-    val onDisk = listDataFiles(fs, hp).toSet
-    val keep = manifest.collect().filter { r =>
-      onDisk(new java.net.URI(
-        r.getString(r.fieldIndex("file"))).getPath)
-    }
-    val dead = manifest.count() - keep.length
+    // and a restored version could need them again. The filter runs
+    // DISTRIBUTIVELY (broadcast semi-join against the on-disk file list):
+    // at ~800k files a driver-side collect of the whole manifest is
+    // ~100 MB of Row objects for a housekeeping call; only the final
+    // coalesce(1) write stays single-task by design.
+    val onDisk = listDataFiles(fs, hp)
+    // manifest `file` values carry whatever scheme input_file_name gave
+    // them; the on-disk list is scheme-less — strip "scheme:[//authority]"
+    // to compare in the scheme-less identity form used everywhere else
+    val normFile = org.apache.spark.sql.functions.regexp_replace(
+      org.apache.spark.sql.functions.col("file"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    val onDiskDf = spark.createDataset(onDisk.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("_graft_on_disk")
+    val kept = manifest.join(
+      org.apache.spark.sql.functions.broadcast(onDiskDf),
+      normFile === org.apache.spark.sql.functions.col("_graft_on_disk"),
+      "leftsemi")
+    val dead = manifest.count() - kept.count()
     if (nBefore <= 1 && dead == 0L) return (nBefore, nBefore)
-    val kept = spark.createDataFrame(
-      spark.sparkContext.parallelize(keep.toIndexedSeq, 1), manifest.schema)
     val staging = new org.apache.hadoop.fs.Path(path, "._graft_stats.rebuild")
     fs.delete(staging, true)
     kept.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
@@ -1369,10 +1864,13 @@ object Lake {
         // carry rows for since-compacted files; counting them would
         // overstate, and a file NOT covered at all means stale → None)
         val current = currentDataFiles(spark, fs, hp, path).toSet
+        // toMap dedupes by file: concurrent appendStats can double-cover
+        // a file and a duplicate row must not double-count it
         val rows = manifest.select("file", "n_rows").collect()
           .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
-        if (!current.subsetOf(rows.map(_._1).toSet)) None
-        else Some(rows.filter(r => current.contains(r._1)).map(_._2).sum)
+          .toMap
+        if (!current.subsetOf(rows.keySet)) None
+        else Some(rows.collect { case (f, n) if current(f) => n }.sum)
       }
     }
   }
@@ -1389,10 +1887,12 @@ object Lake {
     val (manifest, current) = validatedManifest(spark, path)
     // intersect with the CURRENT file set: a versioned table's stats
     // manifest may still carry rows for files a delete retired — reading
-    // one would resurrect deleted rows
-    val files = manifest.filter(keep).select("file").collect()
+    // one would resurrect deleted rows. DISTINCT because concurrent
+    // appendStats calls can double-cover a file — a duplicate manifest
+    // row must never become a double data read
+    val files = manifest.filter(keep).select("file").distinct().collect()
       .map(r => new java.net.URI(r.getString(0)).getPath)
-      .filter(current)
+      .filter(current).distinct
     readFileSubset(spark, path, files.toIndexedSeq)
   }
 
@@ -1461,8 +1961,9 @@ object Lake {
     } else if (evolved) evolvedRead(spark, path, Some(files))
     // versioned tables are unpartitioned (our writers): no basePath, which
     // over `v=N` rewrite dirs would hallucinate a `v` partition column
-    else if (versioned) spark.read.parquet(files.toIndexedSeq: _*)
-    else spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+    else if (versioned) spark.read.parquet(qualifyForRead(fs, files): _*)
+    else spark.read.option("basePath", path)
+      .parquet(qualifyForRead(fs, files): _*)
   }
 
   /** PROBE-SET data skipping — the equality-lookup complement of
@@ -1515,11 +2016,13 @@ object Lake {
       while (l < r) { val m = (l + r) >>> 1; if (sorted(m) < lo) l = m + 1 else r = m }
       l < sorted.length && sorted(l) <= hi
     }
-    // all-null files have null stats bounds: no row there can equal a probe
+    // all-null files have null stats bounds: no row there can equal a
+    // probe. distinct on the kept PATHS: concurrent appendStats can
+    // double-cover a file, and a duplicate pick must not double-read
     val kept = rows.toSeq
       .filter(r => !r.isNullAt(1) && anyIn(r.getString(1), r.getString(2)))
-      .map(_.getString(0))
-    (kept, rows.length)
+      .map(_.getString(0)).distinct
+    (kept, rows.map(_.getString(0)).distinct.length)
   }
 
   def readProbed(spark: SparkSession, path: String, c: String,

@@ -817,13 +817,23 @@ class LakeSpec extends SparkSpec {
     // but died before publishing the manifest
     spark.range(900, 950).toDF("id").write.parquet(s"$dir/v=3")
     assert(Lake.listVersions(spark, dir) == Seq(1L, 2L)) // invisible
-    // the next commit skips the orphan number instead of colliding
-    assert(Lake.appendVersioned(spark, spark.range(120, 130).toDF("id"), dir) == 4L)
+    // the next commit CHAINS contiguously (manifest 3 = base 2 + 1) while
+    // its DATA claims the fresh dir v=4 — dir numbers are a namespace,
+    // never colliding with the orphan
+    assert(Lake.appendVersioned(spark, spark.range(120, 130).toDF("id"), dir) == 3L)
     assert(Lake.readVersioned(spark, dir).count() == 130)
-    // vacuum drops v1+v2 (keepLast=1), reclaims the orphan files, but
-    // keeps every file v4 still references (v1/v2 files are shared)
-    assert(Lake.vacuum(spark, dir, keepLast = 1) == Seq(1L, 2L))
+    // vacuum drops v1+v2 (keepLast=1), reclaims the orphan files (grace 0:
+    // the test IS the crashed writer), but keeps every file the live
+    // version still references (v1/v2 files are shared forward)
+    assert(Lake.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+      == Seq(1L, 2L))
     assert(!new java.io.File(s"$dir/v=3").exists(), "orphan dir survived")
+    assert(Lake.readVersioned(spark, dir).count() == 130)
+    // the DEFAULT grace protects a live writer's unpublished files: a
+    // fresh unreferenced dir survives a default vacuum untouched
+    spark.range(990, 995).toDF("id").write.parquet(s"$dir/v=9")
+    Lake.vacuum(spark, dir, keepLast = 1)
+    assert(new java.io.File(s"$dir/v=9").exists(), "live workspace deleted")
     assert(Lake.readVersioned(spark, dir).count() == 130)
   }
 
@@ -878,6 +888,206 @@ class LakeSpec extends SparkSpec {
           s"round $round: table diverged from the model")
       }
     }
+  }
+
+  test("mergeCdc applies insert/update/delete in ONE file-granular commit") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int], tag: String) =
+      r.map(i => (f"$i%06d", tag)).toDF("k", "s")
+    Lake.writeVersioned(spark,
+      rows(1 to 800, "old").repartitionByRange(8, col("k")), dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    val before = fileIdentity(dir)
+    // batch: update 100-105, DELETE 300-310, delete absent 950 (no-op),
+    // insert 900-901 — one commit, the delete flag riding as an extra col
+    val batch =
+      (rows(100 to 105, "new").withColumn("_del", lit(false)))
+        .unionByName(rows(300 to 310, "x").withColumn("_del", lit(true)))
+        .unionByName(rows(Seq(950), "x").withColumn("_del", lit(true)))
+        .unionByName(rows(Seq(900, 901), "new").withColumn("_del", lit(false)))
+    val (v, (updated, inserted, deleted)) = Lake.mergeCdc(spark, dir, batch,
+      Seq("k"), col("_del"),
+      filePrune = Some(Lake.skipRange("k", lit(f"${100}%06d"), lit(f"${950}%06d"))))
+    assert(v == 2L, s"v=$v")
+    assert(updated == 6L && inserted == 2L && deleted == 11L,
+      s"upd=$updated ins=$inserted del=$deleted")
+    // every original file survives by identity (rewrites land in v=2;
+    // matched originals stay on disk for time travel until vacuum)
+    assert(before.forall { case (p, id) =>
+      fileIdentity(dir).get(p).contains(id) })
+    val cur = Lake.readVersioned(spark, dir)
+    assert(cur.count() == 800 - 11 + 2)
+    assert(cur.filter(col("k") === f"${105}%06d").select("s")
+      .as[String].head() == "new")
+    assert(cur.filter(col("k").between(f"${300}%06d", f"${310}%06d")).isEmpty)
+    assert(cur.filter(col("k") === f"${950}%06d").isEmpty) // no-op delete
+    assert(cur.filter(col("k") === f"${900}%06d").count() == 1)
+    // audit-first: time travel still shows the pre-CDC state
+    assert(Lake.readVersioned(spark, dir, Some(1L)).count() == 800)
+    // a key that both deletes and updates in one batch is refused
+    intercept[IllegalArgumentException] {
+      Lake.mergeCdc(spark, dir,
+        rows(Seq(5), "a").withColumn("_del", lit(false))
+          .unionByName(rows(Seq(5), "b").withColumn("_del", lit(true))),
+        Seq("k"), col("_del"))
+    }
+  }
+
+  test("mergeInto over the size guard plans a shuffle join, same result") {
+    val dir1 = tmp() + "/broadcasted"
+    val dir2 = tmp() + "/shuffled"
+    def rows(r: Seq[Int], tag: String) =
+      r.map(i => (f"$i%06d", tag)).toDF("k", "s")
+    for (d <- Seq(dir1, dir2))
+      Lake.writeVersioned(spark,
+        rows(1 to 400, "old").repartitionByRange(4, col("k")), d)
+    val src = rows((50 to 60) ++ Seq(500), "new")
+    val r1 = Lake.mergeInto(spark, dir1, src, Seq("k"))
+    // maxBroadcastKeys = 0: the guard refuses the hint, AQE plans the
+    // joins unhinted — the scale path a backfill-sized source would take
+    val r2 = Lake.mergeInto(spark, dir2, src, Seq("k"), maxBroadcastKeys = 0L)
+    assert(r1 == r2, s"$r1 vs $r2")
+    assert(r1._2 == ((11L, 1L)))
+    assert(Lake.readVersioned(spark, dir1).orderBy("k").collect().toSeq ==
+      Lake.readVersioned(spark, dir2).orderBy("k").collect().toSeq)
+  }
+
+  test("asOf timestamp travel: newest version <= ts, edges refused") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+    Lake.writeVersioned(spark, rows(1 to 100), dir)
+    Thread.sleep(15) // commit stamps are millis; force strict ordering
+    Lake.appendVersioned(spark, rows(101 to 200), dir)
+    Thread.sleep(15)
+    Lake.appendVersioned(spark, rows(201 to 300), dir)
+    val hist = Lake.versionHistory(spark, dir)
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L))
+    val ts = hist.toMap
+    assert(ts.values.toSeq.distinct.size == 3, s"stamps not distinct: $hist")
+    // exactly-at, between-commits, and after-latest resolution
+    assert(Lake.versionAsOf(spark, dir, ts(1L)) == 1L)
+    assert(Lake.versionAsOf(spark, dir, ts(2L) - 1) == 1L)
+    assert(Lake.versionAsOf(spark, dir, ts(2L)) == 2L)
+    assert(Lake.versionAsOf(spark, dir, ts(3L) + 60000) == 3L)
+    assert(Lake.readVersionedAsOf(spark, dir, ts(2L)).count() == 200)
+    // before-first-commit is refused: there was no table then
+    intercept[IllegalArgumentException] {
+      Lake.versionAsOf(spark, dir, ts(1L) - 1)
+    }
+    // vacuum's checkpoint materialization preserves the ORIGINAL stamps:
+    // asOf resolution is identical before and after
+    Lake.vacuum(spark, dir, keepLast = 2)
+    val hist2 = Lake.versionHistory(spark, dir)
+    assert(hist2 == hist.filter(_._1 >= 2L), s"$hist2 vs $hist")
+    assert(Lake.versionAsOf(spark, dir, ts(2L)) == 2L)
+    assert(Lake.readVersionedAsOf(spark, dir, ts(2L)).count() == 200)
+  }
+
+  test("rerangeVersioned restores probe pruning; old versions still travel") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int]) = r.map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+    Lake.writeVersioned(spark,
+      rows(1 to 1000).repartitionByRange(8, col("k")), dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    val probe = Seq(f"${500}%06d")
+    val (kept0, total0) = Lake.probeDataFiles(spark, dir, "k", probe)
+    assert(total0 == 8 && kept0.size == 1, s"${kept0.size}/$total0")
+    // three appends, each SPANNING the whole key domain (the accretion
+    // pattern that degrades range pruning: every new file overlaps every
+    // probe) — keys "000000b0".."000990b2" interleave across the range
+    for (b <- 0 until 3)
+      Lake.appendVersioned(spark,
+        (0 until 100).map(i => (f"${i * 10}%06db$b", (2000 + b * 100 + i).toLong))
+          .toDF("k", "v").coalesce(1), dir)
+    val (kept1, total1) = Lake.probeDataFiles(spark, dir, "k", probe)
+    assert(total1 == 11 && kept1.size == 4,
+      s"${kept1.size}/$total1 - every appended file should overlap")
+    val (v, nFiles) = Lake.rerangeVersioned(spark, dir, "k",
+      targetFileRows = 200L)
+    assert(v == 5L, s"v=$v")
+    assert(nFiles >= 6L && nFiles <= 8L, s"1300 rows / 200 ≈ 7, got $nFiles")
+    val (kept2, total2) = Lake.probeDataFiles(spark, dir, "k", probe)
+    assert(total2 == nFiles && kept2.size == 1,
+      s"${kept2.size}/$total2 - rerange must restore one-file probes")
+    // nothing lost, old versions intact, stats manifest still validates
+    assert(Lake.readVersioned(spark, dir).count() == 1300)
+    assert(Lake.readVersioned(spark, dir, Some(1L)).count() == 1000)
+    assert(Lake.readProbed(spark, dir, "k", probe)
+      .filter(col("k") === probe.head).count() == 1)
+  }
+
+  test("concurrent appends rebase: both land, union resolves, no lost update") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int], tag: String) =
+      r.map(i => (f"$i%06d", tag)).toDF("k", "s")
+    Lake.writeVersioned(spark, rows(1 to 100, "base"), dir)
+    // two appends released simultaneously: whichever loses the manifest
+    // race must REBASE behind the winner (never fork a sibling lineage or
+    // fail) — the union must resolve whatever the interleaving
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(batch: Seq[Int], tag: String) = Future {
+      latch.countDown(); latch.await()
+      Lake.appendVersioned(spark, rows(batch, tag), dir)
+    }
+    val (fa, fb) = (run(101 to 200, "a"), run(201 to 300, "b"))
+    val va = Await.result(fa, scala.concurrent.duration.Duration("120s"))
+    val vb = Await.result(fb, scala.concurrent.duration.Duration("120s"))
+    assert(va != vb, s"two commits cannot share a version: $va $vb")
+    assert(Set(va, vb) == Set(2L, 3L), s"$va $vb")
+    val cur = Lake.readVersioned(spark, dir)
+    assert(cur.count() == 300)
+    assert(cur.select("k").distinct().count() == 300)
+    assert(cur.filter(col("s") === "a").count() == 100)
+    assert(cur.filter(col("s") === "b").count() == 100)
+    // the later version CONTAINS the earlier one (chained, not sibling)
+    assert(Lake.readVersioned(spark, dir, Some(2L)).count() == 200)
+    assert(Lake.listVersions(spark, dir) == Seq(1L, 2L, 3L))
+  }
+
+  test("concurrent delete vs append: serialized or refused, never corrupted") {
+    // non-commuting pairs keep the fail-loudly contract: a delete whose
+    // file-set view raced an append either serializes cleanly (its commit
+    // landed before/after the append) or REFUSES at the manifest rename —
+    // under no interleaving may deleted rows survive, appended rows
+    // vanish, or a sibling lineage fork
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int], tag: String) =
+      r.map(i => (f"$i%06d", tag)).toDF("k", "s")
+    Lake.writeVersioned(spark,
+      rows(1 to 400, "base").repartitionByRange(4, col("k")), dir)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val del = Future {
+      latch.countDown(); latch.await()
+      try Right(Lake.deleteWhere(spark, dir,
+        col("k") <= f"${50}%06d"))
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }
+    }
+    val app = Future {
+      latch.countDown(); latch.await()
+      Lake.appendVersioned(spark, rows(401 to 450, "new"), dir)
+    }
+    val delR = Await.result(del, scala.concurrent.duration.Duration("120s"))
+    Await.result(app, scala.concurrent.duration.Duration("120s"))
+    val cur = Lake.readVersioned(spark, dir)
+    // the append ALWAYS lands (it rebases); every appended row is present
+    assert(cur.filter(col("s") === "new").count() == 50)
+    delR match {
+      case Right((_, removed)) =>
+        assert(removed == 50L)
+        assert(cur.count() == 400L)
+        assert(cur.filter(col("k") <= f"${50}%06d").isEmpty)
+      case Left(msg) => // refused loudly mid-race: table state untouched
+        assert(msg.contains("already published"), msg)
+        assert(cur.count() == 450L)
+    }
+    // whatever happened, the lineage is a single CHAIN (no forks): every
+    // version resolves and the newest contains the append
+    Lake.listVersions(spark, dir).foreach(v =>
+      Lake.readVersioned(spark, dir, Some(v)).count())
   }
 
   test("csv, json, and orc round-trip the same rows") {

@@ -220,6 +220,43 @@ class PlanSpec extends SparkSpec {
     assert(scanIds.size == 1, s"expected one scan, got ${scanIds.size}:\n$p")
   }
 
+  test("merge discovery probe: broadcast under the size guard, free above it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a versioned table + the REAL merge discovery code path
+    // (Lake.mergeDiscoveryFrame is what mergeInto/mergeCdc plan)
+    val path = java.nio.file.Files.createTempDirectory("graft-planmerge")
+      .toString + "/t"
+    sources.Lake.writeVersioned(spark,
+      (1 to 500).map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+        .repartitionByRange(4, col("k")), path)
+    val src = (100 to 110).map(i => (f"$i%06d", 0L)).toDF("k", "v")
+    // disable the planner's own auto-broadcast so the strategy we observe
+    // is attributable to the GUARD alone
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // under the guard: the exact-count hint forces the broadcast even
+      // with auto-broadcast off — the small-dim fast path is preserved
+      val under = sources.Lake.mergeDiscoveryFrame(spark, path, src,
+        Seq("k"), maxBroadcastKeys = 1000000L)
+      under.collect()
+      assert(under.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        s"guarded small probe must broadcast:\n${under.queryExecution.executedPlan}")
+      // over the guard (forced with limit 0): NO hint is planted — the
+      // join degrades to a shuffle strategy instead of OOMing a forced
+      // broadcast; in production AQE's size check re-enables broadcast
+      // for genuinely small sides
+      val over = sources.Lake.mergeDiscoveryFrame(spark, path, src,
+        Seq("k"), maxBroadcastKeys = 0L)
+      over.collect()
+      val p = over.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"unguarded probe must not plant a broadcast hint:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("doc_pii_scrub prunes to its three columns and stays narrow to the agg") {
     val p = plan(q("doc_pii_scrub"))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
