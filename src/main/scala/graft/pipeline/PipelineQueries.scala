@@ -69,6 +69,115 @@ object PipelineQueries {
       path
     })
 
+  /** Versioned per-user-totals target for `lake_merge_cdc` — its own
+    * fixture (lake_merge_upsert mutates the plain-merge target; sharing
+    * would entangle the two queries' states). Re-applying the same CDC
+    * batch is deterministic: updates replace rows with identical values,
+    * deletes find the rows already gone, inserts become identical updates.
+    */
+  private val cdcTargetCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildCdcTarget(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    cdcTargetCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val path = s"${Scratch.dir("cdc")}/user_totals"
+      graft.sources.Lake.writeVersioned(sp,
+        base.filter(col("day") <= lit("2024-01-20").cast("date"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+          .repartitionByRange(4, col("user_id")),
+        path)
+      path
+    })
+
+  /** STREAMED VERSIONED silver table for `lake_stream_versioned`: the
+    * events table is re-shaped to the IoT landing contract, dumped as two
+    * JSON batches, and drained through the REAL streaming pipeline
+    * ([[graft.stream.Ingest.runSilverPipeline]], `versioned = true`) —
+    * two drains, two versions, no bootstrap anywhere. Built once per
+    * (session, SF dir); Bench prebuilds it so the registered query times
+    * the CDC MERGE on the stream-fed table, not the one-time ingestion.
+    */
+  private val streamTableCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildStreamTable(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    streamTableCache.computeIfAbsent((sp, dir), { _ =>
+      val root = Scratch.dir("strv")
+      val landing = s"$root/landing"
+      val silver = s"$root/silver"
+      val ckpt = s"$root/ckpt"
+      val iot = Tables.events(sp, dir).select(
+        col("user_id").cast("string").as("device_id"),
+        col("event_type").as("location_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+        lit("temperature").as("sensor_type"),
+        lit("good").as("quality_flag"),
+        lit("C").as("unit"),
+        col("value"))
+      val cut = lit("2024-01-15").cast("date")
+      def land(df: org.apache.spark.sql.DataFrame, stage: String): Unit = {
+        val tmpd = s"$root/.stage_$stage"
+        df.coalesce(1).write.mode("overwrite").json(tmpd)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(landing, s"$stage-$i.json"))
+          }
+        fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
+      }
+      land(iot.filter(to_date(col("timestamp")) <= cut), "b1")
+      graft.stream.Ingest.runSilverPipeline(sp, landing, silver, ckpt,
+        versioned = true)
+      land(iot.filter(to_date(col("timestamp")) > cut), "b2")
+      graft.stream.Ingest.runSilverPipeline(sp, landing, silver, ckpt,
+        versioned = true)
+      silver
+    })
+
+  /** Versioned events table DEGRADED by domain-spanning appends, for
+    * `lake_rerange`: base = days ≤ Jan 20 range-laid on day (tight
+    * per-file bounds), then three unsorted single-file appends each
+    * spanning the remaining days — the accretion pattern that makes every
+    * appended file overlap every probe. The registered query then times
+    * the CURE (rerangeVersioned) plus the restored pruned read.
+    */
+  private val rerangeFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildRerangeFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    rerangeFixtureCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cut = lit("2024-01-20").cast("date")
+      val path = s"${Scratch.dir("rrg")}/events_versioned"
+      graft.sources.Lake.writeVersioned(sp,
+        base.filter(col("day") <= cut).repartitionByRange(8, col("day")), path)
+      graft.sources.Lake.writeStats(sp, path, Seq("day"))
+      // three appends, UNSORTED single files spanning the tail days:
+      // every appended file's [min_day, max_day] covers the whole tail
+      for (b <- 0 until 3)
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > cut &&
+            pmod(col("user_id") + col("cents"), lit(3)) === lit(b))
+            .coalesce(1), path)
+      path
+    })
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- SCD2 history from a CDC-shaped event log. Events become CDC
@@ -429,6 +538,147 @@ object PipelineQueries {
           |SELECT user_id, n_events, total_cents FROM old_t
           |WHERE user_id NOT IN (SELECT user_id FROM act)
           |ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- MERGE with conditional clauses (CDC apply) end-to-end — a
+    //      Debezium-shaped feed applied in ONE file-granular commit
+    //      (Delta's WHEN MATCHED AND cond THEN DELETE; the reference's
+    //      own CDC design soft-deletes via _is_deleted, README_DBT.md:243):
+    //      target = per-user totals through Jan 20; the batch carries one
+    //      row per user active AFTER Jan 20 — flagged _is_deleted when
+    //      that activity includes a purchase (account closed), else the
+    //      refreshed full-history totals. mergeCdc deletes the closed
+    //      accounts, updates the rest, inserts brand-new users, all as one
+    //      version. The oracle recomputes final state from raw events: a
+    //      surviving deleted row, a lost update, or a resurrected file
+    //      all break the hash. ----
+    QueryDef(
+      "lake_merge_cdc",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"),
+            col("event_type"))
+        val cut = lit("2024-01-20").cast("date")
+        val path = prebuildCdcTarget(sp, dir)
+        val totals = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        val flags = ev.filter(col("day") > cut).groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("_delflag"))
+        val batch = totals.join(flags, Seq("user_id"), "inner")
+          .withColumn("_is_deleted", col("_delflag") === 1).drop("_delflag")
+        graft.sources.Lake.mergeCdc(sp, path, batch, Seq("user_id"),
+          col("_is_deleted"))
+        graft.sources.Lake.readVersioned(sp, path).orderBy("user_id")
+      },
+      Some(
+        """WITH old_t AS (
+          |  SELECT user_id, count(*) AS n_events,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20' GROUP BY 1),
+          |new_t AS (
+          |  SELECT user_id, count(*) AS n_events,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM events GROUP BY 1),
+          |act AS (
+          |  SELECT DISTINCT user_id FROM events
+          |  WHERE CAST(ts AS DATE) > DATE '2024-01-20'),
+          |del AS (
+          |  SELECT DISTINCT user_id FROM events
+          |  WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+          |    AND event_type = 'purchase')
+          |SELECT user_id, n_events, total_cents FROM new_t
+          |WHERE user_id IN (SELECT user_id FROM act)
+          |  AND user_id NOT IN (SELECT user_id FROM del)
+          |UNION ALL
+          |SELECT user_id, n_events, total_cents FROM old_t
+          |WHERE user_id NOT IN (SELECT user_id FROM act)
+          |ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- Sort-order OPTIMIZE for versioned tables end-to-end: the
+    //      fixture's three domain-spanning appends have degraded range
+    //      pruning on `day` (every appended file overlaps every day
+    //      probe); rerangeVersioned rewrites the CURRENT file set
+    //      range-clustered as a new version and the query reads a 3-day
+    //      window through the restored `_graft_stats` pruning. The oracle
+    //      recomputes the window from raw events — a lost row in the
+    //      rewrite, a resurrected retired file, or an unsound skip all
+    //      break the hash. Re-invocations re-rerange the already-ranged
+    //      table: same cost class, same result, deterministic. ----
+    QueryDef(
+      "lake_rerange",
+      (sp, dir) => {
+        val path = prebuildRerangeFixture(sp, dir)
+        graft.sources.Lake.rerangeVersioned(sp, path, "day",
+          targetFileRows = math.max(1L,
+            graft.sources.Lake.rowCountFromManifest(sp, path)
+              .getOrElse(10000L) / 8))
+        val (d1, d2) = (lit("2024-01-10").cast("date"),
+          lit("2024-01-12").cast("date"))
+        graft.sources.Lake.readSkipping(sp, path,
+            graft.sources.Lake.skipRange("day", d1, d2))
+          .filter(col("day").between(d1, d2))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("day_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+          |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
+    // ---- Stream → version → merge in ONE lineage: JSON batches drained
+    //      through the real checkpointed streaming pipeline into a
+    //      VERSIONED silver table (two drains = two commits, the Delta
+    //      streaming-table shape, bronze_iot_events.sql:1-6), then a CDC
+    //      correction batch — a takedown of every device that purchased
+    //      after Jan 20 — applied with mergeCdc as one file-granular
+    //      commit. The oracle recomputes the final per-device state from
+    //      raw events, blind to the stream/version/merge machinery: a
+    //      dropped drain, a re-adopted retired file, or a surviving
+    //      deleted device all break the hash. ----
+    QueryDef(
+      "lake_stream_versioned",
+      (sp, dir) => {
+        val path = prebuildStreamTable(sp, dir)
+        val dels = Tables.events(sp, dir)
+          .filter(to_date(col("ts")) > lit("2024-01-20").cast("date") &&
+            col("event_type") === "purchase")
+          .select(col("user_id").cast("string").as("device_id")).distinct()
+        // delete-only CDC rows: the delete arm keys on device_id and
+        // ignores the data columns — null-filled at the table's types
+        val batch = dels
+          .withColumn("location_id", lit(null).cast("string"))
+          .withColumn("timestamp", lit(null).cast("timestamp"))
+          .withColumn("sensor_type", lit(null).cast("string"))
+          .withColumn("quality_flag", lit(null).cast("string"))
+          .withColumn("unit", lit(null).cast("string"))
+          .withColumn("value", lit(null).cast("double"))
+          .withColumn("_is_deleted", lit(true))
+        graft.sources.Lake.mergeCdc(sp, path, batch, Seq("device_id"),
+          col("_is_deleted"))
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy("device_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .orderBy("device_id")
+      },
+      Some(
+        """WITH del AS (
+          |  SELECT DISTINCT user_id FROM events
+          |  WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+          |    AND event_type = 'purchase')
+          |SELECT CAST(user_id AS VARCHAR) AS device_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |WHERE user_id NOT IN (SELECT user_id FROM del)
+          |GROUP BY 1 ORDER BY device_id""".stripMargin),
     ),
 
     // ---- Type widening end-to-end (the CDC-payload drift the reference's

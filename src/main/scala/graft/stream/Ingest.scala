@@ -87,7 +87,8 @@ object Ingest {
     */
   def runMediaPipeline(spark: SparkSession, landingDir: String, glob: String,
       tableDir: String, checkpointDir: String,
-      statsCols: Seq[String] = Seq.empty): Unit = {
+      statsCols: Seq[String] = Seq.empty,
+      versioned: Boolean = false): Unit = {
     val q = mediaStream(spark, landingDir, glob)
       .writeStream
       .format("parquet")
@@ -97,6 +98,7 @@ object Ingest {
       .start()
     q.awaitTermination()
     if (statsCols.nonEmpty) publishStreamStats(spark, tableDir, statsCols)
+    if (versioned) publishStreamVersion(spark, tableDir)
     ()
   }
 
@@ -116,6 +118,20 @@ object Ingest {
   def publishStreamStats(spark: SparkSession, tableDir: String,
       statsCols: Seq[String]): Long =
     graft.sources.Lake.appendStats(spark, tableDir, statsCols)
+
+  /** Make a stream-written table VERSIONED: publish the drain's new files
+    * as one metadata-only delta commit ([[graft.sources.Lake
+    * .commitStreamVersion]]) — the streamed twin of `appendVersioned`,
+    * giving the table time travel and file-granular `deleteWhere`/
+    * `mergeInto` with no bootstrap step. Idempotent by file diff: a
+    * re-drain that appended nothing publishes nothing. Triggered
+    * pipelines call it post-drain (one version per drain — the Delta
+    * streaming-table shape, `bronze_iot_events.sql:1-6`); a continuous
+    * deployment calls it from foreachBatch after each commit (one version
+    * per micro-batch, same O(new files) cost).
+    */
+  def publishStreamVersion(spark: SparkSession, tableDir: String): Option[Long] =
+    graft.sources.Lake.commitStreamVersion(spark, tableDir)
 
   /** Schema inference for the streaming edge — the OSS twin of Auto
     * Loader's inferred-schema mode (bronze_iot_events.sql:12-15 infers;
@@ -254,7 +270,8 @@ object Ingest {
     */
   def runSilverPipeline(spark: SparkSession, landingDir: String,
       silverDir: String, checkpointDir: String,
-      statsCols: Seq[String] = Seq.empty): StreamingQuery = {
+      statsCols: Seq[String] = Seq.empty,
+      versioned: Boolean = false): StreamingQuery = {
     val q = silverTransform(bronzeStream(spark, landingDir))
       .writeStream
       .format("parquet")
@@ -265,6 +282,7 @@ object Ingest {
       .start()
     q.awaitTermination()
     if (statsCols.nonEmpty) publishStreamStats(spark, silverDir, statsCols)
+    if (versioned) publishStreamVersion(spark, silverDir)
     q
   }
 

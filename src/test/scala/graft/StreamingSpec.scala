@@ -95,6 +95,59 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(silverDir).count() == 1)
   }
 
+  test("streamed tables become VERSIONED: drain commits, travel, delete, merge") {
+    import graft.sources.Lake
+    val root = Files.createTempDirectory("graft-stream-ver")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    val ckpt = root.resolve("ckpt").toString
+    writeFile(landing, "b1.jsonl", (0 until 40).map(i =>
+      evt(f"d$i%03d", "l1", f"2024-01-01T00:${i % 60}%02d:00", "temperature",
+        "good", i.toDouble)))
+    // drain 1 → version 1 (the Delta streaming-table shape: every drain
+    // lands as a time-travelable commit, no bootstrap step anywhere)
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
+      versioned = true)
+    assert(Lake.listVersions(spark, silverDir) == Seq(1L))
+    assert(Lake.readVersioned(spark, silverDir).count() == 40)
+    // re-drain with nothing new: exactly-once carries to the VERSION level
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
+      versioned = true)
+    assert(Lake.listVersions(spark, silverDir) == Seq(1L))
+    // drain 2 → version 2, version 1 still shows the old state
+    writeFile(landing, "b2.jsonl", (40 until 60).map(i =>
+      evt(f"d$i%03d", "l2", f"2024-01-01T01:${i % 60}%02d:00", "temperature",
+        "good", i.toDouble)))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
+      versioned = true)
+    assert(Lake.listVersions(spark, silverDir) == Seq(1L, 2L))
+    assert(Lake.readVersioned(spark, silverDir).count() == 60)
+    assert(Lake.readVersioned(spark, silverDir, Some(1L)).count() == 40)
+    // file-granular DELETE on the stream-fed table, no bootstrap call
+    val (v3, removed) = Lake.deleteWhere(spark, silverDir,
+      col("device_id") === "d005")
+    assert(v3 == 3L && removed == 1L)
+    assert(Lake.readVersioned(spark, silverDir).count() == 59)
+    // a later drain must NOT re-adopt files the delete retired (they are
+    // still on disk for time travel): only genuinely new files commit
+    writeFile(landing, "b3.jsonl", Seq(
+      evt("d900", "l3", "2024-01-01T02:00:00", "temperature", "good", 1.0)))
+    Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
+      versioned = true)
+    val cur = Lake.readVersioned(spark, silverDir)
+    assert(cur.count() == 60)
+    assert(cur.filter(col("device_id") === "d005").isEmpty)
+    // file-granular MERGE into the stream-fed table (a correction batch)
+    val fix = cur.filter(col("device_id") === "d010")
+      .withColumn("value", lit(999.0))
+    val (_, (upd, ins)) = Lake.mergeInto(spark, silverDir, fix,
+      Seq("device_id"))
+    assert(upd == 1L && ins == 0L)
+    assert(Lake.readVersioned(spark, silverDir)
+      .filter(col("device_id") === "d010")
+      .select("value").head().getDouble(0) == 999.0)
+  }
+
   test("gold refresh over streamed silver produces the reference star schema") {
     val root = Files.createTempDirectory("graft-stream3")
     val landing = Files.createDirectory(root.resolve("landing"))
