@@ -633,6 +633,32 @@ object PipelineQueries {
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
+    // ---- TIMESTAMP time travel end-to-end (Delta's TIMESTAMP AS OF):
+    //      the rerange fixture's v1 is the day≤Jan-20 slice; resolving
+    //      AS OF v1's own commit stamp must return exactly that state —
+    //      if resolution drifted to a later version (which carries the
+    //      appended tail days) the oracle hash breaks. Runtime stamps
+    //      come from versionHistory, so the query is deterministic
+    //      whatever the wall clock was at fixture build. ----
+    QueryDef(
+      "lake_time_travel_asof",
+      (sp, dir) => {
+        val path = prebuildRerangeFixture(sp, dir)
+        val ts1 = graft.sources.Lake.versionHistory(sp, path).head._2
+        graft.sources.Lake.readVersionedAsOf(sp, path, ts1)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+          |GROUP BY 1 ORDER BY user_id""".stripMargin),
+    ),
+
     // ---- Stream → version → merge in ONE lineage: JSON batches drained
     //      through the real checkpointed streaming pipeline into a
     //      VERSIONED silver table (two drains = two commits, the Delta

@@ -143,7 +143,8 @@ object Lake {
     * [[appendVersioned]] (insert), [[deleteWhere]] (delete),
     * [[mergeInto]] (upsert) and [[optimizeVersioned]] (maintenance).
     */
-  def writeVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
+  def writeVersioned(spark: SparkSession, df: DataFrame, path: String,
+      streamBatchId: Option[Long] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(hp)
@@ -157,7 +158,8 @@ object Lake {
     val (dataDir, entries) = writeClaimedDir(spark, fs, path, df)
     val ms = if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
     val next = if (ms.nonEmpty) ms.last + 1 else dataDir
-    writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries)
+    writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries,
+      streamBatchId = streamBatchId)
     writeVersionPointer(spark, fs, path, next)
     next
   }
@@ -182,15 +184,29 @@ object Lake {
     * [[optimizeVersioned]] — their removals depend on the base file set)
     * keep the fail-loudly contract.
     */
-  def appendVersioned(spark: SparkSession, df: DataFrame, path: String): Long = {
+  def appendVersioned(spark: SparkSession, df: DataFrame, path: String,
+      streamBatchId: Option[Long] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(readSchemaManifests(spark, path).isEmpty,
       s"$path is a schema-evolving table; append via writeEvolving - " +
         "appendVersioned would bypass the schema chain")
+    // continuous-streaming idempotence gate: a micro-batch REPLAY (crash
+    // after a data write, before the checkpoint commit) finds its batch
+    // id already in a manifest and no-ops BEFORE writing a byte; the
+    // crashed attempt's files sit in an unpublished claimed dir that no
+    // reader ever sees and vacuum's grace window reclaims
+    streamBatchId.foreach { bid =>
+      if (streamBatchCommitted(spark, path, bid)) {
+        val ptr = readVersionPointer(fs, path)
+          .orElse(manifestVersions(fs, path).lastOption)
+        return ptr.getOrElse(sys.error(
+          s"batch $bid recorded but no versions under $path"))
+      }
+    }
     ensureVersionManifests(spark, path)
     val versions = listVersions(spark, path)
-    if (versions.isEmpty) return writeVersioned(spark, df, path)
+    if (versions.isEmpty) return writeVersioned(spark, df, path, streamBatchId)
     def schemaCheck(baseDdl: String): Unit = {
       val prior = org.apache.spark.sql.types.StructType.fromDDL(baseDdl)
       require(df.schema.fields.map(f =>
@@ -225,7 +241,8 @@ object Lake {
       val next = v0 + 1
       try {
         writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
-          base = v0, add = fresh, remove = Seq.empty)
+          base = v0, add = fresh, remove = Seq.empty,
+          streamBatchId = streamBatchId)
         writeVersionPointer(spark, fs, path, next)
         // keep an existing skipping manifest live over the appended files
         // (the deleteWhere/merge/optimize invariant — appends are exactly
@@ -702,22 +719,47 @@ object Lake {
     * longer conflict — batch consumers of a versioned streamed table
     * should read through [[readVersioned]], not a raw dir scan.
     *
-    * @return the published version, or None when no new files exist
+    * For CONTINUOUS (foreachBatch) deployments pass the micro-batch's
+    * `streamBatchId`: it is recorded in the version manifest, and a
+    * replayed batch (crash after the data write, before the checkpoint
+    * commit) is detected via [[streamBatchCommitted]] BEFORE writing —
+    * exactly-once at the version level, surviving vacuum's checkpoint
+    * materialization.
+    *
+    * @return the published version, or None when no new files exist (or
+    *         this batch id already committed)
     */
-  def commitStreamVersion(spark: SparkSession, path: String): Option[Long] = {
+  def commitStreamVersion(spark: SparkSession, path: String,
+      streamBatchId: Option[Long] = None): Option[Long] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return None
     require(readSchemaManifests(spark, path).isEmpty,
       s"$path is a schema-evolving table; streamed commits assume the " +
         "sink's fixed schema (evolve via writeEvolving, not a stream)")
+    if (streamBatchId.exists(streamBatchCommitted(spark, path, _)))
+      return None
+    // when the dir carries a `_spark_metadata` sink log, adopt ONLY files
+    // the SINK COMMITTED: a sink batch that crashed mid-write leaves
+    // unlogged part files at the root, and adopting them would surface
+    // rows the sink itself will re-write on replay (duplicates). The log
+    // is the sink's exactly-once source of truth; the manifest diff
+    // layers version-level idempotence on top of it.
+    val logged: Option[Set[String]] = sinkLoggedFiles(fs, path)
     def rootFiles(): Seq[String] = fs.listStatus(hp).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.toUri.getPath)
+      .filter(f => logged.forall(_.contains(f)))
     if (!fs.exists(versionsDir(path))) {
-      if (rootFiles().isEmpty) return None
-      bootstrapRootVersion(spark, fs, path)
+      // first commit: version 1 is EXACTLY the sink-committed root files
+      // (not a blind dir listing — see the sink-log note above)
+      val rf = rootFiles()
+      if (rf.isEmpty) return None
+      val ddl = spark.read.parquet(qualifyForRead(fs, rf): _*).schema.toDDL
+      writeVersionManifest(spark, fs, path, 1L, ddl,
+        fileEntries(spark, fs, path, rf), streamBatchId = streamBatchId)
+      writeVersionPointer(spark, fs, path, 1L)
       return Some(1L)
     }
     // every file ANY retained version references is already owned —
@@ -740,9 +782,57 @@ object Lake {
     val entries = fileEntries(spark, fs, path, fresh.map(r => s"$root/$r"))
     val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
-      base = v0, add = entries, remove = Seq.empty)
+      base = v0, add = entries, remove = Seq.empty,
+      streamBatchId = streamBatchId)
     writeVersionPointer(spark, fs, path, next)
     Some(next)
+  }
+
+  /** Files the `_spark_metadata` streaming-sink log has COMMITTED
+    * (absolute scheme-less paths), or None when the dir carries no sink
+    * log. Log batch files are JSON-lines — a version header then one
+    * SinkFileStatus object per line; `.compact` files use the same
+    * format. Metadata-sized driver read, Jackson-parsed like the version
+    * manifests.
+    */
+  private def sinkLoggedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Set[String]] = {
+    val logDir = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    if (!fs.exists(logDir)) None
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      Some(fs.listStatus(logDir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.linesIterator.filter(_.startsWith("{")).flatMap { line =>
+            try {
+              val n = m.readTree(line)
+              val act = Option(n.get("action")).map(_.asText).getOrElse("add")
+              if (act == "delete") None
+              else Option(n.get("path")).map(p =>
+                new java.net.URI(p.asText).getPath)
+            } catch { case _: Exception => None }
+          }.toSeq
+        }.toSet)
+    }
+  }
+
+  /** Has a version carrying this stream batch id already been published?
+    * O(retained versions) driver-side metadata reads — the replay check
+    * for continuous-mode [[commitStreamVersion]] callers.
+    */
+  def streamBatchCommitted(spark: SparkSession, path: String,
+      batchId: Long): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(versionsDir(path)) && manifestVersions(fs, path).exists(v =>
+      readRawManifest(spark, fs, path, v).flatMap(_.streamBatchId)
+        .contains(batchId))
   }
 
   /** Remove versions older than the newest `keepLast` (the published
@@ -786,11 +876,13 @@ object Lake {
       if (chainHitsDropped(v)) {
         val m = readVersionManifest(spark, fs, path, v).getOrElse(
           sys.error(s"version $v has no manifest under $path"))
-        // carry the ORIGINAL commit ts into the checkpoint: asOf time
-        // travel must resolve identically before and after a vacuum
-        val origTs = readRawManifest(spark, fs, path, v).flatMap(_.ts)
+        // carry the ORIGINAL commit ts and stream batch id into the
+        // checkpoint: asOf resolution and batch-replay idempotence must
+        // behave identically before and after a vacuum
+        val orig = readRawManifest(spark, fs, path, v)
         writeVersionManifest(spark, fs, path, v, m.schemaDdl, m.entries,
-          replace = true, ts = origTs)
+          replace = true, ts = orig.flatMap(_.ts),
+          streamBatchId = orig.flatMap(_.streamBatchId))
       }
     }
     val root = rootPath(fs, hp)
@@ -1038,7 +1130,8 @@ object Lake {
     */
   private case class RawManifest(version: Long, schemaDdl: String,
       depth: Long, files: Option[Seq[(String, Long)]], base: Option[Long],
-      add: Seq[(String, Long)], remove: Seq[String], ts: Option[Long])
+      add: Seq[(String, Long)], remove: Seq[String], ts: Option[Long],
+      streamBatchId: Option[Long])
 
   private val MaxChainDepth = 32L
 
@@ -1180,7 +1273,8 @@ object Lake {
   private def writeVersionManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, entries: Seq[(String, Long)],
-      replace: Boolean = false, ts: Option[Long] = None): Unit = {
+      replace: Boolean = false, ts: Option[Long] = None,
+      streamBatchId: Option[Long] = None): Unit = {
     // a fresh commit stamps now; a materialization rewrite (replace)
     // carries the original ts through — or keeps having NONE for
     // pre-timestamp manifests (stamping those "now" would teleport an old
@@ -1188,9 +1282,11 @@ object Lake {
     val tsField = (if (replace) ts
                    else ts.orElse(Some(System.currentTimeMillis())))
       .map(t => s""""ts":$t,""").getOrElse("")
+    val bidField = streamBatchId
+      .map(b => s""""streamBatchId":$b,""").getOrElse("")
     writeManifestFile(fs, path, v,
-      s"""{"version":$v,$tsField"schema":${jsonStr(schemaDdl)},"depth":0,""" +
-        s""""files":${entriesJson(entries)}}""",
+      s"""{"version":$v,$tsField$bidField"schema":${jsonStr(schemaDdl)},""" +
+        s""""depth":0,"files":${entriesJson(entries)}}""",
       replace)
   }
 
@@ -1202,7 +1298,7 @@ object Lake {
   private def writeVersionDelta(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, base: Long, add: Seq[(String, Long)],
-      remove: Seq[String]): Unit = {
+      remove: Seq[String], streamBatchId: Option[Long] = None): Unit = {
     val parentDepth = readRawManifest(spark, fs, path, base)
       .map(_.depth).getOrElse(
         sys.error(s"delta base version $base has no manifest under $path"))
@@ -1210,11 +1306,14 @@ object Lake {
       val resolved = readVersionManifest(spark, fs, path, base).get
       val rm = remove.toSet
       writeVersionManifest(spark, fs, path, v, schemaDdl,
-        resolved.entries.filterNot(e => rm(e._1)) ++ add)
+        resolved.entries.filterNot(e => rm(e._1)) ++ add,
+        streamBatchId = streamBatchId)
     } else {
       val removeJson = remove.map(jsonStr).mkString("[", ",", "]")
+      val bidField = streamBatchId
+        .map(b => s""""streamBatchId":$b,""").getOrElse("")
       writeManifestFile(fs, path, v,
-        s"""{"version":$v,"ts":${System.currentTimeMillis()},""" +
+        s"""{"version":$v,"ts":${System.currentTimeMillis()},$bidField""" +
           s""""schema":${jsonStr(schemaDdl)},""" +
           s""""depth":${parentDepth + 1},"base":$base,""" +
           s""""add":${entriesJson(add)},"remove":$removeJson}""",
@@ -1250,7 +1349,8 @@ object Lake {
         pairs("add"),
         opt("remove").fold(Seq.empty[String])(a =>
           (0 until a.size).map(a.get(_).asText)),
-        opt("ts").map(_.asLong)))
+        opt("ts").map(_.asLong),
+        opt("streamBatchId").map(_.asLong)))
     }
   }
 
@@ -1335,7 +1435,8 @@ object Lake {
     * is moved or rewritten.
     */
   private def bootstrapRootVersion(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      streamBatchId: Option[Long] = None): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     // hive-partitioned layouts are refused: version manifests read files
     // EXPLICITLY (no basePath — see readFileSubset), so partition-dir
@@ -1352,7 +1453,7 @@ object Lake {
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else spark.read.parquet(path).schema.toDDL
     writeVersionManifest(spark, fs, path, 1L, ddl,
-      fileEntries(spark, fs, path, files))
+      fileEntries(spark, fs, path, files), streamBatchId = streamBatchId)
     writeVersionPointer(spark, fs, path, 1L)
   }
 

@@ -133,6 +133,35 @@ object Ingest {
   def publishStreamVersion(spark: SparkSession, tableDir: String): Option[Long] =
     graft.sources.Lake.commitStreamVersion(spark, tableDir)
 
+  /** CONTINUOUS-mode versioned silver: one version PER MICRO-BATCH from
+    * inside `foreachBatch` — the shape a 24/7 deployment runs (the
+    * triggered pipelines commit once per drain instead). Each batch goes
+    * through `Lake.appendVersioned` with its `batchId`: the data lands in
+    * a claimed dir invisible until the manifest publishes, the batch id
+    * rides in the manifest, and a REPLAYED batch (crash after the data
+    * write, before the checkpoint commit) is detected and skipped BEFORE
+    * writing a byte — exactly-once at the version level with no
+    * partition-dir tricks; a crashed attempt's unpublished files are
+    * reclaimed by vacuum's grace window. Every versioned-Lake operation
+    * (travel, delete, merge, optimize, asOf) works from the first batch.
+    */
+  def runContinuousSilverPipeline(spark: SparkSession, landingDir: String,
+      silverDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val q = silverTransform(bronzeStream(spark, landingDir, maxFilesPerTrigger))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Lake.appendVersioned(spark, batch, silverDir,
+          streamBatchId = Some(batchId))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Schema inference for the streaming edge — the OSS twin of Auto
     * Loader's inferred-schema mode (bronze_iot_events.sql:12-15 infers;
     * OSS FileStreamSource refuses to): sample the landing dir with a

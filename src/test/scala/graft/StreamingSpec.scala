@@ -148,6 +148,45 @@ class StreamingSpec extends SparkSpec {
       .select("value").head().getDouble(0) == 999.0)
   }
 
+  test("continuous mode: one version per micro-batch, batch replay no-ops") {
+    import graft.sources.Lake
+    val root = Files.createTempDirectory("graft-stream-cont")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    val ckpt = root.resolve("ckpt").toString
+    writeFile(landing, "b1.jsonl", (0 until 10).map(i =>
+      evt(f"d$i%03d", "l1", "2024-01-01T00:00:00", "temperature", "good", i.toDouble)))
+    writeFile(landing, "b2.jsonl", (10 until 25).map(i =>
+      evt(f"d$i%03d", "l1", "2024-01-01T01:00:00", "temperature", "good", i.toDouble)))
+    // maxFilesPerTrigger(1): two landing files → two micro-batches → two
+    // versions, each manifest carrying its batch id
+    Ingest.runContinuousSilverPipeline(spark, landing.toString, silverDir,
+      ckpt, maxFilesPerTrigger = Some(1))
+    assert(Lake.listVersions(spark, silverDir) == Seq(1L, 2L))
+    assert(Lake.readVersioned(spark, silverDir).count() == 25)
+    assert(Lake.readVersioned(spark, silverDir, Some(1L)).count() == 10)
+    // a re-drain replays nothing: checkpoint skips committed batches
+    Ingest.runContinuousSilverPipeline(spark, landing.toString, silverDir,
+      ckpt, maxFilesPerTrigger = Some(1))
+    assert(Lake.listVersions(spark, silverDir) == Seq(1L, 2L))
+    // simulated CRASH REPLAY of batch 0 (crash after write, before the
+    // checkpoint commit): the manifest batch-id gate no-ops before any
+    // write — no duplicate rows, no new version
+    val replay = Lake.readVersioned(spark, silverDir, Some(1L))
+    assert(Lake.appendVersioned(spark, replay, silverDir,
+      streamBatchId = Some(0L)) == 2L) // current version, unchanged
+    assert(Lake.listVersions(spark, silverDir) == Seq(1L, 2L))
+    assert(Lake.readVersioned(spark, silverDir).count() == 25)
+    // a NEW batch id appends normally
+    assert(Lake.appendVersioned(spark, replay.limit(1), silverDir,
+      streamBatchId = Some(2L)) == 3L)
+    assert(Lake.readVersioned(spark, silverDir).count() == 26)
+    // file-granular delete works on the continuous table too
+    val (_, removed) = Lake.deleteWhere(spark, silverDir,
+      col("device_id") === "d001")
+    assert(removed == 1L)
+  }
+
   test("gold refresh over streamed silver produces the reference star schema") {
     val root = Files.createTempDirectory("graft-stream3")
     val landing = Files.createDirectory(root.resolve("landing"))
