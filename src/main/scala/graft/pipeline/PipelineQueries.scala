@@ -633,6 +633,37 @@ object PipelineQueries {
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
+    // ---- OPTIMIZE ZORDER for versioned tables end-to-end: the same
+    //      degraded fixture, re-clustered along the z-curve over
+    //      (user_id, day) and read through a USER_ID range skip — the
+    //      column the single-column day layout gives nothing for, so the
+    //      row proves multi-column locality, not leftover day order. The
+    //      oracle recomputes the user window from raw events; an unsound
+    //      skip or a lost row breaks the hash. ----
+    QueryDef(
+      "lake_zorder_versioned",
+      (sp, dir) => {
+        val path = prebuildRerangeFixture(sp, dir)
+        graft.sources.Lake.zorderVersioned(sp, path, Seq("user_id", "day"),
+          targetFileRows = math.max(1L,
+            graft.sources.Lake.rowCountFromManifest(sp, path)
+              .getOrElse(10000L) / 8))
+        graft.sources.Lake.readSkipping(sp, path,
+            graft.sources.Lake.skipRange("user_id", lit(10), lit(40)))
+          .filter(col("user_id").between(10, 40))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |WHERE user_id BETWEEN 10 AND 40
+          |GROUP BY 1 ORDER BY user_id""".stripMargin),
+    ),
+
     // ---- TIMESTAMP time travel end-to-end (Delta's TIMESTAMP AS OF):
     //      the rerange fixture's v1 is the day≤Jan-20 slice; resolving
     //      AS OF v1's own commit stamp must return exactly that state —

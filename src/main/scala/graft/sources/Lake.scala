@@ -159,7 +159,7 @@ object Lake {
     val ms = if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
     val next = if (ms.nonEmpty) ms.last + 1 else dataDir
     writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries,
-      streamBatchId = streamBatchId)
+      streamBatchId = streamBatchId, op = Some("snapshot"))
     writeVersionPointer(spark, fs, path, next)
     next
   }
@@ -242,7 +242,7 @@ object Lake {
       try {
         writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
           base = v0, add = fresh, remove = Seq.empty,
-          streamBatchId = streamBatchId)
+          streamBatchId = streamBatchId, op = Some("append"))
         writeVersionPointer(spark, fs, path, next)
         // keep an existing skipping manifest live over the appended files
         // (the deleteWhere/merge/optimize invariant — appends are exactly
@@ -340,15 +340,36 @@ object Lake {
     eligible.max
   }
 
-  /** (version, commit epoch-millis) per retained version, ascending — the
-    * DESCRIBE HISTORY surface; 0 for pre-timestamp manifests.
+  /** (version, commit epoch-millis, operation) per retained version,
+    * ascending — the DESCRIBE HISTORY surface. ts is 0 and op "unknown"
+    * for manifests written before those fields existed; vacuum's
+    * checkpoint materialization preserves both.
     */
-  def versionHistory(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+  def versionHistory(spark: SparkSession,
+      path: String): Seq[(Long, Long, String)] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(versionsDir(path))) Seq.empty
-    else manifestVersions(fs, path).map(v =>
-      v -> readRawManifest(spark, fs, path, v).flatMap(_.ts).getOrElse(0L))
+    else manifestVersions(fs, path).map { v =>
+      val raw = readRawManifest(spark, fs, path, v)
+      (v, raw.flatMap(_.ts).getOrElse(0L),
+        raw.flatMap(_.op).getOrElse("unknown"))
+    }
+  }
+
+  /** TIME-based retention vacuum — `VACUUM … RETAIN n HOURS` semantics on
+    * the commit stamps: keep every version committed within `retainMs` of
+    * now (and always the newest), drop the rest, then reclaim files and
+    * orphans exactly like [[vacuum]]. Pre-timestamp manifests count as
+    * infinitely old.
+    */
+  def vacuumOlderThan(spark: SparkSession, path: String, retainMs: Long,
+      orphanGraceMs: Long = 86400000L): Seq[Long] = {
+    val hist = versionHistory(spark, path)
+    if (hist.isEmpty) return Seq.empty
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keep = math.max(1, hist.count(_._2 >= cutoff))
+    vacuum(spark, path, keep, orphanGraceMs)
   }
 
   /** TAKEDOWN / right-to-be-forgotten delete: publish a new version
@@ -439,7 +460,8 @@ object Lake {
     // commit would silently drop its changes)
     val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, ddl,
-      base = v0, add = rewritten, remove = matchedEntries.map(_._1))
+      base = v0, add = rewritten, remove = matchedEntries.map(_._1),
+      op = Some("delete"))
     writeVersionPointer(spark, fs, path, next)
     // keep an existing skipping manifest live: the rewritten files gain
     // stats rows incrementally (O(rewritten), not a corpus re-scan)
@@ -675,7 +697,8 @@ object Lake {
       val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
       val next = v0 + 1
       writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
-        base = v0, add = rewritten, remove = matchedEntries.map(_._1))
+        base = v0, add = rewritten, remove = matchedEntries.map(_._1),
+        op = Some("merge"))
       writeVersionPointer(spark, fs, path, next)
       if (fs.exists(statsDir)) {
         val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
@@ -758,7 +781,8 @@ object Lake {
       if (rf.isEmpty) return None
       val ddl = spark.read.parquet(qualifyForRead(fs, rf): _*).schema.toDDL
       writeVersionManifest(spark, fs, path, 1L, ddl,
-        fileEntries(spark, fs, path, rf), streamBatchId = streamBatchId)
+        fileEntries(spark, fs, path, rf), streamBatchId = streamBatchId,
+        op = Some("stream-adopt"))
       writeVersionPointer(spark, fs, path, 1L)
       return Some(1L)
     }
@@ -783,7 +807,7 @@ object Lake {
     val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
       base = v0, add = entries, remove = Seq.empty,
-      streamBatchId = streamBatchId)
+      streamBatchId = streamBatchId, op = Some("stream-adopt"))
     writeVersionPointer(spark, fs, path, next)
     Some(next)
   }
@@ -882,7 +906,8 @@ object Lake {
         val orig = readRawManifest(spark, fs, path, v)
         writeVersionManifest(spark, fs, path, v, m.schemaDdl, m.entries,
           replace = true, ts = orig.flatMap(_.ts),
-          streamBatchId = orig.flatMap(_.streamBatchId))
+          streamBatchId = orig.flatMap(_.streamBatchId),
+          op = orig.flatMap(_.op))
       }
     }
     val root = rootPath(fs, hp)
@@ -983,7 +1008,8 @@ object Lake {
       else m0.schemaDdl
     val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, ddl,
-      base = v0, add = folded, remove = small.map(_._1._1))
+      base = v0, add = folded, remove = small.map(_._1._1),
+      op = Some("optimize"))
     writeVersionPointer(spark, fs, path, next)
     // keep an existing skipping manifest live over the folded files
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
@@ -1045,7 +1071,8 @@ object Lake {
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
     val next = v0 + 1
-    writeVersionManifest(spark, fs, path, next, ddl, rewritten)
+    writeVersionManifest(spark, fs, path, next, ddl, rewritten,
+      op = Some("rerange"))
     writeVersionPointer(spark, fs, path, next)
     // the re-range key ALWAYS ends up tracked (rerange's contract): with c
     // already tracked this is an O(new files) append; a manifest not yet
@@ -1131,7 +1158,7 @@ object Lake {
   private case class RawManifest(version: Long, schemaDdl: String,
       depth: Long, files: Option[Seq[(String, Long)]], base: Option[Long],
       add: Seq[(String, Long)], remove: Seq[String], ts: Option[Long],
-      streamBatchId: Option[Long])
+      streamBatchId: Option[Long], op: Option[String])
 
   private val MaxChainDepth = 32L
 
@@ -1274,7 +1301,8 @@ object Lake {
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, entries: Seq[(String, Long)],
       replace: Boolean = false, ts: Option[Long] = None,
-      streamBatchId: Option[Long] = None): Unit = {
+      streamBatchId: Option[Long] = None,
+      op: Option[String] = None): Unit = {
     // a fresh commit stamps now; a materialization rewrite (replace)
     // carries the original ts through — or keeps having NONE for
     // pre-timestamp manifests (stamping those "now" would teleport an old
@@ -1284,8 +1312,10 @@ object Lake {
       .map(t => s""""ts":$t,""").getOrElse("")
     val bidField = streamBatchId
       .map(b => s""""streamBatchId":$b,""").getOrElse("")
+    val opField = op.map(o => s""""op":${jsonStr(o)},""").getOrElse("")
     writeManifestFile(fs, path, v,
-      s"""{"version":$v,$tsField$bidField"schema":${jsonStr(schemaDdl)},""" +
+      s"""{"version":$v,$tsField$bidField$opField""" +
+        s""""schema":${jsonStr(schemaDdl)},""" +
         s""""depth":0,"files":${entriesJson(entries)}}""",
       replace)
   }
@@ -1298,7 +1328,8 @@ object Lake {
   private def writeVersionDelta(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, base: Long, add: Seq[(String, Long)],
-      remove: Seq[String], streamBatchId: Option[Long] = None): Unit = {
+      remove: Seq[String], streamBatchId: Option[Long] = None,
+      op: Option[String] = None): Unit = {
     val parentDepth = readRawManifest(spark, fs, path, base)
       .map(_.depth).getOrElse(
         sys.error(s"delta base version $base has no manifest under $path"))
@@ -1307,14 +1338,15 @@ object Lake {
       val rm = remove.toSet
       writeVersionManifest(spark, fs, path, v, schemaDdl,
         resolved.entries.filterNot(e => rm(e._1)) ++ add,
-        streamBatchId = streamBatchId)
+        streamBatchId = streamBatchId, op = op)
     } else {
       val removeJson = remove.map(jsonStr).mkString("[", ",", "]")
       val bidField = streamBatchId
         .map(b => s""""streamBatchId":$b,""").getOrElse("")
+      val opField = op.map(o => s""""op":${jsonStr(o)},""").getOrElse("")
       writeManifestFile(fs, path, v,
         s"""{"version":$v,"ts":${System.currentTimeMillis()},$bidField""" +
-          s""""schema":${jsonStr(schemaDdl)},""" +
+          s"""$opField"schema":${jsonStr(schemaDdl)},""" +
           s""""depth":${parentDepth + 1},"base":$base,""" +
           s""""add":${entriesJson(add)},"remove":$removeJson}""",
         replace = false)
@@ -1350,7 +1382,8 @@ object Lake {
         opt("remove").fold(Seq.empty[String])(a =>
           (0 until a.size).map(a.get(_).asText)),
         opt("ts").map(_.asLong),
-        opt("streamBatchId").map(_.asLong)))
+        opt("streamBatchId").map(_.asLong),
+        opt("op").map(_.asText)))
     }
   }
 
@@ -1453,7 +1486,8 @@ object Lake {
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else spark.read.parquet(path).schema.toDDL
     writeVersionManifest(spark, fs, path, 1L, ddl,
-      fileEntries(spark, fs, path, files), streamBatchId = streamBatchId)
+      fileEntries(spark, fs, path, files), streamBatchId = streamBatchId,
+      op = Some("bootstrap"))
     writeVersionPointer(spark, fs, path, 1L)
   }
 
@@ -1609,7 +1643,7 @@ object Lake {
       }).toDDL
       writeVersionDelta(spark, fs, path, nextV, ddl,
         base = v0, add = fileEntries(spark, fs, path, freshFiles),
-        remove = Seq.empty)
+        remove = Seq.empty, op = Some("evolve-append"))
       writeVersionPointer(spark, fs, path, nextV)
     }
     next
@@ -2164,6 +2198,21 @@ object Lake {
     */
   def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
       clusterCols: Seq[String], nFiles: Int, bitsPerCol: Int = 8): Unit = {
+    df.withColumn("_graft_z", zValueColumn(df, clusterCols, bitsPerCol))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("_graft_z"))
+      .drop("_graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    writeStats(spark, path, clusterCols)
+    ()
+  }
+
+  /** The interleaved-bits z-value for `df`'s rows over `clusterCols` —
+    * shared by [[zorderWrite]] (plain tables) and [[zorderVersioned]]
+    * (versioned tables). One bounded aggregate for per-column min/max,
+    * then pure codegen arithmetic; no window, no rank shuffle.
+    */
+  private def zValueColumn(df: DataFrame, clusterCols: Seq[String],
+      bitsPerCol: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     require(clusterCols.size >= 2, "zorder needs >= 2 columns (else use range)")
     require(clusterCols.size * bitsPerCol <= 62, "z-value must fit a long")
@@ -2185,18 +2234,68 @@ object Lake {
       least(greatest(b, lit(0L)), lit(nBuckets - 1))
     }
     // bit interleave: output bit (j*k + i) takes bit j of column i
-    val zval = (0 until bitsPerCol).flatMap { j =>
+    (0 until bitsPerCol).flatMap { j =>
       buckets.zipWithIndex.map { case (b, i) =>
         shiftleft(shiftright(b, j).bitwiseAND(lit(1L)),
           j * clusterCols.size + i)
       }
     }.reduce(_.bitwiseOR(_))
-    df.withColumn("_graft_z", zval)
-      .repartitionByRange(nFiles, col("_graft_z"))
-      .drop("_graft_z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
-    writeStats(spark, path, clusterCols)
-    ()
+  }
+
+  /** OPTIMIZE ZORDER for VERSIONED tables — the multi-column sibling of
+    * [[rerangeVersioned]] (which restores ONE column's locality): the
+    * current file set is rewritten clustered along the z-curve over
+    * `clusterCols` and published as a checkpoint version, so EVERY
+    * clustered column regains usable per-file min/max bounds in
+    * `_graft_stats`. Old versions keep their file lists (time travel
+    * intact); [[vacuum]] later reclaims the superseded originals. Cost ∝
+    * current table bytes — periodic housekeeping, exactly Delta's
+    * `OPTIMIZE ZORDER BY` shape.
+    *
+    * @return (published version, data files after the rewrite)
+    */
+  def zorderVersioned(spark: SparkSession, path: String,
+      clusterCols: Seq[String], targetFileRows: Long,
+      bitsPerCol: Int = 8): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(versionsDir(path)),
+      s"$path carries no _graft_versions manifests; use zorderWrite for " +
+        "plain tables")
+    val v0 = readVersionPointer(fs, path).getOrElse {
+      val vs = manifestVersions(fs, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    if (m0.entries.isEmpty) return (v0, 0L)
+    val nRows = m0.entries.map(_._2).sum
+    val nOut = math.max(1L, (nRows + targetFileRows - 1) / targetFileRows)
+    val cur = readManifestFiles(spark, fs, path, m0)
+    val (_, rewritten) = writeClaimedDir(spark, fs, path,
+      cur.withColumn("_graft_z", zValueColumn(cur, clusterCols, bitsPerCol))
+        .repartitionByRange(nOut.toInt, col("_graft_z"))
+        .drop("_graft_z"))
+    val ddl =
+      if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
+      else m0.schemaDdl
+    val next = v0 + 1
+    writeVersionManifest(spark, fs, path, next, ddl, rewritten,
+      op = Some("zorder"))
+    writeVersionPointer(spark, fs, path, next)
+    // every clustered column ends up tracked, like rerange's contract
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    val statsCols: Seq[String] =
+      if (!fs.exists(statsDir)) clusterCols
+      else (spark.read.json(statsDir.toString).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")) ++
+        clusterCols).distinct
+    if (fs.exists(statsDir)) appendStats(spark, path, statsCols)
+    else writeStats(spark, path, statsCols)
+    (next, rewritten.size.toLong)
   }
 
   def compact(spark: SparkSession, path: String,

@@ -962,7 +962,9 @@ class LakeSpec extends SparkSpec {
     Lake.appendVersioned(spark, rows(201 to 300), dir)
     val hist = Lake.versionHistory(spark, dir)
     assert(hist.map(_._1) == Seq(1L, 2L, 3L))
-    val ts = hist.toMap
+    // the DESCRIBE HISTORY surface also names each commit's operation
+    assert(hist.map(_._3) == Seq("snapshot", "append", "append"))
+    val ts = hist.map(t => t._1 -> t._2).toMap
     assert(ts.values.toSeq.distinct.size == 3, s"stamps not distinct: $hist")
     // exactly-at, between-commits, and after-latest resolution
     assert(Lake.versionAsOf(spark, dir, ts(1L)) == 1L)
@@ -981,6 +983,49 @@ class LakeSpec extends SparkSpec {
     assert(hist2 == hist.filter(_._1 >= 2L), s"$hist2 vs $hist")
     assert(Lake.versionAsOf(spark, dir, ts(2L)) == 2L)
     assert(Lake.readVersionedAsOf(spark, dir, ts(2L)).count() == 200)
+    // time-based retention: retain-everything keeps all, retain-nothing
+    // folds to the newest version only (the VACUUM ... RETAIN form)
+    assert(Lake.vacuumOlderThan(spark, dir, retainMs = 86400000L) == Seq.empty)
+    assert(Lake.vacuumOlderThan(spark, dir, retainMs = 0L) == Seq(2L))
+    assert(Lake.listVersions(spark, dir) == Seq(3L))
+    assert(Lake.readVersioned(spark, dir).count() == 300)
+  }
+
+  test("zorderVersioned restores BOTH columns' pruning on a versioned table") {
+    val dir = tmp() + "/t"
+    // two independent coordinates; base laid out on neither, then
+    // accreted — no single-column rerange can serve both
+    def frame(r: Seq[Int]) =
+      r.map(i => (i.toLong % 97, (i.toLong * 31) % 89, i.toLong))
+        .toDF("x", "y", "v")
+    Lake.writeVersioned(spark, frame(0 until 2000).repartition(8), dir)
+    Lake.writeStats(spark, dir, Seq("x", "y"))
+    for (b <- 0 until 2)
+      Lake.appendVersioned(spark,
+        frame(2000 + b * 500 until 2500 + b * 500).coalesce(1), dir)
+    def keptFiles(c: String, lo: Int, hi: Int): Int =
+      Lake.readSkipping(spark, dir,
+        Lake.skipRange(c, lit(lo), lit(hi))).inputFiles.length
+    val total = Lake.readVersioned(spark, dir).inputFiles.length
+    // random layout: narrow ranges on either column prune ~nothing
+    assert(keptFiles("x", 10, 12) == total)
+    assert(keptFiles("y", 10, 12) == total)
+    val (v, nFiles) = Lake.zorderVersioned(spark, dir, Seq("x", "y"),
+      targetFileRows = 200L)
+    assert(v == 4L, s"v=$v")
+    // z-curve locality: BOTH columns now prune whole files
+    assert(keptFiles("x", 10, 12) < nFiles,
+      s"x range kept ${keptFiles("x", 10, 12)} of $nFiles")
+    assert(keptFiles("y", 10, 12) < nFiles,
+      s"y range kept ${keptFiles("y", 10, 12)} of $nFiles")
+    // correctness: pruned reads equal full-scan filters; old versions live
+    val full = Lake.readVersioned(spark, dir)
+    assert(Lake.readSkipping(spark, dir, Lake.skipRange("x", lit(10), lit(12)))
+      .filter(col("x").between(10, 12)).count() ==
+      full.filter(col("x").between(10, 12)).count())
+    assert(full.count() == 3000)
+    assert(Lake.readVersioned(spark, dir, Some(1L)).count() == 2000)
+    assert(Lake.versionHistory(spark, dir).last._3 == "zorder")
   }
 
   test("rerangeVersioned restores probe pruning; old versions still travel") {
