@@ -152,7 +152,8 @@ object ScaleCheck {
     "dedup_incremental", "lake_schema_evolution", "q_approx_distinct",
     "lake_delete_prune", "lake_type_widening", "dedup_admit_rescreen",
     "lake_append_optimize", "lake_merge_upsert", "lake_merge_cdc",
-    "lake_rerange", "lake_stream_versioned", "lake_zorder_versioned")
+    "lake_rerange", "lake_stream_versioned", "lake_zorder_versioned",
+    "lake_check_constraint")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

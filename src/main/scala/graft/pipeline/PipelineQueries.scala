@@ -178,6 +178,29 @@ object PipelineQueries {
       path
     })
 
+  /** Constrained versioned table for `lake_check_constraint`: day-split
+    * events with a `cents >= 0` CHECK added between the two valid
+    * appends, so the fixture itself proves constrained commits pass.
+    */
+  private val constraintFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildConstraintFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    constraintFixtureCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cut = lit("2024-01-15").cast("date")
+      val path = s"${Scratch.dir("cons")}/events_constrained"
+      graft.sources.Lake.writeVersioned(sp, base.filter(col("day") <= cut), path)
+      graft.sources.Lake.addCheckConstraint(sp, path,
+        "cents_nonneg", "cents >= 0")
+      graft.sources.Lake.appendVersioned(sp, base.filter(col("day") > cut), path)
+      path
+    })
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- SCD2 history from a CDC-shaped event log. Events become CDC
@@ -631,6 +654,38 @@ object PipelineQueries {
           |FROM events
           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
           |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
+    // ---- CHECK constraints end-to-end (Delta ADD CONSTRAINT): the
+    //      fixture's two valid appends passed the `cents >= 0` gate; the
+    //      query then fires a VIOLATING batch — which must refuse without
+    //      publishing — and reads the final state. The oracle recomputes
+    //      from raw events: a leaked bad row, a half-published refusal,
+    //      or a gate that silently dropped a valid slice all break the
+    //      hash. Refusal is a no-op, so re-invocations are deterministic. ----
+    QueryDef(
+      "lake_check_constraint",
+      (sp, dir) => {
+        val path = prebuildConstraintFixture(sp, dir)
+        val bad = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            (round(col("value") * 100) * -1L).cast("long").as("cents"))
+          .limit(50)
+        val refused =
+          try { graft.sources.Lake.appendVersioned(sp, bad, path); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "violating batch must be refused by the CHECK gate")
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |GROUP BY 1 ORDER BY user_id""".stripMargin),
     ),
 
     // ---- OPTIMIZE ZORDER for versioned tables end-to-end: the same

@@ -152,6 +152,7 @@ object Lake {
       s"$path is a schema-evolving table; append via writeEvolving (delete " +
         "via deleteWhere) - writeVersioned would bypass the schema chain")
     ensureVersionManifests(spark, path)
+    enforceConstraints(spark, path, df, s"writeVersioned($path)")
     // snapshot dir is a namespace; the commit number continues the
     // manifest chain contiguously (base+1) so every commit type contends
     // on the same next number — the linearization the rename guard needs
@@ -215,6 +216,9 @@ object Lake {
         s"appendVersioned schema mismatch: table has ${prior.toDDL}, " +
           s"frame has ${df.schema.toDDL}")
     }
+    // constraints gate BEFORE any write: a violating batch refuses with
+    // nothing on disk, not even an unpublished claimed dir
+    enforceConstraints(spark, path, df, s"appendVersioned($path)")
     // phase 1 — write the batch ONCE into a uniquely-claimed dir (see
     // writeClaimedDir for the claim protocol and why the dir number is a
     // namespace, not the commit number)
@@ -684,6 +688,13 @@ object Lake {
       val updated = fileArms.map(_._2).sum
       val deleted = fileArms.map(_._3).sum
       if (matched.isEmpty && nUp == 0L) return (v0, (0L, 0L, 0L))
+      // constraints apply to the rows ENTERING the table (the upsert
+      // arm); carried rows were validated when they entered, delete rows
+      // remove data
+      if (nUp > 0L)
+        enforceConstraints(spark, path,
+          src.filter(!delFlag).select(prior.fieldNames.map(col): _*),
+          s"mergeInto($path)")
       // rewrite = unmatched rows of matched files + every UPSERT source
       // row (updated keys replace, new keys insert; delete-flagged rows
       // contribute removals only) — one write into a claimed namespace
@@ -780,6 +791,10 @@ object Lake {
       val rf = rootFiles()
       if (rf.isEmpty) return None
       val ddl = spark.read.parquet(qualifyForRead(fs, rf): _*).schema.toDDL
+      if (checkConstraints(spark, path).nonEmpty)
+        enforceConstraints(spark, path,
+          spark.read.parquet(qualifyForRead(fs, rf): _*),
+          s"commitStreamVersion($path)")
       writeVersionManifest(spark, fs, path, 1L, ddl,
         fileEntries(spark, fs, path, rf), streamBatchId = streamBatchId,
         op = Some("stream-adopt"))
@@ -803,6 +818,11 @@ object Lake {
     val v0 = vs.last
     val raw0 = readRawManifest(spark, fs, path, v0).getOrElse(
       sys.error(s"version $v0 has no manifest under $path"))
+    if (checkConstraints(spark, path).nonEmpty)
+      enforceConstraints(spark, path,
+        spark.read.parquet(
+          qualifyForRead(fs, fresh.map(r => s"$root/$r")): _*),
+        s"commitStreamVersion($path)")
     val entries = fileEntries(spark, fs, path, fresh.map(r => s"$root/$r"))
     val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
@@ -857,6 +877,108 @@ object Lake {
     fs.exists(versionsDir(path)) && manifestVersions(fs, path).exists(v =>
       readRawManifest(spark, fs, path, v).flatMap(_.streamBatchId)
         .contains(batchId))
+  }
+
+  /** CHECK CONSTRAINTS for versioned tables — Delta's `ALTER TABLE ADD
+    * CONSTRAINT` semantics: a named SQL predicate every row entering the
+    * table must satisfy, from this commit on. Adding a constraint
+    * VALIDATES EXISTING DATA first (one column-pruned pass — refusing a
+    * constraint the table already violates is the honest contract);
+    * thereafter every [[appendVersioned]]/[[writeVersioned]]/
+    * [[mergeInto]]/[[mergeCdc]]-upsert batch and every
+    * [[commitStreamVersion]] adoption is checked in ONE extra narrow
+    * pass (all constraints folded into a single aggregate — cost is one
+    * scan of the BATCH, never the table) and a violating commit is
+    * refused loudly with per-constraint counts before any manifest
+    * publishes. SQL CHECK null semantics: a row violates only when the
+    * predicate is definitively FALSE; NULL passes (use an explicit
+    * `IS NOT NULL` constraint for null rejection).
+    *
+    * Constraints live as one JSON file per name under
+    * `_graft_constraints/` (tmp-write + rename, duplicate names
+    * refused), so they survive restarts and travel with the table.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // existing data must already satisfy the new constraint
+    val current = readVersioned(spark, path)
+    current.filter(expr(sqlExpr)).limit(0).count() // fail fast on bad SQL
+    enforceConstraintsOn(spark, current, Seq(name -> sqlExpr),
+      s"addCheckConstraint($name) on existing data of $path")
+    val dir = new org.apache.hadoop.fs.Path(path, "_graft_constraints")
+    fs.mkdirs(dir)
+    val dst = new org.apache.hadoop.fs.Path(dir, s"$name.json")
+    require(!fs.exists(dst),
+      s"constraint '$name' already exists on $path (drop it first)")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"name":${jsonStr(name)},"expr":${jsonStr(sqlExpr)}}"""
+        .getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp, dst),
+      s"constraint '$name' already exists on $path (concurrent writer?)")
+  }
+
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(path, s"_graft_constraints/$name.json"),
+      false)
+  }
+
+  /** The table's (name, sql) CHECK constraints, name-ascending. */
+  def checkConstraints(spark: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(path, "_graft_constraints")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+          !s.getPath.getName.startsWith("."))
+        .map { st =>
+          val in = fs.open(st.getPath)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val n = m.readTree(txt)
+          (n.get("name").asText, n.get("expr").asText)
+        }.sortBy(_._1)
+    }
+  }
+
+  /** Refuse `incoming` unless every row satisfies every constraint — ONE
+    * aggregate pass whatever the constraint count (a violation is
+    * `NOT coalesce(expr, true)`: SQL CHECK lets NULL pass).
+    */
+  private def enforceConstraints(spark: SparkSession, path: String,
+      incoming: DataFrame, what: String): Unit = {
+    val cs = checkConstraints(spark, path)
+    if (cs.nonEmpty) enforceConstraintsOn(spark, incoming, cs, what)
+  }
+
+  private def enforceConstraintsOn(spark: SparkSession, incoming: DataFrame,
+      cs: Seq[(String, String)], what: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val aggs = cs.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = incoming.agg(aggs.head, aggs.tail: _*).head()
+    val bad = cs.indices.map(i => cs(i)._1 -> (
+      if (row.isNullAt(i)) 0L else row.getLong(i))).filter(_._2 > 0)
+    require(bad.isEmpty,
+      s"CHECK constraint violation in $what: " +
+        bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+        " - commit refused, nothing published")
   }
 
   /** Remove versions older than the newest `keepLast` (the published

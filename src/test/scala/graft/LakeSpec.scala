@@ -1091,6 +1091,47 @@ class LakeSpec extends SparkSpec {
     assert(Lake.listVersions(spark, dir) == Seq(1L, 2L, 3L))
   }
 
+  test("CHECK constraints: violating commits refuse before publishing") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[(Int, Long)]) = r.map { case (k, v) => (f"$k%06d", v) }
+      .toDF("k", "v")
+    Lake.writeVersioned(spark, rows((1 to 100).map(i => i -> i.toLong)), dir)
+    // adding a constraint the existing data violates is refused
+    intercept[IllegalArgumentException] {
+      Lake.addCheckConstraint(spark, dir, "v_big", "v > 50")
+    }
+    Lake.addCheckConstraint(spark, dir, "v_nonneg", "v >= 0")
+    assert(Lake.checkConstraints(spark, dir) == Seq("v_nonneg" -> "v >= 0"))
+    intercept[IllegalArgumentException] { // duplicate name
+      Lake.addCheckConstraint(spark, dir, "v_nonneg", "v >= 0")
+    }
+    // valid append passes; violating append refuses with NOTHING
+    // published — not even an unpublished data dir
+    assert(Lake.appendVersioned(spark, rows(Seq(101 -> 5L)), dir) == 2L)
+    val before = fileIdentity(dir)
+    val e = intercept[IllegalArgumentException] {
+      Lake.appendVersioned(spark, rows(Seq(102 -> -7L)), dir)
+    }
+    assert(e.getMessage.contains("v_nonneg (1 rows)"), e.getMessage)
+    assert(Lake.listVersions(spark, dir) == Seq(1L, 2L))
+    assert(fileIdentity(dir) == before, "refused commit left files behind")
+    // merge: the UPSERT arm is checked; a delete-only CDC batch is exempt
+    // (its data columns never enter the table)
+    intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, dir, rows(Seq(5 -> -1L)), Seq("k"))
+    }
+    val (_, (_, _, del)) = Lake.mergeCdc(spark, dir,
+      rows(Seq(5 -> -999L)).withColumn("_del", lit(true)),
+      Seq("k"), col("_del"))
+    assert(del == 1L)
+    // null passes (SQL CHECK semantics) and drop re-opens the gate
+    assert(Lake.appendVersioned(spark,
+      rows(Seq(103 -> 0L)).withColumn("v", lit(null).cast("long")), dir) > 0)
+    assert(Lake.dropCheckConstraint(spark, dir, "v_nonneg"))
+    Lake.appendVersioned(spark, rows(Seq(104 -> -7L)), dir)
+    assert(Lake.readVersioned(spark, dir).filter(col("v") < 0).count() == 1)
+  }
+
   test("concurrent delete vs append: serialized or refused, never corrupted") {
     // non-commuting pairs keep the fail-loudly contract: a delete whose
     // file-set view raced an append either serializes cleanly (its commit
