@@ -42,6 +42,7 @@ object Bench {
       graft.pipeline.PipelineQueries.prebuildStreamTable(spark, sfDir)
       graft.pipeline.PipelineQueries.prebuildRerangeFixture(spark, sfDir)
       graft.pipeline.PipelineQueries.prebuildConstraintFixture(spark, sfDir)
+      graft.pipeline.PipelineQueries.prebuildRestoreFixture(spark, sfDir)
     } catch { case _: Throwable => () }
     // Host-load context makes contended runs SELF-IDENTIFYING: same-binary
     // totals on this box swing ~30% with co-tenant load (BASELINE.md),

@@ -201,6 +201,27 @@ object PipelineQueries {
       path
     })
 
+  /** Two-version fixture for `lake_restore` (v1 = day≤Jan-15, v2 adds the
+    * tail) — built once per (session, SF dir); the query times the
+    * RESTORE + rolled-back read, not the build.
+    */
+  private val restoreFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildRestoreFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    restoreFixtureCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cut = lit("2024-01-15").cast("date")
+      val path = s"${Scratch.dir("rst")}/events_restore"
+      graft.sources.Lake.writeVersioned(sp, base.filter(col("day") <= cut), path)
+      graft.sources.Lake.appendVersioned(sp, base.filter(col("day") > cut), path)
+      path
+    })
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- SCD2 history from a CDC-shaped event log. Events become CDC
@@ -654,6 +675,33 @@ object PipelineQueries {
           |FROM events
           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
           |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
+    // ---- RESTORE end-to-end (Delta RESTORE TABLE ... TO VERSION AS OF):
+    //      its own two-version fixture (day-split events) is rolled back
+    //      to v1 metadata-only and read. Re-invocations restore an
+    //      already-restored table — the target version's content is
+    //      invariant, so the row is deterministic — and the oracle
+    //      recomputes the day≤Jan-15 slice from raw events, blind to the
+    //      rollback machinery: a leaked v2 row or a lost v1 file breaks
+    //      the hash. ----
+    QueryDef(
+      "lake_restore",
+      (sp, dir) => {
+        val path = prebuildRestoreFixture(sp, dir)
+        graft.sources.Lake.restoreVersion(sp, path, 1L)
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+          |GROUP BY 1 ORDER BY user_id""".stripMargin),
     ),
 
     // ---- CHECK constraints end-to-end (Delta ADD CONSTRAINT): the

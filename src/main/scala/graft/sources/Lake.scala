@@ -152,17 +152,25 @@ object Lake {
       s"$path is a schema-evolving table; append via writeEvolving (delete " +
         "via deleteWhere) - writeVersioned would bypass the schema chain")
     ensureVersionManifests(spark, path)
-    enforceConstraints(spark, path, df, s"writeVersioned($path)")
-    // snapshot dir is a namespace; the commit number continues the
-    // manifest chain contiguously (base+1) so every commit type contends
-    // on the same next number — the linearization the rename guard needs
-    val (dataDir, entries) = writeClaimedDir(spark, fs, path, df)
-    val ms = if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
-    val next = if (ms.nonEmpty) ms.last + 1 else dataDir
-    writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries,
-      streamBatchId = streamBatchId, op = Some("snapshot"))
-    writeVersionPointer(spark, fs, path, next)
-    next
+    // when a constraint gate will read the batch before the write does,
+    // persist it so the caller's (possibly expensive) plan runs once
+    val cs = checkConstraints(spark, path)
+    val batch = if (cs.nonEmpty) df.persist() else df
+    try {
+      if (cs.nonEmpty)
+        enforceConstraintsOn(spark, batch, cs, s"writeVersioned($path)")
+      // snapshot dir is a namespace; the commit number continues the
+      // manifest chain contiguously (base+1) so every commit type
+      // contends on the same next number — the linearization the rename
+      // guard needs
+      val (dataDir, entries) = writeClaimedDir(spark, fs, path, batch)
+      val ms = if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
+      val next = if (ms.nonEmpty) ms.last + 1 else dataDir
+      writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries,
+        streamBatchId = streamBatchId, op = Some("snapshot"))
+      writeVersionPointer(spark, fs, path, next)
+      next
+    } finally { if (cs.nonEmpty) batch.unpersist(); () }
   }
 
   /** O(batch) versioned APPEND: write only `df`'s files, publish a manifest
@@ -217,12 +225,20 @@ object Lake {
           s"frame has ${df.schema.toDDL}")
     }
     // constraints gate BEFORE any write: a violating batch refuses with
-    // nothing on disk, not even an unpublished claimed dir
-    enforceConstraints(spark, path, df, s"appendVersioned($path)")
-    // phase 1 — write the batch ONCE into a uniquely-claimed dir (see
-    // writeClaimedDir for the claim protocol and why the dir number is a
-    // namespace, not the commit number)
-    val (_, fresh) = writeClaimedDir(spark, fs, path, df)
+    // nothing on disk, not even an unpublished claimed dir. The batch is
+    // persisted around gate + write so the caller's (possibly expensive)
+    // plan runs once, not twice.
+    val cs = checkConstraints(spark, path)
+    val batch = if (cs.nonEmpty) df.persist() else df
+    val fresh =
+      try {
+        if (cs.nonEmpty)
+          enforceConstraintsOn(spark, batch, cs, s"appendVersioned($path)")
+        // phase 1 — write the batch ONCE into a uniquely-claimed dir (see
+        // writeClaimedDir for the claim protocol and why the dir number
+        // is a namespace, not the commit number)
+        writeClaimedDir(spark, fs, path, batch)._2
+      } finally { if (cs.nonEmpty) batch.unpersist(); () }
     var attempts = 0
     // phase 2 — publish the delta manifest, REBASING on conflict: the
     // base is re-read each attempt, so after losing a race the commit
@@ -879,6 +895,32 @@ object Lake {
         .contains(batchId))
   }
 
+  /** RESTORE — Delta's `RESTORE TABLE … TO VERSION AS OF v`: publish
+    * version `v`'s file list as a NEW version (metadata-only — files are
+    * re-referenced, never copied), so the table's latest state becomes
+    * the old state while the full history, including the versions being
+    * rolled back, stays time-travelable until vacuum. Published at
+    * base+1 with the rename guard like every commit, op "restore".
+    *
+    * @return the new version number
+    */
+  def restoreVersion(spark: SparkSession, path: String, v: Long): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(versionsDir(path)),
+      s"$path carries no _graft_versions manifests - nothing to restore")
+    val m = readVersionManifest(spark, fs, path, v).getOrElse(
+      sys.error(s"version $v does not exist under $path (have: " +
+        s"${manifestVersions(fs, path).mkString(",")})"))
+    val v0 = manifestVersions(fs, path).last
+    if (v == v0) return v0 // restoring the latest is a no-op
+    val next = v0 + 1
+    writeVersionManifest(spark, fs, path, next, m.schemaDdl, m.entries,
+      op = Some("restore"))
+    writeVersionPointer(spark, fs, path, next)
+    next
+  }
+
   /** CHECK CONSTRAINTS for versioned tables — Delta's `ALTER TABLE ADD
     * CONSTRAINT` semantics: a named SQL predicate every row entering the
     * table must satisfy, from this commit on. Adding a constraint
@@ -1068,6 +1110,25 @@ object Lake {
           .filter(expired)
           .foreach(st => fs.delete(st.getPath, false))
       }
+    // reclaim SINK-CRASH leftovers at the table ROOT, only when a
+    // `_spark_metadata` sink log exists to adjudicate: a root file that
+    // is UNLOGGED (the sink never committed it — its batch died mid-write
+    // and was rewritten on replay under a new name), UNREFERENCED by any
+    // retained manifest, and past the grace window will never be adopted
+    // ([[commitStreamVersion]] adopts only logged files when a log
+    // exists). Without a sink log, root files are left strictly alone —
+    // they may be drained batches awaiting adoption.
+    sinkLoggedFiles(fs, path).foreach { logged =>
+      fs.listStatus(hp).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .filter(expired)
+        .filter { s =>
+          val p = s.getPath.toUri.getPath
+          !logged(p) && !referenced(p.stripPrefix(root + "/"))
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     // fold away v= dirs with no data files left, under the same grace:
     // a raw-empty dir deletes immediately; a dir holding only expired
     // crumbs (claim markers, _SUCCESS, stale _temporary) deletes with

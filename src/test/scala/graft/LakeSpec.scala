@@ -1091,6 +1091,32 @@ class LakeSpec extends SparkSpec {
     assert(Lake.listVersions(spark, dir) == Seq(1L, 2L, 3L))
   }
 
+  test("restoreVersion rolls the table back metadata-only; history survives") {
+    val dir = tmp() + "/t"
+    def rows(r: Seq[Int], tag: String) =
+      r.map(i => (f"$i%06d", tag)).toDF("k", "s")
+    Lake.writeVersioned(spark, rows(1 to 100, "a"), dir)
+    Lake.appendVersioned(spark, rows(101 to 200, "b"), dir)
+    val (_, removed) = Lake.deleteWhere(spark, dir, col("s") === "a")
+    assert(removed == 100L)
+    val before = fileIdentity(dir)
+    // restore to v1: latest state becomes the old state, NO data moves
+    assert(Lake.restoreVersion(spark, dir, 1L) == 4L)
+    assert(fileIdentity(dir) == before, "restore must be metadata-only")
+    val cur = Lake.readVersioned(spark, dir)
+    assert(cur.count() == 100 && cur.filter(col("s") === "b").isEmpty)
+    // the rolled-back states stay travelable; history names the op
+    assert(Lake.readVersioned(spark, dir, Some(3L)).count() == 100)
+    assert(Lake.readVersioned(spark, dir, Some(2L)).count() == 200)
+    assert(Lake.versionHistory(spark, dir).last._3 == "restore")
+    // restoring the current latest is a no-op; unknown versions refuse
+    assert(Lake.restoreVersion(spark, dir, 4L) == 4L)
+    intercept[RuntimeException] { Lake.restoreVersion(spark, dir, 99L) }
+    // vacuum keeps every file the restore re-referenced
+    Lake.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(Lake.readVersioned(spark, dir).count() == 100)
+  }
+
   test("CHECK constraints: violating commits refuse before publishing") {
     val dir = tmp() + "/t"
     def rows(r: Seq[(Int, Long)]) = r.map { case (k, v) => (f"$k%06d", v) }
