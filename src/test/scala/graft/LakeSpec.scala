@@ -839,12 +839,16 @@ class LakeSpec extends SparkSpec {
 
   test("versioned commit sequences == in-memory model (randomized)") {
     // model-based check over the delta-manifest machinery: random
-    // sequences of append / delete / merge / optimize / vacuum must keep
-    // the published version's content equal to a plain in-memory map
+    // sequences of append / delete / merge / mergeCdc / optimize /
+    // rerange / zorder / restore / vacuum must keep the published
+    // version's content equal to a plain in-memory map; restore rolls
+    // the model back to the state recorded at the target version
     for (round <- 1 to 3) {
       val rnd = new scala.util.Random(round * 104729L)
       val dir = tmp() + s"/t$round"
       var model = Map.empty[Long, Long] // k -> v
+      // content snapshot per published version, for restore targets
+      var history = Map.empty[Long, Map[Long, Long]]
       var nextKey = 0L
       def frame(rows: Seq[(Long, Long)]) =
         rows.toDF("k", "v").repartition(1 + rnd.nextInt(3))
@@ -854,8 +858,8 @@ class LakeSpec extends SparkSpec {
       val init = freshRows(30)
       model = init.toMap
       Lake.writeVersioned(spark, frame(init), dir)
-      for (_ <- 0 until 12) {
-        rnd.nextInt(5) match {
+      for (_ <- 0 until 16) {
+        rnd.nextInt(9) match {
           case 0 => // O(batch) append of new keys
             val rows = freshRows(1 + rnd.nextInt(8))
             model = model ++ rows
@@ -879,7 +883,36 @@ class LakeSpec extends SparkSpec {
             Lake.optimizeVersioned(spark, dir, targetFileBytes = 32L << 10)
           case 4 =>
             Lake.vacuum(spark, dir, keepLast = 1 + rnd.nextInt(3))
+          case 5 => // CDC merge: disjoint update/delete arms + absent-key delete
+            val keys = model.keys.toSeq.sorted
+            val (updKeys, delKeys) = keys.partition(_ % 2 == 0)
+            val upd = updKeys.filter(_ => rnd.nextInt(6) == 0)
+              .map(k => (k, rnd.nextLong(1000L), false))
+            val dels = delKeys.filter(_ => rnd.nextInt(6) == 0)
+              .map(k => (k, 0L, true)) :+ ((nextKey + 500000L, 0L, true))
+            if (upd.nonEmpty || dels.size > 1) {
+              model = model ++ upd.map(t => t._1 -> t._2) --
+                dels.map(_._1)
+              Lake.mergeCdc(spark, dir,
+                (upd ++ dels).toDF("k", "v", "_del"), Seq("k"), col("_del"))
+            }
+          case 6 => // content-invariant re-cluster (single column)
+            Lake.rerangeVersioned(spark, dir, "k",
+              targetFileRows = 1L + rnd.nextInt(50))
+          case 7 => // content-invariant re-cluster (z-curve)
+            Lake.zorderVersioned(spark, dir, Seq("k", "v"),
+              targetFileRows = 1L + rnd.nextInt(50))
+          case 8 => // metadata-only rollback to a random retained version
+            val vs = Lake.listVersions(spark, dir)
+              .filter(history.contains)
+            if (vs.nonEmpty) {
+              val target = vs(rnd.nextInt(vs.size))
+              Lake.restoreVersion(spark, dir, target)
+              model = history(target)
+            }
         }
+        val vNow = Lake.listVersions(spark, dir).last
+        history += vNow -> model
         val got = Lake.readVersioned(spark, dir).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
         assert(got.size == got.map(_._1).distinct.size,
@@ -1156,6 +1189,17 @@ class LakeSpec extends SparkSpec {
     assert(Lake.dropCheckConstraint(spark, dir, "v_nonneg"))
     Lake.appendVersioned(spark, rows(Seq(104 -> -7L)), dir)
     assert(Lake.readVersioned(spark, dir).filter(col("v") < 0).count() == 1)
+    // the evolution boundary is two-sided: constrained tables refuse to
+    // start evolving, evolving tables refuse constraints
+    Lake.addCheckConstraint(spark, dir, "v2", "v IS NOT NULL OR v IS NULL")
+    intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark, rows(Seq(105 -> 1L)), dir)
+    }
+    val evDir = tmp() + "/ev"
+    Lake.writeEvolving(spark, rows(Seq(1 -> 1L)), evDir)
+    intercept[IllegalArgumentException] {
+      Lake.addCheckConstraint(spark, evDir, "c", "v >= 0")
+    }
   }
 
   test("concurrent delete vs append: serialized or refused, never corrupted") {
