@@ -166,6 +166,8 @@ object Lake {
       val (dataDir, entries) = writeClaimedDir(spark, fs, path, batch)
       val ms = if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
       val next = if (ms.nonEmpty) ms.last + 1 else dataDir
+      reenforceIfChanged(spark, fs, path, cs, entries, df.schema.toDDL,
+        s"writeVersioned($path)")
       writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries,
         streamBatchId = streamBatchId, op = Some("snapshot"))
       writeVersionPointer(spark, fs, path, next)
@@ -258,6 +260,10 @@ object Lake {
       val raw0 = readRawManifest(spark, fs, path, v0).getOrElse(
         sys.error(s"version $v0 has no manifest under $path"))
       schemaCheck(raw0.schemaDdl) // a concurrent evolve/merge may have changed it
+      // a constraint may have landed since the gate: re-enforce the NEW
+      // ones against the written batch files before publishing
+      reenforceIfChanged(spark, fs, path, cs, fresh, raw0.schemaDdl,
+        s"appendVersioned($path)")
       val next = v0 + 1
       try {
         writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
@@ -707,10 +713,11 @@ object Lake {
       // constraints apply to the rows ENTERING the table (the upsert
       // arm); carried rows were validated when they entered, delete rows
       // remove data
-      if (nUp > 0L)
-        enforceConstraints(spark, path,
+      val cs0 = checkConstraints(spark, path)
+      if (nUp > 0L && cs0.nonEmpty)
+        enforceConstraintsOn(spark,
           src.filter(!delFlag).select(prior.fieldNames.map(col): _*),
-          s"mergeInto($path)")
+          cs0, s"mergeInto($path)")
       // rewrite = unmatched rows of matched files + every UPSERT source
       // row (updated keys replace, new keys insert; delete-flagged rows
       // contribute removals only) — one write into a claimed namespace
@@ -722,6 +729,13 @@ object Lake {
         keptOld.unionByName(
           src.filter(!delFlag).select(prior.fieldNames.map(col): _*)))
       val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
+      // a constraint may have landed since the gate: re-enforce the NEW
+      // ones against the upsert arm (src is persisted — one cheap pass)
+      val csNow = checkConstraints(spark, path).filterNot(cs0.contains)
+      if (nUp > 0L && csNow.nonEmpty)
+        enforceConstraintsOn(spark,
+          src.filter(!delFlag).select(prior.fieldNames.map(col): _*),
+          csNow, s"mergeInto($path)")
       val next = v0 + 1
       writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
         base = v0, add = rewritten, remove = matchedEntries.map(_._1),
@@ -945,13 +959,26 @@ object Lake {
     import org.apache.spark.sql.functions.expr
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name '$name' must be [A-Za-z0-9_]+")
+    // schema-evolving tables are refused: writeEvolving bypasses the
+    // versioned-commit gates, and a rename could silently detach the
+    // constraint from the column it was written against — an unenforced
+    // constraint is worse than none
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; CHECK constraints require the " +
+        "fixed-schema versioned write path")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // existing data must already satisfy the new constraint
-    val current = readVersioned(spark, path)
-    current.filter(expr(sqlExpr)).limit(0).count() // fail fast on bad SQL
-    enforceConstraintsOn(spark, current, Seq(name -> sqlExpr),
-      s"addCheckConstraint($name) on existing data of $path")
+    // fail fast on unparseable SQL before publishing anything
+    readVersioned(spark, path).filter(expr(sqlExpr)).limit(0).count()
+    // PUBLISH FIRST, validate second, roll back on failure: once the
+    // constraint file lands every new commit's gate enforces it, so the
+    // existing-data scan (which reads the table as of AFTER the publish)
+    // races no one — a validate-then-publish order would let a commit
+    // slip violating rows in during the seconds the scan takes. The cost
+    // of this order is transient: until validation finishes, concurrent
+    // valid commits are gated by a constraint that may yet be rolled
+    // back (they simply pass it), and a violating concurrent commit is
+    // correctly refused.
     val dir = new org.apache.hadoop.fs.Path(path, "_graft_constraints")
     fs.mkdirs(dir)
     val dst = new org.apache.hadoop.fs.Path(dir, s"$name.json")
@@ -965,6 +992,25 @@ object Lake {
     out.close()
     require(fs.rename(tmp, dst),
       s"constraint '$name' already exists on $path (concurrent writer?)")
+    // post-publish cross-check against a concurrent writeEvolving: both
+    // sides re-check the other's artifact after publishing their own, and
+    // the CONSTRAINT side yields (rolls back) — whoever publishes second
+    // must observe the first, so the forbidden constrained-evolving state
+    // cannot persist (writeEvolving's v1 publish runs the mirror check)
+    if (readSchemaManifests(spark, path).nonEmpty) {
+      fs.delete(dst, false)
+      sys.error(s"$path started schema evolution concurrently; " +
+        "constraint rolled back - constraints require the fixed-schema path")
+    }
+    try
+      enforceConstraintsOn(spark, readVersioned(spark, path),
+        Seq(name -> sqlExpr),
+        s"addCheckConstraint($name) on existing data of $path")
+    catch {
+      case e: Throwable =>
+        fs.delete(dst, false) // roll back: an invalid constraint never sticks
+        throw e
+    }
   }
 
   def dropCheckConstraint(spark: SparkSession, path: String,
@@ -1006,6 +1052,32 @@ object Lake {
       incoming: DataFrame, what: String): Unit = {
     val cs = checkConstraints(spark, path)
     if (cs.nonEmpty) enforceConstraintsOn(spark, incoming, cs, what)
+  }
+
+  /** Re-enforce constraints that appeared AFTER a commit's gate read,
+    * against the batch's already-written files — closing the
+    * add-constraint-vs-commit race from the commit side: the publish
+    * attempt re-reads the constraint set, and any constraint that landed
+    * since the gate gets enforced in one column-pruned pass over the
+    * BATCH files before the manifest rename. A constraint landing after
+    * our rename is covered from the ADD side instead: its existing-data
+    * scan reads the table as of after its own publish, which includes
+    * us. (The residual is the pair of metadata ops between this re-read
+    * and the rename — the same local-FS window the schema-manifest
+    * guards document; HDFS/object-store renames close it.)
+    */
+  private def reenforceIfChanged(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      gateCs: Seq[(String, String)], entries: Seq[(String, Long)],
+      schemaDdl: String, what: String): Unit = {
+    val fresh = checkConstraints(spark, path).filterNot(gateCs.contains)
+    if (fresh.nonEmpty && entries.nonEmpty) {
+      val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
+      enforceConstraintsOn(spark,
+        readSomeFiles(spark, fs, path,
+          entries.map(e => s"$root/${e._1}"), schemaDdl),
+        fresh, what)
+    }
   }
 
   private def enforceConstraintsOn(spark: SparkSession, incoming: DataFrame,
@@ -1724,6 +1796,17 @@ object Lake {
       renames: Map[String, String] = Map.empty): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the constraint contract is two-sided: addCheckConstraint refuses
+    // evolving tables, and a table that gained constraints while plain
+    // refuses to start evolving. The guards are check-then-act, so a
+    // CONCURRENT pair could pass both — the post-publish cross-checks
+    // (below, and in addCheckConstraint) resolve that race: each side
+    // re-checks the other's artifact after publishing its own and the
+    // detected loser rolls back, so the forbidden constrained-evolving
+    // state never persists
+    require(checkConstraints(spark, path).isEmpty,
+      s"$path carries CHECK constraints; schema evolution would bypass " +
+        "their enforcement - drop them first")
     val prior = readSchemaManifests(spark, path)
     val next = prior.lastOption.map(_.version + 1).getOrElse(1L)
     val newFields = df.schema.fields.map(f => f.name -> f.dataType.catalogString)
@@ -1809,6 +1892,16 @@ object Lake {
     require(fs.rename(tmp, dst),
       s"writeEvolving: schema version $next already published under $path " +
         "(concurrent writer?) - re-read schemaVersions and retry")
+    // mirror of addCheckConstraint's post-publish cross-check: if this is
+    // the FIRST schema version and a constraint landed concurrently (its
+    // gate read ran before our manifest), the EVOLUTION side rolls back —
+    // no data has been written yet, so deleting our own v=1 manifest is a
+    // clean abort, and one of the two racing sides always yields
+    if (next == 1L && checkConstraints(spark, path).nonEmpty) {
+      fs.delete(dst, false)
+      sys.error(s"$path gained CHECK constraints concurrently; schema " +
+        "evolution rolled back - drop the constraints first")
+    }
     // a deleteWhere may have versioned this table: the append then also
     // publishes a version manifest (prior files by reference + the new
     // files) so version-resolving readers see the appended rows
