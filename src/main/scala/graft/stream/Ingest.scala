@@ -88,17 +88,22 @@ object Ingest {
   def runMediaPipeline(spark: SparkSession, landingDir: String, glob: String,
       tableDir: String, checkpointDir: String,
       statsCols: Seq[String] = Seq.empty,
-      versioned: Boolean = false): Unit = {
-    val q = mediaStream(spark, landingDir, glob)
+      versioned: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = mediaStream(spark, landingDir, glob, maxFilesPerTrigger)
       .writeStream
       .format("parquet")
       .option("path", tableDir)
       .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (statsCols.nonEmpty) publishStreamStats(spark, tableDir, statsCols)
+    // VERSION before STATS: on a versioned table appendStats diffs
+    // against the current manifest, so the commit must adopt the drain's
+    // files first or they gain no stats rows until the NEXT drain (and
+    // the stale-manifest guard refuses every skip read in the gap)
     if (versioned) publishStreamVersion(spark, tableDir)
+    if (statsCols.nonEmpty) publishStreamStats(spark, tableDir, statsCols)
     ()
   }
 
@@ -145,10 +150,18 @@ object Ingest {
     * reclaimed by vacuum's grace window. Every versioned-Lake operation
     * (travel, delete, merge, optimize, asOf) works from the first batch.
     */
+  /** `drainAndStop = true` (default) drains the current backlog and
+    * returns a terminated query — the test/triggered shape; `false` runs
+    * LIVE on a ProcessingTime trigger and returns the RUNNING query (the
+    * caller owns its lifecycle) — the actual 24/7 deployment.
+    */
   def runContinuousSilverPipeline(spark: SparkSession, landingDir: String,
       silverDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val q = silverTransform(bronzeStream(spark, landingDir, maxFilesPerTrigger))
+      maxFilesPerTrigger: Option[Int] = None,
+      drainAndStop: Boolean = true,
+      processingInterval: String = "10 seconds"): StreamingQuery = {
+    val writer = silverTransform(
+        bronzeStream(spark, landingDir, maxFilesPerTrigger))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Lake.appendVersioned(spark, batch, silverDir,
@@ -156,9 +169,10 @@ object Ingest {
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+    val q = (if (drainAndStop) writer.trigger(Trigger.AvailableNow())
+             else writer.trigger(Trigger.ProcessingTime(processingInterval)))
       .start()
-    q.awaitTermination()
+    if (drainAndStop) q.awaitTermination()
     q
   }
 
@@ -192,9 +206,13 @@ object Ingest {
     // determinism) — inference reads only O(sample), not the backlog
     val fs = new org.apache.hadoop.fs.Path(landingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hidden-file check on the BASENAME only: matching "/_" or "/."
+    // anywhere in the qualified path would empty the sample whenever any
+    // ANCESTOR dir is underscore/dot-prefixed (/data/_landing, ~/.cache)
     val paths = fs.listStatus(new org.apache.hadoop.fs.Path(landingDir))
-      .filter(_.isFile).map(_.getPath.toString)
-      .filterNot(p => p.contains("/_") || p.contains("/."))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
       .sorted.take(sampleFiles)
     require(paths.nonEmpty, s"no files to infer a schema from in $landingDir")
     val sample = spark.read
@@ -244,7 +262,15 @@ object Ingest {
       statsCols: Seq[String] = Seq.empty): StreamingQuery = {
     import graft.dq.Expectations
     val bronze = bronzeStreamInferred(spark, landingDir)
-    val dataCols = bronze.schema.fieldNames.filterNot(_ == RescuedCol)
+    val inferredCols = bronze.schema.fieldNames.toSet
+    // align to the DECLARED contract, null-filling any declared field the
+    // bounded inference sample happened not to see: a field absent from
+    // the first sampleFiles files but present later must surface as nulls
+    // at silver DQ (the documented degradation), not crash the stream
+    // with an unresolvable column
+    def declared(f: org.apache.spark.sql.types.StructField) =
+      (if (inferredCols(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)
     val q = bronze.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
@@ -252,12 +278,20 @@ object Ingest {
           val r = Expectations(b, Seq(Expectations.Expectation(
             "no_rescued_data", col(RescuedCol).isNull, Expectations.Drop)))
           val aligned = r.retained
-            .select(rawEventSchema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+            .select(rawEventSchema.fields.map(declared): _*)
           silverTransform(aligned)
             .write.mode("overwrite").parquet(s"$silverDir/batch=$batchId")
           if (r.violationCounts("no_rescued_data") > 0) {
+            // quarantine schema is PINNED to the declared fields (raw
+            // string fidelity) + the rescue column, so every batch= dir
+            // is uniform — per-drain inference drift must not make the
+            // audit trail's dirs disagree on columns (a later plain read
+            // would bind one footer's schema and silently drop the rest)
             r.quarantined
-              .select((dataCols.map(col) :+ col(RescuedCol)): _*)
+              .select(rawEventSchema.fields.map(f =>
+                (if (inferredCols(f.name)) col(f.name)
+                 else lit(null)).cast("string").as(f.name)) :+
+                col(RescuedCol): _*)
               .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
           }
           // post-commit compaction hook: per-micro-batch appends accrete
@@ -300,8 +334,9 @@ object Ingest {
   def runSilverPipeline(spark: SparkSession, landingDir: String,
       silverDir: String, checkpointDir: String,
       statsCols: Seq[String] = Seq.empty,
-      versioned: Boolean = false): StreamingQuery = {
-    val q = silverTransform(bronzeStream(spark, landingDir))
+      versioned: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val q = silverTransform(bronzeStream(spark, landingDir, maxFilesPerTrigger))
       .writeStream
       .format("parquet")
       .option("path", silverDir)
@@ -310,8 +345,11 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (statsCols.nonEmpty) publishStreamStats(spark, silverDir, statsCols)
+    // VERSION before STATS — see runMediaPipeline's note: appendStats on
+    // a versioned table diffs against the current manifest, so the
+    // drain's files must be adopted first
     if (versioned) publishStreamVersion(spark, silverDir)
+    if (statsCols.nonEmpty) publishStreamStats(spark, silverDir, statsCols)
     q
   }
 
@@ -319,7 +357,11 @@ object Ingest {
     * silver table — materialized-view semantics.
     */
   def refreshGold(spark: SparkSession, silverDir: String): Map[String, DataFrame] = {
-    val silver = spark.read.parquet(silverDir)
+    // persisted: all three returned frames scan silver, and the fact join
+    // consumes dimDate twice — without the cache a caller materializing
+    // the whole map pays 4 silver scans and 2 distinct aggregations
+    // (session-scoped cache; Spark's LRU reclaims it)
+    val silver = spark.read.parquet(silverDir).persist()
     val dimLocations = silver.select("location_id").distinct()
     val dimDate = silver
       .select(to_date(col("timestamp")).as("date"),
@@ -327,6 +369,7 @@ object Ingest {
         month(col("timestamp")).as("month"),
         dayofmonth(col("timestamp")).as("day"))
       .distinct()
+      .persist() // consumed standalone AND twice inside the fact join
     val fact = silver
       .join(broadcast(dimDate.select("date", "year", "month")),
         to_date(silver("timestamp")) === dimDate("date"), "left_outer")

@@ -107,22 +107,30 @@ class StreamingSpec extends SparkSpec {
     // drain 1 → version 1 (the Delta streaming-table shape: every drain
     // lands as a time-travelable commit, no bootstrap step anywhere)
     Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
-      versioned = true)
+      statsCols = Seq("device_id"), versioned = true)
     assert(Lake.listVersions(spark, silverDir) == Seq(1L))
     assert(Lake.readVersioned(spark, silverDir).count() == 40)
     // re-drain with nothing new: exactly-once carries to the VERSION level
     Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
-      versioned = true)
+      statsCols = Seq("device_id"), versioned = true)
     assert(Lake.listVersions(spark, silverDir) == Seq(1L))
     // drain 2 → version 2, version 1 still shows the old state
     writeFile(landing, "b2.jsonl", (40 until 60).map(i =>
       evt(f"d$i%03d", "l2", f"2024-01-01T01:${i % 60}%02d:00", "temperature",
         "good", i.toDouble)))
     Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
-      versioned = true)
+      statsCols = Seq("device_id"), versioned = true)
     assert(Lake.listVersions(spark, silverDir) == Seq(1L, 2L))
     assert(Lake.readVersioned(spark, silverDir).count() == 60)
     assert(Lake.readVersioned(spark, silverDir, Some(1L)).count() == 40)
+    // version commits BEFORE stats (order is load-bearing): the stats
+    // manifest must cover THIS drain's files immediately — a pre-commit
+    // stats append would leave them uncovered and the stale-manifest
+    // guard would refuse every skip read until the next drain
+    val skipped = Lake.readSkipping(spark, silverDir,
+      Lake.skipRange("device_id", lit("d040"), lit("d059")))
+    assert(skipped.filter(col("device_id").between("d040", "d059"))
+      .count() == 20)
     // file-granular DELETE on the stream-fed table, no bootstrap call
     val (v3, removed) = Lake.deleteWhere(spark, silverDir,
       col("device_id") === "d005")
@@ -133,7 +141,7 @@ class StreamingSpec extends SparkSpec {
     writeFile(landing, "b3.jsonl", Seq(
       evt("d900", "l3", "2024-01-01T02:00:00", "temperature", "good", 1.0)))
     Ingest.runSilverPipeline(spark, landing.toString, silverDir, ckpt,
-      versioned = true)
+      statsCols = Seq("device_id"), versioned = true)
     val cur = Lake.readVersioned(spark, silverDir)
     assert(cur.count() == 60)
     assert(cur.filter(col("device_id") === "d005").isEmpty)
