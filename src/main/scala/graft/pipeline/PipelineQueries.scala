@@ -132,8 +132,11 @@ object PipelineQueries {
         fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
           .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(landing, s"$stage-$i.json"))
+            // a silently failed rename would drop a whole landing batch
+            // and surface only as a distant oracle mismatch
+            require(fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(landing, s"$stage-$i.json")),
+              s"landing rename failed for stage $stage part $i")
           }
         fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
       }
@@ -555,12 +558,15 @@ object PipelineQueries {
             round(col("value") * 100).cast("long").as("cents"))
         val cut = lit("2024-01-20").cast("date")
         val path = prebuildMergeTarget(sp, dir)
-        val active = base.filter(col("day") > cut)
-          .select("user_id").distinct()
+        // ONE aggregation derives both the totals and the activity
+        // filter (max(day) > cut ⇔ "has an event after the cut") — the
+        // earlier distinct+semi-join paid a second events pass plus a
+        // join exchange inside the timed query for the same batch
         graft.sources.Lake.mergeInto(sp, path,
           base.groupBy("user_id")
-            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
-            .join(active, Seq("user_id"), "leftsemi"),
+            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
+              max(col("day")).as("_last"))
+            .filter(col("_last") > cut).drop("_last"),
           Seq("user_id"))
         graft.sources.Lake.readVersioned(sp, path).orderBy("user_id")
       },
@@ -605,13 +611,17 @@ object PipelineQueries {
             col("event_type"))
         val cut = lit("2024-01-20").cast("date")
         val path = prebuildCdcTarget(sp, dir)
-        val totals = ev.groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
-        val flags = ev.filter(col("day") > cut).groupBy("user_id")
-          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
-            .as("_delflag"))
-        val batch = totals.join(flags, Seq("user_id"), "inner")
-          .withColumn("_is_deleted", col("_delflag") === 1).drop("_delflag")
+        // ONE aggregation: full-history totals, the post-cut activity
+        // filter, and the purchase flag all fold into the groupBy the
+        // batch already pays — no second pass, no join exchange
+        val batch = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
+            max(when(col("day") > cut, 1).otherwise(0)).as("_act"),
+            max(when(col("day") > cut && col("event_type") === "purchase", 1)
+              .otherwise(0)).as("_delflag"))
+          .filter(col("_act") === 1)
+          .withColumn("_is_deleted", col("_delflag") === 1)
+          .drop("_act", "_delflag")
         graft.sources.Lake.mergeCdc(sp, path, batch, Seq("user_id"),
           col("_is_deleted"))
         graft.sources.Lake.readVersioned(sp, path).orderBy("user_id")
@@ -719,9 +729,17 @@ object PipelineQueries {
           .select(col("user_id"), to_date(col("ts")).as("day"),
             (round(col("value") * 100) * -1L).cast("long").as("cents"))
           .limit(50)
+        // match the GATE's message, not just the exception type:
+        // appendVersioned throws IllegalArgumentException from several
+        // other requires (schema mismatch, retry exhaustion), and any of
+        // them masquerading as the gate would leave CHECK enforcement
+        // silently broken while this row stayed green
         val refused =
           try { graft.sources.Lake.appendVersioned(sp, bad, path); false }
-          catch { case _: IllegalArgumentException => true }
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("CHECK constraint violation") => true
+          }
         require(refused, "violating batch must be refused by the CHECK gate")
         graft.sources.Lake.readVersioned(sp, path)
           .groupBy("user_id")
@@ -778,7 +796,14 @@ object PipelineQueries {
       "lake_time_travel_asof",
       (sp, dir) => {
         val path = prebuildRerangeFixture(sp, dir)
-        val ts1 = graft.sources.Lake.versionHistory(sp, path).head._2
+        val hist = graft.sources.Lake.versionHistory(sp, path)
+        val ts1 = hist.head._2
+        // fail LOUDLY at the cause if commit stamps ever collide or step
+        // backwards (NTP): an opaque oracle-hash mismatch from asOf
+        // resolving to a later version would be much harder to diagnose
+        require(graft.sources.Lake.versionAsOf(sp, path, ts1) == hist.head._1,
+          s"asOf(ts of v${hist.head._1}) resolved elsewhere - " +
+            s"non-monotonic commit stamps? $hist")
         graft.sources.Lake.readVersionedAsOf(sp, path, ts1)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
