@@ -24,26 +24,35 @@ object Bench {
     // One count() per table: first-open parquet footer/reader setup and
     // the nanos-ts conf path are one-time session costs that would
     // otherwise land entirely on whichever query happens to sort first.
-    try {
-      spark.range(1000).selectExpr("sum(id) s").collect()
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings")
-        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-      Tables.events(spark, sfDir).count()
-      // corpus-admission fixtures: the signature index and the versioned
-      // events table are written once when the corpus lands, so
-      // dedup_incremental/dedup_admit_rescreen time the SCREEN/ADMIT and
-      // lake_delete_prune times the DELETE, not the one-time builds
-      graft.operators.OperatorQueries.prebuildSignatureIndex(spark, sfDir)
-      graft.operators.OperatorQueries.prebuildAdmittedIndex(spark, sfDir)
-      graft.pipeline.PipelineQueries.prebuildDeleteFixture(spark, sfDir)
-      graft.pipeline.PipelineQueries.prebuildMergeTarget(spark, sfDir)
-      graft.pipeline.PipelineQueries.prebuildCdcTarget(spark, sfDir)
-      graft.pipeline.PipelineQueries.prebuildStreamTable(spark, sfDir)
-      graft.pipeline.PipelineQueries.prebuildRerangeFixture(spark, sfDir)
-      graft.pipeline.PipelineQueries.prebuildConstraintFixture(spark, sfDir)
-      graft.pipeline.PipelineQueries.prebuildRestoreFixture(spark, sfDir)
-    } catch { case _: Throwable => () }
+    // Each warmup/prebuild step gets its OWN try/catch and a name in
+    // warmup_failed: rounds 10/11 had ONE wrapper here, so a throw in the
+    // events count silently skipped all nine prebuilds and the one-time
+    // index builds landed inside timed queries (23 s swings, pure artifact).
+    val warmupFailed = scala.collection.mutable.ListBuffer.empty[String]
+    def warm(name: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        warmupFailed += name
+        System.err.println(s"[bench] warmup '$name' failed: ${e.getMessage}")
+      }
+    warm("session")(spark.range(1000).selectExpr("sum(id) s").collect())
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => warm(s"count_$t")(
+        spark.read.parquet(s"$sfDir/$t.parquet").count()))
+    warm("count_events")(Tables.events(spark, sfDir).count())
+    // corpus-admission fixtures: the signature index and the versioned
+    // events table are written once when the corpus lands, so
+    // dedup_incremental/dedup_admit_rescreen time the SCREEN/ADMIT and
+    // lake_delete_prune times the DELETE, not the one-time builds
+    warm("sig_index")(graft.operators.OperatorQueries.prebuildSignatureIndex(spark, sfDir))
+    warm("admitted_index")(graft.operators.OperatorQueries.prebuildAdmittedIndex(spark, sfDir))
+    warm("delete_fixture")(graft.pipeline.PipelineQueries.prebuildDeleteFixture(spark, sfDir))
+    warm("merge_target")(graft.pipeline.PipelineQueries.prebuildMergeTarget(spark, sfDir))
+    warm("cdc_target")(graft.pipeline.PipelineQueries.prebuildCdcTarget(spark, sfDir))
+    warm("stream_table")(graft.pipeline.PipelineQueries.prebuildStreamTable(spark, sfDir))
+    warm("rerange_fixture")(graft.pipeline.PipelineQueries.prebuildRerangeFixture(spark, sfDir))
+    warm("constraint_fixture")(graft.pipeline.PipelineQueries.prebuildConstraintFixture(spark, sfDir))
+    warm("restore_fixture")(graft.pipeline.PipelineQueries.prebuildRestoreFixture(spark, sfDir))
     // Host-load context makes contended runs SELF-IDENTIFYING: same-binary
     // totals on this box swing ~30% with co-tenant load (BASELINE.md),
     // and the signature of interference — uniform inflation across
@@ -62,10 +71,20 @@ object Bench {
           }
         }
       } catch { case _: Throwable => -1 }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failing query must NOT be timed into the map as if it ran — its
+    // near-zero "timing" pollutes n_queries and hides the outage. Failures
+    // go under a separate "failed" key.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
     }.toMap
     val loadEnd =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -86,7 +105,11 @@ object Bench {
     val qs = results.toSeq.sortBy { case (name, sec) => (sec, name) }
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"queries":$qs,"total_sec":${r3(total)},"loadavg_start_tail":"$loadStart","loadavg_end_tail":"$loadEnd","n_jvms_tail":$jvms}""")
+    def strList(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failJson = strList(failed.toList.sorted)
+    val warmJson = strList(warmupFailed.toList)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"queries":$qs,"total_sec":${r3(total)},"failed_tail":$failJson,"warmup_failed_tail":$warmJson,"loadavg_start_tail":"$loadStart","loadavg_end_tail":"$loadEnd","n_jvms_tail":$jvms}""")
     spark.stop()
   }
 }

@@ -963,5 +963,57 @@ object PipelineQueries {
           |WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
+
+    // ---- CHANGE-DATA-FEED incremental refresh: a downstream per-user
+    //      aggregate is rolled forward from version 1 to version 3 using
+    //      ONLY Lake.readChangeFeed (insert → +1, delete → −1 retraction
+    //      weights) — never re-reading the table. v1 = snapshot of
+    //      days ≤ Jan-15, v2 = append of (Jan-15, Jan-25], v3 =
+    //      deleteWhere of the Jan-08..14 week. The oracle recomputes the
+    //      FINAL state directly from raw events; the incremental result
+    //      hash-matches it only if the feed carried exactly the changed
+    //      rows (a missed delete, a double-fed insert, or a reorg commit
+    //      leaking into the feed all break the hash). The reference's
+    //      incremental-refresh contract is README_DBT.md:32,102-103. ----
+    QueryDef(
+      "lake_cdf_refresh",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("cdf")}/events_versioned"
+        graft.sources.Lake.writeVersioned(sp,
+          base.filter(col("day") <= lit("2024-01-15").cast("date"))
+            .repartitionByRange(8, col("day")), path)
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > lit("2024-01-15").cast("date") &&
+            col("day") <= lit("2024-01-25").cast("date"))
+            .repartitionByRange(4, col("day")), path)
+        graft.sources.Lake.deleteWhere(sp, path,
+          col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+        // downstream state as of v1, computed once (the "already
+        // materialized" aggregate an incremental pipeline starts from)
+        val atV1 = graft.sources.Lake.readVersioned(sp, path, Some(1L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        // roll forward v2..v3 from the feed alone
+        val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = graft.sources.Lake.readChangeFeed(sp, path, 2L, 3L)
+          .groupBy("user_id")
+          .agg(sum(w).as("n_events"), sum(col("cents") * w).as("total_cents"))
+        atV1.unionByName(delta).groupBy("user_id")
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("total_cents")).as("total_cents"))
+          .filter(col("n_events") > 0)
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+          |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
   )
 }

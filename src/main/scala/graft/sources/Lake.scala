@@ -383,6 +383,103 @@ object Lake {
     }
   }
 
+  /** Row-reorganizing maintenance ops whose commits preserve the row
+    * multiset exactly — a change feed skips them (Delta marks the same
+    * commits `dataChange=false` and `table_changes` omits them).
+    */
+  private val ReorgOps = Set("optimize", "zorder", "rerange")
+
+  /** CHANGE DATA FEED over the delta-manifest chain (Delta's
+    * `table_changes(t, startingVersion, endingVersion)` shape, derived
+    * entirely from the manifests already on disk — nothing extra is
+    * written at commit time). Emits every row-level change committed in
+    * versions `fromVersion..toVersion` INCLUSIVE, as the table's columns
+    * plus:
+    *   - `_change_type`  — `"insert"` (row added by the commit) or
+    *     `"delete"` (row removed). File-granular manifests carry no
+    *     row-level update lineage, so an update surfaces as
+    *     delete(preimage) + insert(postimage) — RETRACTION semantics,
+    *     which is exactly what incremental downstream maintenance needs:
+    *     an aggregate applies inserts with weight +1 and deletes with
+    *     weight −1 and lands on the same state as a full recompute.
+    *   - `_commit_version` — the version that committed the change.
+    *   - `_commit_timestamp` — the commit wall-clock (null for manifests
+    *     predating timestamps).
+    *
+    * Cost ∝ CHANGED files only: each commit contributes exactly its
+    * manifest's add/remove file lists; files carried between versions by
+    * reference are NEVER opened (the property that makes an incremental
+    * refresh against a 100 TB table read megabytes, not the table).
+    * Maintenance commits ([[ReorgOps]]) rewrite files without changing
+    * rows and are skipped whole. Snapshot commits (writeVersioned /
+    * restore) diff their resolved file set against the previous
+    * version's — re-carried files drop out of the diff, so even a
+    * restore feeds only what actually changed.
+    *
+    * The range must lie within vacuum retention: a removed file whose
+    * last referencing manifest was vacuumed is gone, and the read fails
+    * loudly rather than fabricating an empty delete.
+    */
+  def readChangeFeed(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, timestamp_millis}
+    require(fromVersion <= toVersion,
+      s"readChangeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureVersionManifests(spark, path)
+    require(fs.exists(versionsDir(path)), s"no versions under $path")
+    val all = manifestVersions(fs, path)
+    val inRange = all.filter(v => v >= fromVersion && v <= toVersion)
+    val root = rootPath(fs, hp)
+    val parts: Seq[DataFrame] = inRange.flatMap { v =>
+      val raw = readRawManifest(spark, fs, path, v).getOrElse(
+        sys.error(s"version $v has no manifest under $path"))
+      if (raw.op.exists(ReorgOps)) Seq.empty
+      else {
+        val (addF, rmF): (Seq[String], Seq[String]) = raw.files match {
+          case None => (raw.add.map(_._1), raw.remove)
+          case Some(cur) =>
+            // full-snapshot manifest: the change set is the file diff vs
+            // the previous version (first version → everything inserts)
+            if (v == all.head) (cur.map(_._1), Seq.empty)
+            else {
+              val prev = readVersionManifest(spark, fs, path, v - 1)
+                .getOrElse(sys.error(
+                  s"readChangeFeed: version ${v - 1} (predecessor of " +
+                    s"snapshot commit $v) has no manifest under $path — " +
+                    "range reaches past vacuum retention"))
+                .entries.map(_._1)
+              val prevSet = prev.toSet
+              val curSet = cur.map(_._1).toSet
+              (cur.map(_._1).filterNot(prevSet), prev.filterNot(curSet))
+            }
+        }
+        def tag(files: Seq[String], changeType: String): Option[DataFrame] =
+          if (files.isEmpty) None
+          else Some(
+            readSomeFiles(spark, fs, path, files.map(f => s"$root/$f"),
+                raw.schemaDdl)
+              .withColumn("_change_type", lit(changeType))
+              .withColumn("_commit_version", lit(v))
+              .withColumn("_commit_timestamp", raw.ts
+                .map(t => timestamp_millis(lit(t)))
+                .getOrElse(lit(null).cast("timestamp"))))
+        tag(addF, "insert").toSeq ++ tag(rmF, "delete").toSeq
+      }
+    }
+    if (parts.isEmpty) {
+      val v = all.lastOption.getOrElse(
+        sys.error(s"no versions under $path"))
+      val ddl = readRawManifest(spark, fs, path, v).get.schemaDdl
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .add("_change_type", "string").add("_commit_version", "bigint")
+        .add("_commit_timestamp", "timestamp")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else parts.reduce(_.unionByName(_))
+  }
+
   /** TIME-based retention vacuum — `VACUUM … RETAIN n HOURS` semantics on
     * the commit stamps: keep every version committed within `retainMs` of
     * now (and always the newest), drop the rest, then reclaim files and

@@ -25,7 +25,11 @@ class PlanSpec extends SparkSpec {
     // props never leaves the reader
     val p = plan(q("silver_events"))
     assert(!p.contains("props"), s"props column not pruned:\n$p")
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double>"),
+    // ts loads as bigint (nanos-era fixtures) or timestamp (micros-era);
+    // either way the scan must read exactly silver's five columns
+    assert(
+      p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double>") ||
+        p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp,user_id:bigint,event_type:string,value:double>"),
       s"scan reads more than silver needs:\n$p")
     // plain comparison predicates DO reach the scan
     val p1 = plan(q("q1_agg"))
