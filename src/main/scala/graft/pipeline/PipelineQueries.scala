@@ -1015,5 +1015,45 @@ object PipelineQueries {
           |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+
+    // ---- SCHEMA DRIFT through the STREAMING append path: a versioned
+    //      table built from early events takes a later batch that carries
+    //      a NEW column (the upstream-drift event a 24/7 stream must
+    //      survive). appendVersioned bootstraps the schema chain and
+    //      publishes the drifted batch with the commit; the read then
+    //      spans both schema eras (old files resolve the new column as
+    //      null). The oracle recomputes the same per-era aggregate from
+    //      raw events — a dropped era, a misfolded column, or rows lost
+    //      in the evolution commit all break the hash. ----
+    QueryDef(
+      "lake_schema_drift",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("evo")}/events_versioned"
+        graft.sources.Lake.writeVersioned(sp,
+          base.filter(col("day") <= lit("2024-01-15").cast("date"))
+            .repartitionByRange(4, col("day")), path)
+        val late = base
+          .filter(col("day") > lit("2024-01-15").cast("date") &&
+            col("day") <= lit("2024-01-25").cast("date"))
+          .withColumn("src", lit("late"))
+        graft.sources.Lake.appendVersioned(sp, late, path,
+          streamBatchId = Some(1L))
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy(coalesce(col("src"), lit("base")).as("src"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+          .orderBy("src")
+      },
+      Some(
+        """SELECT CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+          |            THEN 'late' ELSE 'base' END AS src,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+          |GROUP BY 1 ORDER BY src""".stripMargin),
+    ),
   )
 }

@@ -199,9 +199,6 @@ object Lake {
       streamBatchId: Option[Long] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(readSchemaManifests(spark, path).isEmpty,
-      s"$path is a schema-evolving table; append via writeEvolving - " +
-        "appendVersioned would bypass the schema chain")
     // continuous-streaming idempotence gate: a micro-batch REPLAY (crash
     // after a data write, before the checkpoint commit) finds its batch
     // id already in a manifest and no-ops BEFORE writing a byte; the
@@ -215,9 +212,61 @@ object Lake {
           s"batch $bid recorded but no versions under $path"))
       }
     }
+    // SCHEMA EVOLUTION IS NOT A REFUSAL: a 24/7 stream appending through
+    // this path must survive upstream column drift. Three cases:
+    //   1. evolving table, batch matches the current LOGICAL schema →
+    //      plain delta append below (no new chain entry — per-batch
+    //      chain growth would pile thousands of identical versions).
+    //   2. evolving table, batch schema DRIFTED → the drift publishes the
+    //      next schema-chain entry WITH the commit (writeEvolving, which
+    //      validates the drift is additive/widening and stamps the
+    //      version delta with this batch id).
+    //   3. PLAIN versioned table, batch schema drifted → the chain is
+    //      bootstrapped (v1 = the table's current schema, declared from
+    //      the manifest DDL — no file reads) and the batch lands as
+    //      schema v2 via writeEvolving. Invalid drift (dropped column,
+    //      narrowing) still refuses, loudly, inside writeEvolving.
+    val priors = readSchemaManifests(spark, path)
+    def batchFields = df.schema.fields
+      .map(f => f.name -> f.dataType.catalogString).toSeq
+    // writeEvolving returns the SCHEMA version; this method's contract is
+    // the TABLE version — re-read it after an evolving delegation
+    def latestTableVersion(): Long = readVersionPointer(fs, path)
+      .orElse(manifestVersions(fs, path).lastOption)
+      .getOrElse(sys.error(s"no versions under $path"))
+    if (priors.nonEmpty) {
+      if (batchFields != logicalSchema(priors)) {
+        if (fs.exists(versionsDir(path))) {
+          writeEvolving(spark, df, path, streamBatchId = streamBatchId)
+          return latestTableVersion()
+        } else {
+          // evolving-but-unversioned: land the drifted batch, then adopt
+          // ALL files (batch included) as version 1 carrying this batch id
+          writeEvolving(spark, df, path)
+          bootstrapRootVersion(spark, fs, path, streamBatchId)
+          return 1L
+        }
+      }
+      if (!fs.exists(versionsDir(path)))
+        // evolving-but-unversioned, same schema: adopt the existing files
+        // as version 1 so this and every later batch gets a version
+        // manifest + the replay gate
+        bootstrapRootVersion(spark, fs, path)
+    }
     ensureVersionManifests(spark, path)
     val versions = listVersions(spark, path)
     if (versions.isEmpty) return writeVersioned(spark, df, path, streamBatchId)
+    if (priors.isEmpty) {
+      val curDdl = readRawManifest(spark, fs, path,
+        manifestVersions(fs, path).last).get.schemaDdl
+      val cur = org.apache.spark.sql.types.StructType.fromDDL(curDdl)
+        .fields.map(f => f.name -> f.dataType.catalogString).toSeq
+      if (batchFields != cur) {
+        bootstrapSchemaChain(fs, new org.apache.hadoop.fs.Path(path), cur)
+        writeEvolving(spark, df, path, streamBatchId = streamBatchId)
+        return latestTableVersion()
+      }
+    }
     def schemaCheck(baseDdl: String): Unit = {
       val prior = org.apache.spark.sql.types.StructType.fromDDL(baseDdl)
       require(df.schema.fields.map(f =>
@@ -575,17 +624,13 @@ object Lake {
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
-    // O(changed-files) delta commit published at EXACTLY base+1: version
-    // numbers are contiguous, so any commit that landed since our base
-    // read owns that number and the manifest rename guard refuses us —
-    // the fail-loudly contract for NON-commuting commits (our removals
-    // were computed against the base's file set; publishing over a newer
-    // commit would silently drop its changes)
-    val next = v0 + 1
-    writeVersionDelta(spark, fs, path, next, ddl,
-      base = v0, add = rewritten, remove = matchedEntries.map(_._1),
-      op = Some("delete"))
-    writeVersionPointer(spark, fs, path, next)
+    // O(changed-files) delta commit with disjoint-set conflict handling:
+    // a concurrent commit that touched NONE of our matched files (append,
+    // disjoint delete) rebases this delete behind it; a commit that
+    // removed one of them refuses loudly (our rewrite would resurrect
+    // rows it dropped) — see publishNonCommuting
+    val next = publishNonCommuting(spark, fs, path, v0, ddl,
+      add = rewritten, remove = matchedEntries.map(_._1), op = "delete")
     // keep an existing skipping manifest live: the rewritten files gain
     // stats rows incrementally (O(rewritten), not a corpus re-scan)
     if (fs.exists(statsDir)) {
@@ -833,6 +878,13 @@ object Lake {
         enforceConstraintsOn(spark,
           src.filter(!delFlag).select(prior.fieldNames.map(col): _*),
           csNow, s"mergeInto($path)")
+      // MERGE deliberately keeps the strict publish (no disjoint-set
+      // rebase): its match/insert split was computed against the WHOLE
+      // key set of the base version, so even a file-disjoint concurrent
+      // append can invalidate it (an appended row carrying a source key
+      // should have been an UPDATE — rebasing would silently insert a
+      // duplicate). Delta draws the same line: ConcurrentAppendException
+      // for merges that read the table, rebase only for blind appends.
       val next = v0 + 1
       writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
         base = v0, add = rewritten, remove = matchedEntries.map(_._1),
@@ -1358,11 +1410,10 @@ object Lake {
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
-    val next = v0 + 1
-    writeVersionDelta(spark, fs, path, next, ddl,
-      base = v0, add = folded, remove = small.map(_._1._1),
-      op = Some("optimize"))
-    writeVersionPointer(spark, fs, path, next)
+    // disjoint-set commit: maintenance must not starve under a steady
+    // append stream — concurrent appends rebase this fold behind them
+    val next = publishNonCommuting(spark, fs, path, v0, ddl,
+      add = folded, remove = small.map(_._1._1), op = "optimize")
     // keep an existing skipping manifest live over the folded files
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     if (fs.exists(statsDir)) {
@@ -1422,10 +1473,12 @@ object Lake {
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
-    val next = v0 + 1
-    writeVersionManifest(spark, fs, path, next, ddl, rewritten,
-      op = Some("rerange"))
-    writeVersionPointer(spark, fs, path, next)
+    // checkpoint-form commit with disjoint-set rebase: a concurrent
+    // append's files ride into the new manifest un-reorganized (row-
+    // correct; the next pass organizes them)
+    val next = publishNonCommuting(spark, fs, path, v0, ddl,
+      add = rewritten, remove = m0.entries.map(_._1), op = "rerange",
+      full = true)
     // the re-range key ALWAYS ends up tracked (rerange's contract): with c
     // already tracked this is an O(new files) append; a manifest not yet
     // tracking c (or absent) rebuilds in full — same cost class as the
@@ -1457,6 +1510,88 @@ object Lake {
       } catch {
         case _: java.io.IOException | _: NumberFormatException => None
       }
+  }
+
+  /** Publish a NON-COMMUTING commit (one that removes files) with
+    * DISJOINT-SET conflict detection — Delta's WriteSerializable rule
+    * instead of refuse-on-any-race. The commit's add/remove sets were
+    * computed against base `v0`; if another commit wins the version
+    * number, the winner chain `v0+1..head` is inspected:
+    *
+    *   - every winner is a DELTA that removed NO file this commit removes
+    *     and left the schema unchanged → the two commits touch disjoint
+    *     file sets, so they COMMUTE at file granularity; REBASE: republish
+    *     the same add/remove against the new head (data files already on
+    *     disk are never rewritten). This is what lets maintenance
+    *     (optimize/zorder/rerange) and takedown deletes land under a
+    *     steady append stream instead of starving.
+    *   - a winner removed one of OUR removed files (our rewrite is stale —
+    *     rewriting it would resurrect rows the winner dropped), replaced
+    *     the table wholesale (snapshot commit), or changed the schema →
+    *     REFUSE loudly; the caller must recompute against the new state.
+    *
+    * Semantics note (same as Delta's default isolation): rows APPENDED by
+    * a winner that would have matched a rebased delete's predicate are NOT
+    * deleted — the delete applies to the data it read. A reorg rebased
+    * over an append leaves the appended files unorganized but carried —
+    * row-correct, organized on the next maintenance pass.
+    *
+    * `full = true` publishes checkpoint-form manifests (zorder/rerange
+    * replace ~every reference, so a delta would be checkpoint-sized with
+    * none of the O(1)-resolution benefit); the rebase then resolves the
+    * new head and applies the same set algebra.
+    */
+  private def publishNonCommuting(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, v0: Long,
+      schemaDdl: String, add: Seq[(String, Long)], remove: Seq[String],
+      op: String, full: Boolean = false): Long = {
+    val ourRemove = remove.toSet
+    var base = v0
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= MaxCommitRetries,
+        s"$op: lost the manifest race under $path $MaxCommitRetries " +
+          "times (livelock? raise MaxCommitRetries)")
+      val next = base + 1
+      try {
+        if (full) {
+          val resolved = readVersionManifest(spark, fs, path, base)
+            .getOrElse(sys.error(s"version $base has no manifest under $path"))
+          writeVersionManifest(spark, fs, path, next, schemaDdl,
+            resolved.entries.filterNot(e => ourRemove(e._1)) ++ add,
+            op = Some(op))
+        } else
+          writeVersionDelta(spark, fs, path, next, schemaDdl,
+            base = base, add = add, remove = remove, op = Some(op))
+        writeVersionPointer(spark, fs, path, next)
+        return next
+      } catch {
+        case _: IllegalArgumentException
+            if fs.exists(versionManifestFile(path, next)) =>
+          val head = manifestVersions(fs, path).last
+          ((base + 1) to head).foreach { w =>
+            val raw = readRawManifest(spark, fs, path, w).getOrElse(
+              sys.error(s"version $w vanished under $path mid-rebase"))
+            require(raw.base.isDefined,
+              s"$op($path): version $next already published — concurrent " +
+                s"SNAPSHOT commit $w replaced the table; recompute " +
+                "against the new state")
+            require(raw.schemaDdl == schemaDdl,
+              s"$op($path): version $next already published — concurrent " +
+                s"commit $w changed the table schema; recompute against " +
+                "the new state")
+            val overlap = raw.remove.toSet.intersect(ourRemove)
+            require(overlap.isEmpty,
+              s"$op($path): version $next already published — concurrent " +
+                s"commit $w removed file(s) this commit also rewrites " +
+                s"(${overlap.take(3).mkString(", ")}); recompute against " +
+                "the current version")
+          }
+          base = head // all winners file-disjoint: rebase and retry
+      }
+    }
+    sys.error("unreachable")
   }
 
   private def writeVersionPointer(spark: SparkSession,
@@ -1890,7 +2025,8 @@ object Lake {
     * contract.
     */
   def writeEvolving(spark: SparkSession, df: DataFrame, path: String,
-      renames: Map[String, String] = Map.empty): Long = {
+      renames: Map[String, String] = Map.empty,
+      streamBatchId: Option[Long] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the constraint contract is two-sided: addCheckConstraint refuses
@@ -2016,10 +2152,32 @@ object Lake {
       }).toDDL
       writeVersionDelta(spark, fs, path, nextV, ddl,
         base = v0, add = fileEntries(spark, fs, path, freshFiles),
-        remove = Seq.empty, op = Some("evolve-append"))
+        remove = Seq.empty, streamBatchId = streamBatchId,
+        op = Some("evolve-append"))
       writeVersionPointer(spark, fs, path, nextV)
     }
     next
+  }
+
+  /** Declare an existing PLAIN table's schema as chain version 1 — the
+    * bridge that lets [[appendVersioned]] accept a drifted batch on a
+    * table that never evolved before: v1 is written from the version
+    * manifest's DDL (no file reads), then the drifted batch publishes v2
+    * through [[writeEvolving]]'s normal validation.
+    */
+  private def bootstrapSchemaChain(fs: org.apache.hadoop.fs.FileSystem,
+      hp: org.apache.hadoop.fs.Path, fields: Seq[(String, String)]): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(hp, "_graft_schema"))
+    val fieldsJson = fields.map { case (n, t) =>
+      s"""{"name":${jsonStr(n)},"type":${jsonStr(t)}}""" }.mkString("[", ",", "]")
+    val tmp = new org.apache.hadoop.fs.Path(hp, "_graft_schema/.v=1.tmp")
+    val dst = new org.apache.hadoop.fs.Path(hp, "_graft_schema/v=1.json")
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"version":1,"fields":$fieldsJson,"renames":[]}""".getBytes("UTF-8"))
+    out.close()
+    require(!fs.exists(dst) && fs.rename(tmp, dst),
+      s"schema chain already bootstrapped under $hp (concurrent writer?)")
   }
 
   def readEvolving(spark: SparkSession, path: String): DataFrame = {
@@ -2655,10 +2813,10 @@ object Lake {
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
       else m0.schemaDdl
-    val next = v0 + 1
-    writeVersionManifest(spark, fs, path, next, ddl, rewritten,
-      op = Some("zorder"))
-    writeVersionPointer(spark, fs, path, next)
+    // checkpoint-form commit with disjoint-set rebase (see rerange note)
+    val next = publishNonCommuting(spark, fs, path, v0, ddl,
+      add = rewritten, remove = m0.entries.map(_._1), op = "zorder",
+      full = true)
     // every clustered column ends up tracked, like rerange's contract
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     val statsCols: Seq[String] =

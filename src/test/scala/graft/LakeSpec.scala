@@ -1246,6 +1246,97 @@ class LakeSpec extends SparkSpec {
       Lake.readVersioned(spark, dir, Some(v)).count())
   }
 
+  test("change feed: retraction-apply equals direct read, carried files never opened, reorg commits invisible") {
+    val dir = tmp() + "/cdf"
+    def mk(r: Range, s: String) =
+      r.map(i => (i.toLong, i % 4L, s)).toDF("id", "k", "s")
+    // v1: ids 1..40 range-laid on id (4 files); v2: append 41..50;
+    // v3: delete ids <= 10 (rewrites only the file(s) holding them)
+    Lake.writeVersioned(spark,
+      mk(1 to 40, "base").repartitionByRange(4, col("id")), dir)
+    Lake.appendVersioned(spark, mk(41 to 50, "new").repartition(1), dir)
+    Lake.deleteWhere(spark, dir, col("id") <= 10L)
+    val feed = Lake.readChangeFeed(spark, dir, 2L, 3L)
+    // applying the feed (insert +1 / delete −1) on top of v1 must land on
+    // exactly v3's row multiset
+    val w = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val applied = Lake.readVersioned(spark, dir, Some(1L))
+      .withColumn("_w", lit(1L))
+      .unionByName(feed.select(col("id"), col("k"), col("s"), w.as("_w")))
+      .groupBy("id", "k", "s").agg(sum("_w").as("n")).filter(col("n") > 0)
+    val direct = Lake.readVersioned(spark, dir, Some(3L))
+      .groupBy("id", "k", "s").agg(count(lit(1)).as("n"))
+    assert(applied.except(direct).isEmpty && direct.except(applied).isEmpty,
+      "feed-applied state diverges from direct v3 read")
+    // files carried v1→v3 by reference must never be opened by the feed
+    def paths(fs: Array[String]) =
+      fs.map(f => new java.net.URI(f).getPath).toSet
+    val v1Files = paths(Lake.readVersioned(spark, dir, Some(1L)).inputFiles)
+    val v3Files = paths(Lake.readVersioned(spark, dir, Some(3L)).inputFiles)
+    val carried = v1Files.intersect(v3Files)
+    assert(carried.nonEmpty, "fixture must carry at least one file by reference")
+    val feedFiles = paths(feed.inputFiles)
+    assert(feedFiles.intersect(carried).isEmpty,
+      s"feed re-read carried files: ${feedFiles.intersect(carried)}")
+    // a row-preserving reorg commit contributes nothing to the feed
+    val (vOpt, folded) = Lake.optimizeVersioned(spark, dir, targetFileBytes = 1L << 30)
+    assert(folded > 0, "optimize fixture must actually fold files")
+    assert(Lake.readChangeFeed(spark, dir, vOpt, vOpt).isEmpty,
+      "optimize commit leaked into the change feed")
+    // feed range covering v1's snapshot commit emits it as all-inserts
+    val full = Lake.readChangeFeed(spark, dir, 1L, 3L)
+    assert(full.filter(col("_commit_version") === 1L &&
+      col("_change_type") === "insert").count() == 40)
+  }
+
+  test("disjoint-set commits: stale-base delete/optimize rebase over appends; true overlap refuses") {
+    val dir = tmp() + "/oc"
+    // simulate a LOST RACE deterministically: rewind the version pointer
+    // so the next committer reads a stale base — exactly what a writer
+    // that computed its change set before a concurrent commit landed sees
+    // at publish time (the pointer is a hint; manifests stay authoritative)
+    def rewindPointer(v: Long): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_latest"), true)
+      out.write(v.toString.getBytes("UTF-8")); out.close()
+    }
+    def mk(r: Range, s: String) = r.map(i => (i.toLong, s)).toDF("id", "s")
+    Lake.writeVersioned(spark,
+      mk(1 to 40, "base").repartitionByRange(4, col("id")), dir) // v1
+    Lake.appendVersioned(spark, mk(41 to 50, "new").repartition(1), dir) // v2
+    // delete computed against stale v1 loses the race to the append and
+    // REBASES: both commits land, nothing starves
+    rewindPointer(1L)
+    val (dv, removed) = Lake.deleteWhere(spark, dir, col("id") <= 10L)
+    assert(dv == 3L && removed == 10L, s"expected rebased v3, got ($dv, $removed)")
+    val afterDel = Lake.readVersioned(spark, dir, Some(3L))
+    assert(afterDel.count() == 40L)
+    assert(afterDel.filter(col("s") === "new").count() == 10L)
+    assert(afterDel.filter(col("id") <= 10L).isEmpty)
+    // optimize computed against stale v3 rebases over another append the
+    // same way; the appended file rides into the folded manifest
+    Lake.appendVersioned(spark, mk(51 to 60, "new2").repartition(1), dir) // v4
+    rewindPointer(3L)
+    val (ov, folded) = Lake.optimizeVersioned(spark, dir, targetFileBytes = 1L << 30)
+    assert(ov == 5L && folded > 0, s"expected rebased v5, got ($ov, $folded)")
+    assert(Lake.readVersioned(spark, dir, Some(5L)).count() == 50L)
+    // TRUE overlap still refuses: a stale delete whose rewrite target was
+    // already removed by the winner must not resurrect the winner's rows
+    Lake.deleteWhere(spark, dir, col("id") === 45L) // v6 rewrites the folded file
+    rewindPointer(5L)
+    val e = intercept[IllegalArgumentException](
+      Lake.deleteWhere(spark, dir, col("id") === 46L))
+    assert(e.getMessage.contains("already published"), e.getMessage)
+    // refused commit left no trace: v6 is still the head state
+    val head = Lake.readVersioned(spark, dir, Some(6L))
+    assert(head.count() == 49L)
+    assert(head.filter(col("id") === 46L).count() == 1L)
+    // lineage is a single resolvable chain throughout
+    Lake.listVersions(spark, dir).foreach(v =>
+      Lake.readVersioned(spark, dir, Some(v)).count())
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {

@@ -195,6 +195,42 @@ class StreamingSpec extends SparkSpec {
     assert(removed == 1L)
   }
 
+  test("continuous stream survives upstream column drift: drifted batch evolves the schema in-commit") {
+    import graft.sources.Lake
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-evo").toString + "/t"
+    val b0 = Seq(("d1", 1.0), ("d2", 2.0)).toDF("device_id", "value")
+    val b1 = Seq(("d3", 3.0)).toDF("device_id", "value")
+    // the 24/7 foreachBatch shape: appendVersioned per micro-batch id
+    assert(Lake.appendVersioned(spark, b0, dir, streamBatchId = Some(0L)) == 1L)
+    assert(Lake.appendVersioned(spark, b1, dir, streamBatchId = Some(1L)) == 2L)
+    // upstream adds a firmware column mid-stream: the drifted batch
+    // bootstraps the schema chain (v1 = old schema) and lands as schema
+    // v2 in the SAME commit — the stream never stops
+    val b2 = Seq(("d4", 4.0, "fw9")).toDF("device_id", "value", "firmware")
+    assert(Lake.appendVersioned(spark, b2, dir, streamBatchId = Some(2L)) == 3L)
+    val cur = Lake.readVersioned(spark, dir)
+    assert(cur.columns.toSeq == Seq("device_id", "value", "firmware"))
+    assert(cur.count() == 4)
+    assert(cur.filter(col("firmware").isNull).count() == 3) // pre-drift eras
+    // crash-replay of the DRIFTED batch no-ops: its id rode the
+    // evolve-append manifest through the same gate as plain appends
+    assert(Lake.appendVersioned(spark, b2, dir, streamBatchId = Some(2L)) == 3L)
+    assert(Lake.readVersioned(spark, dir).count() == 4)
+    // post-drift same-schema batches do NOT grow the schema chain (a
+    // per-batch chain entry would pile thousands of identical versions)
+    val b3 = Seq(("d5", 5.0, "fwA")).toDF("device_id", "value", "firmware")
+    assert(Lake.appendVersioned(spark, b3, dir, streamBatchId = Some(3L)) == 4L)
+    assert(Lake.schemaVersions(spark, dir).size == 2)
+    // time travel still rewinds data across the schema boundary
+    assert(Lake.readVersioned(spark, dir, Some(2L)).count() == 3)
+    // invalid drift still refuses loudly: a batch DROPPING a column
+    val bad = Seq(("d6", "fwB")).toDF("device_id", "firmware")
+    val e = intercept[IllegalArgumentException](
+      Lake.appendVersioned(spark, bad, dir, streamBatchId = Some(4L)))
+    assert(e.getMessage.contains("missing from"), e.getMessage)
+  }
+
   test("gold refresh over streamed silver produces the reference star schema") {
     val root = Files.createTempDirectory("graft-stream3")
     val landing = Files.createDirectory(root.resolve("landing"))
