@@ -248,37 +248,70 @@ object TextAnalysis {
     //      grams into a fixed 10 KB bitset (built distributed, merged on
     //      the driver, broadcast as ONE value), and the training pass
     //      probes it at scan speed. Bloom guarantees NO false negatives —
-    //      every truly contaminated doc is flagged (the spec pins
-    //      flagged ⊇ exact) — with a bounded false-positive surplus the
-    //      pipeline resolves by an exact recheck of the tiny flagged
-    //      slice. xxhash64 keys + fixed bit width make the filter fully
-    //      deterministic for Spark, but no SQL engine replicates its bit
-    //      layout → rows-only driver check, semantics ScalaTest-pinned.
+    //      every truly contaminated doc is flagged — with a bounded
+    //      false-positive surplus the pipeline resolves by an EXACT
+    //      RECHECK of the tiny flagged slice. The registered query runs
+    //      that full two-stage pipeline (prescreen → exact verify on the
+    //      candidates only), so its output is the exact contamination
+    //      set and the DuckDB oracle hash-checks it: a bloom false
+    //      NEGATIVE (a dropped contaminated doc — the bug class the
+    //      filter must never have) breaks the hash, while false
+    //      positives only cost verify work, never rows. The engine-
+    //      specific bit layout stays out of the output entirely.
     QueryDef(
       "doc_bloom_decontam",
       (sp, dir) => {
-        def grams(docs: DataFrame) = docs
+        def gramHashes(docs: DataFrame) = docs
           .filter(size(split(col("text"), " ")) >= 3)
           .repartition(sp.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(graft.functions.TextFunctions
             .word_shingle_hashes(col("text"), 3, distinct = true)).as("gh"))
+        def gramsMd5(docs: DataFrame) = docs
+          .filter(size(split(col("text"), " ")) >= 3)
+          .repartition(sp.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions
+              .word_shingles(col("text"), 3, distinct = true)).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("gh"))
         val doc = Tables.documents(sp, dir)
         // the merged filter is ~10 KB: collected ONCE to the driver and
         // shipped as a constant — the same driver-resident broadcast
         // Spark's own InjectRuntimeFilter uses (might_contain requires a
         // constant/scalar-subquery filter side by design)
-        val bfBytes = grams(doc.filter(col("doc_id") % 97 === 0))
+        val bfBytes = gramHashes(doc.filter(col("doc_id") % 97 === 0))
           .agg(graft.functions.TextFunctions
             .bloom_filter_agg(col("gh"), 10000L, 81920L).as("bf"))
           .head().getAs[Array[Byte]]("bf")
-        grams(doc.filter(col("doc_id") % 97 =!= 0))
+        // stage 1 — bloom prescreen at scan speed: candidate docs only
+        val candidates = gramHashes(doc.filter(col("doc_id") % 97 =!= 0))
           .filter(graft.functions.TextFunctions
             .might_contain(lit(bfBytes), col("gh")))
+          .select("doc_id").distinct()
+        // stage 2 — exact verify, restricted to the candidate slice (at
+        // scale this is the point: the expensive gram join runs over the
+        // bloom-surviving fraction, not the corpus)
+        val bench = gramsMd5(doc.filter(col("doc_id") % 97 === 0))
+          .select(col("gh").as("bh")).distinct()
+        gramsMd5(doc.filter(col("doc_id") % 97 =!= 0)
+            .join(candidates, Seq("doc_id"), "left_semi"))
+          .join(broadcast(bench), col("gh") === col("bh"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_flagged"))
+          .agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_id")
       },
-      None, // bloom bit layout is engine-specific; DedupSpec pins recall
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         md5(array_to_string(toks[idx : idx + 2], ' ')) AS gh
+          |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(idx)),
+          |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+          |SELECT g.doc_id, count(*) AS n_shared
+          |FROM g JOIN bench USING (gh)
+          |WHERE g.doc_id % 97 <> 0
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
     ),
     QueryDef(
       "doc_fingerprint",

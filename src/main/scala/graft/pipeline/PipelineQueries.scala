@@ -1055,5 +1055,57 @@ object PipelineQueries {
           |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
           |GROUP BY 1 ORDER BY src""".stripMargin),
     ),
+
+    // ---- SQL over CATALOG-REGISTERED Lake tables: a versioned table and
+    //      its named time-travel snapshot are registered as views and the
+    //      whole query runs through spark.sql — names, not paths (the
+    //      reference's schema-grant + named-model surface). The SQL joins
+    //      the current version against the v1 snapshot per user, so a
+    //      view bound to the wrong version, a stale registration after
+    //      the append, or snapshot/current confusion all break the hash.
+    //      Oracle recomputes both eras from raw events. ----
+    QueryDef(
+      "q_sql_lake",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("cat")}/events_versioned"
+        graft.sources.Lake.writeVersioned(sp,
+          base.filter(col("day") <= lit("2024-01-15").cast("date"))
+            .repartitionByRange(4, col("day")), path)
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > lit("2024-01-15").cast("date") &&
+            col("day") <= lit("2024-01-25").cast("date"))
+            .repartitionByRange(2, col("day")), path)
+        graft.sources.Lake.registerTable(sp, "lake_events_cur", path)
+        graft.sources.Lake.registerTable(sp, "lake_events_v1", path,
+          version = Some(1L))
+        sp.sql(
+          """SELECT c.user_id,
+            |       count(*) AS n_events,
+            |       CAST(sum(c.cents) AS BIGINT) AS total_cents,
+            |       CAST(coalesce(max(v1.n_v1), 0) AS BIGINT) AS n_v1
+            |FROM lake_events_cur c
+            |LEFT JOIN (SELECT user_id, count(*) AS n_v1
+            |           FROM lake_events_v1 GROUP BY user_id) v1
+            |  ON c.user_id = v1.user_id
+            |GROUP BY c.user_id
+            |ORDER BY c.user_id""".stripMargin)
+      },
+      Some(
+        """WITH cur AS (
+          |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-25'),
+          |v1 AS (
+          |  SELECT user_id, count(*) AS n_v1
+          |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+          |  GROUP BY user_id)
+          |SELECT c.user_id, count(*) AS n_events,
+          |       CAST(sum(c.cents) AS BIGINT) AS total_cents,
+          |       CAST(coalesce(max(v1.n_v1), 0) AS BIGINT) AS n_v1
+          |FROM cur c LEFT JOIN v1 ON c.user_id = v1.user_id
+          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin),
+    ),
   )
 }

@@ -432,6 +432,36 @@ object Lake {
     }
   }
 
+  /** CATALOG/SQL NAMING for Lake tables — the analog of the reference's
+    * schema grants + named dbt models (`01-setup-sp-permissions.sql:5-12`,
+    * `macros/generate_schema_name.sql:1-8`): register `name` as a SQL
+    * view over the table at `path`, so `spark.sql("… FROM name …")` works
+    * against versioned/evolving/plain Lake tables alike. Resolution
+    * picks the strongest table shape: version manifests (current
+    * published version, or `version` for a named time-travel view) →
+    * schema chain → plain parquet dir. Re-registering replaces the view.
+    *
+    * The view captures the MANIFEST RESOLUTION at registration time (a
+    * Spark temp view holds the logical plan): re-register after commits
+    * to expose a newer version. That is deliberate — a named snapshot is
+    * what SQL consumers want mid-session; a production metastore binding
+    * would re-resolve per query.
+    */
+  def registerTable(spark: SparkSession, name: String, path: String,
+      version: Option[Long] = None): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (fs.exists(versionsDir(path))) readVersioned(spark, path, version)
+      else {
+        require(version.isEmpty,
+          s"$path carries no version manifests; cannot register version $version")
+        if (readSchemaManifests(spark, path).nonEmpty) readEvolving(spark, path)
+        else spark.read.parquet(path)
+      }
+    df.createOrReplaceTempView(name)
+  }
+
   /** Row-reorganizing maintenance ops whose commits preserve the row
     * multiset exactly — a change feed skips them (Delta marks the same
     * commits `dataChange=false` and `table_changes` omits them).
@@ -595,12 +625,7 @@ object Lake {
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     val candidates: Seq[String] = filePrune match {
       case Some(keep) if fs.exists(statsDir) =>
-        val stats = spark.read.json(statsDir.toString)
-        def fileSet(df: DataFrame) = df.select("file").collect()
-          .map(r => new java.net.URI(r.getString(0)).getPath).toSet
-        val covered = fileSet(stats)
-        val kept = fileSet(stats.filter(keep))
-        abs0.filter(f => kept(f) || !covered(f))
+        pruneCandidatesWithStats(spark, statsDir, keep, abs0)
       case _ => abs0
     }
     // ONE column-pruned discovery pass: which candidate files hold a
@@ -820,12 +845,7 @@ object Lake {
       val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
       val candidates: Seq[String] = filePrune match {
         case Some(keep) if fs.exists(statsDir) =>
-          val stats = spark.read.json(statsDir.toString)
-          def fileSet(df: DataFrame) = df.select("file").collect()
-            .map(r => new java.net.URI(r.getString(0)).getPath).toSet
-          val covered = fileSet(stats)
-          val kept = fileSet(stats.filter(keep))
-          abs0.filter(f => kept(f) || !covered(f))
+          pruneCandidatesWithStats(spark, statsDir, keep, abs0)
         case _ => abs0
       }
       // ONE column-pruned discovery pass: which files hold a matched key,
@@ -2606,6 +2626,38 @@ object Lake {
       s"stale _graft_stats manifest under $path: " +
         s"${(current -- listed).size} data file(s) not covered - re-run writeStats")
     (manifest, current)
+  }
+
+  /** Narrow a commit's candidate file list with the `_graft_stats`
+    * manifest, DISTRIBUTIVELY — the same broadcast-join shape as
+    * [[compactStats]]: per-file keep verdicts are computed in the cluster
+    * and only the candidate PATH strings come back to the driver, never
+    * the manifest's stats rows (at ~800k files those are ~100 MB of Row
+    * objects; the path list is the same metadata the version manifest
+    * already put on the driver). Contracts preserved from the filter
+    * form: a file with no stats row stays a candidate (superset rule),
+    * and duplicate rows from concurrent appendStats keep the file if ANY
+    * row keeps it.
+    */
+  private def pruneCandidatesWithStats(spark: SparkSession,
+      statsDir: org.apache.hadoop.fs.Path,
+      keep: org.apache.spark.sql.Column,
+      abs0: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, regexp_replace, when}
+    val stats = spark.read.json(statsDir.toString)
+    val normFile = regexp_replace(col("file"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    val verdicts = stats
+      .select(normFile.as("_graft_file"),
+        when(keep, lit(1)).otherwise(lit(0)).as("_graft_keep"))
+      .groupBy("_graft_file").agg(max(col("_graft_keep")).as("_graft_keep"))
+    val entries = spark.createDataset(abs0.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("_graft_path")
+    entries
+      .join(broadcast(verdicts),
+        col("_graft_path") === col("_graft_file"), "left_outer")
+      .filter(col("_graft_keep").isNull || col("_graft_keep") === 1)
+      .select("_graft_path").collect().map(_.getString(0)).toIndexedSeq
   }
 
   /** basePath keeps partition-dir columns in the schema when reading a

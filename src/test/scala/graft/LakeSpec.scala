@@ -1337,6 +1337,30 @@ class LakeSpec extends SparkSpec {
       Lake.readVersioned(spark, dir, Some(v)).count())
   }
 
+  test("registerTable names versioned, snapshot, and plain tables for SQL") {
+    val dir = tmp() + "/cat"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Lake.writeVersioned(spark, v1, dir)
+    Lake.appendVersioned(spark, Seq((3L, "c")).toDF("id", "s"), dir)
+    Lake.registerTable(spark, "cat_cur", dir)
+    Lake.registerTable(spark, "cat_v1", dir, version = Some(1L))
+    assert(spark.sql("SELECT count(*) n FROM cat_cur").head().getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) n FROM cat_v1").head().getLong(0) == 2)
+    // a registered view is a SNAPSHOT: re-register to see a new commit
+    Lake.appendVersioned(spark, Seq((4L, "d")).toDF("id", "s"), dir)
+    assert(spark.sql("SELECT count(*) n FROM cat_cur").head().getLong(0) == 3)
+    Lake.registerTable(spark, "cat_cur", dir)
+    assert(spark.sql("SELECT count(*) n FROM cat_cur").head().getLong(0) == 4)
+    // plain (unversioned) parquet dirs register too
+    val plain = tmp() + "/plain"
+    v1.write.parquet(plain)
+    Lake.registerTable(spark, "cat_plain", plain)
+    assert(spark.sql("SELECT count(*) n FROM cat_plain").head().getLong(0) == 2)
+    // a version pin on an unversioned table refuses
+    intercept[IllegalArgumentException](
+      Lake.registerTable(spark, "cat_bad", plain, version = Some(1L)))
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {

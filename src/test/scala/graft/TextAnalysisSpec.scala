@@ -99,18 +99,18 @@ class TextAnalysisSpec extends SparkSpec {
       ("s2", 2L, 0L, 0L, 0L, 1L, 1L)))
   }
 
-  test("bloom decontam never misses a truly contaminated doc") {
-    // bloom guarantee: flagged ⊇ exact (no false negatives); per doc the
-    // probe count can only exceed the exact shared-gram count
+  test("bloom decontam (prescreen + exact verify) equals the exact pipeline") {
+    // the bloom prescreen has no false negatives and the exact-verify
+    // stage strips its false positives, so the two-stage pipeline must
+    // reproduce the exact contamination set bit-for-bit — a bloom that
+    // drops a contaminated doc OR a verify that lets an FP through both
+    // surface here (and in the DuckDB oracle hash)
     val dir = "/root/testdata/sf0.001"
     val bloom = SparkEntry.queries("doc_bloom_decontam")(spark, dir)
       .as[(Long, Long)].collect().toMap
     val exact = SparkEntry.queries("doc_decontam")(spark, dir)
       .as[(Long, Long)].collect().toMap
-    exact.foreach { case (id, nShared) =>
-      assert(bloom.contains(id), s"doc $id contaminated but not flagged")
-      assert(bloom(id) >= nShared, s"doc $id: ${bloom(id)} < $nShared")
-    }
+    assert(bloom == exact)
   }
 
   test("crossOverlap counts shared distinct 3-grams with exact jaccard") {
