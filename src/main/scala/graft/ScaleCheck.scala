@@ -153,7 +153,8 @@ object ScaleCheck {
     "lake_delete_prune", "lake_type_widening", "dedup_admit_rescreen",
     "lake_append_optimize", "lake_merge_upsert", "lake_merge_cdc",
     "lake_rerange", "lake_stream_versioned", "lake_zorder_versioned",
-    "lake_check_constraint", "lake_restore")
+    "lake_check_constraint", "lake_restore", "lake_cdf_refresh",
+    "lake_schema_drift", "q_sql_lake", "doc_bloom_decontam")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
