@@ -1107,5 +1107,53 @@ object PipelineQueries {
           |FROM cur c LEFT JOIN v1 ON c.user_id = v1.user_id
           |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin),
     ),
+
+    // ---- MATERIALIZED-VIEW MAINTENANCE as an operator: a per-user
+    //      aggregate VIEW TABLE is created from source v1 by
+    //      refreshIncremental (full compute + watermark-in-commit), the
+    //      source then takes an append and a takedown delete, and ONE
+    //      more refreshIncremental folds both through the change feed
+    //      into a single file-granular mergeCdc commit (zero-count users
+    //      deleted from the view). The final view must hash-match
+    //      DuckDB's direct recompute from raw events — a stale
+    //      watermark, a double-fold, a missed retraction, or a surviving
+    //      zero-count row all break it. ----
+    QueryDef(
+      "lake_mv_refresh",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val root = Scratch.dir("mv")
+        val src = s"$root/src"
+        val view = s"$root/view"
+        graft.sources.Lake.writeVersioned(sp,
+          base.filter(col("day") <= lit("2024-01-15").cast("date"))
+            .repartitionByRange(8, col("day")), src)
+        graft.sources.Lake.refreshIncremental(sp, src, view,
+          keys = Seq("user_id"), sumCols = Seq("cents"),
+          countCol = "n_events")
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > lit("2024-01-15").cast("date") &&
+            col("day") <= lit("2024-01-25").cast("date"))
+            .repartitionByRange(4, col("day")), src)
+        graft.sources.Lake.deleteWhere(sp, src,
+          col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+        graft.sources.Lake.refreshIncremental(sp, src, view,
+          keys = Seq("user_id"), sumCols = Seq("cents"),
+          countCol = "n_events")
+        graft.sources.Lake.readVersioned(sp, view)
+          .select(col("user_id"), col("n_events"),
+            col("cents").as("total_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+          |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
   )
 }

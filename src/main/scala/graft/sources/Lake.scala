@@ -559,6 +559,80 @@ object Lake {
     } else parts.reduce(_.unionByName(_))
   }
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the change feed —
+    * the reference's "automatic incremental refresh"
+    * (README_DBT.md:32,102-103) as a first-class operator. The view at
+    * `viewPath` is the distributive aggregate
+    * {{{ SELECT keys…, count(*) AS countCol, sum(c) AS c  -- c ∈ sumCols
+    *     FROM readVersioned(sourcePath) GROUP BY keys… }}}
+    * maintained as a versioned Lake table. Every refresh commit is
+    * stamped (streamBatchId channel) with the SOURCE version it folded
+    * up to — the watermark rides the commit ATOMICALLY, so a crashed
+    * refresh retries idempotently: either the commit landed (watermark
+    * advanced, re-refresh no-ops) or it didn't (nothing was applied,
+    * the same window recomputes).
+    *
+    * Refresh cost ∝ CHANGED data + CHANGED keys, never the source:
+    * [[readChangeFeed]] opens only each commit's add/remove files, the
+    * per-key delta aggregates map-side (insert +1 / delete −1 retraction
+    * weights), and the view update lands as ONE file-granular [[mergeCdc]]
+    * commit rewriting only the view files that hold changed keys — keys
+    * whose count reaches zero are deleted from the view. First call (no
+    * view yet) materializes the full aggregate once.
+    *
+    * @return (view version, source version the view now reflects)
+    */
+  def refreshIncremental(spark: SparkSession, sourcePath: String,
+      viewPath: String, keys: Seq[String],
+      sumCols: Seq[String] = Seq.empty,
+      countCol: String = "n_rows"): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    require(keys.nonEmpty, "refreshIncremental needs at least one key column")
+    val sfs = new org.apache.hadoop.fs.Path(sourcePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(versionsDir(sourcePath)),
+      s"$sourcePath is not a versioned table (refresh tracks its versions)")
+    val srcHead = readVersionPointer(sfs, sourcePath)
+      .orElse(manifestVersions(sfs, sourcePath).lastOption)
+      .getOrElse(sys.error(s"no versions under $sourcePath"))
+    val vfs = new org.apache.hadoop.fs.Path(viewPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!vfs.exists(versionsDir(viewPath))) {
+      val full = readVersioned(spark, sourcePath, Some(srcHead))
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(countCol),
+          sumCols.map(c => sum(col(c)).as(c)): _*)
+      return (writeVersioned(spark, full, viewPath,
+        streamBatchId = Some(srcHead)), srcHead)
+    }
+    val viewHead = readVersionPointer(vfs, viewPath)
+      .orElse(manifestVersions(vfs, viewPath).lastOption)
+      .getOrElse(sys.error(s"no versions under $viewPath"))
+    val w = readRawManifest(spark, vfs, viewPath, viewHead)
+      .flatMap(_.streamBatchId).getOrElse(sys.error(
+        s"$viewPath's latest commit carries no source watermark — " +
+          "not a refresh-maintained view"))
+    if (w >= srcHead) return (viewHead, w) // nothing new to fold
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val deltaAggs = sum(sign).as("_graft_dn") +:
+      sumCols.map(c => sum(col(c) * sign).as(s"_graft_d_$c"))
+    val delta = readChangeFeed(spark, sourcePath, w + 1, srcHead)
+      .groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val view = readVersioned(spark, viewPath, Some(viewHead))
+    val viewTypes = view.schema.map(f => f.name -> f.dataType).toMap
+    val merged = delta.join(view, keys, "left_outer")
+      .select((keys.map(col) :+
+        (coalesce(col(countCol), lit(0L)) + col("_graft_dn")).as(countCol))
+        ++ sumCols.map(c =>
+          (coalesce(col(c), lit(0).cast(viewTypes(c))) +
+            col(s"_graft_d_$c")).cast(viewTypes(c)).as(c)): _*)
+    val (v, _) = mergeCdc(spark, viewPath, merged, keys,
+      deleteWhen = col(countCol) <= 0L, streamBatchId = Some(srcHead))
+    (v, srcHead)
+  }
+
   /** TIME-based retention vacuum — `VACUUM … RETAIN n HOURS` semantics on
     * the commit stamps: keep every version committed within `retainMs` of
     * now (and always the newest), drop the rest, then reclaim files and
@@ -739,9 +813,10 @@ object Lake {
   def mergeCdc(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], deleteWhen: org.apache.spark.sql.Column,
       filePrune: Option[org.apache.spark.sql.Column] = None,
-      maxBroadcastKeys: Long = 1000000L): (Long, (Long, Long, Long)) =
+      maxBroadcastKeys: Long = 1000000L,
+      streamBatchId: Option[Long] = None): (Long, (Long, Long, Long)) =
     mergeImpl(spark, path, source, keyCols, Some(deleteWhen), filePrune,
-      maxBroadcastKeys)
+      maxBroadcastKeys, streamBatchId)
 
   /** The table's current schema DDL if it is already versioned/evolved/
     * readable — None only when nothing exists yet to compare against.
@@ -800,7 +875,8 @@ object Lake {
       keyCols: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column],
       filePrune: Option[org.apache.spark.sql.Column],
-      maxBroadcastKeys: Long): (Long, (Long, Long, Long)) = {
+      maxBroadcastKeys: Long,
+      streamBatchId: Option[Long] = None): (Long, (Long, Long, Long)) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, sum, when}
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -908,7 +984,7 @@ object Lake {
       val next = v0 + 1
       writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
         base = v0, add = rewritten, remove = matchedEntries.map(_._1),
-        op = Some("merge"))
+        streamBatchId = streamBatchId, op = Some("merge"))
       writeVersionPointer(spark, fs, path, next)
       if (fs.exists(statsDir)) {
         val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq

@@ -1361,6 +1361,44 @@ class LakeSpec extends SparkSpec {
       Lake.registerTable(spark, "cat_bad", plain, version = Some(1L)))
   }
 
+  test("refreshIncremental maintains an aggregate view from the feed alone") {
+    val root = tmp()
+    val src = root + "/src"
+    val view = root + "/view"
+    def mk(r: Range) = r.map(i => (i.toLong % 5, i.toLong)).toDF("k", "v")
+    Lake.writeVersioned(spark, mk(1 to 40).repartitionByRange(4, col("v")), src)
+    // full compute + watermark rides the commit
+    val (v1, w1) = Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+    assert(w1 == 1L)
+    // no-op while the source is unchanged
+    assert(Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n") == ((v1, 1L)))
+    // append + delete on the source, ONE incremental fold
+    Lake.appendVersioned(spark, mk(41 to 50).repartition(1), src)
+    Lake.deleteWhere(spark, src, col("v") <= 10L)
+    val (_, w2) = Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+    assert(w2 == 3L)
+    val got = Lake.readVersioned(spark, view)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Lake.readVersioned(spark, src)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq,
+      s"incremental view diverged: ${got.toSeq} vs ${want.toSeq}")
+    // a key whose rows all vanish leaves the view entirely
+    Lake.deleteWhere(spark, src, col("k") === 2L)
+    Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+    assert(Lake.readVersioned(spark, view).filter(col("k") === 2L).isEmpty)
+    // replayed refresh of the same source version is a no-op
+    val before = Lake.listVersions(spark, view)
+    Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+    assert(Lake.listVersions(spark, view) == before)
+  }
+
   test("csv, json, and orc round-trip the same rows") {
     val df = sample
     for (fmt <- Seq("csv", "json", "orc")) {
