@@ -154,7 +154,8 @@ object ScaleCheck {
     "lake_append_optimize", "lake_merge_upsert", "lake_merge_cdc",
     "lake_rerange", "lake_stream_versioned", "lake_zorder_versioned",
     "lake_check_constraint", "lake_restore", "lake_cdf_refresh",
-    "lake_schema_drift", "q_sql_lake", "doc_bloom_decontam")
+    "lake_schema_drift", "q_sql_lake", "doc_bloom_decontam",
+    "lake_mv_refresh")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
