@@ -1361,6 +1361,26 @@ class LakeSpec extends SparkSpec {
       Lake.registerTable(spark, "cat_bad", plain, version = Some(1L)))
   }
 
+  test("change feed spans schema eras: pre-drift commits resolve the evolved schema") {
+    val dir = tmp() + "/cdfevo"
+    Lake.writeVersioned(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)
+    // drifted append: schema chain bootstraps, commit publishes with it
+    Lake.appendVersioned(spark,
+      Seq((3L, 30.0, "x")).toDF("id", "v", "tag"), dir)
+    val feed = Lake.readChangeFeed(spark, dir, 1L, 2L)
+    assert(feed.columns.take(3).toSeq == Seq("id", "v", "tag"))
+    // era-1 inserts resolve through the evolved read: tag is null there
+    assert(feed.filter(col("_commit_version") === 1L &&
+      col("tag").isNull).count() == 2)
+    assert(feed.filter(col("_commit_version") === 2L &&
+      col("tag") === "x").count() == 1)
+    // and the incremental view operator folds across the boundary too
+    val view = tmp() + "/cdfevo_view"
+    Lake.refreshIncremental(spark, dir, view, keys = Seq("id"),
+      sumCols = Seq("v"), countCol = "n")
+    assert(Lake.readVersioned(spark, view).count() == 3)
+  }
+
   test("refreshIncremental maintains an aggregate view from the feed alone") {
     val root = tmp()
     val src = root + "/src"
