@@ -2251,6 +2251,17 @@ object Lake {
         remove = Seq.empty, streamBatchId = streamBatchId,
         op = Some("evolve-append"))
       writeVersionPointer(spark, fs, path, nextV)
+      // keep an existing skipping manifest live over the appended files
+      // (appendVersioned's invariant — without this a DRIFTED append
+      // leaves the manifest stale and every later readSkipping refuses
+      // until a full writeStats): O(batch), tracked columns only — the
+      // drift is additive, so old tracked columns exist in the new files
+      val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+      if (fs.exists(statsDir)) {
+        val tracked = spark.read.json(statsDir.toString).schema.fieldNames
+          .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        if (tracked.nonEmpty) appendStats(spark, path, tracked)
+      }
     }
     next
   }

@@ -1381,6 +1381,24 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, view).count() == 3)
   }
 
+  test("drifted append keeps the skipping manifest live") {
+    val dir = tmp() + "/evostat"
+    Lake.writeVersioned(spark,
+      (1L to 40L).map(i => (i, i * 2.0)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), dir)
+    Lake.writeStats(spark, dir, Seq("id"))
+    // drift: new column arrives; the evolve-append must extend the stats
+    // manifest over its files or every later skip read refuses as stale
+    Lake.appendVersioned(spark,
+      (41L to 50L).map(i => (i, i * 2.0, "t")).toDF("id", "v", "tag")
+        .repartition(1), dir)
+    val skipped = Lake.readSkipping(spark, dir,
+      Lake.skipRange("id", lit(42L), lit(45L)))
+    assert(skipped.filter(col("id").between(42L, 45L)).count() == 4)
+    // the pruned read opened only the appended-era file(s)
+    assert(skipped.inputFiles.length == 1, skipped.inputFiles.mkString(","))
+  }
+
   test("refreshIncremental maintains an aggregate view from the feed alone") {
     val root = tmp()
     val src = root + "/src"
