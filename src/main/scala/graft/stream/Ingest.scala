@@ -176,6 +176,42 @@ object Ingest {
     q
   }
 
+  /** CONTINUOUS bronze→silver→GOLD: the silver micro-batch commit plus an
+    * INCREMENTALLY MAINTAINED gold aggregate in the same foreachBatch —
+    * the reference's triggered-DLT chain with "automatic incremental
+    * refresh" on the gold layer (README_DBT.md:32,102-103). Each batch:
+    *   1. `appendVersioned(silver, batchId)` — exactly-once silver commit;
+    *   2. `Lake.refreshIncremental(silver → gold)` — folds exactly the
+    *      versions the commit just published through the change feed into
+    *      one file-granular merge on the gold table (watermark rides the
+    *      gold commit; a replayed batch no-ops at BOTH layers).
+    * Gold is per (location_id, sensor_type): event count + value sum —
+    * refresh cost ∝ the batch and the touched gold keys, never the
+    * accumulated silver table, which is what lets the chain run 24/7
+    * against an unbounded table.
+    */
+  def runContinuousSilverGoldPipeline(spark: SparkSession,
+      landingDir: String, silverDir: String, goldDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val q = silverTransform(
+        bronzeStream(spark, landingDir, maxFilesPerTrigger))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Lake.appendVersioned(spark, batch, silverDir,
+          streamBatchId = Some(batchId))
+        graft.sources.Lake.refreshIncremental(spark, silverDir, goldDir,
+          keys = Seq("location_id", "sensor_type"),
+          sumCols = Seq("value"), countCol = "n_events")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Schema inference for the streaming edge — the OSS twin of Auto
     * Loader's inferred-schema mode (bronze_iot_events.sql:12-15 infers;
     * OSS FileStreamSource refuses to): sample the landing dir with a

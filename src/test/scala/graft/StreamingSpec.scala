@@ -231,6 +231,37 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("missing from"), e.getMessage)
   }
 
+  test("continuous silver→gold: the gold aggregate is feed-maintained per batch") {
+    import graft.sources.Lake
+    val root = Files.createTempDirectory("graft-stream-gold")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val silverDir = root.resolve("silver").toString
+    val goldDir = root.resolve("gold").toString
+    val ckpt = root.resolve("ckpt").toString
+    writeFile(landing, "b1.jsonl", (0 until 10).map(i =>
+      evt(f"d$i%03d", "l1", "2024-01-01T00:00:00", "temperature", "good", i.toDouble)))
+    writeFile(landing, "b2.jsonl", (10 until 25).map(i =>
+      evt(f"d$i%03d", if (i % 2 == 0) "l1" else "l2", "2024-01-01T01:00:00",
+        "humidity", "good", i.toDouble)))
+    Ingest.runContinuousSilverGoldPipeline(spark, landing.toString,
+      silverDir, goldDir, ckpt, maxFilesPerTrigger = Some(1))
+    // gold must equal a direct aggregate over the drained silver
+    val gold = Lake.readVersioned(spark, goldDir)
+      .orderBy("location_id", "sensor_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val direct = Lake.readVersioned(spark, silverDir)
+      .groupBy("location_id", "sensor_type")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("value"))
+      .orderBy("location_id", "sensor_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(gold.toSeq == direct.toSeq, s"${gold.toSeq} vs ${direct.toSeq}")
+    // re-drain: no new batches → silver unchanged, gold refresh no-ops
+    val goldVersions = Lake.listVersions(spark, goldDir)
+    Ingest.runContinuousSilverGoldPipeline(spark, landing.toString,
+      silverDir, goldDir, ckpt, maxFilesPerTrigger = Some(1))
+    assert(Lake.listVersions(spark, goldDir) == goldVersions)
+  }
+
   test("gold refresh over streamed silver produces the reference star schema") {
     val root = Files.createTempDirectory("graft-stream3")
     val landing = Files.createDirectory(root.resolve("landing"))
