@@ -262,6 +262,13 @@ object Lake {
       val cur = org.apache.spark.sql.types.StructType.fromDDL(curDdl)
         .fields.map(f => f.name -> f.dataType.catalogString).toSeq
       if (batchFields != cur) {
+        // constraint gate BEFORE the chain bootstrap: writeEvolving would
+        // refuse a constrained table anyway, but only after the chain
+        // manifest existed — leaving the forbidden constrained+evolving
+        // state on disk for every later operation to trip over
+        require(checkConstraints(spark, path).isEmpty,
+          s"$path carries CHECK constraints; a schema-drifting append " +
+            "would bypass their enforcement - drop them first")
         bootstrapSchemaChain(fs, new org.apache.hadoop.fs.Path(path), cur)
         writeEvolving(spark, df, path, streamBatchId = streamBatchId)
         return latestTableVersion()
@@ -510,6 +517,14 @@ object Lake {
     require(fs.exists(versionsDir(path)), s"no versions under $path")
     val all = manifestVersions(fs, path)
     val inRange = all.filter(v => v >= fromVersion && v <= toVersion)
+    // a version vacuumed out of the requested range must REFUSE, never be
+    // silently omitted — an incremental consumer that missed a commit's
+    // changes would diverge from the table forever
+    val missing = (fromVersion to toVersion).toSet -- inRange.toSet
+    require(missing.isEmpty,
+      s"readChangeFeed: version(s) ${missing.toSeq.sorted.take(5).mkString(",")}" +
+        s" in [$fromVersion,$toVersion] have no manifest under $path — " +
+        "vacuumed past retention; recompute downstream state in full")
     val root = rootPath(fs, hp)
     val parts: Seq[DataFrame] = inRange.flatMap { v =>
       val raw = readRawManifest(spark, fs, path, v).getOrElse(
@@ -520,8 +535,12 @@ object Lake {
           case None => (raw.add.map(_._1), raw.remove)
           case Some(cur) =>
             // full-snapshot manifest: the change set is the file diff vs
-            // the previous version (first version → everything inserts)
-            if (v == all.head) (cur.map(_._1), Seq.empty)
+            // the previous version. All-inserts ONLY for the table's
+            // GENUINE first commit (v=1 — prior state empty); a full
+            // manifest at the vacuum horizon (v>1, a materialized
+            // delta) must not be re-fed as whole-table inserts, so it
+            // diffs against v-1 and fails loudly if v-1 is gone.
+            if (v == 1L) (cur.map(_._1), Seq.empty)
             else {
               val prev = readVersionManifest(spark, fs, path, v - 1)
                 .getOrElse(sys.error(
@@ -582,10 +601,16 @@ object Lake {
     *
     * @return (view version, source version the view now reflects)
     */
+  /** `forceFull = true` recomputes the view from the current source
+    * snapshot instead of folding the feed — the recovery path when the
+    * feed window was vacuumed past retention (readChangeFeed refuses) or
+    * after changing the aggregate definition.
+    */
   def refreshIncremental(spark: SparkSession, sourcePath: String,
       viewPath: String, keys: Seq[String],
       sumCols: Seq[String] = Seq.empty,
-      countCol: String = "n_rows"): (Long, Long) = {
+      countCol: String = "n_rows",
+      forceFull: Boolean = false): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     require(keys.nonEmpty, "refreshIncremental needs at least one key column")
     val sfs = new org.apache.hadoop.fs.Path(sourcePath)
@@ -597,7 +622,7 @@ object Lake {
       .getOrElse(sys.error(s"no versions under $sourcePath"))
     val vfs = new org.apache.hadoop.fs.Path(viewPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!vfs.exists(versionsDir(viewPath))) {
+    if (forceFull || !vfs.exists(versionsDir(viewPath))) {
       val full = readVersioned(spark, sourcePath, Some(srcHead))
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(countCol),

@@ -1399,6 +1399,57 @@ class LakeSpec extends SparkSpec {
     assert(skipped.inputFiles.length == 1, skipped.inputFiles.mkString(","))
   }
 
+  test("change feed refuses ranges the vacuum horizon consumed") {
+    val dir = tmp() + "/cdfvac"
+    val view = tmp() + "/cdfvac_view"
+    def mk(r: Range) = r.map(i => (i.toLong, (i % 3).toString)).toDF("id", "s")
+    Lake.writeVersioned(spark, mk(1 to 20), dir) // v1
+    // a view maintained from v1 — about to be stranded by the vacuum
+    Lake.refreshIncremental(spark, dir, view, keys = Seq("s"), countCol = "n")
+    Lake.appendVersioned(spark, mk(21 to 30), dir) // v2
+    Lake.appendVersioned(spark, mk(31 to 40), dir) // v3
+    Lake.vacuum(spark, dir, keepLast = 2, orphanGraceMs = 0L) // drops v1; v2 materialized
+    // a range containing the vacuumed version refuses — silently omitting
+    // its changes would desynchronize every incremental consumer
+    val e1 = intercept[IllegalArgumentException](
+      Lake.readChangeFeed(spark, dir, 1L, 3L))
+    assert(e1.getMessage.contains("vacuumed past retention"), e1.getMessage)
+    // the materialized horizon version (full manifest, v>1) must not be
+    // re-fed as whole-table inserts: its predecessor is gone, so it
+    // refuses loudly instead of fabricating changes
+    val e2 = intercept[RuntimeException](
+      Lake.readChangeFeed(spark, dir, 2L, 3L))
+    assert(e2.getMessage.contains("manifest"), e2.getMessage)
+    // the still-delta tail keeps feeding normally
+    assert(Lake.readChangeFeed(spark, dir, 3L, 3L)
+      .filter(col("_change_type") === "insert").count() == 10)
+    // the stranded view's incremental refresh (feed 2..3 with v1 gone)
+    // fails LOUDLY, and forceFull re-baselines it at the head
+    intercept[RuntimeException](Lake.refreshIncremental(spark, dir, view,
+      keys = Seq("s"), countCol = "n"))
+    Lake.refreshIncremental(spark, dir, view,
+      keys = Seq("s"), countCol = "n", forceFull = true)
+    val got = Lake.readVersioned(spark, view).orderBy("s")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = Lake.readVersioned(spark, dir).groupBy("s")
+      .agg(count(lit(1)).as("n")).orderBy("s")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("drifted append on a constrained table refuses before touching the schema chain") {
+    val dir = tmp() + "/cdrift"
+    Lake.writeVersioned(spark, Seq((1L, 1.0)).toDF("id", "v"), dir)
+    Lake.addCheckConstraint(spark, dir, "pos_id", "id > 0")
+    val e = intercept[IllegalArgumentException](Lake.appendVersioned(spark,
+      Seq((2L, 2.0, "t")).toDF("id", "v", "tag"), dir))
+    assert(e.getMessage.contains("CHECK constraints"), e.getMessage)
+    // no schema-chain leftovers: the table stays plain and appendable
+    assert(Lake.schemaVersions(spark, dir).isEmpty)
+    Lake.appendVersioned(spark, Seq((3L, 3.0)).toDF("id", "v"), dir)
+    assert(Lake.readVersioned(spark, dir).count() == 2)
+  }
+
   test("refreshIncremental maintains an aggregate view from the feed alone") {
     val root = tmp()
     val src = root + "/src"
