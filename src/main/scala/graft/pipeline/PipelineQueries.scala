@@ -1155,5 +1155,43 @@ object PipelineQueries {
           |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
+
+    // ---- DESCRIBE HISTORY surface: a four-commit lifecycle (snapshot →
+    //      append → takedown delete → rollback) leaves a deterministic
+    //      (version, op) ledger in the manifests; the oracle pins it as
+    //      constants. A commit that fails to record its op, a version
+    //      number that skips (contiguity break), or a restore publishing
+    //      under the wrong op all break the match. Commit timestamps are
+    //      wall-clock and stay out of the output. ----
+    QueryDef(
+      "lake_history",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("hist")}/events_versioned"
+        graft.sources.Lake.writeVersioned(sp,
+          base.filter(col("day") <= lit("2024-01-15").cast("date"))
+            .repartitionByRange(4, col("day")), path)
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > lit("2024-01-15").cast("date") &&
+            col("day") <= lit("2024-01-20").cast("date")), path)
+        graft.sources.Lake.deleteWhere(sp, path,
+          col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+        graft.sources.Lake.restoreVersion(sp, path, 1L)
+        import sp.implicits._
+        graft.sources.Lake.versionHistory(sp, path)
+          .map { case (v, _, op) => (v, op) }
+          .toDF("version", "op")
+          .orderBy("version")
+      },
+      Some(
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), 'snapshot'),
+          |  (CAST(2 AS BIGINT), 'append'),
+          |  (CAST(3 AS BIGINT), 'delete'),
+          |  (CAST(4 AS BIGINT), 'restore')) AS t(version, op)
+          |ORDER BY version""".stripMargin),
+    ),
   )
 }

@@ -605,6 +605,13 @@ object Lake {
     * snapshot instead of folding the feed — the recovery path when the
     * feed window was vacuumed past retention (readChangeFeed refuses) or
     * after changing the aggregate definition.
+    *
+    * Key columns must be NON-NULL in the source: SQL join semantics never
+    * match null keys (the same rule as Delta MERGE), so a null-key group
+    * would re-insert instead of update on every fold. Coalesce nulls to a
+    * sentinel upstream if the domain needs them. Aggregates are limited
+    * to count + sums because those are the retraction-foldable ones;
+    * min/max need a recompute on delete (use forceFull or a full view).
     */
   def refreshIncremental(spark: SparkSession, sourcePath: String,
       viewPath: String, keys: Seq[String],
