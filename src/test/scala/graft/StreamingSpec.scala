@@ -262,6 +262,42 @@ class StreamingSpec extends SparkSpec {
     assert(Lake.listVersions(spark, goldDir) == goldVersions)
   }
 
+  test("manifest-stream view maintenance folds commits exactly once") {
+    import graft.sources.Lake
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-mv")
+    val src = root.resolve("src").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    def mk(r: Range) = r.map(i => (i.toLong % 4, i.toLong)).toDF("k", "v")
+    Lake.writeVersioned(spark, mk(1 to 30), src)
+    Lake.appendVersioned(spark, mk(31 to 40), src)
+    // drain: both commits' manifests arrive in one batch; the fold's own
+    // watermark applies each change exactly once
+    Ingest.runIncrementalViewPipeline(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n",
+      checkpointDir = ckpt)
+    def viewRows() = Lake.readVersioned(spark, view).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def directRows() = Lake.readVersioned(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("v")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows() == directRows())
+    // new commits after the first drain fold incrementally on re-drain
+    Lake.deleteWhere(spark, src, col("v") <= 5L)
+    Lake.appendVersioned(spark, mk(41 to 44), src)
+    Ingest.runIncrementalViewPipeline(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n",
+      checkpointDir = ckpt)
+    assert(viewRows() == directRows())
+    // an idle re-drain (no new manifests) leaves the view untouched
+    val versions = Lake.listVersions(spark, view)
+    Ingest.runIncrementalViewPipeline(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n",
+      checkpointDir = ckpt)
+    assert(Lake.listVersions(spark, view) == versions)
+  }
+
   test("gold refresh over streamed silver produces the reference star schema") {
     val root = Files.createTempDirectory("graft-stream3")
     val landing = Files.createDirectory(root.resolve("landing"))
