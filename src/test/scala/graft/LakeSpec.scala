@@ -846,6 +846,7 @@ class LakeSpec extends SparkSpec {
     for (round <- 1 to 3) {
       val rnd = new scala.util.Random(round * 104729L)
       val dir = tmp() + s"/t$round"
+      val viewDir = tmp() + s"/view$round"
       var model = Map.empty[Long, Long] // k -> v
       // content snapshot per published version, for restore targets
       var history = Map.empty[Long, Map[Long, Long]]
@@ -919,6 +920,22 @@ class LakeSpec extends SparkSpec {
           s"round $round: duplicate keys surfaced")
         assert(got.toMap == model,
           s"round $round: table diverged from the model")
+        // a FEED-MAINTAINED per-key view folds alongside the same random
+        // commit stream (~every third commit); when a vacuum consumed the
+        // feed window the refresh refuses loudly and forceFull is the
+        // recovery — exactly the production contract
+        if (rnd.nextInt(3) == 0) {
+          try Lake.refreshIncremental(spark, dir, viewDir,
+            keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+          catch { case _: RuntimeException =>
+            Lake.refreshIncremental(spark, dir, viewDir,
+              keys = Seq("k"), sumCols = Seq("v"), countCol = "n",
+              forceFull = true) }
+          val viewGot = Lake.readVersioned(spark, viewDir).collect()
+            .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+          assert(viewGot == model.map { case (k, v) => k -> ((1L, v)) },
+            s"round $round: maintained view diverged from the model")
+        }
       }
     }
   }
