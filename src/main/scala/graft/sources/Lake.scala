@@ -601,6 +601,38 @@ object Lake {
     *
     * @return (view version, source version the view now reflects)
     */
+  /** [[readChangeFeed]] with UPDATE classification — Delta CDF's four
+    * `_change_type` values for KEY-UNIQUE tables (the merge-maintained
+    * shape): within each commit, a delete and an insert sharing `keys`
+    * are an update and re-emit as `update_preimage` / `update_postimage`;
+    * unpaired rows stay `insert` / `delete`. File-granular manifests
+    * carry no row lineage, so the pairing is BY KEY — on a table with
+    * duplicate keys the pairing would be ambiguous and this form must
+    * not be used (the raw retraction feed stays correct there).
+    *
+    * One self-join of the feed per call, on (commit, keys) — cost ∝ the
+    * feed, which is ∝ changed files.
+    */
+  def readChangeFeedKeyed(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keys.nonEmpty, "readChangeFeedKeyed needs key columns")
+    val feed = readChangeFeed(spark, path, fromVersion, toVersion)
+    val joinCols = "_commit_version" +: keys
+    val dels = feed.filter(col("_change_type") === "delete")
+    val ins = feed.filter(col("_change_type") === "insert")
+    val paired = dels.select(joinCols.map(col): _*).distinct()
+      .join(ins.select(joinCols.map(col): _*).distinct(), joinCols.toSeq)
+      .withColumn("_graft_paired", lit(true))
+    feed.join(paired, joinCols.toSeq, "left_outer")
+      .withColumn("_change_type",
+        when(col("_graft_paired").isNull, col("_change_type"))
+          .when(col("_change_type") === "delete", lit("update_preimage"))
+          .otherwise(lit("update_postimage")))
+      .drop("_graft_paired")
+  }
+
   /** `forceFull = true` recomputes the view from the current source
     * snapshot instead of folding the feed — the recovery path when the
     * feed window was vacuumed past retention (readChangeFeed refuses) or

@@ -1454,6 +1454,34 @@ class LakeSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("keyed change feed classifies merge rewrites as update pre/post images") {
+    val dir = tmp() + "/cdfkeys"
+    Lake.writeVersioned(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+        .repartition(1), dir)
+    // merge: update k=2, insert k=4 → ONE commit rewriting the single file
+    Lake.mergeInto(spark, dir,
+      Seq((2L, "B"), (4L, "d")).toDF("k", "s"), Seq("k"))
+    val feed = Lake.readChangeFeedKeyed(spark, dir, 2L, 2L, keys = Seq("k"))
+      .select("k", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // carried rows (k=1,3) pair as pre/post images with identical values
+    // (the file rewrite re-inserted them); the true update pairs too; the
+    // new key stays a plain insert
+    assert(feed == Set(
+      (1L, "a", "update_preimage"), (1L, "a", "update_postimage"),
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (3L, "c", "update_preimage"), (3L, "c", "update_postimage"),
+      (4L, "d", "insert")), feed.toString)
+    // retraction semantics are preserved: pre-images count −1, post +1,
+    // so a downstream fold through the keyed feed lands identically
+    val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val net = Lake.readChangeFeedKeyed(spark, dir, 2L, 2L, keys = Seq("k"))
+      .agg(sum(w)).head().getLong(0)
+    assert(net == 1L) // one net new row (k=4)
+  }
+
   test("drifted append on a constrained table refuses before touching the schema chain") {
     val dir = tmp() + "/cdrift"
     Lake.writeVersioned(spark, Seq((1L, 1.0)).toDF("id", "v"), dir)
