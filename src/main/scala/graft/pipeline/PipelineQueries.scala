@@ -1156,6 +1156,86 @@ object PipelineQueries {
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
+    // ---- SCD2 HISTORY FROM THE CHANGE FEED: a merge-maintained
+    //      user-totals table moves through three states (S1 = days ≤
+    //      Jan-15; S2 = days ≤ Jan-25 via a full-source merge whose
+    //      unchanged rows cancel in the feed; S3 = S2 minus the Jan-08..14
+    //      week via mergeCdc with delete rows for users whose totals
+    //      vanish), and scd2FromFeed derives every row version's validity
+    //      interval on the COMMIT-VERSION axis. The oracle recomputes the
+    //      three states directly from raw events and derives the same
+    //      intervals by state diffing — a carried-row pair that fails to
+    //      cancel, a missed close, or a wrong boundary version all break
+    //      the hash. ----
+    QueryDef(
+      "lake_scd2_feed",
+      (sp, dir) => {
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        def totals(f: org.apache.spark.sql.Column) = base.filter(f)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+        val d15 = col("day") <= lit("2024-01-15").cast("date")
+        val d25 = col("day") <= lit("2024-01-25").cast("date")
+        val week = col("day").between(lit("2024-01-08"), lit("2024-01-14"))
+        val s1 = totals(d15)
+        val s2 = totals(d25)
+        val s3 = totals(d25 && !week)
+        val path = s"${Scratch.dir("scd2f")}/user_totals"
+        graft.sources.Lake.writeVersioned(sp,
+          s1.repartitionByRange(4, col("user_id")), path)
+        graft.sources.Lake.mergeInto(sp, path, s2, Seq("user_id"))
+        val gone = s2.select("user_id").exceptAll(s3.select("user_id"))
+          .withColumn("n_events", lit(0L))
+          .withColumn("total_cents", lit(0L))
+          .withColumn("_del", lit(true))
+        graft.sources.Lake.mergeCdc(sp, path,
+          s3.withColumn("_del", lit(false)).unionByName(gone),
+          Seq("user_id"), deleteWhen = col("_del"))
+        graft.sources.Lake.scd2FromFeed(sp, path, 1L, 3L)
+          .orderBy("user_id", "valid_from_version")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d,
+          |         CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |s1 AS (SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+          |       FROM ev WHERE d <= DATE '2024-01-15' GROUP BY 1),
+          |s2 AS (SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+          |       FROM ev WHERE d <= DATE '2024-01-25' GROUP BY 1),
+          |s3 AS (SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+          |       FROM ev WHERE d <= DATE '2024-01-25'
+          |         AND d NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |       GROUP BY 1),
+          |states AS (
+          |  SELECT 1 AS v, user_id, n, c FROM s1
+          |  UNION ALL SELECT 2, user_id, n, c FROM s2
+          |  UNION ALL SELECT 3, user_id, n, c FROM s3),
+          |opens AS (
+          |  SELECT s.user_id, s.n, s.c, s.v FROM states s
+          |  WHERE NOT EXISTS (SELECT 1 FROM states p WHERE p.v = s.v - 1
+          |    AND p.user_id = s.user_id AND p.n = s.n AND p.c = s.c)),
+          |closes AS (
+          |  SELECT s.user_id, s.n, s.c, s.v + 1 AS vc FROM states s
+          |  WHERE s.v < 3 AND NOT EXISTS (SELECT 1 FROM states nx
+          |    WHERE nx.v = s.v + 1 AND nx.user_id = s.user_id
+          |      AND nx.n = s.n AND nx.c = s.c))
+          |SELECT o.user_id,
+          |       CAST(o.n AS BIGINT) AS n_events,
+          |       o.c AS total_cents,
+          |       CAST(o.v AS BIGINT) AS valid_from_version,
+          |       CAST(coalesce(min(cl.vc) FILTER (WHERE cl.vc > o.v), -1) AS BIGINT)
+          |         AS valid_to_version,
+          |       CASE WHEN min(cl.vc) FILTER (WHERE cl.vc > o.v) IS NULL
+          |            THEN 1 ELSE 0 END AS is_current
+          |FROM opens o LEFT JOIN closes cl
+          |  ON cl.user_id = o.user_id AND cl.n = o.n AND cl.c = o.c
+          |GROUP BY o.user_id, o.n, o.c, o.v
+          |ORDER BY o.user_id, valid_from_version""".stripMargin),
+    ),
+
     // ---- DESCRIBE HISTORY surface: a four-commit lifecycle (snapshot →
     //      append → takedown delete → rollback) leaves a deterministic
     //      (version, op) ledger in the manifests; the oracle pins it as

@@ -633,6 +633,48 @@ object Lake {
       .drop("_graft_paired")
   }
 
+  /** SCD2 HISTORY from the change feed — dbt-snapshot semantics over a
+    * versioned table, with the COMMIT VERSION as the validity axis
+    * (deterministic, unlike wall-clock commit times): every row version
+    * the table ever held in `fromVersion..toVersion` yields
+    * `(payload…, valid_from_version, valid_to_version, is_current)`,
+    * where valid_to −1 means still current.
+    *
+    * Mechanics, all ∝ the feed (changed files, never the table):
+    * file-rewrite noise — carried rows a merge/delete re-emitted as
+    * identical delete+insert pairs — cancels by NET WEIGHT per
+    * (commit, payload) first, so only true value changes open or close
+    * intervals; an interval's close is the first cancelling commit after
+    * its open (payload-matched with a NULL-SAFE join, so null-bearing
+    * payloads pair correctly); a payload re-appearing later opens a
+    * fresh interval.
+    */
+  def scd2FromFeed(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, min, sum, when}
+    val feed = readChangeFeed(spark, path, fromVersion, toVersion)
+    val payload = feed.columns.filterNot(Set("_change_type",
+      "_commit_version", "_commit_timestamp")).toSeq
+    val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val net = feed
+      .groupBy(("_commit_version" +: payload).map(col): _*)
+      .agg(sum(w).as("_net")).filter(col("_net") =!= 0L)
+    val opens = net.filter(col("_net") > 0).select(payload.map(col) :+
+      col("_commit_version").as("valid_from_version"): _*).as("o")
+    val closes = net.filter(col("_net") < 0).select(payload.map(col) :+
+      col("_commit_version").as("_close_v"): _*).as("c")
+    val cond = payload.map(p => col(s"o.$p") <=> col(s"c.$p")).reduce(_ && _)
+    opens.join(closes, cond, "left_outer")
+      .groupBy(payload.map(p => col(s"o.$p").as(p)) :+
+        col("o.valid_from_version").as("valid_from_version"): _*)
+      .agg(min(when(col("c._close_v") > col("o.valid_from_version"),
+        col("c._close_v"))).as("_vt"))
+      .select(payload.map(col) ++ Seq(
+        col("valid_from_version"),
+        coalesce(col("_vt"), lit(-1L)).as("valid_to_version"),
+        col("_vt").isNull.cast("int").as("is_current")): _*)
+  }
+
   /** `forceFull = true` recomputes the view from the current source
     * snapshot instead of folding the feed — the recovery path when the
     * feed window was vacuumed past retention (readChangeFeed refuses) or

@@ -1482,6 +1482,26 @@ class LakeSpec extends SparkSpec {
     assert(net == 1L) // one net new row (k=4)
   }
 
+  test("scd2FromFeed: version-axis intervals, re-opened and null payloads") {
+    val dir = tmp() + "/scd2"
+    Lake.writeVersioned(spark,
+      Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "s"), dir)
+    Lake.mergeInto(spark, dir, Seq((1L, "A")).toDF("k", "s"), Seq("k"))
+    Lake.mergeCdc(spark, dir,
+      Seq((2L, "x", true)).toDF("k", "s", "_del"), Seq("k"), col("_del"))
+    Lake.mergeInto(spark, dir,
+      Seq((1L, "a"), (3L, "c")).toDF("k", "s"), Seq("k"))
+    val got = Lake.scd2FromFeed(spark, dir, 1L, 4L).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+        r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (1L, "a", 1L, 2L, 0), // superseded by "A"
+      (1L, "A", 2L, 4L, 0), // superseded by the re-opened "a"
+      (1L, "a", 4L, -1L, 1), // same payload re-opens a FRESH interval
+      (2L, null, 1L, 3L, 0), // null payload pairs via the null-safe join
+      (3L, "c", 4L, -1L, 1)), got.toString)
+  }
+
   test("drifted append on a constrained table refuses before touching the schema chain") {
     val dir = tmp() + "/cdrift"
     Lake.writeVersioned(spark, Seq((1L, 1.0)).toDF("id", "v"), dir)
