@@ -70,6 +70,21 @@ object DumpPlans {
       "physical union (cents + amount_cents + source — metadata-resolved " +
       "evolution, no mergeSchema footer sweep); rename folds are plain " +
       "projections feeding a two-phase aggregate" :: Nil),
+    "lake_cdf_refresh" -> ("change-feed incremental refresh" ::
+      "expect: the delta leg scans ONLY the add/remove file subsets of " +
+      "commits 2..3 (file-list parquet scans, never the whole versioned " +
+      "table); v1 state + feed delta union into one final two-phase " +
+      "aggregate keyed on user_id" :: Nil),
+    "lake_scd2_feed" -> ("SCD2 intervals from the change feed" ::
+      "expect: net-weight cancellation is a hash aggregate over the " +
+      "feed's file-subset scans; open→close pairing is an equi hash/" +
+      "sort-merge join on the null-safe payload equality — no " +
+      "NestedLoop/Cartesian anywhere" :: Nil),
+    "doc_bloom_decontam" -> ("bloom prescreen + exact verify decontamination" ::
+      "expect: the ~10 KB merged bloom probes as a constant inside the " +
+      "prescreen scan's filter (no join for stage 1); the exact gram " +
+      "join runs only over the candidate left-semi slice with the " +
+      "benchmark grams broadcast" :: Nil),
   )
 
   def main(args: Array[String]): Unit = {
