@@ -269,6 +269,22 @@ object Lake {
         require(checkConstraints(spark, path).isEmpty,
           s"$path carries CHECK constraints; a schema-drifting append " +
             "would bypass their enforcement - drop them first")
+        // drift gate BEFORE the chain bootstrap, same reason as the
+        // constraint gate above: writeEvolving would refuse an invalid
+        // drift (dropped / narrowed column) anyway, but only after the v1
+        // chain manifest existed — permanently flipping the plain table
+        // into evolving mode (writeVersioned thereafter refuses). Validate
+        // against the CURRENT schema first so a refusal leaves no state.
+        cur.foreach { case (name, tpe) =>
+          require(batchFields.exists(_._1 == name),
+            s"column '$name' is missing from the appended frame; dropping " +
+              "columns is not supported - carry it (null-filled if needed)")
+          val newTpe = batchFields.find(_._1 == name).get._2
+          require(newTpe == tpe || widens(tpe, newTpe),
+            s"column '$name' changes type $tpe -> $newTpe; only lossless " +
+              "widening (tinyint<smallint<int<bigint, float<double) is " +
+              "supported")
+        }
         bootstrapSchemaChain(fs, new org.apache.hadoop.fs.Path(path), cur)
         writeEvolving(spark, df, path, streamBatchId = streamBatchId)
         return latestTableVersion()
@@ -610,27 +626,45 @@ object Lake {
     * duplicate keys the pairing would be ambiguous and this form must
     * not be used (the raw retraction feed stays correct there).
     *
+    * CARRIED rows are no-ops, matching Delta's `table_changes`: a file
+    * rewrite re-emits every unchanged row it carried as a delete+insert
+    * pair with IDENTICAL payloads — emitting those as update pre/post
+    * images would show key-driven consumers (notification, propagation)
+    * a phantom update for every carried row. Pairs whose pre and post
+    * payloads are null-safely equal are filtered out entirely; the
+    * retraction fold is unchanged (an identical ±1 pair nets zero).
+    *
     * One self-join of the feed per call, on (commit, keys) — cost ∝ the
     * feed, which is ∝ changed files.
     */
   def readChangeFeedKeyed(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long,
       keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
     require(keys.nonEmpty, "readChangeFeedKeyed needs key columns")
     val feed = readChangeFeed(spark, path, fromVersion, toVersion)
+    val metaCols = Set("_change_type", "_commit_version", "_commit_timestamp")
+    val payload = feed.columns.filterNot(c => metaCols(c) || keys.contains(c))
+    // keys-only table: a pair is by definition carried (identical rows)
+    def payloadStruct =
+      if (payload.isEmpty) lit(0) else struct(payload.map(col): _*)
     val joinCols = "_commit_version" +: keys
     val dels = feed.filter(col("_change_type") === "delete")
     val ins = feed.filter(col("_change_type") === "insert")
-    val paired = dels.select(joinCols.map(col): _*).distinct()
-      .join(ins.select(joinCols.map(col): _*).distinct(), joinCols.toSeq)
-      .withColumn("_graft_paired", lit(true))
+    val paired = dels
+      .select(joinCols.map(col) :+ payloadStruct.as("_graft_pre"): _*)
+      .distinct()
+      .join(ins.select(joinCols.map(col) :+ payloadStruct.as("_graft_post"): _*)
+        .distinct(), joinCols.toSeq)
+      .select(joinCols.map(col) :+
+        (col("_graft_pre") <=> col("_graft_post")).as("_graft_carried"): _*)
     feed.join(paired, joinCols.toSeq, "left_outer")
+      .filter(col("_graft_carried").isNull || !col("_graft_carried"))
       .withColumn("_change_type",
-        when(col("_graft_paired").isNull, col("_change_type"))
+        when(col("_graft_carried").isNull, col("_change_type"))
           .when(col("_change_type") === "delete", lit("update_preimage"))
           .otherwise(lit("update_postimage")))
-      .drop("_graft_paired")
+      .drop("_graft_carried")
   }
 
   /** SCD2 HISTORY from the change feed — dbt-snapshot semantics over a
@@ -732,8 +766,13 @@ object Lake {
       .select((keys.map(col) :+
         (coalesce(col(countCol), lit(0L)) + col("_graft_dn")).as(countCol))
         ++ sumCols.map(c =>
+          // Both sides need the coalesce: sum(c * sign) over a fold window
+          // where every changed row for the key has NULL in c is NULL, and
+          // view.c + NULL would overwrite the key's accumulated sum with
+          // NULL (silently rebasing it to 0 on the NEXT fold).
           (coalesce(col(c), lit(0).cast(viewTypes(c))) +
-            col(s"_graft_d_$c")).cast(viewTypes(c)).as(c)): _*)
+            coalesce(col(s"_graft_d_$c"), lit(0).cast(viewTypes(c))))
+            .cast(viewTypes(c)).as(c)): _*)
     val (v, _) = mergeCdc(spark, viewPath, merged, keys,
       deleteWhen = col(countCol) <= 0L, streamBatchId = Some(srcHead))
     (v, srcHead)
@@ -780,74 +819,118 @@ object Lake {
     * and the rewritten files carry the latest logical schema (the same
     * invariant as [[compact]] on an evolved table).
     *
+    * Isolation: by default a delete that loses the commit race REBASES
+    * over disjoint winners (see [[publishNonCommuting]]) — rows APPENDED
+    * concurrently that match `pred` survive, because the delete applies
+    * to the data it read. That is WEAKER than Delta's WriteSerializable,
+    * which raises ConcurrentAppendException when a winner's added files
+    * match the delete's read predicate. For compliance/takedown deletes
+    * pass `strict = true`: after a rebased publish the winner-added files
+    * still live at the head are re-checked against `pred`, and any
+    * matching rows trigger another delete pass — the returned version is
+    * guaranteed to hold NO row matching `pred` among data visible when it
+    * published (bounded by MaxCommitRetries, then refuses loudly).
+    *
     * @return (published version, rows removed); no matching rows →
     *         (current version, 0) with nothing written
     */
   def deleteWhere(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column,
-      filePrune: Option[org.apache.spark.sql.Column] = None): (Long, Long) = {
+      filePrune: Option[org.apache.spark.sql.Column] = None,
+      strict: Boolean = false): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit}
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ensureVersionManifests(spark, path)
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
-    val v0 = readVersionPointer(fs, path).getOrElse {
-      val vs = listVersions(spark, path)
-      require(vs.nonEmpty, s"no versions under $path")
-      vs.last
-    }
-    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
-      sys.error(s"version $v0 has no manifest under $path"))
     val root = rootPath(fs, hp)
-    val abs0 = m0.entries.map(e => s"$root/${e._1}")
-    // files whose stats bounds exclude every matching row are not even
-    // OPENED; files the stats manifest does not cover stay candidates
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
-    val candidates: Seq[String] = filePrune match {
-      case Some(keep) if fs.exists(statsDir) =>
-        pruneCandidatesWithStats(spark, statsDir, keep, abs0)
-      case _ => abs0
+    // one base→publish delete pass; returns (base read, version published,
+    // rows removed) — published == base means nothing matched
+    def onePass(): (Long, Long, Long) = {
+      val v0 = readVersionPointer(fs, path).getOrElse {
+        val vs = listVersions(spark, path)
+        require(vs.nonEmpty, s"no versions under $path")
+        vs.last
+      }
+      val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+        sys.error(s"version $v0 has no manifest under $path"))
+      val abs0 = m0.entries.map(e => s"$root/${e._1}")
+      // files whose stats bounds exclude every matching row are not even
+      // OPENED; files the stats manifest does not cover stay candidates
+      val candidates: Seq[String] = filePrune match {
+        case Some(keep) if fs.exists(statsDir) =>
+          pruneCandidatesWithStats(spark, statsDir, keep, abs0)
+        case _ => abs0
+      }
+      // ONE column-pruned discovery pass: which candidate files hold a
+      // matching row? Parquet reads only pred's columns; nothing is written
+      val matched: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
+          .filter(pred).select(input_file_name().as("f")).distinct()
+          .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      if (matched.isEmpty) return (v0, v0, 0L)
+      // SQL DELETE semantics: remove rows where pred is TRUE; a null
+      // predicate KEEPS the row (a bare !pred would silently delete it).
+      // The rewrite lands in a claimed namespace dir; the COMMIT number is
+      // exactly base+1 — see the contiguity note below
+      val (_, rewritten) = writeClaimedDir(spark, fs, path,
+        readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
+          .filter(!coalesce(pred, lit(false))))
+      val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
+      // an evolved rewrite lands latest-LOGICAL-schema files (compact's
+      // invariant); the manifest schema follows
+      val ddl =
+        if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
+        else m0.schemaDdl
+      // O(changed-files) delta commit with disjoint-set conflict handling:
+      // a concurrent commit that touched NONE of our matched files (append,
+      // disjoint delete) rebases this delete behind it; a commit that
+      // removed one of them refuses loudly (our rewrite would resurrect
+      // rows it dropped) — see publishNonCommuting
+      val next = publishNonCommuting(spark, fs, path, v0, ddl,
+        add = rewritten, remove = matchedEntries.map(_._1), op = "delete")
+      // keep an existing skipping manifest live: the rewritten files gain
+      // stats rows incrementally (O(rewritten), not a corpus re-scan)
+      if (fs.exists(statsDir)) {
+        val tracked = spark.read.json(statsDir.toString).schema.fieldNames
+          .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        if (tracked.nonEmpty) appendStats(spark, path, tracked)
+      }
+      // metadata-only audit count from the manifests' per-file n_rows: rows
+      // in the matched (resolved-source) files minus rows in their rewrites
+      // — never a dir-listing guess, never a counting scan
+      val removed = matchedEntries.map(_._2).sum - rewritten.map(_._2).sum
+      (v0, next, removed)
     }
-    // ONE column-pruned discovery pass: which candidate files hold a
-    // matching row? Parquet reads only pred's columns; nothing is written
-    val matched: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
-        .filter(pred).select(input_file_name().as("f")).distinct()
-        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-    if (matched.isEmpty) return (v0, 0L)
-    // SQL DELETE semantics: remove rows where pred is TRUE; a null
-    // predicate KEEPS the row (a bare !pred would silently delete it).
-    // The rewrite lands in a claimed namespace dir; the COMMIT number is
-    // exactly base+1 — see the contiguity note below
-    val (_, rewritten) = writeClaimedDir(spark, fs, path,
-      readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
-        .filter(!coalesce(pred, lit(false))))
-    val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
-    // an evolved rewrite lands latest-LOGICAL-schema files (compact's
-    // invariant); the manifest schema follows
-    val ddl =
-      if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
-      else m0.schemaDdl
-    // O(changed-files) delta commit with disjoint-set conflict handling:
-    // a concurrent commit that touched NONE of our matched files (append,
-    // disjoint delete) rebases this delete behind it; a commit that
-    // removed one of them refuses loudly (our rewrite would resurrect
-    // rows it dropped) — see publishNonCommuting
-    val next = publishNonCommuting(spark, fs, path, v0, ddl,
-      add = rewritten, remove = matchedEntries.map(_._1), op = "delete")
-    // keep an existing skipping manifest live: the rewritten files gain
-    // stats rows incrementally (O(rewritten), not a corpus re-scan)
-    if (fs.exists(statsDir)) {
-      val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-      if (tracked.nonEmpty) appendStats(spark, path, tracked)
+    var (v0, next, total) = onePass()
+    if (!strict) return (next, total)
+    var guard = 0
+    // strict re-check loop: a rebased publish (next > v0 + 1) means winner
+    // commits landed between our read and our commit — re-check THEIR
+    // added files (only those still live at the head; cost ∝ winner adds,
+    // never the table) and delete again if any row matches
+    while (next > v0 + 1) {
+      guard += 1
+      require(guard <= MaxCommitRetries,
+        s"deleteWhere(strict): concurrent appends kept matching the " +
+          s"predicate under $path $MaxCommitRetries times; quiesce " +
+          "writers or retry")
+      val live = readVersionManifest(spark, fs, path, next).getOrElse(
+        sys.error(s"version $next has no manifest under $path"))
+      val liveFiles = live.entries.map(_._1).toSet
+      val winnerAdds = ((v0 + 1) until next).flatMap(w =>
+        readRawManifest(spark, fs, path, w).toSeq.flatMap(_.add.map(_._1)))
+        .distinct.filter(liveFiles)
+      if (winnerAdds.isEmpty) return (next, total)
+      val anyMatch = winnerAdds.nonEmpty && !readSomeFiles(spark, fs, path,
+        winnerAdds.map(f => s"$root/$f"), live.schemaDdl).filter(pred).isEmpty
+      if (!anyMatch) return (next, total)
+      val r = onePass()
+      v0 = r._1; next = r._2; total += r._3
     }
-    // metadata-only audit count from the manifests' per-file n_rows: rows
-    // in the matched (resolved-source) files minus rows in their rewrites
-    // — never a dir-listing guess, never a counting scan
-    val removed = matchedEntries.map(_._2).sum - rewritten.map(_._2).sum
-    (next, removed)
+    (next, total)
   }
 
   /** File-granular MERGE (upsert) — Delta's `MERGE … WHEN MATCHED THEN
@@ -1732,11 +1815,15 @@ object Lake {
     *     the table wholesale (snapshot commit), or changed the schema →
     *     REFUSE loudly; the caller must recompute against the new state.
     *
-    * Semantics note (same as Delta's default isolation): rows APPENDED by
-    * a winner that would have matched a rebased delete's predicate are NOT
-    * deleted — the delete applies to the data it read. A reorg rebased
-    * over an append leaves the appended files unorganized but carried —
-    * row-correct, organized on the next maintenance pass.
+    * Semantics note: rows APPENDED by a winner that would have matched a
+    * rebased delete's predicate are NOT deleted — the delete applies to
+    * the data it read. This is WEAKER than Delta's WriteSerializable,
+    * which raises ConcurrentAppendException when a winner's added files
+    * match a DELETE's read predicate; [[deleteWhere]]'s `strict` flag
+    * restores that guarantee by re-checking winner-added files and
+    * re-deleting. A reorg rebased over an append leaves the appended
+    * files unorganized but carried — row-correct, organized on the next
+    * maintenance pass.
     *
     * `full = true` publishes checkpoint-form manifests (zorder/rerange
     * replace ~every reference, so a delta would be checkpoint-sized with
@@ -2832,14 +2919,21 @@ object Lake {
     * and duplicate rows from concurrent appendStats keep the file if ANY
     * row keeps it.
     */
-  private def pruneCandidatesWithStats(spark: SparkSession,
+  private[graft] def pruneCandidatesWithStats(spark: SparkSession,
       statsDir: org.apache.hadoop.fs.Path,
       keep: org.apache.spark.sql.Column,
       abs0: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, max, regexp_replace, when}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, regexp_replace, url_decode, when}
     val stats = spark.read.json(statsDir.toString)
-    val normFile = regexp_replace(col("file"),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    // scheme-strip AND percent-decode, mirroring java.net.URI.getPath on
+    // the candidate side: input_file_name URL-encodes spaces etc., and an
+    // undecoded mismatch silently loses pruning for those files (kept via
+    // the superset rule — correct, but the skip quietly degrades).
+    // Literal '+' is protected first: url_decode is form-decoding ('+' →
+    // space), but URI paths only escape via '%'.
+    val normFile = url_decode(regexp_replace(
+      regexp_replace(col("file"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+      "\\+", "%2B"))
     val verdicts = stats
       .select(normFile.as("_graft_file"),
         when(keep, lit(1)).otherwise(lit(0)).as("_graft_keep"))

@@ -415,6 +415,41 @@ class LakeSpec extends SparkSpec {
     assert(none.isEmpty && none.schema == skipped.schema)
   }
 
+  test("stats pruning joins URL-encoded paths: a space in the dir still prunes") {
+    // input_file_name URL-encodes ('%20' for the space below) while
+    // candidate paths are URI.getPath-decoded; the normalization must
+    // percent-decode or these files silently lose pruning forever
+    val dir = tmp() + "/sp ace"
+    spark.range(1000).select(col("id"))
+      .repartitionByRange(10, col("id")).write.parquet(dir)
+    assert(Lake.writeStats(spark, dir, Seq("id")) == 10)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val abs0 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toUri.getPath)
+    val kept = Lake.pruneCandidatesWithStats(spark,
+      new org.apache.hadoop.fs.Path(dir, "_graft_stats"),
+      Lake.skipRange("id", lit(100), lit(150)), abs0)
+    assert(kept.nonEmpty && kept.size < abs0.size,
+      s"encoded paths broke the stats join: kept ${kept.size}/${abs0.size}")
+    // and a literal '+' in the path must NOT decode to a space
+    val plusDir = tmp() + "/a+b"
+    spark.range(100).select(col("id")).repartition(2).write.parquet(plusDir)
+    Lake.writeStats(spark, plusDir, Seq("id"))
+    val pfs = new org.apache.hadoop.fs.Path(plusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pabs = pfs.listStatus(new org.apache.hadoop.fs.Path(plusDir)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toUri.getPath)
+    val pkept = Lake.pruneCandidatesWithStats(spark,
+      new org.apache.hadoop.fs.Path(plusDir, "_graft_stats"),
+      Lake.skipRange("id", lit(1000), lit(2000)), pabs)
+    assert(pkept.isEmpty,
+      s"'+' mishandled: stats rows failed to join, superset rule kept " +
+        s"${pkept.size} files that provably exclude the range")
+  }
+
   test("data skipping works on hive-partitioned layouts: guard + schema") {
     val dir = tmp() + "/t"
     spark.range(1000).select(col("id"), (col("id") / 250).cast("int").as("p"))
@@ -1263,6 +1298,49 @@ class LakeSpec extends SparkSpec {
       Lake.readVersioned(spark, dir, Some(v)).count())
   }
 
+  test("strict deleteWhere: a rebased delete re-checks winner-added matching rows") {
+    // the concurrent append lands rows MATCHING the delete predicate —
+    // under default isolation they'd silently survive a rebase; strict
+    // mode guarantees the delete's published version holds no matching
+    // row among the data visible when it published
+    val dir = tmp() + "/strictdel"
+    def rows(r: Seq[Int], tag: String) =
+      r.map(i => (f"$i%06d", tag)).toDF("k", "s")
+    Lake.writeVersioned(spark,
+      rows(1 to 400, "base").repartitionByRange(4, col("k")), dir)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val del = Future {
+      latch.countDown(); latch.await()
+      Lake.deleteWhere(spark, dir, col("k") <= f"${50}%06d", strict = true)
+    }
+    val app = Future {
+      latch.countDown(); latch.await()
+      Lake.appendVersioned(spark, rows(1 to 50, "late").repartition(1), dir)
+    }
+    val (vDel, removed) = Await.result(del,
+      scala.concurrent.duration.Duration("120s"))
+    val vApp = Await.result(app, scala.concurrent.duration.Duration("120s"))
+    val cur = Lake.readVersioned(spark, dir)
+    assert(cur.filter(col("s") === "base").count() == 350) // unmatched carried
+    if (vDel > vApp) {
+      // delete published after the append was visible → strict re-check
+      // caught the late matching rows too
+      assert(cur.filter(col("k") <= f"${50}%06d").isEmpty,
+        "strict delete let concurrently-appended matching rows survive")
+      assert(removed == 100L, s"removed $removed")
+    } else {
+      // delete serialized strictly BEFORE the append: the late rows were
+      // not visible to it and correctly survive
+      assert(cur.filter(col("s") === "late").count() == 50)
+      assert(removed == 50L, s"removed $removed")
+    }
+    // single chain either way
+    Lake.listVersions(spark, dir).foreach(v =>
+      Lake.readVersioned(spark, dir, Some(v)).count())
+  }
+
   test("change feed: retraction-apply equals direct read, carried files never opened, reorg commits invisible") {
     val dir = tmp() + "/cdf"
     def mk(r: Range, s: String) =
@@ -1465,13 +1543,11 @@ class LakeSpec extends SparkSpec {
     val feed = Lake.readChangeFeedKeyed(spark, dir, 2L, 2L, keys = Seq("k"))
       .select("k", "s", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    // carried rows (k=1,3) pair as pre/post images with identical values
-    // (the file rewrite re-inserted them); the true update pairs too; the
-    // new key stays a plain insert
+    // carried rows (k=1,3) — re-emitted by the file rewrite with identical
+    // payloads — are NO-OPS (Delta table_changes semantics), not phantom
+    // updates; the true update pairs; the new key stays a plain insert
     assert(feed == Set(
-      (1L, "a", "update_preimage"), (1L, "a", "update_postimage"),
       (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
-      (3L, "c", "update_preimage"), (3L, "c", "update_postimage"),
       (4L, "d", "insert")), feed.toString)
     // retraction semantics are preserved: pre-images count −1, post +1,
     // so a downstream fold through the keyed feed lands identically
@@ -1515,6 +1591,29 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, dir).count() == 2)
   }
 
+  test("INVALID drift on a plain table refuses before touching the schema chain") {
+    val dir = tmp() + "/idrift"
+    Lake.writeVersioned(spark, Seq((1L, 1.0)).toDF("id", "v"), dir)
+    // dropped column: different shape than current schema → drift path,
+    // but an ILLEGAL drift — must refuse with no v1 chain entry on disk
+    val e1 = intercept[IllegalArgumentException](Lake.appendVersioned(spark,
+      Seq(2L).toDF("id"), dir))
+    assert(e1.getMessage.contains("dropping columns"), e1.getMessage)
+    assert(Lake.schemaVersions(spark, dir).isEmpty,
+      "invalid drift leaked a schema chain, flipping the table evolving")
+    // narrowed column: double -> float is equally refused, equally clean
+    val e2 = intercept[IllegalArgumentException](Lake.appendVersioned(spark,
+      Seq((2L, 2.0f)).toDF("id", "v"), dir))
+    assert(e2.getMessage.contains("widening"), e2.getMessage)
+    assert(Lake.schemaVersions(spark, dir).isEmpty)
+    // the table is still PLAIN and appendable, and a VALID additive drift
+    // still bootstraps the chain and lands as schema v2
+    Lake.appendVersioned(spark, Seq((3L, 3.0)).toDF("id", "v"), dir)
+    Lake.appendVersioned(spark, Seq((4L, 4.0, "t")).toDF("id", "v", "tag"), dir)
+    assert(Lake.schemaVersions(spark, dir).nonEmpty)
+    assert(Lake.readVersioned(spark, dir).count() == 3)
+  }
+
   test("refreshIncremental maintains an aggregate view from the feed alone") {
     val root = tmp()
     val src = root + "/src"
@@ -1551,6 +1650,33 @@ class LakeSpec extends SparkSpec {
     Lake.refreshIncremental(spark, src, view,
       keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
     assert(Lake.listVersions(spark, view) == before)
+  }
+
+  test("refreshIncremental survives a fold window whose sumCol is all NULL") {
+    val root = tmp()
+    val src = root + "/nsrc"
+    val view = root + "/nview"
+    Lake.writeVersioned(spark,
+      Seq((1L, Some(10L)), (1L, Some(5L))).toDF("k", "v"), src)
+    Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+    // every changed row in this fold window carries NULL in v:
+    // sum(v * sign) is NULL and must NOT overwrite the accumulated 15
+    Lake.appendVersioned(spark,
+      Seq((1L, Option.empty[Long]), (1L, Option.empty[Long])).toDF("k", "v"),
+      src)
+    Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+    val r1 = Lake.readVersioned(spark, view).collect()
+    assert(r1.length == 1 && r1(0).getLong(1) == 4L && r1(0).getLong(2) == 15L,
+      s"NULL fold window corrupted the view: ${r1.toSeq}")
+    // and the NEXT fold must still see 15, not a silent rebase from 0
+    Lake.appendVersioned(spark, Seq((1L, Some(100L))).toDF("k", "v"), src)
+    Lake.refreshIncremental(spark, src, view,
+      keys = Seq("k"), sumCols = Seq("v"), countCol = "n")
+    val r2 = Lake.readVersioned(spark, view).collect()
+    assert(r2.length == 1 && r2(0).getLong(2) == 115L,
+      s"sum rebased after NULL window: ${r2.toSeq}")
   }
 
   test("csv, json, and orc round-trip the same rows") {
