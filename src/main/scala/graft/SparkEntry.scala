@@ -25,7 +25,8 @@ object SparkEntry {
       graft.ext.Multimodal.all ++
       graft.functions.Aggregates.all ++
       graft.pipeline.PipelineQueries.all ++
-      graft.operators.OperatorQueries.all
+      graft.operators.OperatorQueries.all ++
+      graft.stream.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
