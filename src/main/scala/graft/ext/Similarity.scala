@@ -83,17 +83,33 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share a signature bucket with the query
     * (multiprobe: the query also probes all 1-bit-flipped buckets), then
     * exact cosine ranks the candidates. Output schema matches `topK`.
+    *
+    * `nBits <= 0` (the default) AUTO-SIZES the bucket width to
+    * ceil(log2(N/2)) like [[lshTopKMd5]], keeping occupancy ~2 at any
+    * corpus size — a fixed width is wrong in BOTH directions (too many
+    * bits → empty buckets and zero candidates on a small corpus, the r13
+    * recall-zero finding; too few → Θ(N²/2^bits) candidate blowup at
+    * scale). Same pure-integer derivation so the width never wobbles on
+    * power-of-two corpus sizes.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int = 12): DataFrame = {
+      vecCol: String, k: Int, nBits: Int = 0): DataFrame = {
+    val bits = if (nBits > 0) nBits else {
+      val n = graft.sources.CorpusStats.rowCount(corpus)
+      val halfUp = (n + 1) / 2
+      val bitLen =
+        if (halfUp <= 1) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(halfUp - 1)
+      math.max(4, bitLen)
+    }
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
-      lshSignature(col(vecCol), nBits).as("bucket"))
+      lshSignature(col(vecCol), bits).as("bucket"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        lshSignature(col(vecCol), nBits).as("sig"))
+        lshSignature(col(vecCol), bits).as("sig"))
       .withColumn("bucket", explode(concat(
         array(col("sig")),
-        transform(sequence(lit(0), lit(nBits - 1)),
+        transform(sequence(lit(0), lit(bits - 1)),
           i => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")))))))
       .select("query_id", "q_vec", "bucket")
     val scored = c.join(probes, Seq("bucket"))
@@ -451,14 +467,37 @@ object Similarity {
           |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
     ),
     // LSH-bucketed ANN over the same sample queries (the scale path).
+    // DRIVER-ORACLED RECALL (r12 verdict next-4): the splitmix64
+    // hyperplanes aren't SQL-computable, but the recall against the
+    // exact top-k (independently oracled via ann_topk/ann_knn_sample)
+    // IS checkable as an integer threshold: the plan computes both
+    // rankings and emits one row whose recall_ok flag the oracle pins
+    // to 1. The fixture's vectors carry only weak locality (top-5
+    // cosines ~0.3), so the pin is calibrated to ≥4% = 5× the ~1%
+    // uniform-random baseline of the auto-sized bucketing (occupancy
+    // ~2, bits+1 probes ⇒ ~2(bits+1)/N of the corpus scanned);
+    // measured 12%/20%/6% at sf0.001/0.01/0.1. High-recall-on-
+    // clustered-data stays pinned in SimilaritySpec.
     QueryDef(
       "ann_lsh",
       (sp, dir) => {
         val emb = Tables.embeddings(sp, dir)
-        lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
-          .orderBy("query_id", "rn")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val approx = lshTopK(emb, queries, "vec_id", "embedding", 5)
+        val exact = topK(emb, queries, "vec_id", "embedding", 5)
+        val hits = approx.select("query_id", "vec_id")
+          .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        queries.agg(count(lit(1)).as("n_queries")).crossJoin(hits)
+          .select(col("n_queries"),
+            // recall ≥ 1/25 of the n_queries*k possible hits, integers only
+            (col("n_hits") * 5 >= col("n_queries")).cast("int").as("recall_ok"))
+          .orderBy("n_queries")
       },
-      None, // xxhash64-derived hyperplanes; recall vs topK checked in ScalaTest
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok
+          |FROM embeddings WHERE vec_id % 100 = 0
+          |ORDER BY n_queries""".stripMargin),
     ),
     // Same LSH pipeline, cross-engine-verifiable variant: md5-derived
     // hyperplane signs + integer-quantized dot ranking make bucketing,
@@ -654,14 +693,30 @@ object Similarity {
           |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin),
     ),
     // IVF-bucketed ANN (coarse quantizer + probe), same sample queries.
+    // DRIVER-ORACLED RECALL, same construction as ann_lsh: the Lloyd-
+    // refined centroids are engine-defined, but recall vs the exact
+    // top-k is an integer the oracle pins. nProbe/nCentroids = 4/16
+    // scans ~25% of the corpus; measured recall 60%/64%/60% at
+    // sf0.001/0.01/0.1 — pinned at ≥40% (hits ≥ 2 per query of 5).
     QueryDef(
       "ann_ivf",
       (sp, dir) => {
         val emb = Tables.embeddings(sp, dir)
-        ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
-          .orderBy("query_id", "rn")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val approx = ivfTopK(emb, queries, "vec_id", "embedding", 5)
+        val exact = topK(emb, queries, "vec_id", "embedding", 5)
+        val hits = approx.select("query_id", "vec_id")
+          .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        queries.agg(count(lit(1)).as("n_queries")).crossJoin(hits)
+          .select(col("n_queries"),
+            (col("n_hits") >= col("n_queries") * 2).cast("int").as("recall_ok"))
+          .orderBy("n_queries")
       },
-      None, // centroid choice is engine-defined; recall pinned by ScalaTest
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_queries, 1 AS recall_ok
+          |FROM embeddings WHERE vec_id % 100 = 0
+          |ORDER BY n_queries""".stripMargin),
     ),
     // SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     // partition the embedding space into clusters, then look for
