@@ -24,15 +24,26 @@ object Expectations {
 
   final case class Expectation(name: String, condition: Column, policy: Policy)
 
-  final case class Result(
-      retained: DataFrame,
-      quarantined: DataFrame,
-      violationCounts: Map[String, Long],
-  )
+  /** `violationCounts` is LAZY: the count is an EAGER aggregation job over
+    * the input, and a caller that only wants `retained` (the common DROP
+    * pipeline shape) should not pay it — it runs on first access and is
+    * memoized. With a `Fail` expectation the count is forced inside
+    * `apply` regardless (the fail-on-violation contract needs it). A
+    * caller consuming BOTH the counts and the frames should persist the
+    * input first (the [[graft.stream.Ingest]] quarantine pipeline does),
+    * or the lazy count is a second scan.
+    */
+  final class Result(
+      val retained: DataFrame,
+      val quarantined: DataFrame,
+      countsThunk: () => Map[String, Long]) {
+    lazy val violationCounts: Map[String, Long] = countsThunk()
+  }
 
   /** Apply expectations: returns retained rows, quarantined rows (tagged
     * with the names of the expectations they failed), and per-expectation
-    * violation counts. `Fail` expectations throw on first violation.
+    * violation counts (lazy — see [[Result]]). `Fail` expectations throw
+    * on first violation (counted inside apply).
     */
   def apply(df: DataFrame, expectations: Seq[Expectation]): Result = {
     require(expectations.nonEmpty, "no expectations given")
@@ -41,27 +52,30 @@ object Expectations {
     val tagged = df.withColumn("_failed_expectations",
       filter(failedArray, c => c.isNotNull))
 
-    val counts: Map[String, Long] = tagged
-      .select(explode(col("_failed_expectations")).as("e"))
-      .groupBy("e").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val withZeros = expectations.map(e => e.name -> counts.getOrElse(e.name, 0L)).toMap
-
-    expectations.filter(_.policy == Fail).foreach { e =>
-      val n = withZeros(e.name)
-      if (n > 0) throw new IllegalStateException(
-        s"expectation '${e.name}' failed for $n rows (ON VIOLATION FAIL)")
+    def computeCounts(): Map[String, Long] = {
+      val counts: Map[String, Long] = tagged
+        .select(explode(col("_failed_expectations")).as("e"))
+        .groupBy("e").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      expectations.map(e => e.name -> counts.getOrElse(e.name, 0L)).toMap
     }
 
     val dropNames = expectations.filter(_.policy == Drop).map(_.name)
     val dropped: Column =
       if (dropNames.isEmpty) lit(false)
       else exists(col("_failed_expectations"), c => c.isInCollection(dropNames))
+    val retained = tagged.filter(!dropped).drop("_failed_expectations")
+    val quarantined = tagged.filter(dropped)
 
-    Result(
-      retained = tagged.filter(!dropped).drop("_failed_expectations"),
-      quarantined = tagged.filter(dropped),
-      violationCounts = withZeros,
-    )
+    if (expectations.exists(_.policy == Fail)) {
+      // Fail demands the count NOW — one pass, memoized into the result
+      val counts = computeCounts()
+      expectations.filter(_.policy == Fail).foreach { e =>
+        val n = counts(e.name)
+        if (n > 0) throw new IllegalStateException(
+          s"expectation '${e.name}' failed for $n rows (ON VIOLATION FAIL)")
+      }
+      new Result(retained, quarantined, () => counts)
+    } else new Result(retained, quarantined, () => computeCounts())
   }
 }

@@ -273,6 +273,41 @@ object PipelineQueries {
           |ORDER BY user_id, valid_from""".stripMargin),
     ),
 
+    // ---- SCD1 current state from the same CDC-shaped log (tier B,
+    //      README_DBT.md:242-244's ROW_NUMBER dedup): latest event per
+    //      user wins, a trailing delete drops the key. The payload is
+    //      pre-aggregated to one row per (key, ts, op) so the
+    //      latest-wins window is TOTAL — without it two events sharing
+    //      a commit timestamp could hand either engine either payload. ----
+    QueryDef(
+      "cdc_scd1",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+          .select(col("user_id"),
+            unix_micros(col("ts")).as("_commit_ts"),
+            when(col("event_type") === "purchase", "d").otherwise("u").as("_op"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("user_id", "_commit_ts", "_op")
+          .agg(max("cents").as("cents"))
+        Cdc.scd1(ev, Seq("user_id"))
+          .withColumnRenamed("_commit_ts", "last_ts")
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, epoch_us(ts) AS last_ts,
+          |         CASE WHEN event_type = 'purchase' THEN 'd' ELSE 'u' END AS op,
+          |         max(CAST(round(value * 100) AS BIGINT)) AS cents
+          |  FROM events GROUP BY 1, 2, 3),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |                               ORDER BY last_ts DESC, op DESC) AS rn
+          |  FROM ev)
+          |SELECT user_id, last_ts, cents FROM r
+          |WHERE rn = 1 AND op <> 'd'
+          |ORDER BY user_id""".stripMargin),
+    ),
+
     // ---- Incremental materialization, unique_key upsert strategy: two
     //      real runs of Dag.runIncremental against a scratch parquet
     //      table (run 1 = days <= Jan 15, run 2 = full history → only the

@@ -353,6 +353,12 @@ object Lake {
             .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
           if (tracked.nonEmpty) appendStats(spark, path, tracked)
         }
+        // table-level auto-compaction (see setAutoOptimize): runs AFTER
+        // this commit published, in its own maintenance commit — the
+        // append's version contract is unchanged
+        autoOptimizePolicy(fs, path).foreach { case (limit, target) =>
+          maybeAutoOptimize(spark, fs, path, limit, target)
+        }
         return next
       } catch {
         case _: IllegalArgumentException
@@ -1707,6 +1713,93 @@ object Lake {
       if (tracked.nonEmpty) appendStats(spark, path, tracked)
     }
     (next, small.size.toLong)
+  }
+
+  /** AUTO-COMPACTION policy — the reference's "automatic maintenance"
+    * posture (README_DBT.md:32,102-103) made a TABLE property instead of
+    * an external scheduler: once set, every [[appendVersioned]] commit
+    * checks the live small-file count afterwards and, when it crosses
+    * `smallFileLimit`, folds the accreted tail with [[optimizeVersioned]]
+    * in a separate maintenance commit (op = "optimize", so change-feed
+    * readers still see it as an invisible reorg and incremental views
+    * are undisturbed). The count early-exits at the limit, so a steady
+    * append stream pays O(limit) driver-side file stats per commit; the
+    * fold itself costs ∝ small-file bytes (optimizeVersioned's
+    * contract). Under a steady stream the live file count is therefore
+    * bounded by ~(smallFileLimit + compact-file count) instead of
+    * growing one file per batch forever. A concurrent appender losing
+    * the maintenance race simply rebases (disjoint-set commits); the
+    * policy is re-checked on its own next append.
+    */
+  def setAutoOptimize(spark: SparkSession, path: String,
+      smallFileLimit: Int = 16, targetFileBytes: Long = 128L << 20): Unit = {
+    require(smallFileLimit >= 2,
+      s"smallFileLimit must be >= 2, got $smallFileLimit")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(hp, "_graft_policy")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".auto_optimize.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, "auto_optimize.json")
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"smallFileLimit":$smallFileLimit,"targetFileBytes":$targetFileBytes}"""
+        .getBytes("UTF-8"))
+    out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"failed to publish auto-optimize policy at $dst")
+  }
+
+  def clearAutoOptimize(spark: SparkSession, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(hp, "_graft_policy/auto_optimize.json"),
+      false)
+    ()
+  }
+
+  private[graft] def autoOptimizePolicy(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[(Int, Long)] = {
+    val f = new org.apache.hadoop.fs.Path(path, "_graft_policy/auto_optimize.json")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      Some((n.get("smallFileLimit").asInt, n.get("targetFileBytes").asLong))
+    }
+  }
+
+  /** Post-commit policy check: count live files under target/2, stopping
+    * as soon as the limit is reached (an append-heavy table stats at most
+    * `limit` files before deciding), and fold when at/over it. A file
+    * vacuumed between the manifest read and the stat is simply skipped.
+    * At warehouse scale the byte sizes would ride in the manifest itself;
+    * the trigger rule and the bound are the same either way.
+    */
+  private def maybeAutoOptimize(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      limit: Int, target: Long): Unit = {
+    val head = readVersionPointer(fs, path)
+      .orElse(manifestVersions(fs, path).lastOption)
+    val entries = head
+      .flatMap(readVersionManifest(spark, fs, path, _))
+      .map(_.entries).getOrElse(Seq.empty)
+    val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
+    var small = 0
+    val it = entries.iterator
+    while (small < limit && it.hasNext) {
+      val e = it.next()
+      val len =
+        try fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/${e._1}")).getLen
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (len < target / 2) small += 1
+    }
+    if (small >= limit) { optimizeVersioned(spark, path, target); () }
   }
 
   /** Sort-order OPTIMIZE for VERSIONED tables — the [[rerange]] analog

@@ -894,6 +894,12 @@ class LakeSpec extends SparkSpec {
       val init = freshRows(30)
       model = init.toMap
       Lake.writeVersioned(spark, frame(init), dir)
+      // round 2 runs the whole random sequence under the auto-compaction
+      // policy: maintenance commits interleave with every commit type and
+      // must stay content-invariant (the model does not know about them)
+      if (round == 2)
+        Lake.setAutoOptimize(spark, dir, smallFileLimit = 4,
+          targetFileBytes = 32L << 10)
       for (_ <- 0 until 16) {
         rnd.nextInt(9) match {
           case 0 => // O(batch) append of new keys
@@ -971,8 +977,72 @@ class LakeSpec extends SparkSpec {
           assert(viewGot == model.map { case (k, v) => k -> ((1L, v)) },
             s"round $round: maintained view diverged from the model")
         }
+        // KEYED change feed under the same random stream: fold the feed
+        // from a random recorded version onto that version's model state
+        // — must land exactly on the current model; carried rows must be
+        // no-ops and every update image must pair. Vacuumed windows
+        // refuse loudly (readChangeFeed's contract) — skip those.
+        if (rnd.nextInt(3) == 1) {
+          val head = Lake.listVersions(spark, dir).last
+          val starts = history.keys.filter(_ < head).toSeq.sorted
+          if (starts.nonEmpty) {
+            val from = starts(rnd.nextInt(starts.size))
+            try {
+              val feed = Lake.readChangeFeedKeyed(spark, dir,
+                  from + 1, head, keys = Seq("k"))
+                .select("k", "v", "_change_type", "_commit_version")
+                .collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                  r.getLong(3)))
+              var st = history(from)
+              feed.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+                rows.filter(_._3 == "delete").foreach(r => st -= r._1)
+                rows.filter(r => r._3 == "insert" || r._3 == "update_postimage")
+                  .foreach(r => st += r._1 -> r._2)
+              }
+              assert(st == model,
+                s"round $round: keyed feed fold $from->$head diverged")
+              val pre = feed.filter(_._3 == "update_preimage")
+              val post = feed.filter(_._3 == "update_postimage")
+              // carried (identical) pairs must have been dropped entirely
+              assert(pre.map(r => (r._4, r._1, r._2)).toSet
+                  .intersect(post.map(r => (r._4, r._1, r._2)).toSet).isEmpty,
+                s"round $round: carried rows emitted as phantom updates")
+              // surviving images pair one-to-one on (commit, key)
+              assert(pre.map(r => (r._4, r._1)).toSet
+                  == post.map(r => (r._4, r._1)).toSet,
+                s"round $round: unpaired update images in the keyed feed")
+            } catch { case _: RuntimeException => () } // window vacuumed
+          }
+        }
       }
     }
+  }
+
+  test("auto-optimize bounds the live file count under a steady append stream") {
+    val dir = tmp() + "/autoopt"
+    def one(i: Int) = Seq((i.toLong, i.toLong)).toDF("k", "v").repartition(1)
+    Lake.writeVersioned(spark, one(0), dir)
+    Lake.setAutoOptimize(spark, dir, smallFileLimit = 8,
+      targetFileBytes = 1L << 20)
+    for (i <- 1 to 30) {
+      Lake.appendVersioned(spark, one(i), dir)
+      val files = Lake.readVersioned(spark, dir).inputFiles.length
+      assert(files <= 8,
+        s"append $i: $files live files — the policy never folded")
+    }
+    // content is never disturbed by the maintenance commits
+    val got = Lake.readVersioned(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 to 30).map(i => (i.toLong, i.toLong)).toSet)
+    // old versions still time-travel (optimize links, never destroys)
+    Lake.listVersions(spark, dir).foreach(v =>
+      Lake.readVersioned(spark, dir, Some(v)).count())
+    // clearing the policy stops the folding: the count grows again
+    Lake.clearAutoOptimize(spark, dir)
+    val base = Lake.readVersioned(spark, dir).inputFiles.length
+    for (i <- 31 to 40) Lake.appendVersioned(spark, one(i), dir)
+    assert(Lake.readVersioned(spark, dir).inputFiles.length == base + 10)
   }
 
   test("mergeCdc applies insert/update/delete in ONE file-granular commit") {

@@ -42,6 +42,27 @@ class TierBSpec extends SparkSpec {
     assert(ex.getMessage.contains("no_negatives"))
   }
 
+  test("expectations: counts are lazy without Fail, memoized on access") {
+    // a column that detonates on EVALUATION: if apply() ran the count job
+    // eagerly, constructing the result would already throw
+    val boom = udf((i: Long) =>
+      if (i >= 0) throw new RuntimeException("boom") else i)
+    val lazyDf = spark.range(3).select(boom(col("id")).as("value"))
+    val r = Expectations(lazyDf, Seq(
+      Expectations.Expectation("pos", col("value") >= 0, Expectations.Drop)))
+    // apply returned without touching a row; forcing the counts is what
+    // finally evaluates the input and trips the detonator
+    intercept[Exception](r.violationCounts)
+    // and on a sane input the lazily-computed counts are correct and
+    // stable across accesses (memoized, not recomputed per call)
+    val ok = Expectations(readings, Seq(
+      Expectations.Expectation("valid_flag",
+        col("quality_flag").isin("good", "suspect"), Expectations.Drop)))
+    assert(ok.retained.count() == 2)
+    assert(ok.violationCounts == Map("valid_flag" -> 2L))
+    assert(ok.violationCounts eq ok.violationCounts) // same memoized map
+  }
+
   // ---- CDC → SCD1 ----
 
   private def cdcBatch = Seq(
