@@ -53,6 +53,9 @@ object Bench {
     warm("rerange_fixture")(graft.pipeline.PipelineQueries.prebuildRerangeFixture(spark, sfDir))
     warm("constraint_fixture")(graft.pipeline.PipelineQueries.prebuildConstraintFixture(spark, sfDir))
     warm("restore_fixture")(graft.pipeline.PipelineQueries.prebuildRestoreFixture(spark, sfDir))
+    warm("mv_refresh_fixture")(graft.pipeline.PipelineQueries.prebuildMvRefreshFixture(spark, sfDir))
+    warm("scd2_feed_fixture")(graft.pipeline.PipelineQueries.prebuildScd2FeedFixture(spark, sfDir))
+    warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
     // Host-load context makes contended runs SELF-IDENTIFYING: same-binary
     // totals on this box swing ~30% with co-tenant load (BASELINE.md),
     // and the signature of interference — uniform inflation across

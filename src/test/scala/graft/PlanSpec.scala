@@ -49,6 +49,29 @@ class PlanSpec extends SparkSpec {
     assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
   }
 
+  test("q4 semi join: one shuffle join on the equi key, range folded in") {
+    // fact-fact (orders ⋈ lineitem): the only acceptable plan is ONE
+    // equi join planned as LeftSemi with the 30-day range riding the
+    // join condition — a BNLJ or a post-join filter means the non-equi
+    // predicate fell out of the join and the plan degrades at scale.
+    // At spec SF the 2-column lineitem projection fits the broadcast
+    // threshold (hash semi, build right); at bench/production SF the
+    // same shape lands as the one shuffle join — both acceptable, BNLJ
+    // never.
+    val p = plan(q("q4_late_orders"))
+    // formatted explain prints each operator in the tree AND its detail
+    // section — count DISTINCT operator ids, not substring hits
+    val nJoin =
+      """\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"""
+        .r.findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nJoin == 1, s"expected exactly 1 equi join, got $nJoin:\n$p")
+    assert(p.contains("LeftSemi"), s"semi join not planned as LeftSemi:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"non-equi fell out of the join:\n$p")
+    assert("""Join condition:.*INTERVAL '30' DAY""".r.findFirstIn(p).isDefined,
+      s"the 30-day range predicate is not in the join condition:\n$p")
+  }
+
   test("q8/q9 snowflakes: AQE lands the dim broadcasts the dropped hints left to it") {
     // round 7 removed the explicit broadcast() hints from every
     // SF-proportional TPC-H side; the protection is AQE's runtime size
