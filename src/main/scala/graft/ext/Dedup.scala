@@ -361,35 +361,125 @@ object Dedup {
           |FROM s a, s b WHERE a.doc_id < b.doc_id
           |ORDER BY a_id, b_id""".stripMargin),
     ),
+    // DRIVER-ORACLED RECALL (the ann_lsh construction): the xxhash64
+    // banding is not SQL-computable, but the EXACT near-dup pair count is
+    // — DuckDB brute-forces all-pairs shingle Jaccard while the plan runs
+    // the complete PPJoin ([[jaccardSelfJoinExact]]) next to the LSH
+    // pipeline and emits the count plus a recall flag. Measured recall:
+    // 28/28, 25/25, 255/256 at sf0.001/0.01/0.1 (the one miss is a
+    // boundary pair under the 8×8 S-curve midpoint ≈0.77) — pinned at
+    // ≥95%. The per-pair listing stays hash-exact in dedup_minhash_md5.
     QueryDef(
       "dedup_minhash",
-      (sp, dir) =>
-        minhashDedup(Tables.documents(sp, dir)).orderBy("a_id", "b_id"),
-      None, // xxhash64-based LSH; verified by ScalaTest with planted dups
+      (sp, dir) => {
+        val docs = Tables.documents(sp, dir)
+        val lsh = minhashDedup(docs)
+        val sh = docs.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions
+              .word_shingles(col("text"), 3, distinct = true).as("w"))
+        val exact = jaccardSelfJoinExact(sh, 7, 10)
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_found")))
+          .select(col("n_exact_pairs"),
+            (col("n_found") * 20 >= col("n_exact_pairs") * 19)
+              .cast("int").as("recall_ok"))
+          .orderBy("n_exact_pairs")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 3),
+          |s AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+          |           i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS w
+          |  FROM t),
+          |p AS (
+          |  SELECT len(list_intersect(a.w, b.w)) AS ni,
+          |         len(a.w) AS la, len(b.w) AS lb
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, 1 AS recall_ok
+          |FROM p WHERE ni * 1.0 / (la + lb - ni) >= 0.7
+          |ORDER BY n_exact_pairs""".stripMargin),
     ),
     // Corpus-level similarity via mergeable MinHash union sketches: one
     // fixed-size sketch per source (TypedImperativeAggregate), pairwise
     // estimated jaccard between sources — the 100 TB corpus-comparison
     // shape (state crossing the shuffle is k*8 bytes per group).
+    // DRIVER-ORACLED ACCURACY: the k=64 sketch estimates stay
+    // engine-defined, but every pair's EXACT source-level Jaccard
+    // (n_inter/n_union of the distinct-shingle sets — plain integers) is
+    // both in-plan computable and DuckDB-computable, so the row emits
+    // the exact pair counts WITH a per-pair |est − exact| ≤ 0.25 flag
+    // (2σ for k=64; measured max error 0.17 across SFs). A sketch gone
+    // wrong now fails the hash gate on its flag, and the exact columns
+    // are verified values, not engine-defined ones.
     QueryDef(
       "sketch_source_sim",
       (sp, dir) => {
         import graft.functions.{SketchFunctions, TextFunctions}
-        val sketches = Tables.documents(sp, dir)
+        val docs = Tables.documents(sp, dir)
           .filter(size(split(col("text"), " ")) >= 3)
+        val sketches = docs
           .repartition(sp.sparkContext.defaultParallelism)
           .select(col("source"),
             TextFunctions.minhash_sig(
               TextFunctions.word_shingles(col("text"), 3, distinct = true), 64).as("sig"))
           .groupBy("source")
           .agg(SketchFunctions.minhash_union(col("sig"), 64).as("sketch"))
-        sketches.as("a").join(sketches.as("b"), col("a.source") < col("b.source"))
+        val est = sketches.as("a")
+          .join(sketches.as("b"), col("a.source") < col("b.source"))
           .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-            round(SketchFunctions.sketch_jaccard(col("a.sketch"), col("b.sketch")), 4)
-              .as("est_jaccard"))
+            SketchFunctions.sketch_jaccard(col("a.sketch"), col("b.sketch"))
+              .as("est"))
+        // exact source-level shingle sets: (source, shingle) distinct pairs
+        // — set sizes and pairwise intersections as plain aggregates, no
+        // per-source array materialization
+        val ss = docs.select(col("source"),
+            explode(TextFunctions.word_shingles(col("text"), 3, distinct = true))
+              .as("sh"))
+          .distinct()
+        val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = ss.as("a").join(ss.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("ni"))
+        val exact = sz.as("x").join(sz.as("y"), col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+            col("x.n").as("na"), col("y.n").as("nb"))
+          .join(inter, Seq("src_a", "src_b"), "left_outer")
+          .select(col("src_a"), col("src_b"),
+            coalesce(col("ni"), lit(0L)).as("n_inter"),
+            (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).as("n_union"))
+        est.join(exact, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
+            (abs(col("est") - col("n_inter") * 1.0 / col("n_union")) <= 0.25)
+              .cast("int").as("est_ok"))
           .orderBy("src_a", "src_b")
       },
-      None, // sketch estimates are engine-defined; accuracy pinned by ScalaTest
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 3),
+          |s AS (
+          |  SELECT source,
+          |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+          |           i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS w
+          |  FROM t),
+          |ss AS (SELECT DISTINCT source, unnest(w) AS sh FROM s),
+          |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+          |inter AS (
+          |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+          |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT x.source AS src_a, y.source AS src_b,
+          |       CAST(coalesce(i.ni, 0) AS BIGINT) AS n_inter,
+          |       CAST(x.n + y.n - coalesce(i.ni, 0) AS BIGINT) AS n_union,
+          |       1 AS est_ok
+          |FROM sz x JOIN sz y ON x.source < y.source
+          |LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
+          |ORDER BY src_a, src_b""".stripMargin),
     ),
     QueryDef(
       "dedup_simhash",

@@ -204,8 +204,13 @@ object Relational2 {
           |ORDER BY p_partkey""".stripMargin),
     ),
 
-    // ---- exact percentiles over integer cents (interpolation on exact
-    //      ints → bit-identical doubles) ----
+    // ---- approx percentile, DRIVER-CHECKED against the exact ones: the
+    //      approx sketch's pick is engine-defined (DuckDB's quantile
+    //      interpolates differently), but the plan can BRACKET it between
+    //      the exact p45/p55 (Spark's exact `percentile` over integer
+    //      cents) and emit a flag the oracle pins — a sketch gone wrong
+    //      fails the hash gate, not just a unit test. min/max stay
+    //      exact-valued columns. ----
     QueryDef(
       "q_percentiles",
       (sp, dir) =>
@@ -213,11 +218,21 @@ object Relational2 {
           .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
           .groupBy("o_orderstatus")
           .agg(
-            percentile_approx(col("cents"), lit(0.5), lit(1000000)).as("p50_approx"),
+            percentile_approx(col("cents"), lit(0.5), lit(1000000)).as("p50a"),
+            percentile(col("cents"), lit(0.45)).as("lo"),
+            percentile(col("cents"), lit(0.55)).as("hi"),
             min(col("cents")).as("min_cents"),
             max(col("cents")).as("max_cents"))
+          .select(col("o_orderstatus"),
+            (col("p50a") >= col("lo") && col("p50a") <= col("hi"))
+              .cast("int").as("p50_ok"),
+            col("min_cents"), col("max_cents"))
           .orderBy("o_orderstatus"),
-      None, // percentile_approx's sketch differs from DuckDB quantile; ScalaTest-pinned
+      Some(
+        """SELECT o_orderstatus, 1 AS p50_ok,
+          |       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+          |       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
 
     // ---- median via exact interpolation (oracled) ----
