@@ -155,7 +155,9 @@ object ScaleCheck {
     "lake_rerange", "lake_stream_versioned", "lake_zorder_versioned",
     "lake_check_constraint", "lake_restore", "lake_cdf_refresh",
     "lake_schema_drift", "q_sql_lake", "doc_bloom_decontam",
-    "lake_mv_refresh", "lake_history", "lake_scd2_feed")
+    "lake_mv_refresh", "lake_history", "lake_scd2_feed",
+    "stream_silver_equiv", "stream_gold_incremental", "cdc_scd1",
+    "sketch_source_sim", "q_percentiles")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))
