@@ -1299,6 +1299,13 @@ object Lake {
       base = v0, add = entries, remove = Seq.empty,
       streamBatchId = streamBatchId, op = Some("stream-adopt"))
     writeVersionPointer(spark, fs, path, next)
+    // a drained sink accretes one file set per drain — exactly the
+    // auto-compaction target case (see setAutoOptimize); folded originals
+    // stay on disk for log-trusting readers until vacuum, like every
+    // optimizeVersioned commit
+    autoOptimizePolicy(fs, path).foreach { case (limit, target) =>
+      maybeAutoOptimize(spark, fs, path, limit, target)
+    }
     Some(next)
   }
 

@@ -1045,6 +1045,26 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, dir).inputFiles.length == base + 10)
   }
 
+  test("auto-optimize also bounds a streamed sink's file count across drains") {
+    // the commitStreamVersion path (one adopted file set per drain) hits
+    // the same policy check as appendVersioned
+    val dir = tmp() + "/autostream"
+    def one(i: Int) = Seq((i.toLong, i.toLong)).toDF("k", "v").repartition(1)
+    one(0).write.parquet(dir)
+    Lake.commitStreamVersion(spark, dir)
+    Lake.setAutoOptimize(spark, dir, smallFileLimit = 6,
+      targetFileBytes = 1L << 20)
+    for (i <- 1 to 20) {
+      one(i).write.mode("append").parquet(dir)
+      Lake.commitStreamVersion(spark, dir)
+      assert(Lake.readVersioned(spark, dir).inputFiles.length <= 6,
+        s"drain $i: streamed sink accreted past the policy limit")
+    }
+    val got = Lake.readVersioned(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 to 20).map(i => (i.toLong, i.toLong)).toSet)
+  }
+
   test("mergeCdc applies insert/update/delete in ONE file-granular commit") {
     val dir = tmp() + "/t"
     def rows(r: Seq[Int], tag: String) =
