@@ -56,6 +56,8 @@ object Bench {
     warm("mv_refresh_fixture")(graft.pipeline.PipelineQueries.prebuildMvRefreshFixture(spark, sfDir))
     warm("scd2_feed_fixture")(graft.pipeline.PipelineQueries.prebuildScd2FeedFixture(spark, sfDir))
     warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
+    warm("stream_stateful_landings")(
+      graft.stream.StreamQueries.prebuildStatefulLandings(spark, sfDir))
     // Host-load context makes contended runs SELF-IDENTIFYING: same-binary
     // totals on this box swing ~30% with co-tenant load (BASELINE.md),
     // and the signature of interference — uniform inflation across

@@ -51,15 +51,17 @@ object StreamAggs {
     * compute how long to buffer each side and evict state — unbounded
     * state otherwise.
     */
-  def purchaseViewJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
-    val v = views.withWatermark("view_ts", "1 hour")
-    val p = purchases.withWatermark("purchase_ts", "2 hours")
+  def purchaseViewJoin(views: DataFrame, purchases: DataFrame,
+      joinType: String = "leftOuter", viewLateness: String = "1 hour",
+      purchaseLateness: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("view_ts", viewLateness)
+    val p = purchases.withWatermark("purchase_ts", purchaseLateness)
     p.join(
       v,
       p("user_id") === v("user_id") &&
         v("view_ts") >= p("purchase_ts") - expr("INTERVAL 1 HOUR") &&
         v("view_ts") <= p("purchase_ts"),
-      "leftOuter")
+      joinType)
       .select(p("purchase_id"), p("user_id"), p("purchase_ts"), v("view_ts"))
   }
 

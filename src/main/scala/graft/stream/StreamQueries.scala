@@ -141,8 +141,250 @@ object StreamQueries {
        |GROUP BY 1, 2
        |ORDER BY location_id, sensor_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // STATEFUL streaming differentials (round 13 second wave). The three
+  // rows below give the stateful operators — dropDuplicatesWithinWatermark,
+  // stream-stream interval join, session windows — the same driver-oracle
+  // treatment the stateless silver path got: a deterministic landing
+  // derived from `events`, a multi-batch AvailableNow drain, and a DuckDB
+  // batch oracle that recomputes the expected answer from `events` alone.
+  // Determinism rules each row leans on:
+  //  - dedup: duplicate copies are IDENTICAL rows, so the drained set is
+  //    order-insensitive (first-occurrence vs any-occurrence is the same
+  //    row); a generous horizon keeps the bounded drain from evicting
+  //    state mid-run (eviction itself is spec-pinned, StreamingOpsSpec);
+  //  - join: INNER matches emit as soon as both sides are buffered —
+  //    emission never waits on the watermark, so batch split points
+  //    can't change the result (outer-null timing, which IS
+  //    watermark-dependent, stays spec-pinned);
+  //  - sessions: emission DOES wait on the watermark, so the landing ends
+  //    with two sentinel files written strictly later (mod-time + path
+  //    order) — sentinel 1 advances the watermark past every real
+  //    session's end, sentinel 2 runs a batch under that watermark and
+  //    flushes them all. One-batch watermark lag is exactly why there
+  //    are two.
+  // ---------------------------------------------------------------------
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def jsonStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(dir)
+  }
+
+  private def drainToParquet(df: DataFrame, sink: String,
+      ckpt: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ---- stream_dedup_equiv: dropDuplicatesWithinWatermark ----------------
+
+  private val dedupLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dedupLandingFor(spark: SparkSession, dir: String): String =
+    dedupLandings.computeIfAbsent(dir, _ => {
+      val l = Scratch.dir("stream_dedup_landing")
+      val base = Tables.events(spark, dir).select(
+        col("event_id"),
+        date_format(col("ts"), tsFmt).as("ts"),
+        col("user_id"), col("value"))
+      // originals first (3 files), duplicate copies of every third event
+      // in a SECOND write job (later mod-time files): the duplicates land
+      // in later micro-batches than their originals, so suppressing them
+      // requires the dedup state to survive across batches
+      base.repartitionByRange(3, col("event_id")).write.json(l)
+      base.filter(col("event_id") % 3 === 0).repartition(2)
+        .write.mode("append").json(l)
+      l
+    })
+
+  private val dedupSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def streamDedupEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val landing = dedupLandingFor(spark, dir)
+    val root = Scratch.dir("stream_dedup")
+    val typed = jsonStream(spark, landing, dedupSchema, Some(2))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // horizon far beyond the fixture's one-month span: nothing is evicted
+    // or late-dropped during the bounded drain, so the output is exactly
+    // one row per event_id no matter how the files split into batches
+    drainToParquet(
+      StreamAggs.dedupWithinWatermark(typed, horizon = "8760 hours"),
+      s"$root/sink", s"$root/ckpt")
+    spark.read.parquet(s"$root/sink")
+      .orderBy("event_id", "ts", "user_id", "value")
+  }
+
+  private val dedupOracle =
+    """SELECT event_id, ts, user_id, value FROM events
+      |ORDER BY event_id, ts, user_id, value""".stripMargin
+
+  // ---- stream_join_equiv: stream-stream interval join (inner) -----------
+
+  private val joinLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def joinLandingsFor(spark: SparkSession,
+      dir: String): (String, String) =
+    joinLandings.computeIfAbsent(dir, _ => {
+      val ev = Tables.events(spark, dir)
+      val vDir = Scratch.dir("stream_join_views")
+      val pDir = Scratch.dir("stream_join_purch")
+      ev.select(col("user_id"), date_format(col("ts"), tsFmt).as("view_ts"))
+        .repartitionByRange(2, col("user_id")).write.json(vDir)
+      // every 29th event becomes a purchase half an hour after its view,
+      // so each purchase window [ts-30m, ts+30m] holds at least one view
+      ev.filter(col("event_id") % 29 === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts") + expr("INTERVAL 30 MINUTES"), tsFmt)
+            .as("purchase_ts"))
+        .repartitionByRange(2, col("purchase_id")).write.json(pDir)
+      (vDir, pDir)
+    })
+
+  private val viewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("view_ts",
+      org.apache.spark.sql.types.StringType)))
+
+  private val purchaseSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("purchase_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("purchase_ts",
+      org.apache.spark.sql.types.StringType)))
+
+  private def streamJoinEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val (vDir, pDir) = joinLandingsFor(spark, dir)
+    val root = Scratch.dir("stream_join")
+    val views = jsonStream(spark, vDir, viewSchema, Some(1))
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, Some(1))
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+    // inner join: every matched pair emits exactly once as soon as both
+    // rows are buffered, independent of watermark progress; the 10-year
+    // lateness keeps the bounded drain from evicting either side's state
+    // (eviction under tight lateness is StreamingOpsSpec's job)
+    drainToParquet(
+      StreamAggs.purchaseViewJoin(views, purchases, joinType = "inner",
+        viewLateness = "87600 hours", purchaseLateness = "87600 hours"),
+      s"$root/sink", s"$root/ckpt")
+    spark.read.parquet(s"$root/sink")
+      .orderBy("purchase_id", "view_ts")
+  }
+
+  private val joinOracle =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |       p.ts + INTERVAL 30 MINUTE AS purchase_ts,
+      |       v.ts AS view_ts
+      |FROM events p
+      |JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      | AND v.ts <= p.ts + INTERVAL 30 MINUTE
+      |WHERE p.event_id % 29 = 0
+      |ORDER BY purchase_id, view_ts""".stripMargin
+
+  // ---- stream_sessions_equiv: session windows under the watermark -------
+
+  private val sessionLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sessionLandingFor(spark: SparkSession, dir: String): String =
+    sessionLandings.computeIfAbsent(dir, _ => {
+      val l = Scratch.dir("stream_session_landing")
+      Tables.events(spark, dir)
+        .select(date_format(col("ts"), tsFmt).as("ts"), col("user_id"),
+          col("value"))
+        .repartitionByRange(4, col("ts")).write.json(l)
+      // sentinels strictly AFTER the data files in both mod-time (the
+      // sleep clears coarse-mtime filesystems) and path order: if one ran
+      // first, its watermark would late-drop every real event
+      Thread.sleep(1100)
+      def sentinel(name: String, ts: String): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(l, name),
+          s"""{"ts":"$ts","user_id":-1,"value":0.0}""".getBytes("UTF-8"))
+      sentinel("zz-sentinel-1.json", "2030-01-01 00:00:00.000000")
+      Thread.sleep(20)
+      sentinel("zz-sentinel-2.json", "2031-01-01 00:00:00.000000")
+      l
+    })
+
+  private val sessionSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def streamSessionsEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val landing = sessionLandingFor(spark, dir)
+    val root = Scratch.dir("stream_sessions")
+    val typed = jsonStream(spark, landing, sessionSchema, Some(1))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // generous lateness so no real event is ever late during the drain;
+    // sentinel 1 (2030) still lands the watermark years past every real
+    // session end, and sentinel 2's batch flushes them all (append-mode
+    // session_window emits only windows the watermark has closed)
+    drainToParquet(
+      StreamAggs.sessionize(typed, gap = "30 minutes", lateness = "720 hours"),
+      s"$root/sink", s"$root/ckpt")
+    spark.read.parquet(s"$root/sink")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+  }
+
+  private val sessionsOracle =
+    """WITH flags AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |              THEN 1 ELSE 0 END AS is_break
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT *, sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flags)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS session_cents
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Bench prebuild hook for the stateful-row landings. */
+  def prebuildStatefulLandings(spark: SparkSession, dir: String): Unit = {
+    dedupLandingFor(spark, dir)
+    joinLandingsFor(spark, dir)
+    sessionLandingFor(spark, dir)
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("stream_silver_equiv", streamSilverEquiv, Some(silverOracle)),
     QueryDef("stream_gold_incremental", streamGoldIncremental, Some(goldOracle)),
+    QueryDef("stream_dedup_equiv", streamDedupEquiv, Some(dedupOracle)),
+    QueryDef("stream_join_equiv", streamJoinEquiv, Some(joinOracle)),
+    QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
   )
 }
