@@ -47,6 +47,8 @@ object Bench {
     warm("sig_index")(graft.operators.OperatorQueries.prebuildSignatureIndex(spark, sfDir))
     warm("admitted_index")(graft.operators.OperatorQueries.prebuildAdmittedIndex(spark, sfDir))
     warm("delete_fixture")(graft.pipeline.PipelineQueries.prebuildDeleteFixture(spark, sfDir))
+    warm("dv_fixture")(graft.pipeline.PipelineQueries.prebuildDvFixture(spark, sfDir))
+    warm("dv_purge_fixture")(graft.pipeline.PipelineQueries.prebuildDvPurgeFixture(spark, sfDir))
     warm("merge_target")(graft.pipeline.PipelineQueries.prebuildMergeTarget(spark, sfDir))
     warm("cdc_target")(graft.pipeline.PipelineQueries.prebuildCdcTarget(spark, sfDir))
     warm("stream_table")(graft.pipeline.PipelineQueries.prebuildStreamTable(spark, sfDir))

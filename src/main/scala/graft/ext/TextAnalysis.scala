@@ -668,5 +668,63 @@ object TextAnalysis {
           |GROUP BY x.source, y.source, ca.n_sh, cb.n_sh
           |ORDER BY 1, 2""".stripMargin),
     ),
+
+    // ---- n-gram LM quality scoring (the CCNet/KenLM filter shape): a
+    //      word-BIGRAM model with add-1 smoothing is trained on the
+    //      corpus in two count aggregations, then every document is
+    //      scored by its cross-entropy under that model — high = unlike
+    //      the corpus (noise/boilerplate candidates), the standard
+    //      perplexity-bucket signal for pretraining filtration. Scale
+    //      shape: one token shuffle (doc-partitioned lead window), two
+    //      vocabulary-sized count tables on the join side, and a scalar
+    //      vocab size riding a broadcast cross join — the corpus is
+    //      never re-read per doc. ln is the one non-bit-reproducible
+    //      step across engines, so the output rounds to 4 decimals and
+    //      orders on the unique doc_id (§verify float-determinism
+    //      contract).
+    QueryDef(
+      "doc_lm_score",
+      (sp, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(sp, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val big = tok
+          .withColumn("w2", lead(col("w"), 1).over(byDoc))
+          .filter(col("w2").isNotNull)
+          .select("doc_id", "w", "w2")
+        val bigCnt = big.groupBy("w", "w2").agg(count(lit(1)).as("cb"))
+        val preCnt = big.groupBy("w").agg(count(lit(1)).as("cp"))
+        val vocab = tok.agg(countDistinct(col("w")).as("vv"))
+        big.join(bigCnt, Seq("w", "w2"))
+          .join(preCnt, Seq("w"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cp") + col("vv"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(col("lp")), 4).as("cross_entropy"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(l) AS w,
+          |         unnest(range(1, len(l) + 1)) AS pos
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+          |big AS (
+          |  SELECT * FROM (
+          |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          |    FROM tok)
+          |  WHERE w2 IS NOT NULL),
+          |bc AS (SELECT w, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+          |pc AS (SELECT w, count(*) AS cp FROM big GROUP BY 1),
+          |v AS (SELECT count(DISTINCT w) AS vv FROM tok)
+          |SELECT b.doc_id, count(*) AS n_bigrams,
+          |       round(-avg(ln((bc.cb + 1.0) / (pc.cp + v.vv))), 4) AS cross_entropy
+          |FROM big b
+          |JOIN bc ON b.w = bc.w AND b.w2 = bc.w2
+          |JOIN pc ON b.w = pc.w
+          |CROSS JOIN v
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+    ),
   )
 }

@@ -43,6 +43,33 @@ object PipelineQueries {
       path
     })
 
+  /** Versioned range-laid events tables for the deletion-vector rows —
+    * same shape as the COW-delete fixture, one per row so `only=` runs
+    * and bench subsets never couple through shared mutation.
+    */
+  private val dvFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, String), String]
+
+  private def dvFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String): String =
+    dvFixtureCache.computeIfAbsent((sp, dir, tag), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val path = s"${Scratch.dir(tag)}/events_versioned"
+      graft.sources.Lake.writeVersioned(sp,
+        base.repartitionByRange(8, col("day")), path)
+      graft.sources.Lake.writeStats(sp, path, Seq("day"))
+      path
+    })
+
+  def prebuildDvFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String = dvFixture(sp, dir, "dv")
+
+  def prebuildDvPurgeFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String = dvFixture(sp, dir, "dvp")
+
   /** Versioned per-user-totals target for `lake_merge_upsert`, built once
     * per (session, SF dir) — in production the upsert TARGET long
     * predates any batch; Bench prebuilds it so the query times the MERGE.
@@ -1069,6 +1096,60 @@ object PipelineQueries {
           |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
           |FROM events
           |WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
+    // ---- MERGE-ON-READ deletes (deletion vectors): two dvDeletes land
+    //      as KB-sized tombstone sidecars — no data file is rewritten —
+    //      and the read applies them as an anti-join confined to the
+    //      covered files. The second delete unions with the first, and
+    //      re-invocations are clean no-ops (already-tombstoned rows are
+    //      invisible to discovery), so the row is deterministic. A
+    //      resurrected row, a lost tombstone, or a mis-joined position
+    //      all break the hash. ----
+    QueryDef(
+      "lake_dv_delete",
+      (sp, dir) => {
+        val path = prebuildDvFixture(sp, dir)
+        val (lo, hi) = ("2024-01-08", "2024-01-14")
+        graft.sources.Lake.deleteWhereDv(sp, path,
+          col("day").between(lit(lo), lit(hi)),
+          filePrune = Some(graft.sources.Lake.skipRange("day", lit(lo), lit(hi))))
+        graft.sources.Lake.deleteWhereDv(sp, path, col("user_id") % 10 === 0)
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+          |  AND user_id % 10 <> 0
+          |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
+    // ---- DV purge: same delete, then purgeDeletes materializes the
+    //      tombstones (covered files rewritten without their deleted
+    //      rows, sidecars retired) — the read after it is sidecar-free
+    //      and must land on the identical answer. ----
+    QueryDef(
+      "lake_dv_purge",
+      (sp, dir) => {
+        val path = prebuildDvPurgeFixture(sp, dir)
+        graft.sources.Lake.deleteWhereDv(sp, path, col("user_id") % 7 === 0)
+        graft.sources.Lake.purgeDeletes(sp, path)
+        graft.sources.Lake.readVersioned(sp, path)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |FROM events
+          |WHERE user_id % 7 <> 0
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 

@@ -495,7 +495,7 @@ object Lake {
     * multiset exactly — a change feed skips them (Delta marks the same
     * commits `dataChange=false` and `table_changes` omits them).
     */
-  private val ReorgOps = Set("optimize", "zorder", "rerange")
+  private val ReorgOps = Set("optimize", "zorder", "rerange", "purge")
 
   /** CHANGE DATA FEED over the delta-manifest chain (Delta's
     * `table_changes(t, startingVersion, endingVersion)` shape, derived
@@ -548,44 +548,126 @@ object Lake {
         s" in [$fromVersion,$toVersion] have no manifest under $path — " +
         "vacuumed past retention; recompute downstream state in full")
     val root = rootPath(fs, hp)
+    // the dv set live at a commit's PREDECESSOR — what the commit's
+    // removed files must be read through (their tombstoned rows were
+    // retracted by the dvDelete commit that wrote them; re-emitting them
+    // as this commit's deletes would double-retract downstream state)
+    def dvsAtPrev(v: Long): Seq[DvEntry] =
+      readVersionManifest(spark, fs, path, v - 1) match {
+        case Some(m) => m.dvs
+        case None =>
+          // predecessor vacuumed: its sidecar coverage is unknowable. A
+          // table with NO dv trace anywhere proceeds (nothing to apply);
+          // any surviving trace refuses, like every other read past the
+          // vacuum horizon.
+          val trace = manifestVersions(fs, path).exists(w =>
+            readRawManifest(spark, fs, path, w).exists(r =>
+              r.dv.nonEmpty || r.dvAdd.nonEmpty))
+          require(!trace,
+            s"readChangeFeed: version ${v - 1} (predecessor of commit $v," +
+              s" which removes files) has no manifest under $path and the" +
+              " table carries deletion-vector history — vacuumed past" +
+              " retention; recompute downstream state in full")
+          Nil
+      }
+    // a stand-in manifest carrying only what readFilesWithDv consults
+    def dvView(ddl: String, dvs: Seq[DvEntry]) =
+      VersionManifest(0L, ddl, Nil, dvs)
+    def tombFrame(dvs: Seq[DvEntry]): DataFrame = spark.read
+      .parquet(qualifyForRead(fs, dvs.map(d => s"$root/${d.dv}")): _*)
+      .select(org.apache.spark.sql.functions.col("file"),
+        org.apache.spark.sql.functions.col("pos"))
     val parts: Seq[DataFrame] = inRange.flatMap { v =>
       val raw = readRawManifest(spark, fs, path, v).getOrElse(
         sys.error(s"version $v has no manifest under $path"))
-      if (raw.op.exists(ReorgOps)) Seq.empty
-      else {
-        val (addF, rmF): (Seq[String], Seq[String]) = raw.files match {
-          case None => (raw.add.map(_._1), raw.remove)
-          case Some(cur) =>
-            // full-snapshot manifest: the change set is the file diff vs
-            // the previous version. All-inserts ONLY for the table's
-            // GENUINE first commit (v=1 — prior state empty); a full
-            // manifest at the vacuum horizon (v>1, a materialized
-            // delta) must not be re-fed as whole-table inserts, so it
-            // diffs against v-1 and fails loudly if v-1 is gone.
-            if (v == 1L) (cur.map(_._1), Seq.empty)
-            else {
-              val prev = readVersionManifest(spark, fs, path, v - 1)
-                .getOrElse(sys.error(
-                  s"readChangeFeed: version ${v - 1} (predecessor of " +
-                    s"snapshot commit $v) has no manifest under $path — " +
-                    "range reaches past vacuum retention"))
-                .entries.map(_._1)
-              val prevSet = prev.toSet
-              val curSet = cur.map(_._1).toSet
-              (cur.map(_._1).filterNot(prevSet), prev.filterNot(curSet))
-            }
+      def stamp(df: DataFrame, changeType: String): DataFrame =
+        df.withColumn("_change_type", lit(changeType))
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", raw.ts
+            .map(t => timestamp_millis(lit(t)))
+            .getOrElse(lit(null).cast("timestamp")))
+      def tag(files: Seq[String], changeType: String,
+          dvs: Seq[DvEntry]): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(stamp(
+          readFilesWithDv(spark, fs, path, dvView(raw.schemaDdl, dvs),
+            files.map(f => s"$root/$f")), changeType))
+      // rows of `files` AT the tombstoned positions in `positions` — the
+      // dv-delete preimages; cost ∝ covered files + KB-sized sidecars
+      def rowsAt(files: Seq[String], positions: DataFrame,
+          changeType: String): Option[DataFrame] =
+        if (files.isEmpty) None
+        else {
+          import org.apache.spark.sql.functions.broadcast
+          val scanned = readFilesWithDvTagged(spark, fs, path,
+            dvView(raw.schemaDdl, Nil), files.map(f => s"$root/$f"))
+          Some(stamp(scanned.join(broadcast(positions),
+              scanned(DvSrcFileCol) === positions("file") &&
+                scanned(DvPosCol) === positions("pos"),
+              "left_semi")
+            .drop(DvSrcFileCol, DvPosCol), changeType))
         }
-        def tag(files: Seq[String], changeType: String): Option[DataFrame] =
-          if (files.isEmpty) None
-          else Some(
-            readSomeFiles(spark, fs, path, files.map(f => s"$root/$f"),
-                raw.schemaDdl)
-              .withColumn("_change_type", lit(changeType))
-              .withColumn("_commit_version", lit(v))
-              .withColumn("_commit_timestamp", raw.ts
-                .map(t => timestamp_millis(lit(t)))
-                .getOrElse(lit(null).cast("timestamp"))))
-        tag(addF, "insert").toSeq ++ tag(rmF, "delete").toSeq
+      if (raw.op.exists(ReorgOps)) Seq.empty
+      else if (raw.op.contains("dvdelete"))
+        // merge-on-read delete: the commit's payload is its sidecars;
+        // the deleted rows are the covered files' rows at the tombstoned
+        // positions (reading only files this commit touched — the feed's
+        // cost contract)
+        rowsAt(raw.dvAdd.flatMap(_.files).distinct,
+          tombFrame(raw.dvAdd), "delete").toSeq
+      else raw.files match {
+        case None =>
+          val prevDvs =
+            if (raw.remove.isEmpty) Nil
+            else dvsAtPrev(v)
+          tag(raw.add.map(_._1), "insert", Nil).toSeq ++
+            tag(raw.remove, "delete", prevDvs).toSeq
+        case Some(cur) =>
+          // full-snapshot manifest: the change set is the file diff vs
+          // the previous version. All-inserts ONLY for the table's
+          // GENUINE first commit (v=1 — prior state empty); a full
+          // manifest at the vacuum horizon (v>1, a materialized
+          // delta) must not be re-fed as whole-table inserts, so it
+          // diffs against v-1 and fails loudly if v-1 is gone.
+          if (v == 1L) tag(cur.map(_._1), "insert", raw.dv).toSeq
+          else {
+            val prevM = readVersionManifest(spark, fs, path, v - 1)
+              .getOrElse(sys.error(
+                s"readChangeFeed: version ${v - 1} (predecessor of " +
+                  s"snapshot commit $v) has no manifest under $path — " +
+                  "range reaches past vacuum retention"))
+            val prevSet = prevM.entries.map(_._1).toSet
+            val curSet = cur.map(_._1).toSet
+            val fileParts =
+              tag(cur.map(_._1).filterNot(prevSet), "insert", raw.dv).toSeq ++
+                tag(prevM.entries.map(_._1).filterNot(curSet), "delete",
+                  prevM.dvs).toSeq
+            // carried files whose TOMBSTONE set changed (a restore across
+            // a dvDelete/purge boundary): positions tombstoned before but
+            // not after came BACK (insert); newly tombstoned ones are
+            // deletes. File-diff alone cannot see either.
+            val carried = prevSet.intersect(curSet)
+            def carriedTombs(dvs: Seq[DvEntry]): Option[DataFrame] = {
+              val ds = dvs.filter(_.files.exists(carried))
+              if (ds.isEmpty) None
+              else Some(tombFrame(ds).filter(
+                org.apache.spark.sql.functions.col("file")
+                  .isin(carried.toSeq: _*)))
+            }
+            val dvParts = (carriedTombs(prevM.dvs), carriedTombs(raw.dv)) match {
+              case (None, None) => Seq.empty
+              case (p, c) =>
+                val empty = tombFrame(
+                  (prevM.dvs ++ raw.dv).take(1)).limit(0)
+                val pT = p.getOrElse(empty)
+                val cT = c.getOrElse(empty)
+                val coveredFiles = (prevM.dvs ++ raw.dv)
+                  .flatMap(_.files).distinct.filter(carried)
+                rowsAt(coveredFiles, pT.exceptAll(cT), "insert").toSeq ++
+                  rowsAt(coveredFiles, cT.exceptAll(pT), "delete").toSeq
+            }
+            fileParts ++ dvParts
+          }
       }
     }
     if (parts.isEmpty) {
@@ -844,7 +926,7 @@ object Lake {
       pred: org.apache.spark.sql.Column,
       filePrune: Option[org.apache.spark.sql.Column] = None,
       strict: Boolean = false): (Long, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ensureVersionManifests(spark, path)
@@ -870,9 +952,19 @@ object Lake {
         case _ => abs0
       }
       // ONE column-pruned discovery pass: which candidate files hold a
-      // matching row? Parquet reads only pred's columns; nothing is written
+      // matching row? Parquet reads only pred's columns; nothing is
+      // written. Under live DELETION VECTORS the pass reads THROUGH the
+      // tombstones (a file whose only matches are already dv-deleted must
+      // not be rewritten), via the scan-stage _metadata tag — the raw
+      // input_file_name shortcut stays for the common dv-free table
+      // because it also serves schema-evolving reads, which have no
+      // _metadata contract.
       val matched: Set[String] =
         if (candidates.isEmpty) Set.empty
+        else if (m0.dvs.nonEmpty)
+          readFilesWithDvTagged(spark, fs, path, m0, candidates)
+            .filter(pred).select(col(DvSrcFileCol)).distinct()
+            .collect().map(r => s"$root/${r.getString(0)}").toSet
         else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
           .filter(pred).select(input_file_name().as("f")).distinct()
           .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
@@ -880,9 +972,12 @@ object Lake {
       // SQL DELETE semantics: remove rows where pred is TRUE; a null
       // predicate KEEPS the row (a bare !pred would silently delete it).
       // The rewrite lands in a claimed namespace dir; the COMMIT number is
-      // exactly base+1 — see the contiguity note below
+      // exactly base+1 — see the contiguity note below. The rewrite also
+      // reads through any live tombstones, so it PURGES them for the
+      // matched files (their dv coverage drops with the remove) instead
+      // of resurrecting dv-deleted rows.
       val (_, rewritten) = writeClaimedDir(spark, fs, path,
-        readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
+        readFilesWithDv(spark, fs, path, m0, matched.toSeq)
           .filter(!coalesce(pred, lit(false))))
       val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
       // an evolved rewrite lands latest-LOGICAL-schema files (compact's
@@ -906,8 +1001,18 @@ object Lake {
       }
       // metadata-only audit count from the manifests' per-file n_rows: rows
       // in the matched (resolved-source) files minus rows in their rewrites
-      // — never a dir-listing guess, never a counting scan
-      val removed = matchedEntries.map(_._2).sum - rewritten.map(_._2).sum
+      // — never a dir-listing guess, never a counting scan. Rows a prior
+      // dvDelete already tombstoned in the matched files vanish from the
+      // rewrite too but were deleted by THAT commit, not this one: their
+      // count (one read of the KB-sized sidecars) comes off the audit.
+      val matchedRel = matchedEntries.map(_._1).toSet
+      val priorTombs =
+        if (!m0.dvs.exists(_.files.exists(matchedRel))) 0L
+        else spark.read
+          .parquet(qualifyForRead(fs, m0.dvs.map(d => s"$root/${d.dv}")): _*)
+          .filter(col("file").isin(matchedRel.toSeq: _*)).count()
+      val removed = matchedEntries.map(_._2).sum -
+        rewritten.map(_._2).sum - priorTombs
       (v0, next, removed)
     }
     var (v0, next, total) = onePass()
@@ -938,6 +1043,173 @@ object Lake {
     }
     (next, total)
   }
+
+  /** MERGE-ON-READ delete (Delta's deletion-vector path): instead of
+    * rewriting every file that holds a matching row ([[deleteWhere]]'s
+    * copy-on-write), the commit writes a TOMBSTONE sidecar — `(file,
+    * row-position)` pairs, found in one column-pruned discovery pass —
+    * and publishes a delta manifest whose only payload is the sidecar
+    * reference. Reads ([[readVersioned]], time travel, the change feed)
+    * apply the tombstones as an anti-join confined to the covered files.
+    * This is the takedown-latency lever at 100 TB: deleting a handful of
+    * rows costs one narrow discovery scan plus KILOBYTES of writes,
+    * where copy-on-write re-writes every touched gigabyte — at the price
+    * of a per-read anti-join until [[purgeDeletes]] (or a compaction /
+    * clustering rewrite of the covered files) materializes the deletes.
+    * Use copy-on-write for big sweeps, DVs for small urgent ones.
+    *
+    * Semantics, all pinned in DeletionVectorSpec:
+    *  - SQL DELETE null handling (a NULL predicate keeps the row);
+    *  - successive dvDeletes UNION (earlier sidecars are never rewritten);
+    *  - already-tombstoned rows are skipped at discovery, so re-running a
+    *    predicate publishes nothing (returns the current version, 0);
+    *  - time travel to a pre-delete version still sees the rows (each
+    *    manifest resolves its OWN live sidecar set);
+    *  - the commit REBASES over concurrent appends (it touches no files)
+    *    and refuses when a winner rewrote a covered file — positions
+    *    don't survive a rewrite (see publishNonCommuting's dv checks);
+    *  - like non-strict [[deleteWhere]], rows in files appended AFTER the
+    *    discovery pass are not re-screened (pass `strict` there for that).
+    *
+    * Schema-evolving tables refuse (their reads resolve through the
+    * column-mapping projection, which has no `_metadata` contract);
+    * copy-on-write [[deleteWhere]] covers them.
+    *
+    * @return (published version, rows tombstoned); (current, 0) when
+    *         nothing matched — no commit published
+    */
+  def deleteWhereDv(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column,
+      filePrune: Option[org.apache.spark.sql.Column] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; deletion vectors need the " +
+        "fixed-schema read path - use the copy-on-write deleteWhere")
+    ensureVersionManifests(spark, path)
+    if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    val root = rootPath(fs, hp)
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    val v0 = readVersionPointer(fs, path).getOrElse {
+      val vs = listVersions(spark, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val abs0 = m0.entries.map(e => s"$root/${e._1}")
+    val candidates: Seq[String] = filePrune match {
+      case Some(keep) if fs.exists(statsDir) =>
+        pruneCandidatesWithStats(spark, statsDir, keep, abs0)
+      case _ => abs0
+    }
+    if (candidates.isEmpty) return (v0, 0L)
+    // ONE discovery pass, reading THROUGH the live tombstones: rows an
+    // earlier dvDelete already deleted can't be re-tombstoned, so
+    // re-running a predicate is a clean no-op
+    val positions = readFilesWithDvTagged(spark, fs, path, m0, candidates)
+      .filter(pred)
+      .select(col(DvSrcFileCol).as("file"), col(DvPosCol).as("pos"))
+    // tombstones are metadata-sized (a DV delete is the SMALL-delete
+    // path); one sidecar file keeps the manifest entry single
+    val (_, written) = writeClaimedDir(spark, fs, path,
+      positions.coalesce(1))
+    val nDel = written.map(_._2).sum
+    if (nDel == 0L) {
+      // nothing matched: drop the empty claimed sidecar, publish nothing
+      written.map(_._1).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$f"), false))
+      return (v0, 0L)
+    }
+    // covered-file list: path strings only to the driver (the engine's
+    // metadata-transfer rule), bounded by the candidate file count
+    val covered = spark.read
+      .parquet(qualifyForRead(fs, written.map(e => s"$root/${e._1}")): _*)
+      .select("file").distinct().collect().map(_.getString(0)).toSeq
+    val next = publishNonCommuting(spark, fs, path, v0, m0.schemaDdl,
+      add = Nil, remove = Nil, op = "dvdelete",
+      dvAdd = written.map(e => DvEntry(e._1, e._2, covered)),
+      readSet = covered.toSet)
+    (next, nDel)
+  }
+
+  /** Materialize a table's deletion vectors: rewrite the covered files
+    * without their tombstoned rows and retire both the files and the
+    * sidecars in one commit (`op = "purge"` — row-multiset preserving,
+    * so the change feed skips it like any reorg). Cost ∝ covered-file
+    * bytes, never the table. After the purge every read is sidecar-free
+    * again; [[vacuum]] reclaims the retired sidecars once no retained
+    * version references them.
+    *
+    * @return (published version, covered files rewritten); (current, 0)
+    *         when the table carries no deletion vectors
+    */
+  def purgeDeletes(spark: SparkSession, path: String): (Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureVersionManifests(spark, path)
+    val v0 = readVersionPointer(fs, path).getOrElse {
+      val vs = listVersions(spark, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    if (m0.dvs.isEmpty) return (v0, 0L)
+    val root = rootPath(fs, hp)
+    val dvdRel = m0.dvs.flatMap(_.files).distinct
+    val (_, rewritten) = writeClaimedDir(spark, fs, path,
+      readFilesWithDv(spark, fs, path, m0,
+        dvdRel.map(f => s"$root/$f")))
+    val next = publishNonCommuting(spark, fs, path, v0, m0.schemaDdl,
+      add = rewritten, remove = dvdRel, op = "purge",
+      readSet = dvdRel.toSet)
+    // keep an existing skipping manifest live over the purged rewrites
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    if (fs.exists(statsDir)) {
+      val tracked = spark.read.json(statsDir.toString).schema.fieldNames
+        .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (tracked.nonEmpty) appendStats(spark, path, tracked)
+    }
+    (next, dvdRel.size.toLong)
+  }
+
+  /** The live deletion-vector sidecars at `version` (default: current):
+    * (sidecar path, tombstones written at its commit, covered data
+    * files). Empty for a DV-free table — the audit/test surface.
+    */
+  def deletionVectors(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[(String, Long, Seq[String])] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(versionsDir(path))) return Seq.empty
+    val v = version.orElse(readVersionPointer(fs, path)).getOrElse {
+      val vs = manifestVersions(fs, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    readVersionManifest(spark, fs, path, v).toSeq
+      .flatMap(_.dvs.map(d => (d.dv, d.nDel, d.files)))
+  }
+
+  /** Refusal gate for paths not yet deletion-vector-aware: a raw file
+    * read under live tombstones would resurrect deleted rows — refusing
+    * loudly beats silently wrong (the vacuum-horizon contract).
+    */
+  private def requireNoDvs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      opName: String): Unit =
+    if (fs.exists(versionsDir(path))) {
+      val v = readVersionPointer(fs, path)
+        .orElse(manifestVersions(fs, path).lastOption)
+      val dvs = v.flatMap(readVersionManifest(spark, fs, path, _))
+        .map(_.dvs).getOrElse(Nil)
+      require(dvs.isEmpty,
+        s"$opName($path): table carries live deletion vectors " +
+          s"(${dvs.map(_.nDel).sum} tombstones); run purgeDeletes first " +
+          "or read via readVersioned")
+    }
 
   /** File-granular MERGE (upsert) — Delta's `MERGE … WHEN MATCHED THEN
     * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, published as a new
@@ -1077,6 +1349,7 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ensureVersionManifests(spark, path)
+    requireNoDvs(spark, fs, path, "mergeInto")
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
     val v0 = readVersionPointer(fs, path).getOrElse {
       val vs = listVersions(spark, path)
@@ -1376,8 +1649,10 @@ object Lake {
     val v0 = manifestVersions(fs, path).last
     if (v == v0) return v0 // restoring the latest is a no-op
     val next = v0 + 1
+    // the restored version's live deletion vectors travel with it — a
+    // restore to a pre-purge version re-applies that version's sidecars
     writeVersionManifest(spark, fs, path, next, m.schemaDdl, m.entries,
-      op = Some("restore"))
+      op = Some("restore"), dv = m.dvs)
     writeVersionPointer(spark, fs, path, next)
     next
   }
@@ -1562,8 +1837,11 @@ object Lake {
       return drop
     }
     val retained = all.filterNot(drop.contains)
+    // deletion-vector sidecars are references like any data file: a
+    // retained version that still applies a sidecar must keep it on disk
     val referenced = retained.flatMap(v =>
-      readVersionManifest(spark, fs, path, v).toSeq.flatMap(_.entries.map(_._1)))
+      readVersionManifest(spark, fs, path, v).toSeq.flatMap(m =>
+        m.entries.map(_._1) ++ m.dvs.map(_.dv)))
       .toSet
     // a retained DELTA manifest may resolve through a version being
     // dropped: materialize it to a full checkpoint FIRST (metadata-only
@@ -1590,7 +1868,7 @@ object Lake {
         writeVersionManifest(spark, fs, path, v, m.schemaDdl, m.entries,
           replace = true, ts = orig.flatMap(_.ts),
           streamBatchId = orig.flatMap(_.streamBatchId),
-          op = orig.flatMap(_.op))
+          op = orig.flatMap(_.op), dv = m.dvs)
       }
     }
     val root = rootPath(fs, hp)
@@ -1598,7 +1876,7 @@ object Lake {
     // dropped delta may resolve through another dropped version's file
     val droppedEntries: Seq[(Long, Seq[String])] = drop.map(v =>
       v -> readVersionManifest(spark, fs, path, v).toSeq
-        .flatMap(_.entries.map(_._1)))
+        .flatMap(m => m.entries.map(_._1) ++ m.dvs.map(_.dv)))
     droppedEntries.foreach { case (v, rels) =>
       rels.filterNot(referenced).foreach(rel =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
@@ -1701,9 +1979,12 @@ object Lake {
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // fold dir is a claimed namespace; the commit number is base+1 (the
     // non-commuting contiguity contract — see deleteWhere)
+    // reading THROUGH any live deletion vectors makes the fold double as
+    // a purge for the folded files: tombstoned rows drop from the
+    // rewrite, and the files' dv coverage drops with the remove
     val (_, folded) = writeClaimedDir(spark, fs, path,
-      readSomeFiles(spark, fs, path,
-        small.map(e => s"$root/${e._1._1}"), m0.schemaDdl)
+      readFilesWithDv(spark, fs, path, m0,
+        small.map(e => s"$root/${e._1._1}"))
         .coalesce(nOut)) // NARROW: compaction moves bytes, never an exchange
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
@@ -1933,7 +2214,8 @@ object Lake {
   private def publishNonCommuting(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v0: Long,
       schemaDdl: String, add: Seq[(String, Long)], remove: Seq[String],
-      op: String, full: Boolean = false): Long = {
+      op: String, full: Boolean = false,
+      dvAdd: Seq[DvEntry] = Nil, readSet: Set[String] = Set.empty): Long = {
     val ourRemove = remove.toSet
     var base = v0
     var attempts = 0
@@ -1949,10 +2231,11 @@ object Lake {
             .getOrElse(sys.error(s"version $base has no manifest under $path"))
           writeVersionManifest(spark, fs, path, next, schemaDdl,
             resolved.entries.filterNot(e => ourRemove(e._1)) ++ add,
-            op = Some(op))
+            op = Some(op), dv = applyDvDelta(resolved.dvs, ourRemove, dvAdd))
         } else
           writeVersionDelta(spark, fs, path, next, schemaDdl,
-            base = base, add = add, remove = remove, op = Some(op))
+            base = base, add = add, remove = remove, op = Some(op),
+            dvAdd = dvAdd)
         writeVersionPointer(spark, fs, path, next)
         return next
       } catch {
@@ -1976,6 +2259,24 @@ object Lake {
                 s"commit $w removed file(s) this commit also rewrites " +
                 s"(${overlap.take(3).mkString(", ")}); recompute against " +
                 "the current version")
+            // deletion-vector disjointness, both directions. A winner that
+            // REWROTE a file we tombstoned would resurrect our deleted
+            // rows (positions don't survive a rewrite); a winner that
+            // TOMBSTONED a file we are removing wrote positions into a
+            // file our rewrite is about to retire — its deletes would
+            // silently evaporate.
+            val dvHit = raw.remove.toSet.intersect(readSet)
+            require(dvHit.isEmpty,
+              s"$op($path): version $next already published — concurrent " +
+                s"commit $w rewrote file(s) this commit tombstones " +
+                s"(${dvHit.take(3).mkString(", ")}); recompute against " +
+                "the current version")
+            val dvLoss = raw.dvAdd.flatMap(_.files).toSet.intersect(ourRemove)
+            require(dvLoss.isEmpty,
+              s"$op($path): version $next already published — concurrent " +
+                s"commit $w added deletion vectors on file(s) this commit " +
+                s"rewrites (${dvLoss.take(3).mkString(", ")}); recompute " +
+                "against the current version")
           }
           base = head // all winners file-disjoint: rebase and retry
       }
@@ -2023,8 +2324,22 @@ object Lake {
   // manifest whose chain passes through a dropped version before dropping
   // it, so resolution never dangles.
 
+  /** One DELETION-VECTOR sidecar reference in a manifest: `dv` is the
+    * tombstone parquet's table-relative path (rows `(file string, pos
+    * long)` — data-file-relative-path + row position), `nDel` the
+    * tombstone count WRITTEN AT COMMIT (audit metadata; coverage trimming
+    * never recomputes it), and `files` the data files the tombstones
+    * target. Reads apply the UNION of all live entries' tombstones, so a
+    * second dvDelete never rewrites an earlier entry's file. An entry's
+    * coverage shrinks as later commits remove/rewrite its target files
+    * (the rewrite drops the tombstoned rows physically), and the entry
+    * drops out of the manifest once nothing it covers is live.
+    */
+  private[sources] case class DvEntry(dv: String, nDel: Long,
+      files: Seq[String])
+
   private case class VersionManifest(version: Long, schemaDdl: String,
-      entries: Seq[(String, Long)])
+      entries: Seq[(String, Long)], dvs: Seq[DvEntry] = Nil)
 
   /** Raw on-disk form: full (files defined) or delta (base defined).
     * `ts` is the commit wall-clock (epoch millis), stamped at publish and
@@ -2034,7 +2349,8 @@ object Lake {
   private case class RawManifest(version: Long, schemaDdl: String,
       depth: Long, files: Option[Seq[(String, Long)]], base: Option[Long],
       add: Seq[(String, Long)], remove: Seq[String], ts: Option[Long],
-      streamBatchId: Option[Long], op: Option[String])
+      streamBatchId: Option[Long], op: Option[String],
+      dv: Seq[DvEntry] = Nil, dvAdd: Seq[DvEntry] = Nil)
 
   private val MaxChainDepth = 32L
 
@@ -2173,12 +2489,18 @@ object Lake {
     * defaults to now; vacuum's materialization passes the ORIGINAL commit
     * time through so `asOf` resolution survives checkpointing.
     */
+  private def dvJson(dvs: Seq[DvEntry]): String =
+    dvs.map(d =>
+      s"""{"path":${jsonStr(d.dv)},"n_del":${d.nDel},""" +
+        s""""files":${d.files.map(jsonStr).mkString("[", ",", "]")}}""")
+      .mkString("[", ",", "]")
+
   private def writeVersionManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, entries: Seq[(String, Long)],
       replace: Boolean = false, ts: Option[Long] = None,
       streamBatchId: Option[Long] = None,
-      op: Option[String] = None): Unit = {
+      op: Option[String] = None, dv: Seq[DvEntry] = Nil): Unit = {
     // a fresh commit stamps now; a materialization rewrite (replace)
     // carries the original ts through — or keeps having NONE for
     // pre-timestamp manifests (stamping those "now" would teleport an old
@@ -2189,8 +2511,9 @@ object Lake {
     val bidField = streamBatchId
       .map(b => s""""streamBatchId":$b,""").getOrElse("")
     val opField = op.map(o => s""""op":${jsonStr(o)},""").getOrElse("")
+    val dvField = if (dv.isEmpty) "" else s""""dv":${dvJson(dv)},"""
     writeManifestFile(fs, path, v,
-      s"""{"version":$v,$tsField$bidField$opField""" +
+      s"""{"version":$v,$tsField$bidField$opField$dvField""" +
         s""""schema":${jsonStr(schemaDdl)},""" +
         s""""depth":0,"files":${entriesJson(entries)}}""",
       replace)
@@ -2205,7 +2528,7 @@ object Lake {
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, base: Long, add: Seq[(String, Long)],
       remove: Seq[String], streamBatchId: Option[Long] = None,
-      op: Option[String] = None): Unit = {
+      op: Option[String] = None, dvAdd: Seq[DvEntry] = Nil): Unit = {
     val parentDepth = readRawManifest(spark, fs, path, base)
       .map(_.depth).getOrElse(
         sys.error(s"delta base version $base has no manifest under $path"))
@@ -2214,20 +2537,33 @@ object Lake {
       val rm = remove.toSet
       writeVersionManifest(spark, fs, path, v, schemaDdl,
         resolved.entries.filterNot(e => rm(e._1)) ++ add,
-        streamBatchId = streamBatchId, op = op)
+        streamBatchId = streamBatchId, op = op,
+        dv = applyDvDelta(resolved.dvs, rm, dvAdd))
     } else {
       val removeJson = remove.map(jsonStr).mkString("[", ",", "]")
       val bidField = streamBatchId
         .map(b => s""""streamBatchId":$b,""").getOrElse("")
       val opField = op.map(o => s""""op":${jsonStr(o)},""").getOrElse("")
+      val dvField = if (dvAdd.isEmpty) "" else s""""dvAdd":${dvJson(dvAdd)},"""
       writeManifestFile(fs, path, v,
         s"""{"version":$v,"ts":${System.currentTimeMillis()},$bidField""" +
-          s"""$opField"schema":${jsonStr(schemaDdl)},""" +
+          s"""$opField$dvField"schema":${jsonStr(schemaDdl)},""" +
           s""""depth":${parentDepth + 1},"base":$base,""" +
           s""""add":${entriesJson(add)},"remove":$removeJson}""",
         replace = false)
     }
   }
+
+  /** Fold one commit's dv change into a base's live dv set: removing a
+    * data file trims it from every entry's coverage (its rewrite dropped
+    * the tombstoned rows physically, or its remover's rewrite refused to
+    * race us — see publishNonCommuting's dv checks), entries left
+    * covering nothing drop out, and the commit's own dvAdd appends.
+    */
+  private def applyDvDelta(baseDvs: Seq[DvEntry], removed: Set[String],
+      dvAdd: Seq[DvEntry]): Seq[DvEntry] =
+    baseDvs.map(d => d.copy(files = d.files.filterNot(removed)))
+      .filter(_.files.nonEmpty) ++ dvAdd
 
   private def readRawManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
@@ -2250,6 +2586,14 @@ object Lake {
         opt(name).fold(Seq.empty[(String, Long)])(a =>
           (0 until a.size).map(i =>
             (a.get(i).get("path").asText, a.get(i).get("n_rows").asLong)))
+      def dvEntries(name: String): Seq[DvEntry] =
+        opt(name).fold(Seq.empty[DvEntry])(a =>
+          (0 until a.size).map { i =>
+            val e = a.get(i)
+            val fl = e.get("files")
+            DvEntry(e.get("path").asText, e.get("n_del").asLong,
+              (0 until fl.size).map(fl.get(_).asText))
+          })
       Some(RawManifest(n.get("version").asLong, n.get("schema").asText,
         opt("depth").fold(0L)(_.asLong),
         opt("files").map(_ => pairs("files")),
@@ -2259,7 +2603,8 @@ object Lake {
           (0 until a.size).map(a.get(_).asText)),
         opt("ts").map(_.asLong),
         opt("streamBatchId").map(_.asLong),
-        opt("op").map(_.asText)))
+        opt("op").map(_.asText),
+        dv = dvEntries("dv"), dvAdd = dvEntries("dvAdd")))
     }
   }
 
@@ -2272,7 +2617,7 @@ object Lake {
     readRawManifest(spark, fs, path, v).map { raw =>
       raw.files match {
         case Some(entries) =>
-          VersionManifest(raw.version, raw.schemaDdl, entries)
+          VersionManifest(raw.version, raw.schemaDdl, entries, raw.dv)
         case None =>
           val base = readVersionManifest(spark, fs, path, raw.base.get)
             .getOrElse(sys.error(
@@ -2280,7 +2625,8 @@ object Lake {
                 s"missing base ${raw.base.get} - manifest chain broken"))
           val rm = raw.remove.toSet
           VersionManifest(raw.version, raw.schemaDdl,
-            base.entries.filterNot(e => rm(e._1)) ++ raw.add)
+            base.entries.filterNot(e => rm(e._1)) ++ raw.add,
+            applyDvDelta(base.dvs, rm, raw.dvAdd))
       }
     }
 
@@ -2293,8 +2639,86 @@ object Lake {
       fs: org.apache.hadoop.fs.FileSystem, path: String,
       m: VersionManifest): DataFrame = {
     val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
-    readSomeFiles(spark, fs, path,
-      m.entries.map(e => s"$root/${e._1}"), m.schemaDdl)
+    readFilesWithDv(spark, fs, path, m,
+      m.entries.map(e => s"$root/${e._1}"))
+  }
+
+  /** Read a subset of a manifest's data files MERGE-ON-READ: files no dv
+    * entry covers scan clean; covered files scan with `_metadata`
+    * row-position columns and anti-join the union of live tombstones.
+    * The split keeps the DV cost confined to the files that actually
+    * carry deletes — on a 100 TB table with a handful of takedown
+    * tombstones, every other file's scan is byte-identical to the
+    * DV-free plan. The tombstone side rides a broadcast while the
+    * manifest's total tombstone count (metadata — no data read) stays
+    * under ~4M positions; past that it falls back to a shuffle
+    * anti-join on (file, pos).
+    */
+  private def readFilesWithDv(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      m: VersionManifest, files: Seq[String]): DataFrame =
+    if (m.dvs.isEmpty) readSomeFiles(spark, fs, path, files, m.schemaDdl)
+    else readFilesWithDvTagged(spark, fs, path, m, files)
+      .drop(DvSrcFileCol, DvPosCol)
+
+  /** [[readFilesWithDv]] with the surviving rows tagged by their source
+    * data file (table-relative path, [[DvSrcFileCol]]) and row position
+    * ([[DvPosCol]]) — both derived from `_metadata` AT SCAN, so unlike
+    * `input_file_name()` they stay correct through the anti-join and any
+    * downstream join.
+    */
+  private def readFilesWithDvTagged(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      m: VersionManifest, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
+    val covered: Set[String] =
+      m.dvs.flatMap(_.files).map(f => s"$root/$f").toSet
+    val (dvd, clean) = files.partition(covered)
+    def tagged(fl: Seq[String]) =
+      if (fl.isEmpty)
+        readSomeFiles(spark, fs, path, fl, m.schemaDdl)
+          .withColumn(DvSrcFileCol, lit(null).cast("string"))
+          .withColumn(DvPosCol, lit(null).cast("bigint"))
+      else
+        readSomeFiles(spark, fs, path, fl, m.schemaDdl)
+          .withColumn(DvSrcFileCol,
+            relDataPathCol(col("_metadata.file_path"), root))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+    if (dvd.isEmpty) return tagged(files)
+    val tombRaw = spark.read
+      .parquet(qualifyForRead(fs, m.dvs.map(d => s"$root/${d.dv}")): _*)
+      .select(col("file"), col("pos"))
+    val tomb =
+      if (m.dvs.map(_.nDel).sum <= DvBroadcastPositions) broadcast(tombRaw)
+      else tombRaw
+    val scanned = tagged(dvd)
+    val alive = scanned.join(tomb,
+        scanned(DvSrcFileCol) === tomb("file") &&
+          scanned(DvPosCol) === tomb("pos"),
+        "left_anti")
+    if (clean.isEmpty) alive else tagged(clean).unionByName(alive)
+  }
+
+  private val DvSrcFileCol = "_graft_src_file"
+  private val DvPosCol = "_graft_src_pos"
+
+  private val DvBroadcastPositions = 4L << 20
+
+  /** Normalize an absolute file-path column (`input_file_name` /
+    * `_metadata.file_path` form: scheme-qualified, percent-encoded) to
+    * the TABLE-RELATIVE identity tombstones are keyed by — the Column
+    * twin of the driver-side `URI.getPath.stripPrefix(root)`, sharing
+    * [[pruneCandidatesWithStats]]'s decode contract.
+    */
+  private def relDataPathCol(c: org.apache.spark.sql.Column,
+      root: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+    regexp_replace(
+      url_decode(regexp_replace(
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+        "\\+", "%2B")),
+      "^" + java.util.regex.Pattern.quote(root + "/"), "")
   }
 
   /** Internal identity form of file paths is SCHEME-LESS (URI.getPath —
@@ -2950,6 +3374,10 @@ object Lake {
 
   def readSkipping(spark: SparkSession, path: String,
       keep: org.apache.spark.sql.Column): DataFrame = {
+    requireNoDvs(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "readSkipping")
     val (manifest, current) = validatedManifest(spark, path)
     // intersect with the CURRENT file set: a versioned table's stats
     // manifest may still carry rows for files a delete retired — reading
@@ -3131,8 +3559,13 @@ object Lake {
   }
 
   def readProbed(spark: SparkSession, path: String, c: String,
-      probes: Seq[String]): DataFrame =
+      probes: Seq[String]): DataFrame = {
+    requireNoDvs(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "readProbed")
     readFileSubset(spark, path, probeDataFiles(spark, path, c, probes)._1)
+  }
 
   /** All parquet data files under `dir`, recursing through partition dirs;
     * underscore/dot metadata names are skipped at every level.

@@ -875,9 +875,10 @@ class LakeSpec extends SparkSpec {
   test("versioned commit sequences == in-memory model (randomized)") {
     // model-based check over the delta-manifest machinery: random
     // sequences of append / delete / merge / mergeCdc / optimize /
-    // rerange / zorder / restore / vacuum must keep the published
-    // version's content equal to a plain in-memory map; restore rolls
-    // the model back to the state recorded at the target version
+    // rerange / zorder / restore / vacuum / dvDelete / purgeDeletes must
+    // keep the published version's content equal to a plain in-memory
+    // map; restore rolls the model back to the state recorded at the
+    // target version (re-applying that version's tombstone sidecars)
     for (round <- 1 to 3) {
       val rnd = new scala.util.Random(round * 104729L)
       val dir = tmp() + s"/t$round"
@@ -901,7 +902,7 @@ class LakeSpec extends SparkSpec {
         Lake.setAutoOptimize(spark, dir, smallFileLimit = 4,
           targetFileBytes = 32L << 10)
       for (_ <- 0 until 16) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
           case 0 => // O(batch) append of new keys
             val rows = freshRows(1 + rnd.nextInt(8))
             model = model ++ rows
@@ -919,6 +920,9 @@ class LakeSpec extends SparkSpec {
             val src = updates ++ inserts
             if (src.nonEmpty) {
               model = model ++ src
+              // merge refuses under live deletion vectors; the purge it
+              // demands is content-invariant, so the model is untouched
+              Lake.purgeDeletes(spark, dir)
               Lake.mergeInto(spark, dir, frame(src), Seq("k"))
             }
           case 3 =>
@@ -935,6 +939,7 @@ class LakeSpec extends SparkSpec {
             if (upd.nonEmpty || dels.size > 1) {
               model = model ++ upd.map(t => t._1 -> t._2) --
                 dels.map(_._1)
+              Lake.purgeDeletes(spark, dir) // see the mergeInto arm
               Lake.mergeCdc(spark, dir,
                 (upd ++ dels).toDF("k", "v", "_del"), Seq("k"), col("_del"))
             }
@@ -952,6 +957,13 @@ class LakeSpec extends SparkSpec {
               Lake.restoreVersion(spark, dir, target)
               model = history(target)
             }
+          case 9 => // merge-on-read range delete (tombstone sidecar)
+            val lo = rnd.nextLong(math.max(1L, nextKey))
+            val hi = lo + rnd.nextInt(10)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            Lake.deleteWhereDv(spark, dir, col("k").between(lo, hi))
+          case 10 => // materialize whatever tombstones are live
+            Lake.purgeDeletes(spark, dir)
         }
         val vNow = Lake.listVersions(spark, dir).last
         history += vNow -> model
