@@ -349,5 +349,40 @@ object Relational5 {
           |GROUP BY s_name
           |ORDER BY numwait DESC, s_name""".stripMargin),
     ),
+
+    // ---- UNPIVOT (melt): wide order measures to (key, metric, val) long
+    //      form — the inverse of q_pivot_events, via the native Unpivot
+    //      plan node (one narrow Expand, no shuffle, no join). Long form
+    //      is the feature-store/metrics-export shape every training
+    //      pipeline hits. Oracle is the portable UNION ALL. ----
+    QueryDef(
+      "q_unpivot",
+      (sp, dir) =>
+        Tables.orders(sp, dir)
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"),
+            col("o_totalprice").as("total_price"),
+            col("o_custkey").cast("double").as("cust_key"),
+            unix_date(col("o_orderdate").cast("date")).cast("double")
+              .as("order_day"))
+          .unpivot(
+            Array(col("o_orderkey")),
+            Array(col("total_price"), col("cust_key"), col("order_day")),
+            "metric", "val")
+          .orderBy("o_orderkey", "metric"),
+      Some(
+        """SELECT o_orderkey, metric, val FROM (
+          |  SELECT o_orderkey, 'total_price' AS metric, o_totalprice AS val
+          |  FROM orders WHERE o_orderkey % 50 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE)
+          |  FROM orders WHERE o_orderkey % 50 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, 'order_day',
+          |         CAST(datediff('day', DATE '1970-01-01',
+          |                       CAST(o_orderdate AS DATE)) AS DOUBLE)
+          |  FROM orders WHERE o_orderkey % 50 = 0)
+          |ORDER BY o_orderkey, metric""".stripMargin),
+    ),
   )
 }

@@ -373,11 +373,85 @@ object StreamQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- stream_cdc_equiv: continuous CDC latest-record-wins ---------------
+  //
+  // cdcLatestExplicit is the custom-state path (flatMapGroupsWithState +
+  // event-time timeouts) — the one operator family with no declarative
+  // twin, so its differential matters most. Commit timestamps derive from
+  // event_id (strictly unique per key), so the scd1 tie order
+  // (commit_ts desc, op desc) picks ONE winner deterministically; the
+  // sentinel pair flushes every key's state via the timeout path.
+
+  private val cdcLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcLandingFor(spark: SparkSession, dir: String): String =
+    cdcLandings.computeIfAbsent(dir, _ => {
+      val l = Scratch.dir("stream_cdc_landing")
+      Tables.events(spark, dir).select(
+        concat(lit("u"), (col("user_id") % 256).cast("string")).as("k"),
+        round(col("value") * 100).cast("long").as("v"),
+        when(col("event_id") % 11 === 0, "d").otherwise("u").as("op"),
+        date_format(
+          timestamp_seconds(lit(1704067200L) + col("event_id")), tsFmt)
+          .as("cts"))
+        .repartitionByRange(4, col("v")).write.json(l)
+      Thread.sleep(1100)
+      def sentinel(name: String, ts: String): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(l, name),
+          (s"""{"k":"zz-sentinel","v":0,"op":"u","cts":"$ts"}""")
+            .getBytes("UTF-8"))
+      sentinel("zz-sentinel-1.json", "2030-01-01 00:00:00.000000")
+      Thread.sleep(20)
+      sentinel("zz-sentinel-2.json", "2031-01-01 00:00:00.000000")
+      l
+    })
+
+  private val cdcSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cts",
+      org.apache.spark.sql.types.StringType)))
+
+  private def streamCdcEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val landing = cdcLandingFor(spark, dir)
+    val root = Scratch.dir("stream_cdc")
+    val typed = jsonStream(spark, landing, cdcSchema, Some(1))
+      .select(col("k"), col("v"), col("op").as("_op"),
+        col("cts").cast("timestamp").as("_commit_ts"))
+    drainToParquet(
+      StreamAggs.cdcLatestExplicit(typed, lateness = "720 hours").toDF(),
+      s"$root/sink", s"$root/ckpt")
+    spark.read.parquet(s"$root/sink")
+      .filter(col("k") =!= "zz-sentinel")
+      .select(col("k"), col("v"), col("_commit_ts").as("commit_ts"))
+      .orderBy("k")
+  }
+
+  private val cdcOracle =
+    """WITH c AS (
+      |  SELECT 'u' || CAST(user_id % 256 AS VARCHAR) AS k,
+      |         CAST(round(value * 100) AS BIGINT) AS v,
+      |         CASE WHEN event_id % 11 = 0 THEN 'd' ELSE 'u' END AS op,
+      |         make_timestamp((1704067200 + event_id) * 1000000) AS cts
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k
+      |                                   ORDER BY cts DESC, op DESC) AS rn
+      |      FROM c)
+      |SELECT k, v, cts AS commit_ts FROM r
+      |WHERE rn = 1 AND op <> 'd' ORDER BY k""".stripMargin
+
   /** Bench prebuild hook for the stateful-row landings. */
   def prebuildStatefulLandings(spark: SparkSession, dir: String): Unit = {
     dedupLandingFor(spark, dir)
     joinLandingsFor(spark, dir)
     sessionLandingFor(spark, dir)
+    cdcLandingFor(spark, dir)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -386,5 +460,6 @@ object StreamQueries {
     QueryDef("stream_dedup_equiv", streamDedupEquiv, Some(dedupOracle)),
     QueryDef("stream_join_equiv", streamJoinEquiv, Some(joinOracle)),
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
+    QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
   )
 }
