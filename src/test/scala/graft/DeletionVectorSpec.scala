@@ -196,6 +196,26 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("schema-evolving"))
   }
 
+  test("the dv read plans a broadcast anti-join confined to covered files") {
+    val dir = twoFileTable()
+    // append a THIRD file, then tombstone rows in the first two only:
+    // the clean file must scan join-free
+    Lake.appendVersioned(spark,
+      Seq((9L, "d", 90.0)).toDF("id", "k", "v").coalesce(1), dir)
+    Lake.deleteWhereDv(spark, dir, col("k") === "a")
+    val df = Lake.readVersioned(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // tombstones ride a broadcast (manifest says 3 positions — far under
+    // the gate), applied as a LeftAnti
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dv anti-join not broadcast:\n$p")
+    // the union has a branch scanning the clean file with NO join above
+    // it — the split that keeps dv cost confined to covered files
+    assert(p.contains("Union"), s"no clean/dvd scan split:\n$p")
+    assert(df.select("id").as[Long].collect().toSet ==
+      Set(2L, 4L, 5L, 7L, 8L, 9L))
+  }
+
   test("stats pruning narrows dv discovery to candidate files") {
     val dir = twoFileTable()
     Lake.appendStats(spark, dir, Seq("id"))
