@@ -2703,7 +2703,11 @@ object Lake {
   private val DvSrcFileCol = "_graft_src_file"
   private val DvPosCol = "_graft_src_pos"
 
-  private val DvBroadcastPositions = 4L << 20
+  // 1M (file, pos) rows ≈ 60 MB serialized — the comfortable broadcast
+  // ceiling; a bigger live tombstone set (the signal the table is overdue
+  // for purgeDeletes) falls back to a shuffle anti-join on the covered
+  // files only
+  private val DvBroadcastPositions = 1L << 20
 
   /** Normalize an absolute file-path column (`input_file_name` /
     * `_metadata.file_path` form: scheme-qualified, percent-encoded) to
@@ -2842,6 +2846,12 @@ object Lake {
       streamBatchId: Option[Long] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deletion vectors and schema evolution are mutually exclusive: the
+    // evolved read path resolves through the column-mapping projection,
+    // which cannot also attach the scan-stage _metadata position columns
+    // the tombstone anti-join needs — drifting a dv'd table would leave
+    // its reads broken. Purge first; the refusal mirrors deleteWhereDv's.
+    requireNoDvs(spark, fs, path, "writeEvolving")
     // the constraint contract is two-sided: addCheckConstraint refuses
     // evolving tables, and a table that gained constraints while plain
     // refuses to start evolving. The guards are check-then-act, so a

@@ -177,12 +177,24 @@ object StreamQueries {
 
   private def drainToParquet(df: DataFrame, sink: String,
       ckpt: String): Unit = {
-    val q = df.writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful operators shard their state store BY SHUFFLE PARTITION,
+    // and every micro-batch commits every shard: at the bench's 32
+    // partitions a 3-batch drain pays ~100 store commits of pure
+    // overhead for KB of state. 8 shards keeps the differential rows'
+    // cost in the operator, not the store. (Production sizing is the
+    // opposite knob — shards ∝ state volume; StreamingOpsSpec covers
+    // semantics at the session default.)
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   // ---- stream_dedup_equiv: dropDuplicatesWithinWatermark ----------------
@@ -276,9 +288,12 @@ object StreamQueries {
   private def streamJoinEquiv(spark: SparkSession, dir: String): DataFrame = {
     val (vDir, pDir) = joinLandingsFor(spark, dir)
     val root = Scratch.dir("stream_join")
+    // multi-batch evidence rides the VIEWS side (2 files, 1/trigger);
+    // the purchase side drains whole — fewer triggers, same cross-batch
+    // buffered-state join
     val views = jsonStream(spark, vDir, viewSchema, Some(1))
       .withColumn("view_ts", col("view_ts").cast("timestamp"))
-    val purchases = jsonStream(spark, pDir, purchaseSchema, Some(1))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, None)
       .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
     // inner join: every matched pair emits exactly once as soon as both
     // rows are buffered, independent of watermark progress; the 10-year
@@ -315,7 +330,7 @@ object StreamQueries {
       Tables.events(spark, dir)
         .select(date_format(col("ts"), tsFmt).as("ts"), col("user_id"),
           col("value"))
-        .repartitionByRange(4, col("ts")).write.json(l)
+        .repartitionByRange(3, col("ts")).write.json(l)
       // sentinels strictly AFTER the data files in both mod-time (the
       // sleep clears coarse-mtime filesystems) and path order: if one ran
       // first, its watermark would late-drop every real event
@@ -341,7 +356,10 @@ object StreamQueries {
   private def streamSessionsEquiv(spark: SparkSession, dir: String): DataFrame = {
     val landing = sessionLandingFor(spark, dir)
     val root = Scratch.dir("stream_sessions")
-    val typed = jsonStream(spark, landing, sessionSchema, Some(1))
+    // 3 data files + 2 sentinels at 2 files/trigger → 3 micro-batches
+    // (d,d)(d,s1)(s2): still multi-batch session merging, still a batch
+    // AFTER the watermark-advancing sentinel, half the trigger overhead
+    val typed = jsonStream(spark, landing, sessionSchema, Some(2))
       .withColumn("ts", col("ts").cast("timestamp"))
     // generous lateness so no real event is ever late during the drain;
     // sentinel 1 (2030) still lands the watermark years past every real
@@ -395,7 +413,7 @@ object StreamQueries {
         date_format(
           timestamp_seconds(lit(1704067200L) + col("event_id")), tsFmt)
           .as("cts"))
-        .repartitionByRange(4, col("v")).write.json(l)
+        .repartitionByRange(3, col("v")).write.json(l)
       Thread.sleep(1100)
       def sentinel(name: String, ts: String): Unit =
         java.nio.file.Files.write(
@@ -421,7 +439,8 @@ object StreamQueries {
   private def streamCdcEquiv(spark: SparkSession, dir: String): DataFrame = {
     val landing = cdcLandingFor(spark, dir)
     val root = Scratch.dir("stream_cdc")
-    val typed = jsonStream(spark, landing, cdcSchema, Some(1))
+    // (d,d)(d,s1)(s2) batching — see streamSessionsEquiv
+    val typed = jsonStream(spark, landing, cdcSchema, Some(2))
       .select(col("k"), col("v"), col("op").as("_op"),
         col("cts").cast("timestamp").as("_commit_ts"))
     drainToParquet(

@@ -187,13 +187,26 @@ class DeletionVectorSpec extends SparkSpec {
       .filter(col("id") === 2L).select("k").as[String].head() == "z")
   }
 
-  test("schema-evolving tables refuse the dv path") {
+  test("schema-evolving tables refuse the dv path, and vice versa") {
     val dir = tmp()
     Lake.writeEvolving(spark, Seq((1L, "a")).toDF("id", "k"), dir)
     val e = intercept[IllegalArgumentException] {
       Lake.deleteWhereDv(spark, dir, col("id") === 1L)
     }
     assert(e.getMessage.contains("schema-evolving"))
+    // the mirror refusal: a dv'd table cannot start drifting — the
+    // evolved read path cannot attach the tombstone anti-join
+    val dir2 = twoFileTable()
+    Lake.deleteWhereDv(spark, dir2, col("id") === 1L)
+    val d = intercept[IllegalArgumentException] {
+      Lake.writeEvolving(spark, Seq((9L, "z", 9.0, "extra"))
+        .toDF("id", "k", "v", "note"), dir2)
+    }
+    assert(d.getMessage.contains("deletion vectors"))
+    Lake.purgeDeletes(spark, dir2)
+    Lake.writeEvolving(spark, Seq((9L, "z", 9.0, "extra"))
+      .toDF("id", "k", "v", "note"), dir2)
+    assert(Lake.readVersioned(spark, dir2).count() == 8L)
   }
 
   test("the dv read plans a broadcast anti-join confined to covered files") {
