@@ -45,6 +45,9 @@ object PlanAudit {
     "sketch_source_sim", // per-SOURCE sketch self-join on '<': both sides = n_sources rows
     "dedup_ngram_jaccard", // fixed rank-capped sample pairwise twin; PPJoin is the scale path
     "doc_bm25", // 1-row corpus-stats aggregate broadcast-crossed to the scoring pass
+    "ann_lsh", // 1-row n_queries agg x 1-row n_hits agg (recall flag); r13 recall oracle
+    "dedup_minhash", // 1-row exact-pair count x 1-row found count (recall flag)
+    "doc_lm_score", // 1-row vocab-size aggregate broadcast-crossed to the scoring pass
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected
