@@ -662,6 +662,43 @@ object Similarity {
           |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
           |ORDER BY a_id, b_id""".stripMargin),
     ),
+    // Full Pearson correlation matrix over the embedding dimensions — the
+    // feature-redundancy / whitening-diagnostic pass a representation
+    // pipeline runs before PCA or quantizer training. SCALE SHAPE is the
+    // whole point: ml.stat.Correlation rides RowMatrix's treeAggregate of
+    // per-partition OUTER PRODUCTS, so exactly d² scalars cross the wire
+    // per partition and the corpus is read once — never the n×d² exploded
+    // self-join a naive SQL formulation would shuffle (the oracle does
+    // exactly that, which is fine for DuckDB at test SF and lethal at
+    // 100 TB). The d×d result is a MODEL ARTIFACT (64×64 doubles), so the
+    // driver materialization is metadata-sized — same contract as the IVF
+    // codebook collects.
+    QueryDef(
+      "emb_corr_matrix",
+      (sp, dir) => {
+        import org.apache.spark.ml.functions.array_to_vector
+        val vecs = Tables.embeddings(sp, dir)
+          .select(array_to_vector(col("embedding")).as("feats"))
+        val m = org.apache.spark.ml.stat.Correlation.corr(vecs, "feats")
+          .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
+        val rows = for {
+          i <- 0 until m.numRows
+          j <- (i + 1) until m.numCols
+        } yield (i + 1, j + 1, m(i, j))
+        import sp.implicits._
+        rows.toDF("i", "j", "c")
+          .select(col("i"), col("j"), round(col("c"), 4).as("corr_r"))
+          .orderBy("i", "j")
+      },
+      Some(
+        """WITH x AS (
+          |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |         unnest(range(1, len(embedding) + 1)) AS i
+          |  FROM embeddings)
+          |SELECT a.i AS i, b.i AS j, round(corr(a.v, b.v), 4) AS corr_r
+          |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+          |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+    ),
     // Embedding-level decontamination: train vectors too close to the
     // held-out benchmark slice (vec_id % 97). The benchmark side is tiny
     // by construction → broadcast; one corpus pass, no self-shuffle — the

