@@ -608,11 +608,14 @@ object Lake {
             .drop(DvSrcFileCol, DvPosCol), changeType))
         }
       if (raw.op.exists(ReorgOps)) Seq.empty
-      else if (raw.op.contains("dvdelete"))
+      else if (raw.op.contains("dvdelete") && raw.files.isEmpty)
         // merge-on-read delete: the commit's payload is its sidecars;
         // the deleted rows are the covered files' rows at the tombstoned
         // positions (reading only files this commit touched — the feed's
-        // cost contract)
+        // cost contract). A vacuum-MATERIALIZED dvdelete is a full
+        // manifest carrying the resolved dv set, not a dvAdd — it falls
+        // through to the snapshot branch below, whose carried-file
+        // tombstone diff against v-1 reconstructs exactly these deletes.
         rowsAt(raw.dvAdd.flatMap(_.files).distinct,
           tombFrame(raw.dvAdd), "delete").toSeq
       else raw.files match {

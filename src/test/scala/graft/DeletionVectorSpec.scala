@@ -166,6 +166,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ids(dir) == Set(2L, 4L, 5L, 7L, 8L))
   }
 
+  test("a vacuum-materialized dvdelete refuses at the feed horizon, never feeds empty") {
+    val dir = twoFileTable() // v1 snapshot, v2 append
+    val (v3, _) = Lake.deleteWhereDv(spark, dir, col("k") === "a")
+    Lake.appendVersioned(spark,
+      Seq((9L, "d", 90.0)).toDF("id", "k", "v").coalesce(1), dir) // v4
+    // drop v1+v2: v3's delta chain passes through v2 → vacuum
+    // materializes it as a FULL manifest (dv set, no dvAdd)
+    Lake.vacuum(spark, dir, keepLast = 2, orphanGraceMs = 0L)
+    assert(ids(dir) == Set(2L, 4L, 5L, 7L, 8L, 9L))
+    // the deletes' preimages need v2's state, which is gone: the feed
+    // must REFUSE (the horizon contract) — before the materialized-form
+    // guard it silently emitted zero changes for the commit
+    val e = intercept[RuntimeException] {
+      Lake.readChangeFeed(spark, dir, v3, v3 + 1).count()
+    }
+    assert(e.getMessage.contains("vacuum") ||
+      e.getMessage.contains("retention"), e.getMessage)
+    // the append after it still feeds fine
+    assert(Lake.readChangeFeed(spark, dir, v3 + 1, v3 + 1)
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("paths that cannot see tombstones refuse while DVs are live") {
     val dir = twoFileTable()
     Lake.appendStats(spark, dir, Seq("id"))
