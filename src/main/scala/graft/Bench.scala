@@ -49,6 +49,7 @@ object Bench {
     warm("delete_fixture")(graft.pipeline.PipelineQueries.prebuildDeleteFixture(spark, sfDir))
     warm("dv_fixture")(graft.pipeline.PipelineQueries.prebuildDvFixture(spark, sfDir))
     warm("dv_purge_fixture")(graft.pipeline.PipelineQueries.prebuildDvPurgeFixture(spark, sfDir))
+    warm("dv_count_fixture")(graft.pipeline.PipelineQueries.prebuildDvCountFixture(spark, sfDir))
     warm("merge_target")(graft.pipeline.PipelineQueries.prebuildMergeTarget(spark, sfDir))
     warm("cdc_target")(graft.pipeline.PipelineQueries.prebuildCdcTarget(spark, sfDir))
     warm("stream_table")(graft.pipeline.PipelineQueries.prebuildStreamTable(spark, sfDir))

@@ -70,6 +70,9 @@ object PipelineQueries {
   def prebuildDvPurgeFixture(sp: org.apache.spark.sql.SparkSession,
       dir: String): String = dvFixture(sp, dir, "dvp")
 
+  def prebuildDvCountFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String = dvFixture(sp, dir, "dvc")
+
   /** Versioned per-user-totals target for `lake_merge_upsert`, built once
     * per (session, SF dir) — in production the upsert TARGET long
     * predates any batch; Bench prebuilds it so the query times the MERGE.
@@ -1151,6 +1154,25 @@ object PipelineQueries {
           |FROM events
           |WHERE user_id % 7 <> 0
           |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
+    // ---- METADATA-ONLY COUNT: count(*) answered from manifest n_rows
+    //      minus live tombstones — zero data scan (the Delta/Iceberg
+    //      stats-answer path). The oracle recounts from raw events; a
+    //      stale footer count, a missed tombstone, or a double-counted
+    //      racing sidecar all break the equality. ----
+    QueryDef(
+      "lake_rowcount",
+      (sp, dir) => {
+        val path = prebuildDvCountFixture(sp, dir)
+        graft.sources.Lake.deleteWhereDv(sp, path, col("user_id") % 13 === 0)
+        val n = graft.sources.Lake.rowCount(sp, path)
+        import sp.implicits._
+        Seq(n).toDF("n_rows")
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows
+          |FROM events WHERE user_id % 13 <> 0""".stripMargin),
     ),
 
     // ---- CHANGE-DATA-FEED incremental refresh: a downstream per-user

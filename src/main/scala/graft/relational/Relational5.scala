@@ -384,5 +384,67 @@ object Relational5 {
           |  FROM orders WHERE o_orderkey % 50 = 0)
           |ORDER BY o_orderkey, metric""".stripMargin),
     ),
+
+    // ---- exponential time-decay aggregate: per-user engagement where
+    //      each event counts half as much every 7 days of age (the
+    //      recency weighting recommendation/engagement pipelines run).
+    //      The "now" anchor is the corpus max — a 1-row aggregate on a
+    //      broadcast (the q6_forecast scalar shape), then ONE grouped
+    //      pass with the weight in codegen arithmetic. Seconds truncate
+    //      identically on both engines; the ln-free pow rounds at 4. ----
+    QueryDef(
+      "q_decay_engagement",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+        val anchor = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("w",
+            pow(lit(0.5),
+              (col("mx") - unix_timestamp(col("ts"))) / lit(604800.0)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("w") * col("value")), 4).as("decayed_value"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx FROM events)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(power(0.5,
+          |         (m.mx - CAST(floor(epoch(ts)) AS BIGINT)) / 604800.0)
+          |         * value), 4) AS decayed_value
+          |FROM events, m
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- NTILE quartiles: customers bucketed by account balance (the
+    //      cohort/quantile-binning window). The global-order window is
+    //      the semantic; at 100 TB the same binning runs via
+    //      approx-quantile cutoffs (q_percentiles' path) instead of a
+    //      single-partition sort. Ties broken on c_custkey so both
+    //      engines assign identical buckets. ----
+    QueryDef(
+      "q_ntile",
+      (sp, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(sp, dir)
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("n_custs"),
+            round(min(col("c_acctbal")), 2).as("min_bal"),
+            round(max(col("c_acctbal")), 2).as("max_bal"))
+          .orderBy("quartile")
+      },
+      Some(
+        """SELECT quartile, CAST(count(*) AS BIGINT) AS n_custs,
+          |       round(min(c_acctbal), 2) AS min_bal,
+          |       round(max(c_acctbal), 2) AS max_bal
+          |FROM (SELECT c_acctbal,
+          |             ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
+          |               AS quartile
+          |      FROM customer)
+          |GROUP BY quartile ORDER BY quartile""".stripMargin),
+    ),
   )
 }

@@ -1178,6 +1178,49 @@ object Lake {
     (next, dvdRel.size.toLong)
   }
 
+  /** METADATA-ONLY row count — `SELECT count(*)` answered from the
+    * version manifest's per-file `n_rows` (read from parquet footers at
+    * commit time) minus the live tombstones, without scanning a byte of
+    * data. At 100 TB this is the difference between an instant answer
+    * and a full-corpus pass; Delta/Iceberg answer the same query from
+    * their stats the same way. The tombstone correction reads only the
+    * KB-sized sidecars (their recorded `nDel` goes stale when a rewrite
+    * trims an entry's coverage, so the live positions are counted, not
+    * trusted from the audit field). Exactness is spec-pinned against a
+    * full scan across dvDelete/COW-delete/purge/append sequences.
+    */
+  def rowCount(spark: SparkSession, path: String,
+      version: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(versionsDir(path)),
+      s"$path carries no version manifests - metadata counts need the " +
+        "versioned write path")
+    val v = version.orElse(readVersionPointer(fs, path)).getOrElse {
+      val vs = manifestVersions(fs, path)
+      require(vs.nonEmpty, s"no versions under $path")
+      vs.last
+    }
+    val m = readVersionManifest(spark, fs, path, v).getOrElse(
+      sys.error(s"version $v does not exist under $path"))
+    val physical = m.entries.map(_._2).sum
+    if (m.dvs.isEmpty) physical
+    else {
+      val root = rootPath(fs, hp)
+      val covered = m.dvs.flatMap(_.files).distinct
+      // DISTINCT: two RACING dvDeletes with overlapping predicates each
+      // anti-join the base's tombstones (neither sees the other), so one
+      // row can be tombstoned in both sidecars — reads are anti-joins
+      // (idempotent), but a bare count would subtract it twice
+      val live = spark.read
+        .parquet(qualifyForRead(fs, m.dvs.map(d => s"$root/${d.dv}")): _*)
+        .filter(col("file").isin(covered: _*))
+        .select("file", "pos").distinct().count()
+      physical - live
+    }
+  }
+
   /** The live deletion-vector sidecars at `version` (default: current):
     * (sidecar path, tombstones written at its commit, covered data
     * files). Empty for a DV-free table — the audit/test surface.

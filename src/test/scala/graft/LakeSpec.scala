@@ -973,6 +973,10 @@ class LakeSpec extends SparkSpec {
           s"round $round: duplicate keys surfaced")
         assert(got.toMap == model,
           s"round $round: table diverged from the model")
+        // the METADATA-ONLY count (manifest n_rows minus live tombstones)
+        // must agree with the scan after every commit type
+        assert(Lake.rowCount(spark, dir) == model.size.toLong,
+          s"round $round: metadata rowCount diverged from the model")
         // a FEED-MAINTAINED per-key view folds alongside the same random
         // commit stream (~every third commit); when a vacuum consumed the
         // feed window the refresh refuses loudly and forceFull is the

@@ -48,6 +48,7 @@ object PlanAudit {
     "ann_lsh", // 1-row n_queries agg x 1-row n_hits agg (recall flag); r13 recall oracle
     "dedup_minhash", // 1-row exact-pair count x 1-row found count (recall flag)
     "doc_lm_score", // 1-row vocab-size aggregate broadcast-crossed to the scoring pass
+    "q_decay_engagement", // 1-row max-ts anchor broadcast-crossed (q6_forecast shape)
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected
