@@ -608,7 +608,7 @@ object Lake {
             .drop(DvSrcFileCol, DvPosCol), changeType))
         }
       if (raw.op.exists(ReorgOps)) Seq.empty
-      else if (raw.op.contains("dvdelete") && raw.files.isEmpty)
+      else if (raw.op.contains("dvdelete") && raw.files.isEmpty) {
         // merge-on-read delete: the commit's payload is its sidecars;
         // the deleted rows are the covered files' rows at the tombstoned
         // positions (reading only files this commit touched — the feed's
@@ -616,8 +616,17 @@ object Lake {
         // manifest carrying the resolved dv set, not a dvAdd — it falls
         // through to the snapshot branch below, whose carried-file
         // tombstone diff against v-1 reconstructs exactly these deletes.
-        rowsAt(raw.dvAdd.flatMap(_.files).distinct,
-          tombFrame(raw.dvAdd), "delete").toSeq
+        // Positions already tombstoned at v-1 are SUBTRACTED first: two
+        // racing dvDeletes with overlapping predicates may legally
+        // repeat a (file, pos) (each anti-joined only its own base), and
+        // re-emitting the shared row would retract it twice downstream.
+        val mine = tombFrame(raw.dvAdd).distinct()
+        val prevDvs = dvsAtPrev(v)
+        val fresh =
+          if (prevDvs.isEmpty) mine
+          else mine.except(tombFrame(prevDvs))
+        rowsAt(raw.dvAdd.flatMap(_.files).distinct, fresh, "delete").toSeq
+      }
       else raw.files match {
         case None =>
           val prevDvs =
@@ -657,18 +666,28 @@ object Lake {
                 org.apache.spark.sql.functions.col("file")
                   .isin(carried.toSeq: _*)))
             }
-            val dvParts = (carriedTombs(prevM.dvs), carriedTombs(raw.dv)) match {
-              case (None, None) => Seq.empty
-              case (p, c) =>
-                val empty = tombFrame(
-                  (prevM.dvs ++ raw.dv).take(1)).limit(0)
-                val pT = p.getOrElse(empty)
-                val cT = c.getOrElse(empty)
-                val coveredFiles = (prevM.dvs ++ raw.dv)
-                  .flatMap(_.files).distinct.filter(carried)
-                rowsAt(coveredFiles, pT.exceptAll(cT), "insert").toSeq ++
-                  rowsAt(coveredFiles, cT.exceptAll(pT), "delete").toSeq
-            }
+            // short-circuit the common checkpoint shape (depth-cap or
+            // vacuum materialization of a non-dv commit): identical dv
+            // sets on both sides diff to nothing — decided from metadata
+            // already in hand, no covered-file I/O
+            val dvParts =
+              if (prevM.dvs.toSet == raw.dv.toSet) Seq.empty
+              else (carriedTombs(prevM.dvs), carriedTombs(raw.dv)) match {
+                case (None, None) => Seq.empty
+                case (p, c) =>
+                  val empty = tombFrame(
+                    (prevM.dvs ++ raw.dv).take(1)).limit(0)
+                  // SET semantics: racing dvDeletes may duplicate a
+                  // (file, pos) across sidecars — multiset exceptAll
+                  // would turn "two copies minus one" into a phantom
+                  // insert for a row that is still tombstoned
+                  val pT = p.getOrElse(empty).distinct()
+                  val cT = c.getOrElse(empty).distinct()
+                  val coveredFiles = (prevM.dvs ++ raw.dv)
+                    .flatMap(_.files).distinct.filter(carried)
+                  rowsAt(coveredFiles, pT.except(cT), "insert").toSeq ++
+                    rowsAt(coveredFiles, cT.except(pT), "delete").toSeq
+              }
             fileParts ++ dvParts
           }
       }
@@ -1011,9 +1030,7 @@ object Lake {
       val matchedRel = matchedEntries.map(_._1).toSet
       val priorTombs =
         if (!m0.dvs.exists(_.files.exists(matchedRel))) 0L
-        else spark.read
-          .parquet(qualifyForRead(fs, m0.dvs.map(d => s"$root/${d.dv}")): _*)
-          .filter(col("file").isin(matchedRel.toSeq: _*)).count()
+        else liveTombstones(spark, fs, root, m0.dvs, matchedRel.toSeq).count()
       val removed = matchedEntries.map(_._2).sum -
         rewritten.map(_._2).sum - priorTombs
       (v0, next, removed)
@@ -1116,13 +1133,15 @@ object Lake {
       .select(col(DvSrcFileCol).as("file"), col(DvPosCol).as("pos"))
     // tombstones are metadata-sized (a DV delete is the SMALL-delete
     // path); one sidecar file keeps the manifest entry single
-    val (_, written) = writeClaimedDir(spark, fs, path,
+    val (claimedDir, written) = writeClaimedDir(spark, fs, path,
       positions.coalesce(1))
     val nDel = written.map(_._2).sum
     if (nDel == 0L) {
-      // nothing matched: drop the empty claimed sidecar, publish nothing
-      written.map(_._1).foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$f"), false))
+      // nothing matched: reclaim the WHOLE claimed dir (sidecar, claim
+      // marker, _SUCCESS) and publish nothing — a repeated no-op
+      // predicate must not burn a version-number namespace per call or
+      // leave crumb dirs for vacuum's grace reclaim to chew through
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"v=$claimedDir"), true)
       return (v0, 0L)
     }
     // covered-file list: path strings only to the driver (the engine's
@@ -1206,19 +1225,25 @@ object Lake {
       sys.error(s"version $v does not exist under $path"))
     val physical = m.entries.map(_._2).sum
     if (m.dvs.isEmpty) physical
-    else {
-      val root = rootPath(fs, hp)
-      val covered = m.dvs.flatMap(_.files).distinct
-      // DISTINCT: two RACING dvDeletes with overlapping predicates each
-      // anti-join the base's tombstones (neither sees the other), so one
-      // row can be tombstoned in both sidecars — reads are anti-joins
-      // (idempotent), but a bare count would subtract it twice
-      val live = spark.read
-        .parquet(qualifyForRead(fs, m.dvs.map(d => s"$root/${d.dv}")): _*)
-        .filter(col("file").isin(covered: _*))
-        .select("file", "pos").distinct().count()
-      physical - live
-    }
+    else physical - liveTombstones(spark, fs, rootPath(fs, hp), m.dvs,
+      m.dvs.flatMap(_.files).distinct).count()
+  }
+
+  /** DISTINCT live tombstone positions in `dvs`, restricted to `files`
+    * (table-relative). Two RACING dvDeletes with overlapping predicates
+    * each anti-join only their own base's tombstones, so one row can
+    * legally appear in two sidecars — reads are anti-joins (idempotent
+    * under duplicates), but every COUNTING or DIFFING consumer must see
+    * a set, not the multiset.
+    */
+  private def liveTombstones(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      dvs: Seq[DvEntry], files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read
+      .parquet(qualifyForRead(fs, dvs.map(d => s"$root/${d.dv}")): _*)
+      .filter(col("file").isin(files: _*))
+      .select("file", "pos").distinct()
   }
 
   /** The live deletion-vector sidecars at `version` (default: current):

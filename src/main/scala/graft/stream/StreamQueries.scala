@@ -443,8 +443,14 @@ object StreamQueries {
     val typed = jsonStream(spark, landing, cdcSchema, Some(2))
       .select(col("k"), col("v"), col("op").as("_op"),
         col("cts").cast("timestamp").as("_commit_ts"))
+    // lateness sizing: commit-ts grows 1 s per event_id, so the span
+    // scales with the fixture — 3 years of lateness keeps the mid-drain
+    // watermark below every real commit for any fixture up to ~94M
+    // events, while the 2030/2031 sentinels still land it years past
+    // the span for the timeout flush (720 h broke at ~2.6M events:
+    // mid-drain late-drops + premature flushes)
     drainToParquet(
-      StreamAggs.cdcLatestExplicit(typed, lateness = "720 hours").toDF(),
+      StreamAggs.cdcLatestExplicit(typed, lateness = "26280 hours").toDF(),
       s"$root/sink", s"$root/ckpt")
     spark.read.parquet(s"$root/sink")
       .filter(col("k") =!= "zz-sentinel")
