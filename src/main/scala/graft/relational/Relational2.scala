@@ -340,5 +340,37 @@ object Relational2 {
           |       TRUE AS sketch_ok
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
+
+    // ---- COUNT-MIN SKETCH beside the exact heavy-hitter counts — the
+    //      streaming-frequency sketch family (CMS is mergeable: per-
+    //      partition sketches OR together, fixed width×depth bytes cross
+    //      the shuffle regardless of corpus size). CMS only ever
+    //      OVER-estimates, so the in-plan check pins est ≥ exact AND
+    //      est ≤ exact + εN (ε = 0.005, N = corpus size) — exact
+    //      integers, engine-independent, like q_approx_distinct's flag.
+    //      The raw sketch bytes stay out of the hash-compared output. ----
+    QueryDef(
+      "q_count_min",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+        val sketch = ev.select(col("event_type")).stat
+          .countMinSketch("event_type", eps = 0.005, confidence = 0.99,
+            seed = 42)
+        val n = sketch.totalCount()
+        val est = udf((t: String) => sketch.estimateCount(t))
+        ev.groupBy("event_type")
+          .agg(count(lit(1)).as("exact_n"))
+          .withColumn("est_n", est(col("event_type")))
+          .select(col("event_type"), col("exact_n"),
+            (col("est_n") >= col("exact_n") &&
+              col("est_n") <= col("exact_n") + lit((0.005 * n).toLong))
+              .as("cms_ok"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n,
+          |       TRUE AS cms_ok
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
   )
 }

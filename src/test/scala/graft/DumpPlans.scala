@@ -85,6 +85,17 @@ object DumpPlans {
       "prescreen scan's filter (no join for stage 1); the exact gram " +
       "join runs only over the candidate left-semi slice with the " +
       "benchmark grams broadcast" :: Nil),
+    "lake_dv_delete" -> ("merge-on-read read under live deletion vectors" ::
+      "expect: a Union of (a) plain scans of uncovered files — " +
+      "byte-identical to the dv-free plan — and (b) covered-file scans " +
+      "carrying _metadata position columns into a Broadcast LeftAnti " +
+      "against the KB-sized tombstone sidecars; never a shuffle of the " +
+      "data side at this tombstone count" :: Nil),
+    "doc_lm_score" -> ("corpus bigram-LM cross-entropy scoring" ::
+      "expect: ONE Exchange on doc_id for the lead-window bigram build; " +
+      "the bigram/prefix count tables join back as two-phase hash " +
+      "aggregates; the scalar vocabulary size rides a 1-row " +
+      "BroadcastNestedLoop cross — the corpus is never re-scanned per doc" :: Nil),
   )
 
   def main(args: Array[String]): Unit = {
