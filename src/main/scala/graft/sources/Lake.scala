@@ -1160,14 +1160,21 @@ object Lake {
     * without their tombstoned rows and retire both the files and the
     * sidecars in one commit (`op = "purge"` — row-multiset preserving,
     * so the change feed skips it like any reorg). Cost ∝ covered-file
-    * bytes, never the table. After the purge every read is sidecar-free
-    * again; [[vacuum]] reclaims the retired sidecars once no retained
-    * version references them.
+    * bytes, never the table. After a full purge every read is
+    * sidecar-free again; [[vacuum]] reclaims the retired sidecars once
+    * no retained version references them. A nonzero
+    * `minDeletedFraction` purges SELECTIVELY: only files whose live
+    * tombstones exceed that share of their rows are rewritten, the rest
+    * keep their merge-on-read sidecars — the rewrite-amplification
+    * guard for lightly-tombstoned big files.
     *
     * @return (published version, covered files rewritten); (current, 0)
-    *         when the table carries no deletion vectors
+    *         when nothing crosses the threshold
     */
-  def purgeDeletes(spark: SparkSession, path: String): (Long, Long) = {
+  def purgeDeletes(spark: SparkSession, path: String,
+      minDeletedFraction: Double = 0.0): (Long, Long) = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      s"minDeletedFraction must be in [0,1], got $minDeletedFraction")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ensureVersionManifests(spark, path)
@@ -1180,7 +1187,25 @@ object Lake {
       sys.error(s"version $v0 has no manifest under $path"))
     if (m0.dvs.isEmpty) return (v0, 0L)
     val root = rootPath(fs, hp)
-    val dvdRel = m0.dvs.flatMap(_.files).distinct
+    val covered = m0.dvs.flatMap(_.files).distinct
+    // SELECTIVE purge (Databricks' auto-purge threshold shape): with a
+    // nonzero fraction, only files whose live-tombstone share crosses it
+    // are rewritten — a 1-GB file with one tombstone keeps its sidecar
+    // instead of paying a gigabyte of rewrite for 100 bytes of logical
+    // change. The per-file counts come from the KB-sized sidecars
+    // (distinct — racing overlaps), row totals from the manifest; only
+    // path strings + counts reach the driver.
+    val dvdRel =
+      if (minDeletedFraction <= 0.0) covered
+      else {
+        val nRows = m0.entries.toMap
+        val perFile = liveTombstones(spark, fs, root, m0.dvs, covered)
+          .groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        covered.filter(f => nRows.get(f).exists(n =>
+          n > 0 && perFile.getOrElse(f, 0L).toDouble / n >= minDeletedFraction))
+      }
+    if (dvdRel.isEmpty) return (v0, 0L)
     val (_, rewritten) = writeClaimedDir(spark, fs, path,
       readFilesWithDv(spark, fs, path, m0,
         dvdRel.map(f => s"$root/$f")))

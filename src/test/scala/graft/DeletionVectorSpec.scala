@@ -86,6 +86,26 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Lake.purgeDeletes(spark, dir) == ((v, 0L)))
   }
 
+  test("threshold purge rewrites only heavily-tombstoned files") {
+    val dir = twoFileTable()
+    // file 1 loses 3/4 rows, file 2 loses 1/4
+    Lake.deleteWhereDv(spark, dir, col("id").isin(1L, 2L, 3L, 5L))
+    val (_, purged) = Lake.purgeDeletes(spark, dir, minDeletedFraction = 0.5)
+    assert(purged == 1L)
+    // content unchanged; file 2 keeps its sidecar coverage
+    assert(ids(dir) == Set(4L, 6L, 7L, 8L))
+    val dvs = Lake.deletionVectors(spark, dir)
+    assert(dvs.flatMap(_._3).distinct.size == 1)
+    assert(Lake.rowCount(spark, dir) == 4L)
+    // below-threshold call is a no-op; a full purge then clears the rest
+    val head = Lake.listVersions(spark, dir).last
+    assert(Lake.purgeDeletes(spark, dir, minDeletedFraction = 0.5) ==
+      ((head, 0L)))
+    Lake.purgeDeletes(spark, dir)
+    assert(Lake.deletionVectors(spark, dir).isEmpty)
+    assert(ids(dir) == Set(4L, 6L, 7L, 8L))
+  }
+
   test("appends after a dvDelete compose; copy-on-write delete purges covered files") {
     val dir = twoFileTable()
     Lake.deleteWhereDv(spark, dir, col("id").isin(1L, 5L))
