@@ -86,11 +86,12 @@ object DumpPlans {
       "join runs only over the candidate left-semi slice with the " +
       "benchmark grams broadcast" :: Nil),
     "lake_dv_delete" -> ("merge-on-read read under live deletion vectors" ::
-      "expect: a Union of (a) plain scans of uncovered files — " +
-      "byte-identical to the dv-free plan — and (b) covered-file scans " +
-      "carrying _metadata position columns into a Broadcast LeftAnti " +
-      "against the KB-sized tombstone sidecars; never a shuffle of the " +
-      "data side at this tombstone count" :: Nil),
+      "expect: covered-file scans carry _metadata position columns into " +
+      "a Broadcast LeftAnti against the KB-sized tombstone sidecars — " +
+      "never a shuffle of the data side at this tombstone count. (Here " +
+      "the user_id%10 delete touches every file; with uncovered files a " +
+      "Union adds plain dv-free scans beside the anti-join — that split " +
+      "is pinned by DeletionVectorSpec's plan test.)" :: Nil),
     "doc_lm_score" -> ("corpus bigram-LM cross-entropy scoring" ::
       "expect: ONE Exchange on doc_id for the lead-window bigram build; " +
       "the bigram/prefix count tables join back as two-phase hash " +
