@@ -40,7 +40,14 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     keyCols.foreach { case (table, keys) =>
-      val base = spark.read.parquet(s"$src/$table.parquet")
+      // events goes through the schema-adaptive reader: a raw read of the
+      // micros-era testdata loads TIMESTAMP_NTZ and the replica would be
+      // WRITTEN as true NTZ (Spark's writer marks it, so readers can't
+      // re-infer it away) — every ts-instant query then fails on the
+      // replica with a type mismatch the original testdata never shows
+      val base =
+        if (table == "events") Tables.events(spark, src)
+        else spark.read.parquet(s"$src/$table.parquet")
       val out =
         if (keys.isEmpty || factor <= 1) base
         else (0 until factor).map { i =>
