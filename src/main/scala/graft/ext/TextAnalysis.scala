@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** HTML/markup strip — the first cleaning pass a web-crawl corpus needs
+    * before any tokenize/dedup/quality stage: drop script/style blocks
+    * wholesale (their CONTENT is code, not prose — tag-stripping alone
+    * would leak it into the text), flatten remaining tags to spaces,
+    * decode the six ubiquitous entities (amp LAST, so `&amp;lt;` decodes
+    * to the literal `&lt;` and not twice), then squeeze whitespace. Pure
+    * narrow codegen'd string work — scan speed at any scale, and every
+    * step is the same RE2-compatible regex in the DuckDB oracle.
+    */
+  def htmlStrip(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val ent = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")), lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")), lit("&amp;"), lit("&"))
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Whitespace tokenization (single-space split, matching the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -874,6 +874,59 @@ object OperatorQueries {
           |FROM documents GROUP BY source ORDER BY source""".stripMargin),
     ),
 
+    // ---- HTML strip: web-crawl markup removal — the cleaning pass that
+    //      precedes doc_normalize on a crawled corpus. The fixture wraps
+    //      each document in deterministic markup (incl. a script block,
+    //      a style block, and all six common entities) so the strip has
+    //      real work to undo; the oracle rebuilds the SAME wrapped string
+    //      and applies the SAME RE2 pipeline, so any divergence in block
+    //      removal, tag flattening, entity order (amp must decode last),
+    //      or whitespace squeezing fails the hash. md5 of the stripped
+    //      text is compared per source (min AND max), so content — not
+    //      just lengths — is verified cross-engine. ----
+    QueryDef(
+      "doc_html_strip",
+      (sp, dir) => {
+        val html = concat(
+          lit("<html><head><title>t</title><style>p{color:red}</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><script>var x=1;</script><p class=\"body\">"),
+          col("text"),
+          lit("</p><span>&quot;tail&quot; &amp;amp; &lt;end&gt;&nbsp;&#39;fin&#39;</span></body></html>"))
+        val s = graft.ext.TextAnalysis.htmlStrip(html)
+        Tables.documents(sp, dir)
+          .select(col("source"), s.as("s"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("s")).cast("long")).as("stripped_chars"),
+            min(md5(col("s"))).as("md5_lo"),
+            max(md5(col("s"))).as("md5_hi"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT source,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |        regexp_replace(
+          |          regexp_replace(
+          |            '<html><head><title>t</title><style>p{color:red}</style></head><body><h1>Doc '
+          |              || CAST(doc_id AS VARCHAR)
+          |              || '</h1><script>var x=1;</script><p class="body">'
+          |              || text
+          |              || '</p><span>&quot;tail&quot; &amp;amp; &lt;end&gt;&nbsp;&#39;fin&#39;</span></body></html>',
+          |            '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+          |          '<[^>]+>', ' ', 'g'),
+          |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |        '&#39;', ''''), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS s
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(sum(len(s)) AS BIGINT) AS stripped_chars,
+          |       min(md5(s)) AS md5_lo, max(md5(s)) AS md5_hi
+          |FROM h GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
     // ---- dedup retention: the end of the dedup pipeline — pairs →
     //      clusters (ConnectedComponents) → ONE canonical doc kept per
     //      cluster (longest text, ties to the smallest doc_id via max_by

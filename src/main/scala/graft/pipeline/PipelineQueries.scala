@@ -527,6 +527,82 @@ object PipelineQueries {
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
+    // ---- Bucketed co-located join end-to-end: both sides written
+    //      bucketBy(custkey) so the join needs NO exchange on either side
+    //      — the pay-the-shuffle-once-at-ingest posture that matters most
+    //      at 100 TB, where re-shuffling the fact table every run IS the
+    //      query cost. LakeSpec pins the plan shape (zero Exchange with
+    //      broadcast disabled); here the driver verifies the bucketed
+    //      read's CONTENT: bucket pruning or hash misrouting would lose
+    //      or duplicate rows vs the raw-parquet oracle. ----
+    QueryDef(
+      "lake_bucketed_join",
+      (sp, dir) => {
+        // a fresh session's in-memory catalog doesn't know about last
+        // run's MANAGED table location on disk — DROP alone leaves the
+        // dir and saveAsTable then refuses (LOCATION_ALREADY_EXISTS);
+        // clear both catalog entry and leftover location
+        val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath
+        Seq("graft_bkt_orders", "graft_bkt_customer").foreach { t =>
+          sp.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(wh, t)
+          p.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        graft.sources.Lake.writeBucketed(
+          Tables.orders(sp, dir)
+            .select(col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "graft_bkt_orders", "o_custkey", 8)
+        graft.sources.Lake.writeBucketed(
+          Tables.customer(sp, dir)
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "graft_bkt_customer", "c_custkey", 8)
+        sp.table("graft_bkt_orders")
+          .join(sp.table("graft_bkt_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("seg_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS seg_cents
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
+
+    // ---- Bloom-filter skipping index end-to-end: documents laid out
+    //      HASH-clustered on doc_id (16 files, each spanning the whole id
+    //      domain — min/max stats provably skip nothing here), per-file
+    //      blooms built distributively, then a 5-key point lookup opens
+    //      only maybe-containing files. LakeSpec pins the actual pruning
+    //      (kept files ≈ probe count on a planted layout); here the oracle
+    //      recomputes from raw documents, so a wrongly DROPPED file loses
+    //      rows and fails the hash — the no-false-negative contract is
+    //      what the driver verifies. ----
+    QueryDef(
+      "lake_bloom_skip",
+      (sp, dir) => {
+        import sp.implicits._
+        val path = s"${Scratch.dir("bloom")}/docs_by_hash"
+        Tables.documents(sp, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartition(16, col("doc_id")).write.mode("overwrite").parquet(path)
+        graft.sources.Lake.writeBloomIndex(sp, path, "doc_id",
+          expectedPerFile = 10000L)
+        val ids = Seq(10L, 137L, 256L, 404L, 499L)
+        val probes = ids.toDF("doc_id")
+        graft.sources.Lake.readBloomSkipping(sp, path, "doc_id", probes)
+          .filter(col("doc_id").isin(ids: _*))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id IN (10, 137, 256, 404, 499)
+          |ORDER BY doc_id""".stripMargin),
+    ),
+
     // ---- Partition pruning end-to-end (reference README's ingestion-date
     //      partitioning): lay events out hive-partitioned by day via
     //      Lake.writePartitioned, then answer a day-range aggregate through

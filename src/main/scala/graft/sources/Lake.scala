@@ -353,6 +353,7 @@ object Lake {
             .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
           if (tracked.nonEmpty) appendStats(spark, path, tracked)
         }
+        refreshBloomIndexes(spark, fs, path)
         // table-level auto-compaction (see setAutoOptimize): runs AFTER
         // this commit published, in its own maintenance commit — the
         // append's version contract is unchanged
@@ -1021,6 +1022,7 @@ object Lake {
           .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         if (tracked.nonEmpty) appendStats(spark, path, tracked)
       }
+      refreshBloomIndexes(spark, fs, path)
       // metadata-only audit count from the manifests' per-file n_rows: rows
       // in the matched (resolved-source) files minus rows in their rewrites
       // — never a dir-listing guess, never a counting scan. Rows a prior
@@ -1219,6 +1221,7 @@ object Lake {
         .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       if (tracked.nonEmpty) appendStats(spark, path, tracked)
     }
+    refreshBloomIndexes(spark, fs, path)
     (next, dvdRel.size.toLong)
   }
 
@@ -1555,6 +1558,7 @@ object Lake {
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         if (tracked.nonEmpty) appendStats(spark, path, tracked)
       }
+      refreshBloomIndexes(spark, fs, path)
       // inserted = upsert rows whose key matched nothing; with a
       // key-unique target (the normal state of a merge-maintained table)
       // `updated` counts exactly the matched upsert keys, so the split is
@@ -2096,6 +2100,7 @@ object Lake {
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       if (tracked.nonEmpty) appendStats(spark, path, tracked)
     }
+    refreshBloomIndexes(spark, fs, path)
     (next, small.size.toLong)
   }
 
@@ -2252,6 +2257,7 @@ object Lake {
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_")) :+ c).distinct
     if (fs.exists(statsDir)) appendStats(spark, path, statsCols)
     else writeStats(spark, path, statsCols)
+    refreshBloomIndexes(spark, fs, path)
     (next, rewritten.size.toLong)
   }
 
@@ -3085,6 +3091,7 @@ object Lake {
           .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         if (tracked.nonEmpty) appendStats(spark, path, tracked)
       }
+      refreshBloomIndexes(spark, fs, path)
     }
     next
   }
@@ -3673,6 +3680,201 @@ object Lake {
     readFileSubset(spark, path, probeDataFiles(spark, path, c, probes)._1)
   }
 
+  // ======================================================================
+  // BLOOM-FILTER SKIPPING INDEX — the high-cardinality complement of the
+  // `_graft_stats` min/max manifest. Min/max bounds prune range and
+  // low-cardinality equality predicates, but on a HASH-clustered or
+  // unsorted layout every file's [min, max] spans the whole key domain
+  // and an equality probe skips nothing. A per-file Bloom filter answers
+  // "could this file hold key k?" regardless of layout: false positives
+  // only (a kept file may be empty of matches — the residual filter
+  // drops its rows), never false negatives (a dropped file provably
+  // holds no probe), so a bloom-pruned read + equality filter is
+  // IDENTICAL to the full scan + filter. This is Delta/Iceberg's bloom
+  // column index re-expressed over the same sidecar-manifest mechanics
+  // as _graft_stats: JSON rows (one per data file) under
+  // `_graft_bloom/<col>/`, base64-serialized org.apache.spark.util
+  // .sketch.BloomFilter built by Spark's own BloomFilterAggregate
+  // (xxhash64-keyed — the exact sketch InjectRuntimeFilter uses).
+  //
+  // 100 TB posture: the index is built DISTRIBUTIVELY (one groupBy
+  // input_file_name over the table — each task sketches its own file;
+  // only the serialized filters cross the shuffle, ~bits/8 bytes per
+  // file), maintained INCREMENTALLY (appendBloomIndex sketches only
+  // manifest-uncovered files, keeping a daily admit O(batch)), and
+  // probed DISTRIBUTIVELY (the manifest is read as a DataFrame; per-file
+  // maybe-verdicts are computed in the cluster via BloomMightContainAny
+  // and only kept PATH strings reach the driver — at ~800k files the
+  // blooms are GBs, the paths are the same metadata the version manifest
+  // already holds). Probe sets above `maxProbes` degrade gracefully to
+  // the unpruned read — never worse than no index, never a failure.
+  // ======================================================================
+
+  private def bloomDir(path: String, c: String) = {
+    // the manifest dir name IS the column name (auto-refresh recovers the
+    // column from the dir listing) — so restrict to identifier chars
+    // instead of lossily sanitizing
+    require(c.matches("[A-Za-z0-9_]+"),
+      s"bloom index column '$c' must be [A-Za-z0-9_]+")
+    new org.apache.hadoop.fs.Path(path, s"_graft_bloom/$c")
+  }
+
+  /** Keep every existing bloom index live across a commit — the bloom
+    * sibling of the appendStats keep-alive hooks: O(fresh files) per
+    * indexed column, no-op without an index. Same invariant: commits
+    * that add files are exactly the ones that would otherwise flip
+    * [[bloomProbeFiles]]'s stale guard into refusing every read.
+    */
+  private def refreshBloomIndexes(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path, "_graft_bloom")
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .foreach(c => appendBloomIndex(spark, path, c))
+  }
+
+  /** numBits for a target false-positive rate at `n` expected items. */
+  private def bloomBits(n: Long, fpp: Double): Long = {
+    val ln2 = math.log(2)
+    math.max(64L, math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong)
+  }
+
+  /** Per-file bloom sketch rows for `files` of table `path`: one row per
+    * data file with the base64 filter over xxhash64(`c`). NULL keys are
+    * not sketched (an equality probe never matches NULL), matching the
+    * stats manifest's all-null convention.
+    */
+  private def bloomRows(spark: SparkSession, path: String, c: String,
+      files: Seq[String], expectedPerFile: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{base64, col, input_file_name, when, xxhash64}
+    // null keys are skipped via a null hash (the aggregate ignores nulls),
+    // NOT by pre-filtering rows: an all-null file must still emit its
+    // manifest row (null bloom → provably probe-free → prunable), or the
+    // stale-coverage guard would refuse the table forever
+    readFileSubset(spark, path, files)
+      .groupBy(input_file_name().as("file"))
+      .agg(base64(graft.functions.TextFunctions.bloom_filter_agg(
+        when(col(c).isNotNull, xxhash64(col(c))), expectedPerFile,
+        bloomBits(expectedPerFile, fpp))).as("bloom_b64"))
+  }
+
+  /** FULL bloom-index (re)build for column `c`: sketch every current data
+    * file and publish the manifest via the staged-write + rename-aside
+    * swap (readers never see a partial manifest). Returns files covered.
+    */
+  def writeBloomIndex(spark: SparkSession, path: String, c: String,
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = currentDataFiles(spark, fs, hp, path)
+    val out = bloomDir(path, c)
+    val staging = new org.apache.hadoop.fs.Path(path, s"._graft_bloom_build_${c}")
+    fs.delete(staging, true)
+    bloomRows(spark, path, c, files, expectedPerFile, fpp)
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    fs.mkdirs(out.getParent)
+    publishManifest(fs, staging, out, path)
+    files.size.toLong
+  }
+
+  /** INCREMENTAL bloom-index maintenance — the O(batch) complement of
+    * [[writeBloomIndex]] for append-only tables: sketch ONLY the data
+    * files the index does not cover yet and add their rows as one more
+    * manifest json file (atomic rename; readers see the union). Falls
+    * back to a full rebuild when no index exists.
+    *
+    * @return newly covered files
+    */
+  def appendBloomIndex(spark: SparkSession, path: String, c: String,
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = bloomDir(path, c)
+    if (!fs.exists(out)) return writeBloomIndex(spark, path, c, expectedPerFile, fpp)
+    val covered = spark.read.json(out.toString).select("file").collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val fresh = currentDataFiles(spark, fs, hp, path).filterNot(covered)
+    if (fresh.isEmpty) return 0L
+    val staging = new org.apache.hadoop.fs.Path(path, s"._graft_bloom_append_${c}")
+    fs.delete(staging, true)
+    bloomRows(spark, path, c, fresh, expectedPerFile, fpp)
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    val parts = fs.listStatus(staging).filter(f =>
+      f.isFile && f.getPath.getName.startsWith("part-"))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = new org.apache.hadoop.fs.Path(out,
+        s"append-${System.nanoTime()}-$i.json")
+      require(fs.rename(p.getPath, dst),
+        s"appendBloomIndex: could not add manifest file under $path")
+    }
+    fs.delete(staging, true)
+    fresh.size.toLong
+  }
+
+  /** Bloom-prune the current file set of `path` against a bounded probe
+    * column (single-column DataFrame of the indexed key's type). Returns
+    * (files kept, total current files); kept == total when the probe set
+    * exceeds `maxProbes` (graceful degrade — pruning is an optimization,
+    * a huge probe side just means the full narrow scan was the right
+    * plan anyway). Stale index (a current file not covered) REFUSES
+    * loudly rather than silently dropping its rows — same posture as
+    * [[readSkipping]]'s validatedManifest; re-run [[appendBloomIndex]]
+    * to repair.
+    */
+  def bloomProbeFiles(spark: SparkSession, path: String, c: String,
+      probes: DataFrame, maxProbes: Int = 100000): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.{col, unbase64, xxhash64}
+    require(probes.columns.length == 1,
+      s"bloomProbeFiles($c): probe side must be a single key column")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = bloomDir(path, c)
+    require(fs.exists(out), s"no _graft_bloom/$c index under $path")
+    val manifest = spark.read.json(out.toString)
+    val current = currentDataFiles(spark, fs, hp, path)
+    val coveredSet = manifest.select("file").collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    require(current.forall(coveredSet),
+      s"stale _graft_bloom/$c index under $path: " +
+        s"${current.count(f => !coveredSet(f))} data file(s) not covered " +
+        "- run appendBloomIndex")
+    // xxhash64 the probes through Spark itself so the key hashing is
+    // byte-identical to what bloom_filter_agg saw at build time, whatever
+    // the key's type. Bounded collect: maxProbes+1 rows tell us whether
+    // the cap was crossed without materializing an unbounded set.
+    val hashes = probes.na.drop().distinct().limit(maxProbes + 1)
+      .select(xxhash64(col(probes.columns.head)).as("h"))
+      .collect().map(_.getLong(0))
+    if (hashes.length > maxProbes) return (current, current.size)
+    // degenerate manifest: every covered file was all-null (json drops
+    // null fields, so the column may not even infer) → nothing can match
+    if (!manifest.schema.fieldNames.contains("bloom_b64"))
+      return (Seq.empty, current.size)
+    // per-file maybe-verdicts in the cluster; only kept paths come back
+    val kept = manifest
+      .filter(graft.functions.TextFunctions.bloom_might_contain_any(
+        unbase64(col("bloom_b64")), hashes))
+      .select("file").distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath)
+    val currentSet = current.toSet
+    (kept.filter(currentSet).distinct.toIndexedSeq, current.size)
+  }
+
+  /** Bloom-pruned point-lookup read: only files whose bloom may contain a
+    * probe are opened. The caller still applies the equality filter — the
+    * pruned read is a SUPERSET of the matching rows (false positives keep
+    * whole files), exactly like every other skipping read here.
+    */
+  def readBloomSkipping(spark: SparkSession, path: String, c: String,
+      probes: DataFrame, maxProbes: Int = 100000): DataFrame = {
+    requireNoDvs(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "readBloomSkipping")
+    readFileSubset(spark, path,
+      bloomProbeFiles(spark, path, c, probes, maxProbes)._1)
+  }
+
   /** All parquet data files under `dir`, recursing through partition dirs;
     * underscore/dot metadata names are skipped at every level.
     */
@@ -3804,6 +4006,7 @@ object Lake {
         clusterCols).distinct
     if (fs.exists(statsDir)) appendStats(spark, path, statsCols)
     else writeStats(spark, path, statsCols)
+    refreshBloomIndexes(spark, fs, path)
     (next, rewritten.size.toLong)
   }
 

@@ -415,6 +415,94 @@ class LakeSpec extends SparkSpec {
     assert(none.isEmpty && none.schema == skipped.schema)
   }
 
+  test("bloom index prunes hash-clustered files; never a false negative") {
+    val dir = tmp() + "/t"
+    // HASH layout: every file spans the whole id domain, so min/max stats
+    // are provably useless here — exactly the case the bloom index serves
+    spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(16, col("id")).write.parquet(dir)
+    assert(Lake.writeBloomIndex(spark, dir, "id", expectedPerFile = 1000L) == 16L)
+    // min/max keeps every file on this layout (sanity: the bloom index is
+    // not redundant with stats)
+    Lake.writeStats(spark, dir, Seq("id"))
+    val ranged = Lake.readSkipping(spark, dir,
+      Lake.skipRange("id", lit(42), lit(42)))
+    assert(ranged.inputFiles.length == 16,
+      "hash layout should defeat min/max skipping entirely")
+    val ids = Seq(42L, 4242L, 9999L)
+    val probes = ids.toDF("id")
+    val (kept, total) = Lake.bloomProbeFiles(spark, dir, "id", probes)
+    assert(total == 16)
+    assert(kept.size < total, s"bloom pruned nothing: $kept")
+    // no false negatives: every file that truly holds a probe is kept
+    val holding = spark.read.parquet(dir).filter(col("id").isin(ids: _*))
+      .select(input_file_name()).distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    assert(holding.subsetOf(kept.toSet),
+      s"false negative: ${holding -- kept.toSet}")
+    // superset guarantee: pruned read + equality filter == full scan
+    val got = Lake.readBloomSkipping(spark, dir, "id", probes)
+      .filter(col("id").isin(ids: _*)).collect().toSet
+    val want = spark.read.parquet(dir)
+      .filter(col("id").isin(ids: _*)).collect().toSet
+    assert(got == want && want.size == 3)
+    // probe set over the cap degrades to the full read, never refuses
+    val (keptAll, t2) = Lake.bloomProbeFiles(spark, dir, "id",
+      spark.range(100).toDF("id"), maxProbes = 10)
+    assert(keptAll.size == t2 && t2 == 16)
+  }
+
+  test("bloom index: stale refusal, incremental append, all-null files") {
+    val dir = tmp() + "/t"
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4, col("id")).write.parquet(dir)
+    assert(Lake.appendBloomIndex(spark, dir, "id") == 4L) // no index → full build
+    assert(Lake.appendBloomIndex(spark, dir, "id") == 0L) // fully covered
+    // a fresh file lands: the index must REFUSE (stale) rather than skip it
+    (101L to 120L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val probe = Seq(110L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Lake.bloomProbeFiles(spark, dir, "id", probe)
+    }
+    assert(e.getMessage.contains("appendBloomIndex"), e.getMessage)
+    // incremental repair sketches ONLY the fresh file, then finds the row
+    assert(Lake.appendBloomIndex(spark, dir, "id") == 1L)
+    val got = Lake.readBloomSkipping(spark, dir, "id", probe)
+      .filter(col("id") === 110L).select("v").as[String].collect().toSeq
+    assert(got == Seq("v110"))
+    // an ALL-NULL file still gets covered (no eternal staleness) and is
+    // provably probe-free → prunable
+    Seq((null.asInstanceOf[java.lang.Long], "n1"))
+      .toDF("id", "v").write.mode("append").parquet(dir)
+    assert(Lake.appendBloomIndex(spark, dir, "id") == 1L)
+    val (kept, total) = Lake.bloomProbeFiles(spark, dir, "id", probe)
+    assert(total == 6 && kept.size <= 5,
+      s"all-null file must be prunable: kept ${kept.size} of $total")
+  }
+
+  test("bloom skipping on a versioned table never resurrects deleted rows") {
+    val dir = tmp() + "/t"
+    val base = (1L to 200L).map(i => (i, i % 5)).toDF("id", "g")
+      .repartition(4, col("id"))
+    Lake.writeVersioned(spark, base, dir)
+    Lake.writeBloomIndex(spark, dir, "id")
+    val (removed, _) = Lake.deleteWhere(spark, dir, col("id") === 42L)
+    assert(removed >= 1L)
+    // the delete rewrote files, and the commit hook auto-refreshed the
+    // index over the rewrites (same keep-alive invariant as _graft_stats)
+    // — NO manual repair step, and the deleted key must stay gone
+    assert(Lake.appendBloomIndex(spark, dir, "id") == 0L,
+      "commit hook should have covered the rewrites already")
+    val got = Lake.readBloomSkipping(spark, dir, "id", Seq(42L).toDF("id"))
+      .filter(col("id") === 42L)
+    assert(got.isEmpty, "bloom read resurrected a deleted row")
+    // a surviving key still resolves through the repaired index
+    val live = Lake.readBloomSkipping(spark, dir, "id", Seq(41L).toDF("id"))
+      .filter(col("id") === 41L)
+    assert(live.count() == 1L)
+  }
+
   test("stats pruning joins URL-encoded paths: a space in the dir still prunes") {
     // input_file_name URL-encodes ('%20' for the space below) while
     // candidate paths are URI.getPath-decoded; the normalization must

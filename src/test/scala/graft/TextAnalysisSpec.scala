@@ -127,4 +127,26 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect()
     assert(out.toSeq == Seq(("srcA", "srcB", 1L, 1.0 / 3.0)))
   }
+
+  test("htmlStrip drops code blocks, flattens tags, decodes entities amp-last") {
+    val cases = Seq(
+      // script/style CONTENT must vanish, not just the tags
+      (1L, "<p>keep</p><script type=\"x\">var leak = 1;</script><div>this</div>",
+        "keep this"),
+      (2L, "<style>body { color: red }</style><b>bold</b>", "bold"),
+      // entity decode: amp LAST, so &amp;lt; yields literal "&lt;"
+      (3L, "a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&amp;y &amp;lt;",
+        "a b <tag> \"q\" 's' x&y &lt;"),
+      // whitespace squeeze spans newlines/tabs and trims the ends
+      (4L, "  <h1>T</h1>\n\n<p>a\t\tb</p>  ", "T a b"),
+      // self-closing + attributes with > inside quotes are NOT parsed
+      // (regex contract: tag ends at the first '>'), deterministic both
+      // engines — pin the behavior so nobody "fixes" one side only
+      (5L, "<br/><img src=\"x.png\" alt=\"y\"/>z", "z"),
+    ).toDF("id", "html", "want")
+    val got = cases.select(col("id"),
+      TextAnalysis.htmlStrip(col("html")).as("got"), col("want"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, g, w) => assert(g == w, s"case $id: '$g' != '$w'") }
+  }
 }
