@@ -164,5 +164,118 @@ object PipelineOps {
           |FROM documents
           |ORDER BY shuffle_key, doc_id LIMIT 25""".stripMargin),
     ),
+
+    // ---- span-level dedup (the C4 move): disjoint 10-word spans hashed
+    //      corpus-wide; spans occurring in >1 place are "duplicated" and
+    //      their characters are what span-removal would delete. Two
+    //      shuffles total (span-hash count + per-source rollup), both
+    //      map-side-combined; span extraction itself is narrow. At
+    //      100 TB this is exactly the C4/RefinedWeb span-dedup shape —
+    //      the span-hash table is the only corpus-sized shuffle, and it
+    //      carries 16-byte hashes, not text. ----
+    QueryDef(
+      "doc_span_dedup",
+      (sp, dir) => {
+        val span = 10
+        val blocks = Tables.documents(sp, dir)
+          .select(col("doc_id"), col("source"), toks.as("t"))
+          .withColumn("nblk", expr(s"size(t) div $span").cast("long"))
+          .filter(col("nblk") > 0)
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(0L), col("nblk") - 1)).as("i"),
+            col("t"))
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ",
+              slice(col("t"), (col("i") * span + 1).cast("int"), lit(span))).as("blk"))
+          .select(col("source"), md5(col("blk")).as("m"),
+            length(col("blk")).cast("long").as("nch"))
+        val counts = blocks.groupBy("m").agg(count(lit(1)).as("cnt"))
+        blocks.join(counts, "m")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+            sum(when(col("cnt") > 1, col("nch")).otherwise(0L)).as("dup_chars"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w
+          |           FROM documents),
+          |b AS (
+          |  SELECT doc_id, source,
+          |         array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS blk
+          |  FROM (SELECT doc_id, source, w,
+          |               unnest(range(1, CAST(len(w)//10 AS BIGINT) + 1)) AS i
+          |        FROM t)),
+          |h AS (SELECT source, md5(blk) AS m, len(blk) AS nch FROM b),
+          |c AS (SELECT m, count(*) AS cnt FROM h GROUP BY m)
+          |SELECT source, count(*) AS n_spans,
+          |       CAST(sum(CASE WHEN cnt>1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+          |       CAST(sum(CASE WHEN cnt>1 THEN nch ELSE 0 END) AS BIGINT) AS dup_chars
+          |FROM h JOIN c USING (m) GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+    // ---- temperature-weighted mixture to a token budget: per-source
+    //      sampling weight ∝ size^0.5 (the standard α-temperature
+    //      flattening — small sources over-represented relative to raw
+    //      proportions), realized as integer-exact per-source token
+    //      budgets and a deterministic hash-ordered admission scan.
+    //      EVERY step is integer arithmetic (floor(sqrt()) weights,
+    //      integer-division budgets, windowed bigint cumsum) so the
+    //      cross-engine hash can't drift on double summation order.
+    //      Scale shape: one tiny per-source aggregate + one windowed
+    //      cumsum per source — no global sort, no stateful sampler,
+    //      reproducible on retries at any cluster size. ----
+    QueryDef(
+      "doc_mix_temperature",
+      (sp, dir) => {
+        val budgetTotal = 20000L
+        val d = Tables.documents(sp, dir)
+          .select(col("source"), col("doc_id"),
+            size(toks).cast("long").as("n_tok"))
+        val w = d.groupBy("source")
+          .agg(sum("n_tok").as("src_tok"))
+          .withColumn("wt", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
+        val total = w.select(sum("wt").cast("long").as("tw"))
+        val budgets = w.crossJoin(broadcast(total))
+          .select(col("source"),
+            expr(s"($budgetTotal * wt) div tw").cast("long").as("budget"))
+        val ordered = d.withColumn("cum",
+          sum("n_tok").over(Window.partitionBy("source")
+            .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+              col("doc_id"))))
+        ordered.join(broadcast(budgets), "source")
+          .groupBy("source", "budget")
+          .agg(sum(when(col("cum") <= col("budget"), 1L).otherwise(0L))
+              .as("n_admitted"),
+            sum(when(col("cum") <= col("budget"), col("n_tok")).otherwise(0L))
+              .as("admitted_tok"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH d AS (SELECT source, doc_id,
+          |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+          |           FROM documents),
+          |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok
+          |      FROM d GROUP BY source),
+          |w AS (SELECT source,
+          |             CAST(floor(sqrt(CAST(src_tok AS DOUBLE))) AS BIGINT) AS wt
+          |      FROM s),
+          |b AS (SELECT source,
+          |             CAST((20000 * wt) // (SELECT CAST(sum(wt) AS BIGINT) FROM w)
+          |               AS BIGINT) AS budget
+          |      FROM w),
+          |r AS (SELECT source, doc_id, n_tok,
+          |             CAST(sum(n_tok) OVER (PARTITION BY source
+          |               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id)
+          |               AS BIGINT) AS cum
+          |      FROM d)
+          |SELECT b.source, b.budget,
+          |       CAST(sum(CASE WHEN r.cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_admitted,
+          |       CAST(sum(CASE WHEN r.cum <= b.budget THEN r.n_tok ELSE 0 END) AS BIGINT)
+          |         AS admitted_tok
+          |FROM b JOIN r ON r.source = b.source
+          |GROUP BY b.source, b.budget ORDER BY b.source""".stripMargin),
+    ),
   )
 }

@@ -527,6 +527,51 @@ object PipelineQueries {
           |GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
+    // ---- Write-audit-publish end-to-end (the reference's expectations
+    //      posture as a COMMIT protocol feature, not a filter): curate a
+    //      versioned table, stage a raw intake batch invisibly, AUDIT it
+    //      (the staged read finds 'error' rows), abort, restage the clean
+    //      subset, publish. The oracle recomputes the final curated state
+    //      from raw events — a stage that leaked into a read, an abort
+    //      that dropped good rows, or a publish that lost the race
+    //      changes the aggregate and fails the hash. ----
+    QueryDef(
+      "lake_wap",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val cut = lit("2024-01-20").cast("date")
+        val path = s"${Scratch.dir("wap")}/curated_events"
+        graft.sources.Lake.writeVersioned(sp,
+          ev.filter(col("day") <= cut && col("event_type") =!= "error")
+            .drop("day"), path)
+        val intake = ev.filter(col("day") > cut).drop("day")
+        // stage the RAW intake; the audit — not the ingest — decides
+        val sid = graft.sources.Lake.stageAppend(sp, intake, path)
+        val bad = graft.sources.Lake.readStagedBatch(sp, path, sid)
+          .filter(col("event_type") === "error").count()
+        val vFinal =
+          if (bad > 0) {
+            graft.sources.Lake.abortStaged(sp, path, sid)
+            val clean = graft.sources.Lake.stageAppend(sp,
+              intake.filter(col("event_type") =!= "error"), path)
+            graft.sources.Lake.publishStaged(sp, path, clean)
+          } else graft.sources.Lake.publishStaged(sp, path, sid)
+        graft.sources.Lake.readVersioned(sp, path, Some(vFinal))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("type_cents"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS type_cents
+          |FROM events WHERE event_type <> 'error'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
     // ---- Bucketed co-located join end-to-end: both sides written
     //      bucketBy(custkey) so the join needs NO exchange on either side
     //      — the pay-the-shuffle-once-at-ingest posture that matters most

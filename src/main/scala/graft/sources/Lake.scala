@@ -1942,7 +1942,12 @@ object Lake {
     val referenced = retained.flatMap(v =>
       readVersionManifest(spark, fs, path, v).toSeq.flatMap(m =>
         m.entries.map(_._1) ++ m.dvs.map(_.dv)))
-      .toSet
+      .toSet ++
+      // staged-but-unpublished WAP batches are LIVE ROOTS: their files
+      // have no manifest yet by design, and the orphan-grace sweep must
+      // not mistake a long-pending audit for a crashed commit — abort,
+      // not age, is what reclaims staged work
+      stagedReferencedFiles(spark, fs, path)
     // a retained DELTA manifest may resolve through a version being
     // dropped: materialize it to a full checkpoint FIRST (metadata-only
     // atomic swap), so no chain ever dangles. Ascending order: once an
@@ -3502,6 +3507,189 @@ object Lake {
       .filter(current).distinct
     readFileSubset(spark, path, files.toIndexedSeq)
   }
+
+  // ======================================================================
+  // WRITE-AUDIT-PUBLISH (WAP) staging — the reference's expectations
+  // posture (`EXPECT … ON VIOLATION`, README_DBT.md:236-239) married to
+  // the versioned commit protocol: land a batch's data files WITHOUT
+  // publishing them, audit the staged snapshot (arbitrary caller checks
+  // over [[readStaged]] plus the table's own CHECK constraints at
+  // publish), then either fold the batch into a real commit
+  // ([[publishStaged]] — append-commuting, rebases over concurrent
+  // winners like every AddFile-only commit) or [[abortStaged]] with zero
+  // trace. No reader ever sees unaudited rows: staged files live in a
+  // claimed `v=N` data dir no manifest references, exactly where a
+  // mid-commit writer's files live — invisible by construction.
+  //
+  // 100 TB posture: staging costs the batch write + a KB marker; audit
+  // reads ONLY the staged files (plus whatever table slices the caller's
+  // checks join against); publish is an O(batch) delta manifest. The
+  // staged marker makes the batch a LIVE ROOT for [[vacuum]]'s orphan
+  // sweep — staged work survives housekeeping until published or
+  // aborted, and an abort (not a grace-window guess) is what reclaims it.
+  // ======================================================================
+
+  private def stagedDir(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_staged")
+
+  private def stagedMarker(path: String, id: String) = {
+    require(id.matches("stage[0-9]+"), s"malformed stage id '$id'")
+    new org.apache.hadoop.fs.Path(path, s"_graft_staged/$id.json")
+  }
+
+  /** Stage an append: write the batch's files into a claimed data dir and
+    * record them in a `_graft_staged/<id>.json` marker — no manifest, no
+    * pointer move, no reader impact. Schema must match the table exactly
+    * (staging is append staging; drift goes through [[writeEvolving]]).
+    * Works on any table shape — plain/evolving tables are bootstrapped to
+    * versioned first, same as [[deleteWhere]].
+    *
+    * @return the stage id to audit/publish/abort with
+    */
+  def stageAppend(spark: SparkSession, df: DataFrame, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(hp)
+    ensureVersionManifests(spark, path)
+    if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    val curDdl = readRawManifest(spark, fs, path,
+      manifestVersions(fs, path).last).get.schemaDdl
+    val cur = org.apache.spark.sql.types.StructType.fromDDL(curDdl)
+    require(df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+        == cur.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
+      s"stageAppend schema mismatch: table has $curDdl, " +
+        s"frame has ${df.schema.toDDL}")
+    val (d, entries) = writeClaimedDir(spark, fs, path, df)
+    val id = s"stage$d"
+    fs.mkdirs(stagedDir(path))
+    // atomic marker publish (tmp + rename): a reader of _graft_staged
+    // never sees a partial marker, and vacuum's live-root scan sees the
+    // files as referenced from the instant the marker exists
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_graft_staged/.$id.tmp")
+    val out = fs.create(tmp, true)
+    out.write(
+      (s"""{"stage":${jsonStr(id)},"ts":${System.currentTimeMillis()},""" +
+        s""""schema":${jsonStr(curDdl)},"files":${entriesJson(entries)}}""")
+        .getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp, stagedMarker(path, id)),
+      s"stageAppend: could not publish staged marker for $id under $path")
+    id
+  }
+
+  /** Stage ids currently awaiting audit/publish/abort, oldest first. */
+  def listStaged(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stagedDir(path))) Seq.empty
+    else fs.listStatus(stagedDir(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName.stripSuffix(".json")).sorted
+  }
+
+  /** Parse a staged marker: (schema ddl at staging time, file entries). */
+  private def readStagedEntries(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, id: String): (String, Seq[(String, Long)]) = {
+    val f = stagedMarker(path, id)
+    require(fs.exists(f), s"no staged batch '$id' under $path")
+    val in = fs.open(f)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val entries = n.get("files").elements()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (entries.hasNext) {
+      val e = entries.next()
+      buf += ((e.get("path").asText, e.get("n_rows").asLong))
+    }
+    (n.get("schema").asText, buf.toSeq)
+  }
+
+  /** The staged batch's rows alone — the audit target for checks that
+    * validate the INCOMING data (null rates, domains, dedup against the
+    * published table).
+    */
+  def readStagedBatch(spark: SparkSession, path: String,
+      id: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, entries) = readStagedEntries(fs, path, id)
+    val root = rootPath(fs, hp)
+    readFileSubset(spark, path, entries.map(e => s"$root/${e._1}"))
+  }
+
+  /** The WOULD-BE table after publish: current snapshot ∪ staged batch —
+    * the audit target for whole-table invariants (uniqueness, referential
+    * integrity, aggregate drift).
+    */
+  def readStaged(spark: SparkSession, path: String, id: String): DataFrame =
+    readVersioned(spark, path).unionByName(readStagedBatch(spark, path, id))
+
+  /** Fold an audited staged batch into a real commit. Refuses loudly when
+    * the table's schema changed since staging (the audit ran against a
+    * stale shape — restage), or when the staged rows violate the table's
+    * CHECK constraints (the built-in floor under any caller-side audit;
+    * the stage SURVIVES a refusal for inspection/abort). Concurrent
+    * commits rebase exactly like [[appendVersioned]] — the staged files
+    * are already on disk and are never rewritten.
+    */
+  def publishStaged(spark: SparkSession, path: String, id: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (stagedDdl, entries) = readStagedEntries(fs, path, id)
+    val v0 = readVersionPointer(fs, path).getOrElse(
+      manifestVersions(fs, path).last)
+    val curDdl = readRawManifest(spark, fs, path,
+      manifestVersions(fs, path).last).get.schemaDdl
+    require(curDdl == stagedDdl,
+      s"publishStaged($id): table schema changed since staging " +
+        s"(staged against $stagedDdl, table now $curDdl) - the audit " +
+        "validated a stale shape; abort and restage")
+    val cs = checkConstraints(spark, path)
+    if (cs.nonEmpty)
+      enforceConstraintsOn(spark, readStagedBatch(spark, path, id), cs,
+        s"publishStaged($path, $id)")
+    val next = publishNonCommuting(spark, fs, path, v0, curDdl,
+      add = entries, remove = Nil, op = "wap")
+    // same keep-alive invariants as every other committing path
+    val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
+    if (fs.exists(statsDir)) {
+      val tracked = spark.read.json(statsDir.toString).schema.fieldNames
+        .toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (tracked.nonEmpty) appendStats(spark, path, tracked)
+    }
+    refreshBloomIndexes(spark, fs, path)
+    fs.delete(stagedMarker(path, id), false)
+    next
+  }
+
+  /** Discard a staged batch: delete its marker and its data files (and
+    * the claimed dir when nothing else landed there). The published table
+    * is untouched at every point of a stage/abort pair.
+    */
+  def abortStaged(spark: SparkSession, path: String, id: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, entries) = readStagedEntries(fs, path, id)
+    val root = rootPath(fs, hp)
+    entries.foreach(e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/${e._1}"), false))
+    // the claimed dir is exclusively this stage's namespace (the claim
+    // marker won it); reclaim it outright
+    fs.delete(new org.apache.hadoop.fs.Path(path,
+      s"v=${id.stripPrefix("stage")}"), true)
+    fs.delete(stagedMarker(path, id), false)
+    ()
+  }
+
+  /** Relative paths every live staged marker references — vacuum's extra
+    * live roots (staged work must survive housekeeping until published
+    * or aborted; see [[stageAppend]]).
+    */
+  private def stagedReferencedFiles(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Set[String] =
+    listStaged(spark, path)
+      .flatMap(id => readStagedEntries(fs, path, id)._2.map(_._1)).toSet
 
   /** The CURRENT data files of a table: the published version manifest's
     * file list when the table is versioned (files retired by deletes are

@@ -503,6 +503,85 @@ class LakeSpec extends SparkSpec {
     assert(live.count() == 1L)
   }
 
+  test("WAP: stage is invisible, audit sees the union, publish folds it in") {
+    val dir = tmp() + "/t"
+    Lake.writeVersioned(spark, (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    val batch = (11L to 15L).map(i => (i, i * 2)).toDF("k", "v")
+    val id = Lake.stageAppend(spark, batch, dir)
+    // no reader impact: the published table is exactly the pre-stage state
+    assert(Lake.readVersioned(spark, dir).count() == 10)
+    assert(Lake.listStaged(spark, dir) == Seq(id))
+    // audit surfaces: batch-only and would-be-union reads
+    assert(Lake.readStagedBatch(spark, dir, id).count() == 5)
+    assert(Lake.readStaged(spark, dir, id).count() == 15)
+    val v = Lake.publishStaged(spark, dir, id)
+    assert(Lake.readVersioned(spark, dir).count() == 15)
+    assert(Lake.listStaged(spark, dir).isEmpty)
+    // publish is a normal commit: time travel to the pre-publish version
+    assert(Lake.readVersioned(spark, dir, Some(v - 1)).count() == 10)
+  }
+
+  test("WAP: abort leaves zero trace; constraint gate refuses but keeps the stage") {
+    val dir = tmp() + "/t"
+    Lake.writeVersioned(spark, (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    Lake.addCheckConstraint(spark, dir, "v_nonneg", "v >= 0")
+    val before = Lake.readVersioned(spark, dir).orderBy("k")
+      .collect().map(_.toString).toSeq
+    // a violating batch STAGES fine (that's the point of WAP: land first,
+    // audit before anyone sees it) …
+    val bad = Seq((99L, -5L)).toDF("k", "v")
+    val id = Lake.stageAppend(spark, bad, dir)
+    // … but the publish gate refuses, and the stage survives for
+    // inspection instead of half-committing
+    val e = intercept[IllegalArgumentException] {
+      Lake.publishStaged(spark, dir, id)
+    }
+    assert(e.getMessage.contains("v_nonneg"), e.getMessage)
+    assert(Lake.listStaged(spark, dir) == Seq(id))
+    Lake.abortStaged(spark, dir, id)
+    assert(Lake.listStaged(spark, dir).isEmpty)
+    assert(Lake.readVersioned(spark, dir).orderBy("k")
+      .collect().map(_.toString).toSeq == before)
+    // the claimed dir was reclaimed outright
+    assert(!new java.io.File(s"$dir/v=${id.stripPrefix("stage")}").exists())
+  }
+
+  test("WAP: staged batches survive vacuum and rebase over concurrent appends") {
+    val dir = tmp() + "/t"
+    Lake.writeVersioned(spark, (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    val id = Lake.stageAppend(spark, Seq((90L, 1L)).toDF("k", "v"), dir)
+    // churn some versions, then vacuum with a ZERO grace window — without
+    // the staged-marker live root this would reap the staged files as
+    // crash orphans
+    Lake.appendVersioned(spark, Seq((50L, 1L)).toDF("k", "v"), dir)
+    Lake.appendVersioned(spark, Seq((51L, 1L)).toDF("k", "v"), dir)
+    Lake.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(Lake.readStagedBatch(spark, dir, id).count() == 1,
+      "vacuum reclaimed a staged batch")
+    // publish after concurrent appends: append-commuting rebase — both
+    // the concurrent rows and the staged row land
+    Lake.publishStaged(spark, dir, id)
+    val ks = Lake.readVersioned(spark, dir).select("k")
+      .as[Long].collect().toSet
+    assert(ks.contains(90L) && ks.contains(50L) && ks.contains(51L))
+    assert(ks.size == 13)
+  }
+
+  test("WAP: publish refuses when the schema drifted since staging") {
+    val dir = tmp() + "/t"
+    Lake.writeVersioned(spark, (1L to 5L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    val id = Lake.stageAppend(spark, Seq((10L, 20L)).toDF("k", "v"), dir)
+    // a drifting append lands between stage and publish
+    Lake.appendVersioned(spark,
+      Seq((6L, 12L, "x")).toDF("k", "v", "tag"), dir)
+    val e = intercept[IllegalArgumentException] {
+      Lake.publishStaged(spark, dir, id)
+    }
+    assert(e.getMessage.contains("restage"), e.getMessage)
+    Lake.abortStaged(spark, dir, id)
+    assert(Lake.listStaged(spark, dir).isEmpty)
+  }
+
   test("stats pruning joins URL-encoded paths: a space in the dir still prunes") {
     // input_file_name URL-encodes ('%20' for the space below) while
     // candidate paths are URI.getPath-decoded; the normalization must
@@ -989,8 +1068,12 @@ class LakeSpec extends SparkSpec {
       if (round == 2)
         Lake.setAutoOptimize(spark, dir, smallFileLimit = 4,
           targetFileBytes = 32L << 10)
+      // WAP stages left pending across arms: must never surface in any
+      // published read, must survive every interleaved vacuum, and must
+      // publish cleanly at the end
+      var pending = List.empty[(String, Seq[(Long, Long)])]
       for (_ <- 0 until 16) {
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 => // O(batch) append of new keys
             val rows = freshRows(1 + rnd.nextInt(8))
             model = model ++ rows
@@ -1052,6 +1135,16 @@ class LakeSpec extends SparkSpec {
             Lake.deleteWhereDv(spark, dir, col("k").between(lo, hi))
           case 10 => // materialize whatever tombstones are live
             Lake.purgeDeletes(spark, dir)
+          case 11 => // WAP: stage invisibly; publish, abort, or leave pending
+            val rows = freshRows(1 + rnd.nextInt(5))
+            val sid = Lake.stageAppend(spark, frame(rows), dir)
+            rnd.nextInt(5) match {
+              case 0 | 1 =>
+                model = model ++ rows
+                Lake.publishStaged(spark, dir, sid)
+              case 2 | 3 => Lake.abortStaged(spark, dir, sid)
+              case _ => pending ::= (sid, rows)
+            }
         }
         val vNow = Lake.listVersions(spark, dir).last
         history += vNow -> model
@@ -1120,6 +1213,20 @@ class LakeSpec extends SparkSpec {
           }
         }
       }
+      // resolve the stages left pending through the whole random stream:
+      // every one survived the interleaved vacuums (live-root contract)
+      // and publishes/aborts cleanly on top of whatever state won
+      pending.foreach { case (sid, rows) =>
+        if (rnd.nextBoolean()) {
+          model = model ++ rows
+          Lake.publishStaged(spark, dir, sid)
+        } else Lake.abortStaged(spark, dir, sid)
+      }
+      assert(Lake.listStaged(spark, dir).isEmpty)
+      val fin = Lake.readVersioned(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fin == model,
+        s"round $round: final state diverged after pending WAP resolution")
     }
   }
 
