@@ -57,6 +57,7 @@ object Bench {
     warm("constraint_fixture")(graft.pipeline.PipelineQueries.prebuildConstraintFixture(spark, sfDir))
     warm("restore_fixture")(graft.pipeline.PipelineQueries.prebuildRestoreFixture(spark, sfDir))
     warm("mv_refresh_fixture")(graft.pipeline.PipelineQueries.prebuildMvRefreshFixture(spark, sfDir))
+    warm("mv_rewrite_fixture")(graft.pipeline.PipelineQueries.prebuildMvRewriteFixture(spark, sfDir))
     warm("scd2_feed_fixture")(graft.pipeline.PipelineQueries.prebuildScd2FeedFixture(spark, sfDir))
     warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
     warm("stream_stateful_landings")(

@@ -267,6 +267,34 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), (String, String)]
 
+  /** Fixture for `lake_mv_rewrite`: its OWN source+view pair (sharing
+    * lake_mv_refresh's fixture would let whichever query runs first steal
+    * the other's timed fold). Source = per-user event rows at days ≤
+    * Jan-20; view = the refresh-maintained (user_id → count, cents sum).
+    */
+  private val mvRewriteFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), (String, String)]
+
+  def prebuildMvRewriteFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    mvRewriteFixtureCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          to_date(col("ts")).as("day"))
+      val root = Scratch.dir("mvrw")
+      val src = s"$root/src"
+      val view = s"$root/view"
+      graft.sources.Lake.writeVersioned(sp,
+        base.filter(col("day") <= lit("2024-01-20").cast("date"))
+          .drop("day").repartition(4), src)
+      graft.sources.Lake.refreshIncremental(sp, src, view,
+        keys = Seq("user_id"), sumCols = Seq("cents"),
+        countCol = "n_events")
+      (src, view)
+    })
+
   def prebuildMvRefreshFixture(sp: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
     mvRefreshFixtureCache.computeIfAbsent((sp, dir), { _ =>
@@ -525,6 +553,38 @@ object PipelineQueries {
           |FROM events
           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
           |GROUP BY 1 ORDER BY day""".stripMargin),
+    ),
+
+    // ---- MV auto-rewrite end-to-end (the optimizer feature, not the
+    //      maintenance): a count+sum aggregate WRITTEN AGAINST THE SOURCE
+    //      table is answered from the maintained view by MvRewriteRule —
+    //      the plan never opens a source data file (MvRewriteRuleSpec
+    //      pins that, plus the staleness fallback). The oracle computes
+    //      the aggregate from raw events, so a rewrite that fired on a
+    //      stale view, mismapped a column, or lost rows fails the hash. ----
+    QueryDef(
+      "lake_mv_rewrite",
+      (sp, dir) => {
+        val (src, view) = prebuildMvRewriteFixture(sp, dir)
+        // idempotent installs: the rule once per session, the def by key
+        if (!sp.experimental.extraOptimizations
+            .contains(graft.plans.MvRewriteRule))
+          sp.experimental.extraOptimizations =
+            sp.experimental.extraOptimizations :+ graft.plans.MvRewriteRule
+        graft.plans.MvRewriteRule.register(graft.plans.MvDef(
+          src, view, Seq("user_id"), Seq("cents"), "n_events"))
+        // written against the SOURCE — the optimizer answers from the view
+        graft.sources.Lake.readVersioned(sp, src)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS total_cents
+          |FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+          |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
     // ---- Write-audit-publish end-to-end (the reference's expectations

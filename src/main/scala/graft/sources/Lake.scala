@@ -3682,6 +3682,35 @@ object Lake {
     ()
   }
 
+  /** Metadata gate for [[graft.plans.MvRewriteRule]]: Some(current data
+    * files of `sourcePath`, absolute scheme-less) iff `viewPath` is a
+    * refresh-maintained view of `sourcePath` whose WATERMARK covers the
+    * source head — i.e. answering from the view is provably equivalent to
+    * aggregating the source right now. None on any doubt (missing view,
+    * stale watermark, unversioned source): the rule then leaves the plan
+    * alone, which is always correct.
+    */
+  def mvRewriteInfo(spark: SparkSession, sourcePath: String,
+      viewPath: String): Option[Set[String]] =
+    try {
+      val shp = new org.apache.hadoop.fs.Path(sourcePath)
+      val sfs = shp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!sfs.exists(versionsDir(sourcePath))) return None
+      val head = readVersionPointer(sfs, sourcePath)
+        .orElse(manifestVersions(sfs, sourcePath).lastOption)
+        .getOrElse(return None)
+      val vfs = new org.apache.hadoop.fs.Path(viewPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!vfs.exists(versionsDir(viewPath))) return None
+      val viewHead = readVersionPointer(vfs, viewPath)
+        .orElse(manifestVersions(vfs, viewPath).lastOption)
+        .getOrElse(return None)
+      val watermark = readRawManifest(spark, vfs, viewPath, viewHead)
+        .flatMap(_.streamBatchId).getOrElse(return None)
+      if (watermark < head) None
+      else Some(currentDataFiles(spark, sfs, shp, sourcePath).toSet)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Relative paths every live staged marker references — vacuum's extra
     * live roots (staged work must survive housekeeping until published
     * or aborted; see [[stageAppend]]).
