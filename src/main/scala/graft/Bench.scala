@@ -58,6 +58,8 @@ object Bench {
     warm("restore_fixture")(graft.pipeline.PipelineQueries.prebuildRestoreFixture(spark, sfDir))
     warm("mv_refresh_fixture")(graft.pipeline.PipelineQueries.prebuildMvRefreshFixture(spark, sfDir))
     warm("mv_rewrite_fixture")(graft.pipeline.PipelineQueries.prebuildMvRewriteFixture(spark, sfDir))
+    warm("bloom_fixture")(graft.pipeline.PipelineQueries.prebuildBloomFixture(spark, sfDir))
+    warm("bucketed_fixture")(graft.pipeline.PipelineQueries.prebuildBucketedFixture(spark, sfDir))
     warm("scd2_feed_fixture")(graft.pipeline.PipelineQueries.prebuildScd2FeedFixture(spark, sfDir))
     warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
     warm("stream_stateful_landings")(

@@ -112,5 +112,50 @@ object Analytics {
           |         / count(*) / 10000.0 AS c0_mean
           |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
     ),
+
+    // ---- grouped OLS trend via EXACT integer normal equations: the
+    //      per-group model-fit shape (one tiny regression per group,
+    //      computed distributively from sufficient statistics — the
+    //      groupBy carries five integer sums per group, never rows).
+    //      slope = num/den with num = n·Σxy − Σx·Σy and den = n·Σx² −
+    //      (Σx)², both BIGINT-exact, so the cross-engine hash cannot
+    //      drift on double summation order; x is CENTERED (days since
+    //      Jan-1) to keep the products far from int64 overflow at scale.
+    //      Consumers divide; the row ships the exact fraction. ----
+    QueryDef(
+      "q_regression_exact",
+      (sp, dir) => {
+        val d = Tables.events(sp, dir)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"),
+            round(col("value") * 100).cast("long").as("y"))
+        d.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT event_type,
+          |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+          |         CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events),
+          |s AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(x * y) AS BIGINT) AS sxy,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM d GROUP BY event_type)
+          |SELECT event_type, n,
+          |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+          |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+          |FROM s ORDER BY event_type""".stripMargin),
+    ),
   )
 }

@@ -4092,6 +4092,76 @@ object Lake {
       bloomProbeFiles(spark, path, c, probes, maxProbes)._1)
   }
 
+  /** Point-lookup file pruning composing EVERY skipping index the table
+    * carries on `c`: `_graft_stats` min/max bounds (tight on range/
+    * z-ordered layouts, blind on hash layouts) ∩ `_graft_bloom`
+    * membership (tight on any layout, modulo false positives). Each
+    * prune is a SUPERSET of the files holding matches, so the
+    * intersection still is — the two indexes' strengths compose instead
+    * of competing, and a table that carries both gets the min of either
+    * read. A stats manifest with NUMERIC bounds (where lexicographic
+    * probe comparison would be unsound — [[probeDataFiles]] refuses it)
+    * silently contributes nothing; a probe set past `maxProbes` likewise
+    * degrades that index to no-prune. Refuses only when NO index exists.
+    *
+    * @return (files kept, total current files)
+    */
+  def lookupFiles(spark: SparkSession, path: String, c: String,
+      probes: DataFrame, maxProbes: Int = 100000): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBloom = fs.exists(bloomDir(path, c))
+    val hasStats = fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_stats"))
+    require(hasBloom || hasStats,
+      s"lookupFiles($c): no _graft_stats or _graft_bloom index under $path")
+    var kept: Option[Set[String]] = None
+    var total = -1
+    if (hasBloom) {
+      val (k, t) = bloomProbeFiles(spark, path, c, probes, maxProbes)
+      kept = Some(k.toSet); total = t
+    }
+    if (hasStats) {
+      val strs = probes.na.drop().distinct().limit(maxProbes + 1)
+        .select(col(probes.columns.head).cast("string"))
+        .collect().map(_.getString(0)).toIndexedSeq
+      if (strs.length <= maxProbes) {
+        try {
+          val (k0, t) = probeDataFiles(spark, path, c, strs)
+          // stats manifest rows carry input_file_name's scheme; the bloom
+          // prune is already in scheme-less URI.getPath form — intersect
+          // in the scheme-less identity used everywhere else
+          val k = k0.map(f => new java.net.URI(f).getPath)
+          total = t
+          kept = Some(kept.fold(k.toSet)(_ intersect k.toSet))
+        } catch {
+          // numeric stats bounds: lexicographic probing unsound — this
+          // index contributes nothing, the bloom (if any) already did
+          case _: IllegalArgumentException if kept.nonEmpty => ()
+        }
+      }
+    }
+    val current = currentDataFiles(spark, fs, hp, path)
+    val currentTotal = if (total >= 0) total else current.size
+    // every present index declined (probe cap): graceful degrade to the
+    // full narrow scan — same contract as bloomProbeFiles past its cap
+    (kept.map(_.toSeq.sorted).getOrElse(current), currentTotal)
+  }
+
+  /** Point-lookup read over [[lookupFiles]]' composed prune — the caller
+    * still applies the equality filter (superset contract, as with every
+    * skipping read here).
+    */
+  def readLookup(spark: SparkSession, path: String, c: String,
+      probes: DataFrame, maxProbes: Int = 100000): DataFrame = {
+    requireNoDvs(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "readLookup")
+    readFileSubset(spark, path,
+      lookupFiles(spark, path, c, probes, maxProbes)._1)
+  }
+
   /** All parquet data files under `dir`, recursing through partition dirs;
     * underscore/dot metadata names are skipped at every level.
     */

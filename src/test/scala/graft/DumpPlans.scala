@@ -97,6 +97,17 @@ object DumpPlans {
       "the bigram/prefix count tables join back as two-phase hash " +
       "aggregates; the scalar vocabulary size rides a 1-row " +
       "BroadcastNestedLoop cross — the corpus is never re-scanned per doc" :: Nil),
+    "lake_mv_rewrite" -> ("MV auto-rewrite: aggregate answered from the maintained view" ::
+      "expect: NO HashAggregate and NO scan of the source's v= data " +
+      "files — the optimizer replaced the whole count+sum aggregate " +
+      "with a Project over the keys-sized view's parquet scan " +
+      "(MvRewriteRule; staleness falls back to the real aggregate, " +
+      "pinned by MvRewriteRuleSpec)" :: Nil),
+    "lake_bloom_skip" -> ("bloom-index point lookup on a hash-clustered layout" ::
+      "expect: the probe side resolved at PLAN time (manifest filter + " +
+      "BloomMightContainAny ran before this plan existed) — the data " +
+      "plan is just scan→filter→sort over the bloom-kept file subset, " +
+      "where min/max stats would have kept all 16 files" :: Nil),
   )
 
   def main(args: Array[String]): Unit = {

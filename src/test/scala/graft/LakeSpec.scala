@@ -503,6 +503,54 @@ class LakeSpec extends SparkSpec {
     assert(live.count() == 1L)
   }
 
+  test("composed lookup intersects stats and bloom prunes; each alone is looser") {
+    val dir = tmp() + "/t"
+    // range layout on a ZERO-PADDED string key: stats bounds are tight
+    // per file AND the bloom can still discriminate within a range
+    val rows = (1 to 2000).map(i => (f"$i%06d", i.toLong)).toDF("k", "v")
+    rows.repartitionByRange(10, col("k")).write.parquet(dir)
+    Lake.writeStats(spark, dir, Seq("k"))
+    Lake.writeBloomIndex(spark, dir, "k", expectedPerFile = 500L)
+    val probes = Seq(f"${42}%06d", f"${1777}%06d").toDF("k")
+    val (both, total) = Lake.lookupFiles(spark, dir, "k", probes)
+    val (statsOnly0, _) = Lake.probeDataFiles(spark, dir, "k",
+      Seq(f"${42}%06d", f"${1777}%06d"))
+    // probeDataFiles returns the manifest's scheme-qualified form;
+    // compare in the scheme-less identity lookupFiles uses
+    val statsOnly = statsOnly0.map(f => new java.net.URI(f).getPath)
+    val (bloomOnly, _) = Lake.bloomProbeFiles(spark, dir, "k", probes)
+    assert(total == 10)
+    assert(both.toSet.subsetOf(statsOnly.toSet), "intersection ⊄ stats prune")
+    assert(both.toSet.subsetOf(bloomOnly.toSet), "intersection ⊄ bloom prune")
+    assert(both.size <= 2 && both.nonEmpty, s"kept ${both.size} of $total")
+    // superset contract end-to-end
+    val got = Lake.readLookup(spark, dir, "k", probes)
+      .filter(col("k").isin(f"${42}%06d", f"${1777}%06d"))
+      .collect().toSet
+    val want = spark.read.parquet(dir)
+      .filter(col("k").isin(f"${42}%06d", f"${1777}%06d"))
+      .collect().toSet
+    assert(got == want && want.size == 2)
+    // numeric-stats table: the stats index is UNSOUND for lexicographic
+    // probes — with a bloom present the lookup quietly uses bloom only
+    val dir2 = tmp() + "/t2"
+    spark.range(1000).select(col("id"), (col("id") % 3).as("g"))
+      .repartition(8, col("id")).write.parquet(dir2)
+    Lake.writeStats(spark, dir2, Seq("id"))
+    Lake.writeBloomIndex(spark, dir2, "id", expectedPerFile = 200L)
+    val (kept2, total2) = Lake.lookupFiles(spark, dir2, "id",
+      Seq(77L).toDF("id"))
+    assert(total2 == 8 && kept2.size < 8, s"kept ${kept2.size}")
+    // …and with ONLY numeric stats it refuses loudly (skipRange is the
+    // sound path there), never prunes wrong
+    val dir3 = tmp() + "/t3"
+    spark.range(100).toDF("id").repartition(2).write.parquet(dir3)
+    Lake.writeStats(spark, dir3, Seq("id"))
+    intercept[IllegalArgumentException] {
+      Lake.lookupFiles(spark, dir3, "id", Seq(5L).toDF("id"))
+    }
+  }
+
   test("WAP: stage is invisible, audit sees the union, publish folds it in") {
     val dir = tmp() + "/t"
     Lake.writeVersioned(spark, (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"), dir)
