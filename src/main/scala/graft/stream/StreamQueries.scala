@@ -79,6 +79,84 @@ object StreamQueries {
       "WHEN event_id % 4 = 1 THEN ' Good ' " +
       "WHEN event_id % 4 = 2 THEN 'SUSPECT' ELSE 'bad' END"
 
+  /** Expectations-gated streaming ingestion through the WAP commit
+    * protocol: each micro-batch is STAGED into the versioned curated
+    * table (invisible), AUDITED against the silver quality expectation
+    * on the staged read, quarantined-and-restaged when dirty, then
+    * published — `EXPECT … ON VIOLATION DROP ROW` as a commit-protocol
+    * property instead of an inline filter, so no reader can observe an
+    * unaudited row AT ANY VERSION (StreamingOpsSpec walks the history to
+    * pin that). Batch 0 bootstraps the table with the same audit via a
+    * snapshot commit; every later batch goes stage→audit→publish. The
+    * oracle is the same batch SQL as stream_silver_equiv: if the gate
+    * drops a good row, double-publishes a stage, or leaks a bad one, the
+    * hash fails.
+    */
+  private def streamWapEquiv(spark: SparkSession, dir: String): DataFrame =
+    runWapGatedDrain(spark, landingFor(spark, dir), Scratch.dir("stream_wap"))
+
+  /** The WAP-gated drain itself, rooted explicitly so StreamingOpsSpec
+    * can walk the resulting table's version history and quarantine.
+    * Returns the ordered curated rows; the table lands at
+    * `<root>/curated`, violations at `<root>/quarantine`.
+    */
+  def runWapGatedDrain(spark: SparkSession, landing: String,
+      root: String): DataFrame = {
+    import graft.sources.Lake
+    val table = s"$root/curated"
+    val quarantine = s"$root/quarantine"
+    val ckpt = s"$root/ckpt"
+    val ok = lower(trim(col("quality_flag"))).isin("good", "suspect")
+    val q = Ingest.bronzeStream(spark, landing, Some(2))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val projected = batch.select(col("device_id"), col("location_id"),
+          col("timestamp").cast("timestamp").as("timestamp"),
+          col("sensor_type"), col("quality_flag"), col("unit"), col("value"))
+        val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(table, "_graft_versions"))) {
+          // batch 0: same audit, snapshot commit (no table to stage into yet)
+          projected.filter(!ok).write.mode("append").parquet(quarantine)
+          Lake.writeVersioned(spark, projected.filter(ok), table)
+          ()
+        } else {
+          val sid = Lake.stageAppend(spark, projected, table)
+          val staged = Lake.readStagedBatch(spark, table, sid)
+          if (staged.filter(!ok).limit(1).count() > 0L) {
+            // audit failed: quarantine the violations, abort the dirty
+            // stage, restage the clean subset — the published table
+            // never held a bad row at any point
+            staged.filter(!ok).write.mode("append").parquet(quarantine)
+            Lake.abortStaged(spark, table, sid)
+            val clean = Lake.stageAppend(spark, projected.filter(ok), table)
+            Lake.publishStaged(spark, table, clean)
+          } else Lake.publishStaged(spark, table, sid)
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Lake.readVersioned(spark, table)
+      .orderBy("device_id", "location_id", "timestamp", "sensor_type",
+        "quality_flag", "unit", "value")
+  }
+
+  private def wapOracle =
+    s"""SELECT concat('dev-', user_id) AS device_id,
+       |       concat('loc-', user_id % 5) AS location_id,
+       |       ts AS "timestamp",
+       |       event_type AS sensor_type,
+       |       $qualityCaseSql AS quality_flag,
+       |       'C' AS unit,
+       |       value
+       |FROM events
+       |WHERE lower(trim($qualityCaseSql)) IN ('good', 'suspect')
+       |ORDER BY device_id, location_id, "timestamp", sensor_type,
+       |         quality_flag, unit, value""".stripMargin
+
   private def streamSilverEquiv(spark: SparkSession, dir: String): DataFrame = {
     val landing = landingFor(spark, dir)
     val root = Scratch.dir("stream_silver")
@@ -480,6 +558,7 @@ object StreamQueries {
   }
 
   def all: Seq[QueryDef] = Seq(
+    QueryDef("stream_wap_equiv", streamWapEquiv, Some(wapOracle)),
     QueryDef("stream_silver_equiv", streamSilverEquiv, Some(silverOracle)),
     QueryDef("stream_gold_incremental", streamGoldIncremental, Some(goldOracle)),
     QueryDef("stream_dedup_equiv", streamDedupEquiv, Some(dedupOracle)),

@@ -309,4 +309,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), "replayed event_id 1 must be dropped")
     q.stop()
   }
+
+  test("WAP-gated stream: no version ever held an unaudited row; quarantine exact") {
+    import graft.sources.Lake
+    // run the WAP-gated drain end-to-end on the smallest SF, rooted here
+    val sfDir = "/root/testdata/sf0.001"
+    val landing = graft.stream.StreamQueries.prebuildLanding(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    graft.stream.StreamQueries.runWapGatedDrain(spark, landing, root).count()
+    val table = s"$root/curated"
+    val quarantine = s"$root/quarantine"
+    val bad = lower(trim(col("quality_flag"))) =!= "good" &&
+      lower(trim(col("quality_flag"))) =!= "suspect"
+    // the gate's whole point: walk EVERY published version — none may
+    // contain a row failing the expectation, not even transiently
+    val versions = Lake.listVersions(spark, table)
+    assert(versions.size >= 2, s"expected multiple micro-batch commits, got $versions")
+    versions.foreach { v =>
+      assert(Lake.readVersioned(spark, table, Some(v)).filter(bad).isEmpty,
+        s"version $v holds an unaudited row")
+    }
+    // quarantine holds exactly the 'bad'-flag rows of the landing data
+    val nBad = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 4 === 3).count()
+    assert(spark.read.parquet(quarantine).count() == nBad)
+    // and nothing was lost: published ∪ quarantine == full landing
+    assert(Lake.readVersioned(spark, table).count() +
+      spark.read.parquet(quarantine).count()
+      == Tables.events(spark, sfDir).count())
+    // no stage left dangling after the drain
+    assert(Lake.listStaged(spark, table).isEmpty)
+  }
 }
