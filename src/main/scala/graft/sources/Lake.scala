@@ -2322,7 +2322,8 @@ object Lake {
       fs: org.apache.hadoop.fs.FileSystem, path: String, v0: Long,
       schemaDdl: String, add: Seq[(String, Long)], remove: Seq[String],
       op: String, full: Boolean = false,
-      dvAdd: Seq[DvEntry] = Nil, readSet: Set[String] = Set.empty): Long = {
+      dvAdd: Seq[DvEntry] = Nil, readSet: Set[String] = Set.empty,
+      streamBatchId: Option[Long] = None): Long = {
     val ourRemove = remove.toSet
     var base = v0
     var attempts = 0
@@ -2338,11 +2339,12 @@ object Lake {
             .getOrElse(sys.error(s"version $base has no manifest under $path"))
           writeVersionManifest(spark, fs, path, next, schemaDdl,
             resolved.entries.filterNot(e => ourRemove(e._1)) ++ add,
-            op = Some(op), dv = applyDvDelta(resolved.dvs, ourRemove, dvAdd))
+            op = Some(op), dv = applyDvDelta(resolved.dvs, ourRemove, dvAdd),
+            streamBatchId = streamBatchId)
         } else
           writeVersionDelta(spark, fs, path, next, schemaDdl,
             base = base, add = add, remove = remove, op = Some(op),
-            dvAdd = dvAdd)
+            dvAdd = dvAdd, streamBatchId = streamBatchId)
         writeVersionPointer(spark, fs, path, next)
         return next
       } catch {
@@ -2572,7 +2574,13 @@ object Lake {
   private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
       path: String, v: Long, body: String, replace: Boolean): Unit = {
     fs.mkdirs(versionsDir(path))
-    val tmp = new org.apache.hadoop.fs.Path(path, s"_graft_versions/.v=$v.tmp")
+    // tmp name is PER-WRITER unique (same reason as the version pointer):
+    // two writers racing to one version number with a SHARED tmp path let
+    // writer B overwrite the tmp writer A is mid-renaming — a torn
+    // data/crc pair that surfaces as a ChecksumException to READERS of
+    // the version A published
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"_graft_versions/.v=$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val dst = versionManifestFile(path, v)
     val out = fs.create(tmp, true)
     out.write(body.getBytes("UTF-8"))
@@ -2585,10 +2593,13 @@ object Lake {
     } else {
       // same concurrent-publish guard as the schema manifests: two writers
       // racing to one version number must fail loudly, not clobber
-      require(!fs.exists(dst),
-        s"version $v already published under $path (concurrent writer?)")
-      require(fs.rename(tmp, dst),
-        s"version $v already published under $path (concurrent writer?)")
+      def lost(): Nothing = {
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"version $v already published under $path (concurrent writer?)")
+      }
+      if (fs.exists(dst)) lost()
+      if (!fs.rename(tmp, dst)) lost()
     }
   }
 
@@ -3593,6 +3604,11 @@ object Lake {
       path: String, id: String): (String, Seq[(String, Long)]) = {
     val f = stagedMarker(path, id)
     require(fs.exists(f), s"no staged batch '$id' under $path")
+    readMarkerFile(fs, f)
+  }
+
+  private def readMarkerFile(fs: org.apache.hadoop.fs.FileSystem,
+      f: org.apache.hadoop.fs.Path): (String, Seq[(String, Long)]) = {
     val in = fs.open(f)
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
@@ -3625,6 +3641,9 @@ object Lake {
   def readStaged(spark: SparkSession, path: String, id: String): DataFrame =
     readVersioned(spark, path).unionByName(readStagedBatch(spark, path, id))
 
+  private def claimedMarker(path: String, id: String) =
+    new org.apache.hadoop.fs.Path(path, s"_graft_staged/.$id.publishing")
+
   /** Fold an audited staged batch into a real commit. Refuses loudly when
     * the table's schema changed since staging (the audit ran against a
     * stale shape — restage), or when the staged rows violate the table's
@@ -3632,25 +3651,90 @@ object Lake {
     * the stage SURVIVES a refusal for inspection/abort). Concurrent
     * commits rebase exactly like [[appendVersioned]] — the staged files
     * are already on disk and are never rewritten.
+    *
+    * DOUBLE-PUBLISH safety: the marker is CLAIMED by an atomic rename
+    * before anything else, so exactly one of two concurrent publishes of
+    * the same stage folds it — the loser gets the no-staged-batch
+    * refusal instead of silently duplicating every staged row. A refusal
+    * (schema drift, constraints) renames the claim back; a crash between
+    * manifest publish and claim cleanup is recovered on the next call by
+    * checking whether the head manifest already holds the claim's
+    * entries (done → just clean up; not → publish from the claim).
+    *
+    * `streamBatchId` rides the commit like [[appendVersioned]]'s replay
+    * gate: a replayed micro-batch whose id is already in a manifest
+    * no-ops (aborting its redundant re-stage if one exists) — the
+    * exactly-once contract for foreachBatch WAP pipelines.
     */
-  def publishStaged(spark: SparkSession, path: String, id: String): Long = {
+  def publishStaged(spark: SparkSession, path: String, id: String,
+      streamBatchId: Option[Long] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (stagedDdl, entries) = readStagedEntries(fs, path, id)
-    val v0 = readVersionPointer(fs, path).getOrElse(
+    def headVersion(): Long = readVersionPointer(fs, path).getOrElse(
       manifestVersions(fs, path).last)
-    val curDdl = readRawManifest(spark, fs, path,
-      manifestVersions(fs, path).last).get.schemaDdl
-    require(curDdl == stagedDdl,
-      s"publishStaged($id): table schema changed since staging " +
-        s"(staged against $stagedDdl, table now $curDdl) - the audit " +
-        "validated a stale shape; abort and restage")
-    val cs = checkConstraints(spark, path)
-    if (cs.nonEmpty)
-      enforceConstraintsOn(spark, readStagedBatch(spark, path, id), cs,
-        s"publishStaged($path, $id)")
-    val next = publishNonCommuting(spark, fs, path, v0, curDdl,
-      add = entries, remove = Nil, op = "wap")
+    streamBatchId.foreach { bid =>
+      if (streamBatchCommitted(spark, path, bid)) {
+        // replayed micro-batch: its rows are already published — the
+        // replay's redundant re-stage (if any) is aborted, not folded
+        if (fs.exists(stagedMarker(path, id))) abortStaged(spark, path, id)
+        return headVersion()
+      }
+    }
+    val claimed = claimedMarker(path, id)
+    // ChecksumFileSystem throws (rather than returning false) when the
+    // source vanished — same meaning here: someone else claimed it
+    val claimWon =
+      try fs.rename(stagedMarker(path, id), claimed)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!claimWon) {
+      // no live marker. A leftover claim whose entries all made it into
+      // the head manifest is a COMPLETED publish that died before
+      // cleanup — reconcile it. Any other claim is either an IN-FLIGHT
+      // concurrent publish (auto-resuming would fold the files twice) or
+      // a crash before the manifest landed; the two are indistinguishable
+      // from here, so refuse loudly — [[recoverStagedPublish]] is the
+      // operator's explicit I-know-the-publisher-is-dead lever.
+      require(fs.exists(claimed),
+        s"no staged batch '$id' under $path (already published/aborted, " +
+          "or a concurrent publish claimed it)")
+      val (_, entries) = readMarkerFile(fs, claimed)
+      val headEntries = readVersionManifest(spark, fs, path, headVersion())
+        .map(_.entries.map(_._1).toSet).getOrElse(Set.empty)
+      if (entries.forall(e => headEntries(e._1))) {
+        fs.delete(claimed, false)
+        return headVersion()
+      }
+      throw new IllegalArgumentException(
+        s"stage '$id' under $path is claimed by another publish — " +
+          "in flight (wait for it), or crashed before its manifest " +
+          "landed (recoverStagedPublish to hand the stage back)")
+    }
+    val (stagedDdl, entries) = readMarkerFile(fs, claimed)
+    val root = rootPath(fs, hp)
+    def unclaim(): Unit = { fs.rename(claimed, stagedMarker(path, id)); () }
+    // pre-publish failures (stale schema, constraint refusal, lost race
+    // beyond retries) hand the stage back for inspection/abort; once the
+    // manifest IS published the claim must never be unclaimed (a retry
+    // would fold the same files twice) — post-publish failures leave the
+    // claim for the crash-recovery path above to reconcile
+    val next =
+      try {
+        val v0 = headVersion()
+        val curDdl = readRawManifest(spark, fs, path,
+          manifestVersions(fs, path).last).get.schemaDdl
+        require(curDdl == stagedDdl,
+          s"publishStaged($id): table schema changed since staging " +
+            s"(staged against $stagedDdl, table now $curDdl) - the audit " +
+            "validated a stale shape; abort and restage")
+        val cs = checkConstraints(spark, path)
+        if (cs.nonEmpty)
+          enforceConstraintsOn(spark,
+            readFileSubset(spark, path, entries.map(e => s"$root/${e._1}")),
+            cs, s"publishStaged($path, $id)")
+        publishNonCommuting(spark, fs, path, v0, curDdl,
+          add = entries, remove = Nil, op = "wap",
+          streamBatchId = streamBatchId)
+      } catch { case e: Throwable => unclaim(); throw e }
     // same keep-alive invariants as every other committing path
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     if (fs.exists(statsDir)) {
@@ -3659,8 +3743,37 @@ object Lake {
       if (tracked.nonEmpty) appendStats(spark, path, tracked)
     }
     refreshBloomIndexes(spark, fs, path)
-    fs.delete(stagedMarker(path, id), false)
+    fs.delete(claimed, false)
     next
+  }
+
+  /** Hand a claimed-but-unpublished stage back to the staged state — the
+    * explicit recovery for a publisher that died AFTER claiming and
+    * BEFORE its manifest landed. Refuses when the claim's entries are
+    * already at the head (that publish completed — call
+    * [[publishStaged]], which reconciles it) and when no claim exists.
+    * Only invoke once the claiming publisher is known dead: unclaiming
+    * under a live one re-opens the double-publish window this protocol
+    * closes.
+    */
+  def recoverStagedPublish(spark: SparkSession, path: String,
+      id: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claimed = claimedMarker(path, id)
+    require(fs.exists(claimed), s"no claimed publish of '$id' under $path")
+    val (_, entries) = readMarkerFile(fs, claimed)
+    val head = readVersionPointer(fs, path).getOrElse(
+      manifestVersions(fs, path).last)
+    val headEntries = readVersionManifest(spark, fs, path, head)
+      .map(_.entries.map(_._1).toSet).getOrElse(Set.empty)
+    require(!entries.forall(e => headEntries(e._1)),
+      s"claimed publish of '$id' under $path COMPLETED (its files are " +
+        "at the head) - publishStaged reconciles it; recovering would " +
+        "fold the files twice")
+    require(fs.rename(claimed, stagedMarker(path, id)),
+      s"could not hand stage '$id' back under $path")
+    ()
   }
 
   /** Discard a staged batch: delete its marker and its data files (and
@@ -3716,9 +3829,16 @@ object Lake {
     * or aborted; see [[stageAppend]]).
     */
   private def stagedReferencedFiles(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Set[String] =
-    listStaged(spark, path)
-      .flatMap(id => readStagedEntries(fs, path, id)._2.map(_._1)).toSet
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Set[String] = {
+    if (!fs.exists(stagedDir(path))) return Set.empty
+    // unclaimed markers AND in-flight/crashed publish claims
+    // (.stageN.publishing): a claim's files must stay live until the
+    // recovery path reconciles it
+    fs.listStatus(stagedDir(path)).toSeq
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".json") ||
+        s.getPath.getName.endsWith(".publishing")))
+      .flatMap(s => readMarkerFile(fs, s.getPath)._2.map(_._1)).toSet
+  }
 
   /** The CURRENT data files of a table: the published version manifest's
     * file list when the table is versioned (files retired by deletes are

@@ -109,30 +109,40 @@ object StreamQueries {
     val ok = lower(trim(col("quality_flag"))).isin("good", "suspect")
     val q = Ingest.bronzeStream(spark, landing, Some(2))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val projected = batch.select(col("device_id"), col("location_id"),
-          col("timestamp").cast("timestamp").as("timestamp"),
-          col("sensor_type"), col("quality_flag"), col("unit"), col("value"))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(table, "_graft_versions"))) {
-          // batch 0: same audit, snapshot commit (no table to stage into yet)
-          projected.filter(!ok).write.mode("append").parquet(quarantine)
-          Lake.writeVersioned(spark, projected.filter(ok), table)
-          ()
-        } else {
-          val sid = Lake.stageAppend(spark, projected, table)
-          val staged = Lake.readStagedBatch(spark, table, sid)
-          if (staged.filter(!ok).limit(1).count() > 0L) {
-            // audit failed: quarantine the violations, abort the dirty
-            // stage, restage the clean subset — the published table
-            // never held a bad row at any point
-            staged.filter(!ok).write.mode("append").parquet(quarantine)
-            Lake.abortStaged(spark, table, sid)
-            val clean = Lake.stageAppend(spark, projected.filter(ok), table)
-            Lake.publishStaged(spark, table, clean)
-          } else Lake.publishStaged(spark, table, sid)
-          ()
+        // crash-replay gate (exactly-once): a micro-batch whose id is
+        // already in a manifest re-runs only if its sink commit was
+        // lost — skip before writing a byte, like appendVersioned's gate
+        if (fs.exists(new org.apache.hadoop.fs.Path(table, "_graft_versions"))
+            && Lake.streamBatchCommitted(spark, table, bid)) ()
+        else {
+          val projected = batch.select(col("device_id"), col("location_id"),
+            col("timestamp").cast("timestamp").as("timestamp"),
+            col("sensor_type"), col("quality_flag"), col("unit"), col("value"))
+          if (!fs.exists(new org.apache.hadoop.fs.Path(table, "_graft_versions"))) {
+            // batch 0: same audit, snapshot commit (no table to stage into yet)
+            projected.filter(!ok).write.mode("append").parquet(quarantine)
+            Lake.writeVersioned(spark, projected.filter(ok), table,
+              streamBatchId = Some(bid))
+            ()
+          } else {
+            val sid = Lake.stageAppend(spark, projected, table)
+            val staged = Lake.readStagedBatch(spark, table, sid)
+            if (staged.filter(!ok).limit(1).count() > 0L) {
+              // audit failed: quarantine the violations, abort the dirty
+              // stage, restage the clean subset — the published table
+              // never held a bad row at any point
+              staged.filter(!ok).write.mode("append").parquet(quarantine)
+              Lake.abortStaged(spark, table, sid)
+              val clean = Lake.stageAppend(spark, projected.filter(ok), table)
+              Lake.publishStaged(spark, table, clean,
+                streamBatchId = Some(bid))
+            } else Lake.publishStaged(spark, table, sid,
+              streamBatchId = Some(bid))
+            ()
+          }
         }
       }
       .option("checkpointLocation", ckpt)

@@ -615,6 +615,72 @@ class LakeSpec extends SparkSpec {
     assert(ks.size == 13)
   }
 
+  test("WAP: a stage publishes exactly once — double calls, races, replays, crashes") {
+    val dir = tmp() + "/t"
+    Lake.writeVersioned(spark, (1L to 10L).map(i => (i, i)).toDF("k", "v"), dir)
+    // sequential double publish: second call refuses, rows appear once
+    val id1 = Lake.stageAppend(spark, Seq((11L, 11L)).toDF("k", "v"), dir)
+    Lake.publishStaged(spark, dir, id1)
+    val e1 = intercept[IllegalArgumentException] {
+      Lake.publishStaged(spark, dir, id1)
+    }
+    assert(e1.getMessage.contains("no staged batch"), e1.getMessage)
+    assert(Lake.readVersioned(spark, dir).filter(col("k") === 11L).count() == 1)
+    // TRUE RACE: two threads fold the same stage — the claim rename lets
+    // exactly one through; a lost race must refuse, never duplicate
+    val id2 = Lake.stageAppend(spark, Seq((12L, 12L)).toDF("k", "v"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results = try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(Seq(
+        (() => scala.util.Try(Lake.publishStaged(spark, dir, id2))): java.util.concurrent.Callable[scala.util.Try[Long]],
+        (() => scala.util.Try(Lake.publishStaged(spark, dir, id2))): java.util.concurrent.Callable[scala.util.Try[Long]],
+      ).asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+    assert(results.count(_.isSuccess) == 1, results.toString)
+    assert(Lake.readVersioned(spark, dir).filter(col("k") === 12L).count() == 1)
+    // micro-batch REPLAY: same streamBatchId arrives again (fresh stage);
+    // the gate aborts the redundant stage and returns the head unchanged
+    val id3 = Lake.stageAppend(spark, Seq((13L, 13L)).toDF("k", "v"), dir)
+    val v3 = Lake.publishStaged(spark, dir, id3, streamBatchId = Some(77L))
+    val id3b = Lake.stageAppend(spark, Seq((13L, 13L)).toDF("k", "v"), dir)
+    assert(Lake.publishStaged(spark, dir, id3b, streamBatchId = Some(77L)) == v3)
+    assert(Lake.listStaged(spark, dir).isEmpty, "replayed stage not aborted")
+    assert(Lake.readVersioned(spark, dir).filter(col("k") === 13L).count() == 1)
+    // crash BEFORE the manifest landed: marker claimed, publisher died.
+    // A blind publish call must REFUSE (it can't tell dead from
+    // in-flight); the operator's explicit recovery hands the stage back
+    val id4 = Lake.stageAppend(spark, Seq((14L, 14L)).toDF("k", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker4 = new org.apache.hadoop.fs.Path(dir, s"_graft_staged/$id4.json")
+    val claim4 = new org.apache.hadoop.fs.Path(dir, s"_graft_staged/.$id4.publishing")
+    assert(fs.rename(marker4, claim4))
+    val e4 = intercept[IllegalArgumentException] {
+      Lake.publishStaged(spark, dir, id4)
+    }
+    assert(e4.getMessage.contains("recoverStagedPublish"), e4.getMessage)
+    Lake.recoverStagedPublish(spark, dir, id4)
+    Lake.publishStaged(spark, dir, id4)
+    assert(Lake.readVersioned(spark, dir).filter(col("k") === 14L).count() == 1)
+    assert(!fs.exists(claim4))
+    // crash AFTER the manifest landed (cleanup lost): a leftover claim
+    // whose entries are already at the head reconciles without refolding
+    val id5 = Lake.stageAppend(spark, Seq((15L, 15L)).toDF("k", "v"), dir)
+    val marker5 = new org.apache.hadoop.fs.Path(dir, s"_graft_staged/$id5.json")
+    val content5 = {
+      val in = fs.open(marker5)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    Lake.publishStaged(spark, dir, id5)
+    val claim5 = new org.apache.hadoop.fs.Path(dir, s"_graft_staged/.$id5.publishing")
+    val out = fs.create(claim5, true)
+    out.write(content5.getBytes("UTF-8")); out.close()
+    Lake.publishStaged(spark, dir, id5) // reconcile, no refold
+    assert(!fs.exists(claim5))
+    assert(Lake.readVersioned(spark, dir).filter(col("k") === 15L).count() == 1)
+  }
+
   test("WAP: publish refuses when the schema drifted since staging") {
     val dir = tmp() + "/t"
     Lake.writeVersioned(spark, (1L to 5L).map(i => (i, i * 2)).toDF("k", "v"), dir)
