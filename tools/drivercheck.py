@@ -11,6 +11,7 @@ Usage: python3 tools/drivercheck.py <sfDir> <verifyOutDir> [query ...]
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -43,7 +44,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir, out_dir, only):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; ScaleUp replicas are Spark
+        # output DIRECTORIES — glob their part files in that case
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
