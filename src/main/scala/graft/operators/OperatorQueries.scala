@@ -403,6 +403,60 @@ object OperatorQueries {
           |SELECT id AS doc_id, r AS pr_fp FROM r3 ORDER BY doc_id""".stripMargin),
     ),
 
+    // ---- triangle counting over a co-occurrence graph: parts ordered
+    //      together form edges (id-oriented a<b, so every triangle is
+    //      enumerated exactly once as a<b<c), triangles = wedges(e1⋈e2
+    //      on the middle node) closed by an equi-join back to the edge
+    //      set — the classic two-equi-join distributed shape, never a
+    //      cartesian. The graph is node-sampled deterministically
+    //      (partkey%7) because the co-order graph is DENSE (~45% at
+    //      sf0.001): wedge count is Σdeg² and a dense 20k-node graph
+    //      would put ~1e8 wedges through the bench row; the sample keeps
+    //      the row cheap while exercising the identical plan. At 100 TB
+    //      the real lever is degree-orientation (low→high degree), which
+    //      bounds out-degree by √(2m); the id-orientation here is the
+    //      same plan with a simpler orientation key. ----
+    QueryDef(
+      "q_triangle_count",
+      (sp, dir) => {
+        val li = Tables.lineitem(sp, dir)
+          .filter(col("l_partkey") % 7 === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+        val pairs = a.join(b, Seq("l_orderkey"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct().persist()
+        val e2 = pairs.select(col("a").as("b2"), col("b").as("c"))
+        val wedges = pairs.join(e2, col("b") === col("b2"))
+          .select(col("a"), col("b"), col("c"))
+        val closed = wedges.join(
+          pairs.select(col("a").as("ca"), col("b").as("cb")),
+          col("a") === col("ca") && col("c") === col("cb"), "leftsemi")
+        val nodes = pairs.select(col("a").as("n"))
+          .union(pairs.select(col("b").as("n"))).distinct()
+        pairs.select(count(lit(1)).as("n_edges"))
+          .crossJoin(nodes.select(count(lit(1)).as("n_nodes")))
+          .crossJoin(closed.select(count(lit(1)).as("n_triangles")))
+      },
+      Some(
+        """WITH pairs AS (
+          |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0),
+          |tri AS (
+          |  SELECT count(*) AS n_triangles
+          |  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+          |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+          |SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+          |       CAST((SELECT count(DISTINCT n) FROM
+          |         (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs))
+          |         AS BIGINT) AS n_nodes,
+          |       CAST(n_triangles AS BIGINT) AS n_triangles
+          |FROM tri""".stripMargin),
+    ),
+
     // ---- binned range join: count each user's views in the hour before
     //      every purchase. BOTH sides are fact-sized (events), so the
     //      nested-loop plan Spark would pick for an inequality join is

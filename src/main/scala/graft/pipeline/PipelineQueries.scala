@@ -460,6 +460,80 @@ object PipelineQueries {
           |ORDER BY user_id, valid_from""".stripMargin),
     ),
 
+    // ---- Debezium ENVELOPE parse (tier B, README_DBT.md:163's "CDC JSON
+    //      (Debezium format)"): the nested {before, after, op, ts_ms}
+    //      JSON envelope flattened to change rows — before/after picked
+    //      by op, exactly what feeds Cdc.scd1/mergeCdc downstream. Each
+    //      engine BUILDS its own envelope from orders and PARSES it with
+    //      its own JSON machinery (to_json/from_json vs struct_pack/
+    //      json_extract), so serialization quirks (null-field omission,
+    //      key order) cancel and only the PARSED VALUES compare — the
+    //      same build-then-undo differential as doc_html_strip. Narrow
+    //      per-row work; one final aggregate. ----
+    QueryDef(
+      "cdc_debezium_parse",
+      (sp, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val op = when(col("o_orderkey") % 10 === 0, "d")
+          .when((col("o_orderkey") % 10).isin(1, 2, 3), "u")
+          .otherwise("c")
+        val env = to_json(struct(
+          when(op.isin("u", "d"),
+            struct(col("o_orderkey").as("k"), (cents - 100).as("cents")))
+            .as("before"),
+          when(op.isin("c", "u"),
+            struct(col("o_orderkey").as("k"), cents.as("cents")))
+            .as("after"),
+          op.as("op"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms")))
+        val envSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "before STRUCT<k: BIGINT, cents: BIGINT>, " +
+            "after STRUCT<k: BIGINT, cents: BIGINT>, " +
+            "op STRING, ts_ms BIGINT")
+        Tables.orders(sp, dir)
+          .select(from_json(env, envSchema).as("e"))
+          .select(col("e.op").as("op"),
+            coalesce(col("e.after.k"), col("e.before.k")).as("k"),
+            when(col("e.op") === "d", col("e.before.cents"))
+              .otherwise(col("e.after.cents")).as("cents"),
+            col("e.ts_ms").as("ts_ms"))
+          .groupBy("op")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("k").as("min_k"), max("ts_ms").as("max_ts"))
+          .orderBy("op")
+      },
+      Some(
+        """WITH env AS (
+          |  SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 10 = 0 THEN 'd'
+          |         WHEN o_orderkey % 10 IN (1,2,3) THEN 'u' ELSE 'c' END AS op,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          |    CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ts_ms
+          |  FROM orders),
+          |js AS (
+          |  SELECT to_json(struct_pack(
+          |      before := CASE WHEN op IN ('u','d')
+          |        THEN struct_pack(k := o_orderkey, cents := cents - 100) END,
+          |      after := CASE WHEN op IN ('c','u')
+          |        THEN struct_pack(k := o_orderkey, cents := cents) END,
+          |      op := op, ts_ms := ts_ms)) AS env
+          |  FROM env),
+          |parsed AS (
+          |  SELECT json_extract_string(env, '$.op') AS op,
+          |         CAST(coalesce(json_extract(env, '$.after.k'),
+          |                       json_extract(env, '$.before.k')) AS BIGINT) AS k,
+          |         CAST(CASE WHEN json_extract_string(env, '$.op') = 'd'
+          |              THEN json_extract(env, '$.before.cents')
+          |              ELSE json_extract(env, '$.after.cents') END AS BIGINT) AS cents,
+          |         CAST(json_extract(env, '$.ts_ms') AS BIGINT) AS ts_ms
+          |  FROM js)
+          |SELECT op, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       CAST(min(k) AS BIGINT) AS min_k,
+          |       CAST(max(ts_ms) AS BIGINT) AS max_ts
+          |FROM parsed GROUP BY op ORDER BY op""".stripMargin),
+    ),
+
     // ---- SCD1 current state from the same CDC-shaped log (tier B,
     //      README_DBT.md:242-244's ROW_NUMBER dedup): latest event per
     //      user wins, a trailing delete drops the key. The payload is

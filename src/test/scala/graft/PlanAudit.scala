@@ -49,6 +49,8 @@ object PlanAudit {
     "dedup_minhash", // 1-row exact-pair count x 1-row found count (recall flag)
     "doc_lm_score", // 1-row vocab-size aggregate broadcast-crossed to the scoring pass
     "q_decay_engagement", // 1-row max-ts anchor broadcast-crossed (q6_forecast shape)
+    "doc_mix_temperature", // 1-row total-weight aggregate broadcast-crossed to budgets
+    "q_triangle_count", // 1-row edge/node/triangle counts crossed into the single output row
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected
