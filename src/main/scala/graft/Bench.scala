@@ -60,6 +60,7 @@ object Bench {
     warm("mv_rewrite_fixture")(graft.pipeline.PipelineQueries.prebuildMvRewriteFixture(spark, sfDir))
     warm("bloom_fixture")(graft.pipeline.PipelineQueries.prebuildBloomFixture(spark, sfDir))
     warm("bucketed_fixture")(graft.pipeline.PipelineQueries.prebuildBucketedFixture(spark, sfDir))
+    warm("ivf_index")(graft.ext.Similarity.prebuildIvfIndex(spark, sfDir))
     warm("scd2_feed_fixture")(graft.pipeline.PipelineQueries.prebuildScd2FeedFixture(spark, sfDir))
     warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
     warm("stream_stateful_landings")(

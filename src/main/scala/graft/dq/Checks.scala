@@ -204,5 +204,52 @@ object Checks {
           |GROUP BY l_partkey
           |ORDER BY n_orphan_rows DESC, l_partkey LIMIT 10""".stripMargin),
     ),
+
+    // ---- per-group 3σ outlier detection in EXACT integer arithmetic:
+    //      (x−μ)² > 9σ² cross-multiplied to (n·x − Σx)² > 9·(n·Σx² −
+    //      (Σx)²), so the verdict never touches a double — partition-
+    //      and engine-independent, no tolerance games (a double z-score
+    //      near the boundary could flip between engines). DIVISION-FREE
+    //      on both sides too: DuckDB's `/` is float division and
+    //      9·n·(…)/n at these magnitudes exceeds 2^53 exactness. Two
+    //      passes (tiny per-group stats broadcast back); at 100 TB the
+    //      int64 products cap the cents×rows product — decimals are the
+    //      escape hatch past ~1e9 rows per group (same note as
+    //      q_regression_exact). ----
+    QueryDef(
+      "dq_outliers",
+      (sp, dir) => {
+        val d = Tables.events(sp, dir)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("x"))
+        val s = d.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+        val dev = col("n") * col("x") - col("sx")
+        d.join(broadcast(s), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(dev * dev > lit(9L) *
+              (col("n") * col("sxx") - col("sx") * col("sx")), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |s AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM d GROUP BY event_type)
+          |SELECT d.event_type,
+          |       CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CASE WHEN (s.n * d.x - s.sx) * (s.n * d.x - s.sx)
+          |                  > 9 * (s.n * s.sxx - s.sx * s.sx)
+          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM d JOIN s ON d.event_type = s.event_type
+          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+    ),
   )
 }

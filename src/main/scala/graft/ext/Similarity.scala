@@ -363,6 +363,43 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Fixture for `ann_ivf_persisted` (cached per session+SF): frozen
+    * integer codebook trained on the initial corpus half, versioned index
+    * of (vec_id, cluster_id) built from it, then the other half folded in
+    * as TWO O(batch) appendVersioned commits with the same codebook.
+    * Returns (index path, centroid ids, quantized codebook).
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, Seq[Long], Seq[Seq[Long]])]
+
+  def prebuildIvfIndex(sp: SparkSession,
+      dir: String): (String, Seq[Long], Seq[Seq[Long]]) =
+    ivfIndexCache.computeIfAbsent((sp, dir), { _ =>
+      import graft.functions.{SignedProjectionBucket, VectorFunctions}
+      val emb = Tables.embeddings(sp, dir)
+      val init = emb.filter(col("vec_id") % 2 === 0)
+      val n = init.count() // codebook sizing only; fixture-sized scan
+      val nCentroids = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cents = init.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .orderBy("vec_id").limit(nCentroids)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)
+          .map(f => SignedProjectionBucket.quantize(f, 1000)))
+      val ids = cents.map(_._1).toSeq
+      val mat = cents.map(_._2.toSeq).toSeq
+      def assigned(df: DataFrame) = df.select(col("vec_id"), element_at(
+        VectorFunctions.quantized_top_dots(col("embedding"), mat, ids, 1, 1000),
+        1).as("cluster_id"))
+      val path = s"${graft.pipeline.Scratch.dir("ivfidx")}/index"
+      graft.sources.Lake.writeVersioned(sp, assigned(init), path)
+      graft.sources.Lake.appendVersioned(sp,
+        assigned(emb.filter(col("vec_id") % 4 === 1)), path)
+      graft.sources.Lake.appendVersioned(sp,
+        assigned(emb.filter(col("vec_id") % 4 === 3)), path)
+      (path, ids, mat)
+    })
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540) with a deterministic,
     * cross-engine-reproducible clustering: C = ceil(sqrt(N)) centroids
     * taken by vector id (not k-means — the paper's insight is that ANY
@@ -571,6 +608,103 @@ object Similarity {
           |  SELECT vec_id AS cent_id FROM (
           |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
           |    FROM embeddings WHERE vec_id % 7 = 3)
+          |  WHERE rn <= (SELECT nc FROM p)),
+          |cq AS (
+          |  SELECT c.cent_id, q.j, q.qv AS cv
+          |  FROM cents c JOIN q ON q.vec_id = c.cent_id),
+          |dots AS (
+          |  SELECT q.vec_id, cq.cent_id, CAST(sum(q.qv * cq.cv) AS BIGINT) AS dot
+          |  FROM q JOIN cq ON q.j = cq.j GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT vec_id, cent_id,
+          |         row_number() OVER (PARTITION BY vec_id
+          |                            ORDER BY dot DESC, cent_id) AS crn
+          |  FROM dots),
+          |assign AS (
+          |  SELECT vec_id, cent_id AS cluster_id FROM ranked WHERE crn = 1),
+          |qset AS (
+          |  SELECT vec_id FROM (
+          |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+          |    FROM embeddings WHERE vec_id % 25 = 0)
+          |  WHERE rn <= 40),
+          |probes AS (
+          |  SELECT vec_id AS query_id, cent_id AS cluster_id
+          |  FROM ranked WHERE crn <= 4
+          |    AND vec_id IN (SELECT vec_id FROM qset)),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id
+          |  FROM probes p JOIN assign a USING (cluster_id)
+          |  WHERE a.vec_id <> p.query_id),
+          |sc AS (
+          |  SELECT cand.query_id, cand.vec_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+          |  FROM cand
+          |  JOIN q a ON a.vec_id = cand.query_id
+          |  JOIN q b ON b.vec_id = cand.vec_id AND b.j = a.j
+          |  GROUP BY 1, 2)
+          |SELECT query_id, vec_id, CAST(rn AS INT) AS rn, dot FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY dot DESC, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+    ),
+    // ---- PERSISTED + INCREMENTALLY MAINTAINED IVF index: the codebook
+    //      is trained (deterministically, integer-quantized — the
+    //      ann_ivf_int recipe) on the INITIAL corpus half and FROZEN;
+    //      the index is a versioned Lake table of (vec_id, cluster_id)
+    //      built from that half, then the other half arrives as TWO
+    //      O(batch) appendVersioned commits assigned with the same
+    //      frozen codebook. Because per-vector assignment is independent
+    //      of arrival order, incremental-maintenance ≡ one-shot-build is
+    //      exactly what the oracle verifies: the SQL recomputes the
+    //      whole-corpus assignment in one pass, so a drifted codebook, a
+    //      lost append, or a double-applied batch all fail the hash.
+    //      This closes the index-maintenance story across all four index
+    //      families (dedup signatures, bloom, MV, ANN). Queries probe
+    //      the PERSISTED index — the serving path pays one bounded read
+    //      per probe list, never an index rebuild. ----
+    QueryDef(
+      "ann_ivf_persisted",
+      (sp, dir) => {
+        import graft.functions.VectorFunctions
+        val emb = Tables.embeddings(sp, dir)
+        // build (frozen codebook + versioned index + 2 incremental
+        // appends) comes from the prebuild lane; the TIMED work is the
+        // SERVING path — probe the persisted index, score candidates
+        val (path, ids, mat) = prebuildIvfIndex(sp, dir)
+        val index = graft.sources.Lake.readVersioned(sp, path)
+        val probes = emb.filter(col("vec_id") % 25 === 0)
+          .orderBy("vec_id").limit(40)
+          .select(col("vec_id").as("query_id"), explode(
+            VectorFunctions.quantized_top_dots(col("embedding"), mat, ids, 4,
+              1000)).as("cluster_id"))
+        val cand = probes.join(index, Seq("cluster_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id").distinct()
+        val sc = cand
+          .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+            Seq("query_id"))
+          .join(emb.select(col("vec_id"), col("embedding").as("ce")), Seq("vec_id"))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFunctions
+              .quantized_dot(col("qe"), col("ce"), scale = 1000).as("dot"))
+        val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+        sc.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= 5)
+          .select("query_id", "vec_id", "rn", "dot")
+          .orderBy("query_id", "rn")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id, i - 1 AS j,
+          |         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
+          |              AS BIGINT) AS qv
+          |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+          |p AS (
+          |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nc
+          |  FROM embeddings WHERE vec_id % 2 = 0),
+          |cents AS (
+          |  SELECT vec_id AS cent_id FROM (
+          |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+          |    FROM embeddings WHERE vec_id % 7 = 3 AND vec_id % 2 = 0)
           |  WHERE rn <= (SELECT nc FROM p)),
           |cq AS (
           |  SELECT c.cent_id, q.j, q.qv AS cv
