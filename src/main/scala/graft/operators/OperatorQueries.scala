@@ -403,6 +403,64 @@ object OperatorQueries {
           |SELECT id AS doc_id, r AS pr_fp FROM r3 ORDER BY doc_id""".stripMargin),
     ),
 
+    // ---- Pareto frontier (skyline: minimize price, maximize size) via
+    //      SORT-SWEEP windows — the scale-right plan for 2D skylines.
+    //      The textbook NOT-EXISTS-dominator formulation is a quadratic
+    //      self-join (PlanAudit would rightly flag the cartesian);
+    //      ordering by price and keeping rows whose size exceeds the
+    //      running max over all STRICTLY-cheaper rows (RANGE frame to
+    //      1 PRECEDING, so price ties don't see each other) plus a
+    //      same-price tie rule (only the max size per price survives,
+    //      duplicates both survive — neither dominates) is the same
+    //      answer in one sort. The unpartitioned sweep window is a
+    //      single task, so a BUCKET PRE-PRUNE runs first: per-price-
+    //      bucket max sizes (tiny — one row per bucket) cumulate into
+    //      a broadcast threshold, and any row at-or-under its strictly-
+    //      cheaper buckets' running max is provably dominated and never
+    //      reaches the sweep. The global window then sorts frontier
+    //      SURVIVORS (≈ skyline-sized), not the table. Exact: the
+    //      prune only drops rows with a strictly-cheaper ≥-size
+    //      dominator, and the oracle recomputes sans prune. ----
+    QueryDef(
+      "q_skyline",
+      (sp, dir) => {
+        val d = Tables.part(sp, dir)
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("cents"),
+            col("p_size").cast("long").as("sz"))
+          .withColumn("b", expr("cents div 10000"))
+        val bcum = d.groupBy("b").agg(max("sz").as("bsz"))
+          .withColumn("prev_max", max(col("bsz")).over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+          .select("b", "prev_max")
+        val pruned = d.join(broadcast(bcum), Seq("b"))
+          .filter(col("sz") > coalesce(col("prev_max"), lit(-1L)))
+        val sweep = Window.orderBy(col("cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val tie = Window.partitionBy(col("cents"))
+        pruned.withColumn("mx_strict", max(col("sz")).over(sweep))
+          .withColumn("mx_tie", max(col("sz")).over(tie))
+          .filter(col("sz") > coalesce(col("mx_strict"), lit(-1L)) &&
+            col("sz") === col("mx_tie"))
+          .select("p_partkey", "cents", "sz")
+          .orderBy("cents", "p_partkey")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+          |         CAST(p_size AS BIGINT) AS sz
+          |  FROM part),
+          |w AS (
+          |  SELECT p_partkey, cents, sz,
+          |         max(sz) OVER (ORDER BY cents
+          |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_strict,
+          |         max(sz) OVER (PARTITION BY cents) AS mx_tie
+          |  FROM d)
+          |SELECT p_partkey, cents, sz FROM w
+          |WHERE sz > coalesce(mx_strict, -1) AND sz = mx_tie
+          |ORDER BY cents, p_partkey""".stripMargin),
+    ),
+
     // ---- triangle counting over a co-occurrence graph: parts ordered
     //      together form edges (id-oriented a<b, so every triangle is
     //      enumerated exactly once as a<b<c), triangles = wedges(e1⋈e2
