@@ -4148,6 +4148,45 @@ object Lake {
     fresh.size.toLong
   }
 
+  /** METADATA-ONLY bloom-manifest compaction — [[compactStats]]' sibling
+    * for `_graft_bloom/<c>`: fold the `append-*.json` files the
+    * incremental maintenance accretes (one per commit, deliberately)
+    * back into ONE manifest file, dropping rows for data files no longer
+    * ON DISK (vacuumed away — probes already ignore them via the
+    * current-file intersection, but under a delete/merge-heavy table the
+    * manifest would otherwise grow forever). Retired-but-on-disk files
+    * keep their rows (a restore could need them). Reads only the
+    * manifest, never data; publishes via the staged-write + rename-aside
+    * swap. @return (manifest files before, after)
+    */
+  def compactBloomIndex(spark: SparkSession, path: String,
+      c: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace, url_decode}
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = bloomDir(path, c)
+    require(fs.exists(out), s"no _graft_bloom/$c index under $path")
+    def manifestFiles() = fs.listStatus(out).count(f =>
+      f.isFile && !f.getPath.getName.startsWith(".") &&
+        !f.getPath.getName.startsWith("_"))
+    val nBefore = manifestFiles().toLong
+    val manifest = spark.read.json(out.toString)
+    val onDisk = listDataFiles(fs, hp)
+    val normFile = url_decode(regexp_replace(col("file"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
+    val onDiskDf = spark.createDataset(onDisk.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("_graft_on_disk")
+    val kept = manifest.join(broadcast(onDiskDf),
+      normFile === col("_graft_on_disk"), "leftsemi")
+    val dead = manifest.count() - kept.count()
+    if (nBefore <= 1 && dead == 0L) return (nBefore, nBefore)
+    val staging = new org.apache.hadoop.fs.Path(path, s"._graft_bloom_fold_$c")
+    fs.delete(staging, true)
+    kept.coalesce(1).write.mode(SaveMode.Overwrite).json(staging.toString)
+    publishManifest(fs, staging, out, path)
+    (nBefore, manifestFiles().toLong)
+  }
+
   /** Bloom-prune the current file set of `path` against a bounded probe
     * column (single-column DataFrame of the indexed key's type). Returns
     * (files kept, total current files); kept == total when the probe set

@@ -121,9 +121,15 @@ object StreamQueries {
           val projected = batch.select(col("device_id"), col("location_id"),
             col("timestamp").cast("timestamp").as("timestamp"),
             col("sensor_type"), col("quality_flag"), col("unit"), col("value"))
+          // quarantine writes land in a PER-BATCH subdir with overwrite
+          // semantics: a crash between the quarantine write and the
+          // table commit replays the batch, and an append-mode write
+          // would double its violation rows — overwrite replays
+          // byte-identically instead
+          val qDir = s"$quarantine/batch=$bid"
           if (!fs.exists(new org.apache.hadoop.fs.Path(table, "_graft_versions"))) {
             // batch 0: same audit, snapshot commit (no table to stage into yet)
-            projected.filter(!ok).write.mode("append").parquet(quarantine)
+            projected.filter(!ok).write.mode("overwrite").parquet(qDir)
             Lake.writeVersioned(spark, projected.filter(ok), table,
               streamBatchId = Some(bid))
             ()
@@ -134,7 +140,7 @@ object StreamQueries {
               // audit failed: quarantine the violations, abort the dirty
               // stage, restage the clean subset — the published table
               // never held a bad row at any point
-              staged.filter(!ok).write.mode("append").parquet(quarantine)
+              staged.filter(!ok).write.mode("overwrite").parquet(qDir)
               Lake.abortStaged(spark, table, sid)
               val clean = Lake.stageAppend(spark, projected.filter(ok), table)
               Lake.publishStaged(spark, table, clean,

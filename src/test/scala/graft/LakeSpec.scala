@@ -481,6 +481,35 @@ class LakeSpec extends SparkSpec {
       s"all-null file must be prunable: kept ${kept.size} of $total")
   }
 
+  test("compactBloomIndex folds append manifests; probes identical; dead rows dropped") {
+    val dir = tmp() + "/t"
+    def rows(r: Range) = r.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Lake.writeVersioned(spark, rows(1 to 200).repartition(3, col("id")), dir)
+    Lake.writeBloomIndex(spark, dir, "id")
+    // four commits → four append-*.json manifests via the keep-alive hook
+    (1 to 4).foreach(i =>
+      Lake.appendVersioned(spark,
+        rows((200 + i * 10) to (209 + i * 10)).coalesce(1), dir))
+    val probe = Seq(5L, 225L).toDF("id")
+    val before = Lake.bloomProbeFiles(spark, dir, "id", probe)
+    val (nb, na) = Lake.compactBloomIndex(spark, dir, "id")
+    assert(na == 1L && nb >= 5L, s"$nb -> $na")
+    // identical pruning decisions after the fold
+    val after = Lake.bloomProbeFiles(spark, dir, "id", probe)
+    assert(after._1.toSet == before._1.toSet && after._2 == before._2)
+    // a delete + vacuum kills files physically; compaction drops their
+    // rows but keeps coverage of everything still current
+    Lake.deleteWhere(spark, dir, col("id") <= 100L)
+    Lake.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    val rowsBefore = spark.read.json(s"$dir/_graft_bloom/id").count()
+    Lake.compactBloomIndex(spark, dir, "id")
+    assert(spark.read.json(s"$dir/_graft_bloom/id").count() < rowsBefore,
+      "vacuumed files' manifest rows were not dropped")
+    val got = Lake.readBloomSkipping(spark, dir, "id", Seq(150L).toDF("id"))
+      .filter(col("id") === 150L).count()
+    assert(got == 1L)
+  }
+
   test("bloom skipping on a versioned table never resurrects deleted rows") {
     val dir = tmp() + "/t"
     val base = (1L to 200L).map(i => (i, i % 5)).toDF("id", "g")
