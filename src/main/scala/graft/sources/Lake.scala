@@ -3405,8 +3405,27 @@ object Lake {
         s"appendStats: could not add manifest file under $path")
     }
     fs.delete(staging, true)
+    // SELF-FOLDING: past the threshold the accreted append files fold
+    // back to one (metadata-only, identical pruning) — the same
+    // automatic-maintenance posture setAutoOptimize gives data files,
+    // applied to the metadata itself. Amortized O(1): one fold per
+    // ~threshold appends, and each fold reads only the manifest.
+    if (manifestFileCount(fs, manifestDir) > ManifestFoldThreshold)
+      compactStats(spark, path)
     fresh.size.toLong
   }
+
+  /** Append-manifest files before a fold is triggered. 64 keeps the
+    * per-read listing trivial while folding often enough that a fold
+    * never reads more than ~64 KB-sized files.
+    */
+  private val ManifestFoldThreshold = 64
+
+  private def manifestFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int =
+    fs.listStatus(dir).count(f => f.isFile &&
+      !f.getPath.getName.startsWith(".") &&
+      !f.getPath.getName.startsWith("_"))
 
   /** METADATA-ONLY stats-manifest compaction: fold the `append-*.json`
     * files [[appendStats]] accretes (one per admit — deliberately, to keep
@@ -4145,6 +4164,9 @@ object Lake {
         s"appendBloomIndex: could not add manifest file under $path")
     }
     fs.delete(staging, true)
+    // self-folding past the threshold — see appendStats' note
+    if (manifestFileCount(fs, out) > ManifestFoldThreshold)
+      compactBloomIndex(spark, path, c)
     fresh.size.toLong
   }
 

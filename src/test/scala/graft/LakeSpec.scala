@@ -510,6 +510,31 @@ class LakeSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("manifest self-folding bounds bloom/stats append-file counts") {
+    val dir = tmp() + "/t"
+    def one(i: Int) = Seq((i.toLong, s"v$i")).toDF("id", "v")
+    one(0).coalesce(1).write.parquet(dir)
+    Lake.writeBloomIndex(spark, dir, "id")
+    Lake.writeStats(spark, dir, Seq("id"))
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    // 70 incremental maintenance rounds would accrete 70 append files
+    // each without the fold; the threshold bounds both manifests
+    for (i <- 1 to 70) {
+      one(i).coalesce(1).write.mode("append").parquet(dir)
+      Lake.appendBloomIndex(spark, dir, "id")
+      Lake.appendStats(spark, dir, Seq("id"))
+      assert(files("_graft_bloom/id") <= 65, s"round $i: bloom manifest unbounded")
+      assert(files("_graft_stats") <= 65, s"round $i: stats manifest unbounded")
+    }
+    // correctness unchanged through the folds
+    val got = Lake.readBloomSkipping(spark, dir, "id", Seq(37L).toDF("id"))
+      .filter(col("id") === 37L).select("v").as[String].collect().toSeq
+    assert(got == Seq("v37"))
+    assert(Lake.rowCountFromManifest(spark, dir).contains(71L))
+  }
+
   test("bloom skipping on a versioned table never resurrects deleted rows") {
     val dir = tmp() + "/t"
     val base = (1L to 200L).map(i => (i, i % 5)).toDF("id", "g")
