@@ -798,40 +798,81 @@ object Similarity {
     ),
     // Full Pearson correlation matrix over the embedding dimensions — the
     // feature-redundancy / whitening-diagnostic pass a representation
-    // pipeline runs before PCA or quantizer training. SCALE SHAPE is the
-    // whole point: ml.stat.Correlation rides RowMatrix's treeAggregate of
-    // per-partition OUTER PRODUCTS, so exactly d² scalars cross the wire
-    // per partition and the corpus is read once — never the n×d² exploded
-    // self-join a naive SQL formulation would shuffle (the oracle does
-    // exactly that, which is fine for DuckDB at test SF and lethal at
-    // 100 TB). The d×d result is a MODEL ARTIFACT (64×64 doubles), so the
-    // driver materialization is metadata-sized — same contract as the IVF
-    // codebook collects.
+    // pipeline runs before PCA or quantizer training. EXACT-ARITHMETIC
+    // DOCTRINE (the q_regression_exact / dq_outliers pattern): elements are
+    // quantized to integer 1e-4 units, so every sufficient statistic
+    // (n, Σx, Σx², Σxy) is an exact, addition-order-independent integer
+    // in BOTH engines; Pearson is then ONE double division over identical
+    // exact operands — IEEE-correctly-rounded, so bit-equal cross-engine
+    // (the previous ml.stat.Correlation float path differed from DuckDB's
+    // corr() in summation order and flipped 0.00005 rounding boundaries).
+    // SCALE SHAPE: the pairwise Σxy rides a generator (double posexplode)
+    // straight into a partial hash aggregate on d(d-1)/2 = 2016 keys, so
+    // the pair rows are PIPELINED inside whole-stage codegen — never
+    // materialized — and exactly ~2016 longs cross the wire per partition:
+    // the same d² scalars/partition wire cost as an outer-product
+    // treeAggregate, with no driver collect at all. The closing joins run
+    // over 2016- and 64-row aggregates (auto-broadcast).
     QueryDef(
       "emb_corr_matrix",
       (sp, dir) => {
-        import org.apache.spark.ml.functions.array_to_vector
-        val vecs = Tables.embeddings(sp, dir)
-          .select(array_to_vector(col("embedding")).as("feats"))
-        val m = org.apache.spark.ml.stat.Correlation.corr(vecs, "feats")
-          .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
-        val rows = for {
-          i <- 0 until m.numRows
-          j <- (i + 1) until m.numCols
-        } yield (i + 1, j + 1, m(i, j))
-        import sp.implicits._
-        rows.toDF("i", "j", "c")
-          .select(col("i"), col("j"), round(col("c"), 4).as("corr_r"))
+        import org.apache.spark.sql.types.DecimalType
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
+        val base = Tables.embeddings(sp, dir).select(col("vec_id"), col("embedding"))
+        val q = (x: Column) => round(x.cast("double") * 10000).cast("long")
+        // per-dimension exact sums: 64 groups
+        val dims = base
+          .select(posexplode(col("embedding")).as(Seq("p", "x")))
+          .select((col("p") + 1).cast("int").as("i"), q(col("x")).as("qx"))
+          .groupBy("i")
+          .agg(count(lit(1)).as("n"), sum(col("qx")).as("sx"),
+            sum(col("qx") * col("qx")).as("sxx"))
+        // per-pair exact cross sums: 2016 groups, pairs pipelined in codegen
+        val sxy = base
+          .select(col("embedding"), posexplode(col("embedding")).as(Seq("pi", "xi")))
+          .select(col("pi"), q(col("xi")).as("qi"),
+            posexplode(col("embedding")).as(Seq("pj", "xj")))
+          .filter(col("pi") < col("pj"))
+          .select((col("pi") + 1).cast("int").as("i"),
+            (col("pj") + 1).cast("int").as("j"),
+            (col("qi") * q(col("xj"))).as("xy"))
+          .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+        val di = dims.select(col("i"), col("n"), col("sx").as("sxi"), col("sxx").as("sxxi"))
+        val dj = dims.select(col("i").as("j"), col("sx").as("sxj"), col("sxx").as("sxxj"))
+        // exact decimal(38,0) cross-products (≤ ~1e25 at petabyte row
+        // counts — far inside decimal38), ONE double division at the end
+        val num = dec(col("n")) * dec(col("sxy")) - dec(col("sxi")) * dec(col("sxj"))
+        val deni = dec(col("n")) * dec(col("sxxi")) - dec(col("sxi")) * dec(col("sxi"))
+        val denj = dec(col("n")) * dec(col("sxxj")) - dec(col("sxj")) * dec(col("sxj"))
+        sxy.join(di, "i").join(dj, "j")
+          .select(col("i"), col("j"),
+            round(when(deni === 0 || denj === 0, lit(null))
+              .otherwise(num.cast("double") /
+                sqrt(deni.cast("double") * denj.cast("double"))), 4).as("corr_r"))
           .orderBy("i", "j")
       },
       Some(
         """WITH x AS (
-          |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |  SELECT vec_id,
+          |         CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 10000) AS BIGINT) AS q,
           |         unnest(range(1, len(embedding) + 1)) AS i
-          |  FROM embeddings)
-          |SELECT a.i AS i, b.i AS j, round(corr(a.v, b.v), 4) AS corr_r
-          |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
-          |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+          |  FROM embeddings),
+          |dim AS (
+          |  SELECT i, count(*) AS n, sum(q) AS sx, sum(q * q) AS sxx
+          |  FROM x GROUP BY i),
+          |pair AS (
+          |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS sxy
+          |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+          |  GROUP BY 1, 2)
+          |SELECT p.i AS i, p.j AS j,
+          |       round(CASE WHEN (di.n * di.sxx - di.sx * di.sx) = 0
+          |                    OR (dj.n * dj.sxx - dj.sx * dj.sx) = 0 THEN NULL
+          |             ELSE CAST(di.n * p.sxy - di.sx * dj.sx AS DOUBLE)
+          |                  / sqrt(CAST(di.n * di.sxx - di.sx * di.sx AS DOUBLE)
+          |                         * CAST(dj.n * dj.sxx - dj.sx * dj.sx AS DOUBLE))
+          |             END, 4) AS corr_r
+          |FROM pair p JOIN dim di ON p.i = di.i JOIN dim dj ON p.j = dj.i
+          |ORDER BY 1, 2""".stripMargin),
     ),
     // Embedding-level decontamination: train vectors too close to the
     // held-out benchmark slice (vec_id % 97). The benchmark side is tiny

@@ -64,7 +64,8 @@ object PlanAudit {
     * all-local output plan is the intended shape. Reviewed individually.
     */
   private val intendedLocal: Set[String] = Set(
-    "emb_corr_matrix", // d(d-1)/2 correlation cells (64-dim → 2016 rows), treeAggregate upstream
+    // (empty since r14: emb_corr_matrix moved to a fully-distributed
+    // exact-sufficient-statistics plan — no driver materialization left)
   )
 
   def main(args: Array[String]): Unit = {
