@@ -212,25 +212,30 @@ object Checks {
     //      near the boundary could flip between engines). DIVISION-FREE
     //      on both sides too: DuckDB's `/` is float division and
     //      9·n·(…)/n at these magnitudes exceeds 2^53 exactness. Two
-    //      passes (tiny per-group stats broadcast back); at 100 TB the
-    //      int64 products cap the cents×rows product — decimals are the
-    //      escape hatch past ~1e9 rows per group (same note as
-    //      q_regression_exact). ----
+    //      passes (tiny per-group stats broadcast back). The squared
+    //      terms run in 128-bit exact arithmetic on BOTH sides —
+    //      decimal(38,0) here, HUGEINT in the oracle — because int64
+    //      blows at (n·x)² once n·x ≳ 3e9 (≈3e5 rows/group at ~1e4-cent
+    //      values), and Spark (non-ANSI) would WRAP silently where
+    //      DuckDB raises; 128-bit holds to ~1e18 cents·rows (1e36
+    //      squared < 1e38), far past any per-group cardinality. ----
     QueryDef(
       "dq_outliers",
       (sp, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
         val d = Tables.events(sp, dir)
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("x"))
         val s = d.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("x").as("sx"),
             sum(col("x") * col("x")).as("sxx"))
-        val dev = col("n") * col("x") - col("sx")
+        val dev = dec(col("n")) * dec(col("x")) - dec(col("sx"))
         d.join(broadcast(s), "event_type")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_rows"),
-            sum(when(dev * dev > lit(9L) *
-              (col("n") * col("sxx") - col("sx") * col("sx")), 1L)
+            sum(when(dev * dev > dec(lit(9L)) *
+              (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))), 1L)
               .otherwise(0L)).as("n_outliers"))
           .orderBy("event_type")
       },
@@ -245,8 +250,9 @@ object Checks {
           |  FROM d GROUP BY event_type)
           |SELECT d.event_type,
           |       CAST(count(*) AS BIGINT) AS n_rows,
-          |       CAST(sum(CASE WHEN (s.n * d.x - s.sx) * (s.n * d.x - s.sx)
-          |                  > 9 * (s.n * s.sxx - s.sx * s.sx)
+          |       CAST(sum(CASE WHEN (CAST(s.n AS HUGEINT) * d.x - s.sx)
+          |                       * (CAST(s.n AS HUGEINT) * d.x - s.sx)
+          |                  > 9 * (CAST(s.n AS HUGEINT) * s.sxx - CAST(s.sx AS HUGEINT) * s.sx)
           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM d JOIN s ON d.event_type = s.event_type
           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),

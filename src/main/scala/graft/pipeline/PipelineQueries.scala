@@ -294,17 +294,28 @@ object PipelineQueries {
     */
   private val bucketedFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), java.lang.Boolean]
+      (org.apache.spark.sql.SparkSession, String), (String, String)]
 
+  /** Returns the (orders, customer) bucketed table names. The sfDir's
+    * hash is ENCODED IN THE NAMES: the cache key is (session, dir) but
+    * managed tables are session-global, so dir-agnostic names would let a
+    * second scale dir's prebuild overwrite the first dir's tables while
+    * its cache entry still reported built — the first dir's join would
+    * silently read the wrong scale's data.
+    */
   def prebuildBucketedFixture(sp: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): (String, String) =
     bucketedFixtureCache.computeIfAbsent((sp, dir), { _ =>
+      val tag = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+      val (tOrders, tCustomer) =
+        (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
       // a fresh session's in-memory catalog doesn't know about last
       // run's MANAGED table location on disk — DROP alone leaves the
       // dir and saveAsTable then refuses (LOCATION_ALREADY_EXISTS);
       // clear both catalog entry and leftover location
       val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath
-      Seq("graft_bkt_orders", "graft_bkt_customer").foreach { t =>
+      Seq(tOrders, tCustomer).foreach { t =>
         sp.sql(s"DROP TABLE IF EXISTS $t")
         val p = new org.apache.hadoop.fs.Path(wh, t)
         p.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(p, true)
@@ -313,15 +324,13 @@ object PipelineQueries {
         Tables.orders(sp, dir)
           .select(col("o_custkey"),
             round(col("o_totalprice") * 100).cast("long").as("cents")),
-        "graft_bkt_orders", "o_custkey", 8)
+        tOrders, "o_custkey", 8)
       graft.sources.Lake.writeBucketed(
         Tables.customer(sp, dir)
           .select(col("c_custkey"), col("c_mktsegment")),
-        "graft_bkt_customer", "c_custkey", 8)
-      java.lang.Boolean.TRUE
+        tCustomer, "c_custkey", 8)
+      (tOrders, tCustomer)
     })
-    ()
-  }
 
   /** Fixture for `lake_mv_rewrite`: its OWN source+view pair (sharing
     * lake_mv_refresh's fixture would let whichever query runs first steal
@@ -775,9 +784,9 @@ object PipelineQueries {
       (sp, dir) => {
         // both bucketed tables come from the prebuild lane; the TIMED
         // work is the exchange-free co-located join itself
-        prebuildBucketedFixture(sp, dir)
-        sp.table("graft_bkt_orders")
-          .join(sp.table("graft_bkt_customer"),
+        val (tOrders, tCustomer) = prebuildBucketedFixture(sp, dir)
+        sp.table(tOrders)
+          .join(sp.table(tCustomer),
             col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_orders"), sum("cents").as("seg_cents"))

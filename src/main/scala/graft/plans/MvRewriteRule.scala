@@ -111,7 +111,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(a: AttributeReference, _)
           if groupAttrs.exists(_.exprId == a.exprId) =>
         al -> KeyOut(a.name)
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
+      // non-null literal only: count(lit(null)) is 0 per group, NOT the
+      // view's count(*) — rewriting it would be a wrong (nonzero) answer
+      case al @ Alias(AggregateExpression(Count(Seq(l: Literal)), Complete, false, None, _), _)
+          if l.value != null =>
         al -> CountOut
       case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), Complete, false, None, _), _)
           if d.sumCols.contains(a.name) =>

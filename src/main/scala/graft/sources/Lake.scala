@@ -3731,12 +3731,17 @@ object Lake {
     val (stagedDdl, entries) = readMarkerFile(fs, claimed)
     val root = rootPath(fs, hp)
     def unclaim(): Unit = { fs.rename(claimed, stagedMarker(path, id)); () }
-    // pre-publish failures (stale schema, constraint refusal, lost race
-    // beyond retries) hand the stage back for inspection/abort; once the
-    // manifest IS published the claim must never be unclaimed (a retry
-    // would fold the same files twice) — post-publish failures leave the
-    // claim for the crash-recovery path above to reconcile
-    val next =
+    // Unclaim ONLY on failures provably BEFORE any manifest write (stale
+    // schema, constraint refusal, head read) — those hand the stage back
+    // for inspection/abort. Any exception escaping publishNonCommuting is
+    // treated as POST-claim: the manifest may already have landed (e.g. a
+    // version-pointer IO failure after the manifest wrote), and unclaiming
+    // then lets a retried publishStaged read the new manifest as head and
+    // fold the same entries TWICE. Even a genuinely-pre-publish loss (race
+    // beyond retries) conservatively leaves the claim: the reconcile path
+    // above detects a completed publish by head inclusion, and
+    // [[recoverStagedPublish]] is the explicit hand-back lever.
+    val (v0, curDdl) =
       try {
         val v0 = headVersion()
         val curDdl = readRawManifest(spark, fs, path,
@@ -3750,10 +3755,11 @@ object Lake {
           enforceConstraintsOn(spark,
             readFileSubset(spark, path, entries.map(e => s"$root/${e._1}")),
             cs, s"publishStaged($path, $id)")
-        publishNonCommuting(spark, fs, path, v0, curDdl,
-          add = entries, remove = Nil, op = "wap",
-          streamBatchId = streamBatchId)
+        (v0, curDdl)
       } catch { case e: Throwable => unclaim(); throw e }
+    val next = publishNonCommuting(spark, fs, path, v0, curDdl,
+      add = entries, remove = Nil, op = "wap",
+      streamBatchId = streamBatchId)
     // same keep-alive invariants as every other committing path
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     if (fs.exists(statsDir)) {

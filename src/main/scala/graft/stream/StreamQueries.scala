@@ -112,6 +112,15 @@ object StreamQueries {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        // orphan sweep: a crash between a dirty batch's stageAppend and
+        // its abortStaged leaves a stage no replay would reclaim (the
+        // replay derives a FRESH stage id), so it would stay a vacuum
+        // live-root forever. This sink is the table's only writer and a
+        // clean batch always ends published-or-aborted, so ANY staged
+        // entry seen at micro-batch start is a pre-crash leftover —
+        // abort it before (re)doing the batch's work.
+        if (fs.exists(new org.apache.hadoop.fs.Path(table, "_graft_versions")))
+          Lake.listStaged(spark, table).foreach(Lake.abortStaged(spark, table, _))
         // crash-replay gate (exactly-once): a micro-batch whose id is
         // already in a manifest re-runs only if its sink commit was
         // lost — skip before writing a byte, like appendVersioned's gate
