@@ -574,12 +574,100 @@ object StreamQueries {
       |SELECT k, v, cts AS commit_ts FROM r
       |WHERE rn = 1 AND op <> 'd' ORDER BY k""".stripMargin
 
+  // ---- stream_debezium_equiv: Debezium envelopes → continuous SCD1 -------
+  //
+  // The reference README's core aspirational surface is streaming CDC
+  // tables in Debezium format (reference README_DBT.md:158-206): the
+  // landing dir carries nested {before, after, op, ts_ms} JSON envelopes,
+  // the drain FLATTENS each envelope with the same pick-by-op logic as
+  // the batch cdc_debezium_parse row (before for deletes, after
+  // otherwise), and cdcLatestExplicit folds the flattened change rows
+  // into the continuously-maintained current state — envelope parse and
+  // stateful fold proven together against one batch SQL replay. ts_ms
+  // derives from event_id (globally unique), so latest-wins has no ties.
+
+  private val debeziumLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def debeziumLandingFor(spark: SparkSession, dir: String): String =
+    debeziumLandings.computeIfAbsent(dir, _ => {
+      val l = Scratch.dir("stream_dbz_landing")
+      val cents = round(col("value") * 100).cast("long")
+      val op = when(col("event_id") % 11 === 0, "d")
+        .when(col("event_id") % 7 === 0, "c").otherwise("u")
+      Tables.events(spark, dir).select(
+        when(op.isin("u", "d"),
+          struct(concat(lit("u"), (col("user_id") % 256).cast("string")).as("k"),
+            (cents - 100).as("cents"))).as("before"),
+        when(op.isin("c", "u"),
+          struct(concat(lit("u"), (col("user_id") % 256).cast("string")).as("k"),
+            cents.as("cents"))).as("after"),
+        op.as("op"),
+        ((lit(1704067200L) + col("event_id")) * 1000).as("ts_ms"))
+        .repartitionByRange(3, col("ts_ms")).write.json(l)
+      Thread.sleep(1100)
+      def sentinel(name: String, tsMs: Long): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(l, name),
+          (s"""{"after":{"k":"zz-sentinel","cents":0},"op":"u",""" +
+            s""""ts_ms":$tsMs}""").getBytes("UTF-8"))
+      sentinel("zz-sentinel-1.json", 1893456000000L) // 2030-01-01 UTC
+      Thread.sleep(20)
+      sentinel("zz-sentinel-2.json", 1924992000000L) // 2031-01-01 UTC
+      l
+    })
+
+  private val debeziumSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "before STRUCT<k: STRING, cents: BIGINT>, " +
+      "after STRUCT<k: STRING, cents: BIGINT>, " +
+      "op STRING, ts_ms BIGINT")
+
+  private def streamDebeziumEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val landing = debeziumLandingFor(spark, dir)
+    val root = Scratch.dir("stream_dbz")
+    // (d,d)(d,s1)(s2) batching — see streamSessionsEquiv
+    val env = jsonStream(spark, landing, debeziumSchema, Some(2))
+    // envelope flatten INSIDE the drain: key from whichever image exists,
+    // payload picked by op (before for deletes), Debezium c/u/r all fold
+    // as upserts — the cdc_debezium_parse logic feeding the stateful path
+    val parsed = env.select(
+      coalesce(col("after.k"), col("before.k")).as("k"),
+      when(col("op") === "d", col("before.cents"))
+        .otherwise(col("after.cents")).as("v"),
+      when(col("op") === "d", "d").otherwise("u").as("_op"),
+      timestamp_millis(col("ts_ms")).as("_commit_ts"))
+    // lateness sizing: same span as stream_cdc_equiv (1 s per event_id)
+    drainToParquet(
+      StreamAggs.cdcLatestExplicit(parsed, lateness = "26280 hours").toDF(),
+      s"$root/sink", s"$root/ckpt")
+    spark.read.parquet(s"$root/sink")
+      .filter(col("k") =!= "zz-sentinel")
+      .select(col("k"), col("v"), col("_commit_ts").as("commit_ts"))
+      .orderBy("k")
+  }
+
+  private val debeziumOracle =
+    """WITH c AS (
+      |  SELECT 'u' || CAST(user_id % 256 AS VARCHAR) AS k,
+      |         CASE WHEN event_id % 11 = 0
+      |              THEN CAST(round(value * 100) AS BIGINT) - 100
+      |              ELSE CAST(round(value * 100) AS BIGINT) END AS v,
+      |         CASE WHEN event_id % 11 = 0 THEN 'd' ELSE 'u' END AS op,
+      |         make_timestamp((1704067200 + event_id) * 1000000) AS cts
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k
+      |                                   ORDER BY cts DESC, op DESC) AS rn
+      |      FROM c)
+      |SELECT k, v, cts AS commit_ts FROM r
+      |WHERE rn = 1 AND op <> 'd' ORDER BY k""".stripMargin
+
   /** Bench prebuild hook for the stateful-row landings. */
   def prebuildStatefulLandings(spark: SparkSession, dir: String): Unit = {
     dedupLandingFor(spark, dir)
     joinLandingsFor(spark, dir)
     sessionLandingFor(spark, dir)
     cdcLandingFor(spark, dir)
+    debeziumLandingFor(spark, dir)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -590,5 +678,6 @@ object StreamQueries {
     QueryDef("stream_join_equiv", streamJoinEquiv, Some(joinOracle)),
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
     QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
+    QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),
   )
 }
