@@ -226,15 +226,79 @@ object BpeTrain {
     out.toSeq
   }
 
+  /** GENERATED DuckDB replay of `nMerges` sequential BPE rounds — the
+    * engine loop UNROLLED into CTE stages (the loop bound is a compile-
+    * time constant, so unrolling is legal SQL where a recursive CTE with
+    * per-iteration aggregation is not). Per round r: `p_r` recounts
+    * adjacent pairs over the current vocab, `m_r` takes the argmax with
+    * the trainer's exact tie order (cnt desc, left, right), and the
+    * rewrite implements leftmost NON-OVERLAPPING substitution
+    * declaratively via gaps-and-islands: candidate positions in a
+    * consecutive run (only possible when left = right) keep every other
+    * index from the run start — exactly the greedy left-to-right scan.
+    * The batched distributed path is property-pinned merge-for-merge
+    * equal to the sequential loop (BpeSpec), so the sequential replay
+    * oracles it. Char splitting is code-point based both sides (ASCII
+    * corpus; Scala's UTF-16 code units would diverge on astral chars).
+    */
+  private[graft] def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s.syms[i.i] AS l, s.syms[i.i + 1] AS r2, sum(s.n) AS cnt
+         |  FROM v${r - 1} s, unnest(generate_series(1, len(s.syms) - 1)) AS i(i)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT CAST($r AS INT) AS rank, l, r2, cnt FROM p$r
+         |  ORDER BY cnt DESC, l, r2 LIMIT 1),
+         |e$r AS MATERIALIZED (
+         |  SELECT s.wid, s.n, i.i AS idx, s.syms[i.i] AS sym, s.syms[i.i + 1] AS nxt
+         |  FROM v${r - 1} s, unnest(generate_series(1, len(s.syms))) AS i(i)),
+         |c$r AS MATERIALIZED (
+         |  SELECT e.wid, e.idx
+         |  FROM e$r e, m$r m WHERE e.sym = m.l AND e.nxt = m.r2),
+         |k$r AS MATERIALIZED (
+         |  SELECT wid, idx FROM (
+         |    SELECT wid, idx, idx - min(idx) OVER (PARTITION BY wid, island) AS off
+         |    FROM (SELECT wid, idx,
+         |                 idx - row_number() OVER (PARTITION BY wid ORDER BY idx) AS island
+         |          FROM c$r))
+         |  WHERE off % 2 = 0),
+         |v$r AS MATERIALIZED (
+         |  SELECT e.wid, any_value(e.n) AS n,
+         |         list(CASE WHEN k.idx IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+         |              ORDER BY e.idx) AS syms
+         |  FROM e$r e
+         |  LEFT JOIN k$r k ON k.wid = e.wid AND k.idx = e.idx
+         |  LEFT JOIN k$r d ON d.wid = e.wid AND d.idx = e.idx - 1
+         |  WHERE d.idx IS NULL
+         |  GROUP BY e.wid)""".stripMargin
+    }
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY w) AS wid, n,
+       |         list_append(list_transform(generate_series(1, len(w)),
+       |                                    i -> substr(w, i, 1)), '</w>') AS syms
+       |  FROM wf),
+       |${rounds.mkString(",\n")}
+       |SELECT rank, l AS "left", r2 AS "right", CAST(cnt AS BIGINT) AS pair_count
+       |FROM (${(1 to nMerges).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Tokenizer training demo: top-12 merges over the document corpus.
-    // Engine-loop output (each round's argmax feeds the next rewrite) —
-    // not expressible as one SQL query, so rows-only; BpeSpec verifies
-    // the merge sequence against an independent single-machine trainer.
+    // Engine-loop output (each round's argmax feeds the next rewrite),
+    // oracled since r14 by UNROLLING the 12 rounds into generated SQL
+    // (see bpeOracleSql); BpeSpec additionally verifies the merge
+    // sequence against an independent single-machine trainer.
     // localVocabThreshold = 0 forces the DISTRIBUTED batched-round path,
     // so the bench exercises the 100 TB shape every round instead of the
     // driver-local fast path (r5 verdict item 7); BpeSpec pins the two
-    // paths merge-for-merge equal.
+    // paths merge-for-merge equal — which is what lets the sequential
+    // SQL replay oracle the batched engine.
     QueryDef(
       "bpe_merges",
       (sp, dir) => {
@@ -242,7 +306,7 @@ object BpeTrain {
         learnMerges(Tables.documents(sp, dir), 12, localVocabThreshold = 0)
           .toDF().orderBy("rank")
       },
-      None,
+      Some(bpeOracleSql(12)),
     ),
   )
 }

@@ -264,16 +264,35 @@ object Dedup {
     * banding the 64-bit fingerprint into 4 exact-match 16-bit chunks
     * (complete for maxDist <= 3 by pigeonhole).
     */
+  /** md5-vote 64-bit fingerprint assembled from [[graft.functions
+    * .TextFunctions.simhash_md5_chunks]]'s 4×16-bit chunk values (chunk c
+    * occupies bits 16c..16c+15; chunk 3's top bit lands in the sign bit,
+    * which is fine — the fingerprint is a bit pattern, and the banding
+    * re-extracts chunks with an arithmetic shift + mask). SQL-replayable
+    * cross-engine, unlike xxhash64 — this is what lets the registered
+    * `dedup_simhash` row carry a DuckDB oracle through the FULL
+    * production banding path.
+    */
+  def simhashMd5Fp(sh: Column): Column =
+    aggregate(
+      zip_with(graft.functions.TextFunctions.simhash_md5_chunks(sh, 64, 16),
+        sequence(lit(0), lit(3)),
+        (cv, c) => call_function("shiftleft", cv, (c * 16).cast("int"))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
   def simhashDedup(docs: DataFrame, n: Int = 3, maxDist: Int = 3,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256, distinctShingles: Boolean = false,
+      fingerprint: Column => Column =
+        sh => graft.functions.TextFunctions.simhash64(sh)): DataFrame = {
     // Same plan-shape discipline as minhashDedup: cheap guard → repartition
     // → staged non-cheap projections (shingles, counters, fingerprint).
     val fps = docs
       .filter(size(split(col("text"), " ")) >= n)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        graft.functions.TextFunctions.word_shingles(col("text"), n).as("sh"))
-      .select(col("doc_id"), graft.functions.TextFunctions.simhash64(col("sh")).as("fp"))
+        graft.functions.TextFunctions
+          .word_shingles(col("text"), n, distinct = distinctShingles).as("sh"))
+      .select(col("doc_id"), fingerprint(col("sh")).as("fp"))
 
     // Join in FINGERPRINT space, not doc space: similar corpora collapse
     // many docs onto one fingerprint, and identical fingerprints would make
@@ -481,11 +500,56 @@ object Dedup {
           |LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
           |ORDER BY src_a, src_b""".stripMargin),
     ),
+    // The REGISTERED production path (fingerprint-space grouping, 16-bit
+    // chunk banding, bucket cap, intra-group pairs) on the SQL-replayable
+    // md5-vote fingerprint, so the whole pipeline holds a DuckDB oracle
+    // (r13 verdict item 5 — this row was no_oracle while xxhash64-based).
+    // The oracle is all-pairs-complete by pigeonhole (hamming ≤ 3 ⇒ ≥ 1
+    // equal 16-bit chunk); the bucket cap never binds at test SF (16-bit
+    // chunk values spread text fingerprints far below 256/bucket).
+    // xxhash64 fingerprints remain spec-pinned in DedupSpec.
     QueryDef(
       "dedup_simhash",
       (sp, dir) =>
-        simhashDedup(Tables.documents(sp, dir)).orderBy("a_id", "b_id"),
-      None, // xxhash64-based; verified by ScalaTest with planted dups
+        simhashDedup(Tables.documents(sp, dir), distinctShingles = true,
+          fingerprint = simhashMd5Fp).orderBy("a_id", "b_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          |i AS (
+          |  SELECT doc_id, toks,
+          |         unnest(generate_series(1, len(toks) - 2)) AS idx
+          |  FROM t),
+          |g AS (
+          |  SELECT DISTINCT doc_id,
+          |         array_to_string(toks[idx : idx + 2], ' ') AS sh
+          |  FROM i),
+          |v AS (
+          |  SELECT doc_id, k.k AS k,
+          |         sum(CASE WHEN substr(md5(k.k || ':' || sh), 1, 1)
+          |                  IN ('0','1','2','3','4','5','6','7')
+          |             THEN 1 ELSE -1 END) AS v
+          |  FROM g, unnest(generate_series(0, 63)) AS k(k)
+          |  GROUP BY doc_id, k.k),
+          |fp AS (
+          |  SELECT doc_id, CAST(k // 16 AS INT) AS chunk,
+          |         sum(CASE WHEN v > 0
+          |             THEN CAST(1 AS BIGINT) << CAST(k % 16 AS INT)
+          |             ELSE 0 END) AS cv
+          |  FROM v GROUP BY doc_id, CAST(k // 16 AS INT)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM fp a JOIN fp b
+          |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+          |SELECT cand.a_id, cand.b_id,
+          |       CAST(sum(bit_count(xor(fa.cv, fb.cv))) AS INT) AS hamming
+          |FROM cand
+          |JOIN fp fa ON fa.doc_id = cand.a_id
+          |JOIN fp fb ON fb.doc_id = cand.b_id AND fb.chunk = fa.chunk
+          |GROUP BY cand.a_id, cand.b_id
+          |HAVING CAST(sum(bit_count(xor(fa.cv, fb.cv))) AS INT) <= 3
+          |ORDER BY a_id, b_id""".stripMargin),
     ),
   )
 }
