@@ -4349,6 +4349,58 @@ object Lake {
       lookupFiles(spark, path, c, probes, maxProbes)._1)
   }
 
+  /** MULTI-COLUMN point-lookup pruning: every probe column prunes
+    * independently through whatever per-column sidecar indexes it
+    * carries (stats bounds ∩ bloom membership, via [[lookupFiles]]), and
+    * the verdicts AND together — a file survives only if EVERY indexed
+    * column says "maybe". Sound for conjunctive lookups because a row
+    * matching (c1 = v1 AND c2 = v2) puts v1 in the file's c1 values and
+    * v2 in its c2 values, so each per-column prune independently keeps
+    * that file; the intersection of supersets is a superset. Tuple-set
+    * probes (rows of (v1, v2) pairs) stay sound for the same reason —
+    * each column's prune uses the column's VALUE SET, which can only keep
+    * more files than the exact tuple semantics would. A column with no
+    * index on disk contributes nothing (at least one must be indexed); a
+    * column past the probe cap degrades to no-prune, weakening but never
+    * breaking the intersection. @return (files kept, total current files)
+    */
+  def lookupFilesMulti(spark: SparkSession, path: String,
+      probes: DataFrame, maxProbes: Int = 100000): (Seq[String], Int) = {
+    require(probes.columns.nonEmpty, "lookupFilesMulti: no probe columns")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasStats = fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_stats"))
+    val indexed = probes.columns.filter(c =>
+      fs.exists(bloomDir(path, c)) || hasStats)
+    require(indexed.nonEmpty,
+      s"lookupFilesMulti: no _graft_stats or _graft_bloom index on any of " +
+        s"(${probes.columns.mkString(", ")}) under $path")
+    var kept: Option[Set[String]] = None
+    var total = -1
+    indexed.foreach { c =>
+      // a stats manifest not tracking c, or numeric-bounds refusal with
+      // no bloom, surfaces as lookupFiles' own loud failure — a silently
+      // unindexed column must not masquerade as a no-prune verdict
+      val (k, t) = lookupFiles(spark, path, c, probes.select(c), maxProbes)
+      total = t
+      kept = Some(kept.fold(k.toSet)(_ intersect k.toSet))
+    }
+    (kept.get.toSeq.sorted, total)
+  }
+
+  /** Multi-column point-lookup read over [[lookupFilesMulti]]'s
+    * intersected prune (superset contract; caller applies the filters).
+    */
+  def readLookupMulti(spark: SparkSession, path: String,
+      probes: DataFrame, maxProbes: Int = 100000): DataFrame = {
+    requireNoDvs(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "readLookupMulti")
+    readFileSubset(spark, path,
+      lookupFilesMulti(spark, path, probes, maxProbes)._1)
+  }
+
   /** All parquet data files under `dir`, recursing through partition dirs;
     * underscore/dot metadata names are skipped at every level.
     */

@@ -605,6 +605,46 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("multi-column bloom lookup: per-column verdicts AND to a tighter prune") {
+    val dir = tmp() + "/t"
+    // 2-D grid layout: file (i, j) holds exactly rows with a % 4 = i and
+    // b % 4 = j, so EACH column's bloom keeps 4 of 16 files and only the
+    // intersection pins the single file holding (a, b) — the user_id+day
+    // point-lookup shape a single-column probe cannot serve
+    val rows = spark.range(4000).select(
+      col("id"), (col("id") % 64).as("a"),
+      floor(col("id") / 64).cast("long").as("b"))
+      .withColumn("bucket", (col("a") % 4) * 4 + col("b") % 4)
+    // repartition on bucket first: one task per bucket value, so each
+    // partition dir holds exactly one data file (16 total, not one file
+    // per input task per dir)
+    rows.repartition(16, col("bucket")).write.partitionBy("bucket").parquet(dir)
+    Lake.writeBloomIndex(spark, dir, "a", expectedPerFile = 300L)
+    Lake.writeBloomIndex(spark, dir, "b", expectedPerFile = 300L)
+    val probes = Seq((5L, 10L)).toDF("a", "b")
+    val (aOnly, totalA) = Lake.bloomProbeFiles(spark, dir, "a", probes.select("a"))
+    val (bOnly, totalB) = Lake.bloomProbeFiles(spark, dir, "b", probes.select("b"))
+    val (both, total) = Lake.lookupFilesMulti(spark, dir, probes)
+    assert(total == 16 && totalA == 16 && totalB == 16)
+    assert(aOnly.size == 4 && bOnly.size == 4,
+      s"single-column prunes: a=${aOnly.size}, b=${bOnly.size}")
+    assert(both.toSet == aOnly.toSet.intersect(bOnly.toSet),
+      "multi prune must be the intersection of the per-column verdicts")
+    assert(both.size == 1, s"expected the one (a%4, b%4) grid file, got $both")
+    // superset contract end-to-end: pruned read + filters == full scan
+    val got = Lake.readLookupMulti(spark, dir, probes)
+      .filter(col("a") === 5L && col("b") === 10L).select("id").collect().toSet
+    val want = spark.read.parquet(dir)
+      .filter(col("a") === 5L && col("b") === 10L).select("id").collect().toSet
+    assert(got == want && want.nonEmpty)
+    // an unindexed probe column alongside an indexed one still refuses
+    // nothing (the indexed column prunes; the other is skipped) — but a
+    // fully unindexed probe set refuses loudly
+    intercept[IllegalArgumentException] {
+      Lake.lookupFilesMulti(spark, dir, Seq(1L).toDF("zz"))
+    }
+  }
+
   test("WAP: stage is invisible, audit sees the union, publish folds it in") {
     val dir = tmp() + "/t"
     Lake.writeVersioned(spark, (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"), dir)
