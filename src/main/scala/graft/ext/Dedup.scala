@@ -388,18 +388,30 @@ object Dedup {
     // 28/28, 25/25, 255/256 at sf0.001/0.01/0.1 (the one miss is a
     // boundary pair under the 8×8 S-curve midpoint ≈0.77) — pinned at
     // ≥95%. The per-pair listing stays hash-exact in dedup_minhash_md5.
+    // Recall flag cost discipline (r13 verdict item 7): the EXACT side
+    // runs on a RANK-CAPPED sample (doc_id < 1000 — ids are dense from 0
+    // at every SF, so the sample's pair count is a constant ≤ C(1000,2)
+    // forever, the embedding_neardup doctrine), and the LSH side's pairs
+    // are filtered to the same sample for the comparison — the full-
+    // corpus LSH pipeline stays the timed production work, but the
+    // verification no longer doubles it with a corpus-sized PPJoin.
+    // Sampled recall measured 28/28, 25/25, 7/7 at sf0.001/0.01/0.1.
     QueryDef(
       "dedup_minhash",
       (sp, dir) => {
         val docs = Tables.documents(sp, dir)
         val lsh = minhashDedup(docs)
-        val sh = docs.filter(size(split(col("text"), " ")) >= 3)
+        val sampleCap = 1000
+        val sh = docs.filter(col("doc_id") < sampleCap)
+          .filter(size(split(col("text"), " ")) >= 3)
           .select(col("doc_id"),
             graft.functions.TextFunctions
               .word_shingles(col("text"), 3, distinct = true).as("w"))
         val exact = jaccardSelfJoinExact(sh, 7, 10)
+        val foundInSample = lsh
+          .filter(col("a_id") < sampleCap && col("b_id") < sampleCap)
         exact.agg(count(lit(1)).as("n_exact_pairs"))
-          .crossJoin(lsh.agg(count(lit(1)).as("n_found")))
+          .crossJoin(foundInSample.agg(count(lit(1)).as("n_found")))
           .select(col("n_exact_pairs"),
             (col("n_found") * 20 >= col("n_exact_pairs") * 19)
               .cast("int").as("recall_ok"))
@@ -408,7 +420,7 @@ object Dedup {
       Some(
         """WITH t AS (
           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-          |  WHERE len(string_split(text, ' ')) >= 3),
+          |  WHERE len(string_split(text, ' ')) >= 3 AND doc_id < 1000),
           |s AS (
           |  SELECT doc_id,
           |         list_distinct(list_transform(generate_series(1, len(t) - 2),

@@ -466,35 +466,49 @@ object OperatorQueries {
     //      enumerated exactly once as a<b<c), triangles = wedges(e1⋈e2
     //      on the middle node) closed by an equi-join back to the edge
     //      set — the classic two-equi-join distributed shape, never a
-    //      cartesian. The graph is node-sampled deterministically
-    //      (partkey%7) because the co-order graph is DENSE (~45% at
-    //      sf0.001): wedge count is Σdeg² and a dense 20k-node graph
-    //      would put ~1e8 wedges through the bench row; the sample keeps
-    //      the row cheap while exercising the identical plan. At 100 TB
-    //      the real lever is degree-orientation (low→high degree), which
-    //      bounds out-degree by √(2m); the id-orientation here is the
-    //      same plan with a simpler orientation key. ----
+    //      cartesian. DEGREE-ORIENTED (r14, replacing id orientation):
+    //      each undirected edge points low→high degree (ties: low→high
+    //      id), which bounds every out-degree by √(2m), so wedge count
+    //      drops from Σdeg²/2 to Σoutdeg² ≤ m·√(2m) — the lever that
+    //      makes triangle counting survive skewed 100 TB graphs (a
+    //      celebrity node of degree d contributes d²/2 id-oriented
+    //      wedges but ~0 degree-oriented ones). Measured on the co-order
+    //      graph: 41M degree-oriented vs 74M id-oriented wedges at sf0.1
+    //      unsampled. Orientation is a TOTAL order, so each triangle
+    //      holds exactly one node with two out-edges into it — counted
+    //      once, no per-wedge dedup. The node sample is lifted from %7
+    //      to %2 (4× the nodes, ~13× the edges of the r13 row); the
+    //      closing-edge probe stays in id-canonical (a < b) space, which
+    //      the out-neighbor pair (x.dst < y.dst) already is. ----
     QueryDef(
       "q_triangle_count",
       (sp, dir) => {
         val li = Tables.lineitem(sp, dir)
-          .filter(col("l_partkey") % 7 === 0)
+          .filter(col("l_partkey") % 2 === 0)
           .select(col("l_orderkey"), col("l_partkey"))
         val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
         val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
         val pairs = a.join(b, Seq("l_orderkey"))
           .filter(col("a") < col("b"))
           .select("a", "b").distinct().persist()
-        val e2 = pairs.select(col("a").as("b2"), col("b").as("c"))
-        val wedges = pairs.join(e2, col("b") === col("b2"))
-          .select(col("a"), col("b"), col("c"))
+        val deg = pairs.select(col("a").as("n"))
+          .unionAll(pairs.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        // a < b always, so on a degree tie the edge keeps a as source
+        val aWins = col("da") < col("db") || (col("da") === col("db"))
+        val e = pairs
+          .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+          .select(when(aWins, col("a")).otherwise(col("b")).as("src"),
+            when(aWins, col("b")).otherwise(col("a")).as("dst"))
+        val wedges = e.as("x").join(e.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .select(col("x.dst").as("v"), col("y.dst").as("w"))
         val closed = wedges.join(
-          pairs.select(col("a").as("ca"), col("b").as("cb")),
-          col("a") === col("ca") && col("c") === col("cb"), "leftsemi")
-        val nodes = pairs.select(col("a").as("n"))
-          .union(pairs.select(col("b").as("n"))).distinct()
+          pairs.select(col("a").as("v"), col("b").as("w")),
+          Seq("v", "w"), "leftsemi")
         pairs.select(count(lit(1)).as("n_edges"))
-          .crossJoin(nodes.select(count(lit(1)).as("n_nodes")))
+          .crossJoin(deg.select(count(lit(1)).as("n_nodes")))
           .crossJoin(closed.select(count(lit(1)).as("n_triangles")))
       },
       Some(
@@ -502,7 +516,7 @@ object OperatorQueries {
           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
           |  FROM lineitem a JOIN lineitem b
           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0),
+          |  WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
           |tri AS (
           |  SELECT count(*) AS n_triangles
           |  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
