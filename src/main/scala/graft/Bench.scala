@@ -87,7 +87,15 @@ object Bench {
     // near-zero "timing" pollutes n_queries and hides the outage. Failures
     // go under a separate "failed" key.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the timed set — the solo-pin
+    // protocol (BASELINE.md) runs single queries through the exact same
+    // warmup + prebuild + timing harness as the driver's full bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
