@@ -461,6 +461,67 @@ object OperatorQueries {
           |ORDER BY cents, p_partkey""".stripMargin),
     ),
 
+    // ---- d>2 Pareto skyline (r13 verdict missing-#4): the 2-D sort-
+    //      sweep above can't extend past two dimensions, so this is the
+    //      BNL-with-bucket-prune shape. Three stages, each exact:
+    //      (1) per-price-bucket 2-D pareto of (sz, q) — a PARTITIONED
+    //      window sweep, parallel across buckets, output ≈ skyline-sized
+    //      per bucket; (2) cross-bucket prune — a row dominated by ANY
+    //      strictly-cheaper bucket's point is dominated by that bucket's
+    //      pareto too (p ≥ s componentwise on (sz,q), p strictly cheaper
+    //      by bucket construction), so one broadcast anti-join against
+    //      the pareto union removes every cross-bucket-dominated row;
+    //      (3) exact block-nested-loop among the survivors (broadcast
+    //      self anti-join on strict dominance) — sound because every
+    //      dominated row has an UNDOMINATED dominator, and undominated
+    //      rows are never pruned, so the dominator is among the
+    //      survivors. The corpus-sized passes are (1) and the two anti-
+    //      join probes; the BNL side is survivors only. ----
+    QueryDef(
+      "q_skyline_3d",
+      (sp, dir) => {
+        val d = Tables.part(sp, dir)
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("cents"),
+            col("p_size").cast("long").as("sz"),
+            length(col("p_name")).cast("long").as("q"))
+          .withColumn("b", expr("cents div 10000"))
+        val sweep = Window.partitionBy("b").orderBy(col("sz").desc)
+          .rangeBetween(Window.unboundedPreceding, -1) // strictly larger sz
+        val tie = Window.partitionBy("b", "sz")
+        val pareto = d
+          .withColumn("mxq_strict", max(col("q")).over(sweep))
+          .withColumn("mxq_tie", max(col("q")).over(tie))
+          .filter(col("q") > coalesce(col("mxq_strict"), lit(-1L)) &&
+            col("q") === col("mxq_tie"))
+          .select(col("b").as("sb"), col("sz").as("ssz"), col("q").as("sq"))
+        val survivors = d.join(broadcast(pareto),
+          col("sb") < col("b") && col("ssz") >= col("sz") &&
+            col("sq") >= col("q"), "left_anti")
+        val s2 = survivors.select(col("cents").as("c2"),
+          col("sz").as("z2"), col("q").as("q2"))
+        survivors.join(broadcast(s2),
+          col("c2") <= col("cents") && col("z2") >= col("sz") &&
+            col("q2") >= col("q") &&
+            (col("c2") < col("cents") || col("z2") > col("sz") ||
+              col("q2") > col("q")), "left_anti")
+          .select("p_partkey", "cents", "sz", "q")
+          .orderBy("cents", "p_partkey")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+          |         CAST(p_size AS BIGINT) AS sz,
+          |         CAST(len(p_name) AS BIGINT) AS q
+          |  FROM part)
+          |SELECT p_partkey, cents, sz, q FROM d r
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM d s
+          |  WHERE s.cents <= r.cents AND s.sz >= r.sz AND s.q >= r.q
+          |    AND (s.cents < r.cents OR s.sz > r.sz OR s.q > r.q))
+          |ORDER BY cents, p_partkey""".stripMargin),
+    ),
+
     // ---- triangle counting over a co-occurrence graph: parts ordered
     //      together form edges (id-oriented a<b, so every triangle is
     //      enumerated exactly once as a<b<c), triangles = wedges(e1⋈e2

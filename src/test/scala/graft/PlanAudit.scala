@@ -51,6 +51,7 @@ object PlanAudit {
     "q_decay_engagement", // 1-row max-ts anchor broadcast-crossed (q6_forecast shape)
     "doc_mix_temperature", // 1-row total-weight aggregate broadcast-crossed to budgets
     "q_triangle_count", // 1-row edge/node/triangle counts crossed into the single output row
+    "q_skyline_3d", // broadcast anti-joins vs bucket-pareto union and vs survivors (both skyline-sized)
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected
