@@ -164,7 +164,8 @@ object ScaleCheck {
     "lake_schema_drift", "q_sql_lake", "doc_bloom_decontam",
     "lake_mv_refresh", "lake_history", "lake_scd2_feed",
     "stream_silver_equiv", "stream_gold_incremental", "cdc_scd1",
-    "sketch_source_sim", "q_percentiles", "q_triangle_count")
+    "sketch_source_sim", "q_percentiles", "q_triangle_count",
+    "q_skyline_3d", "emb_corr_matrix", "dedup_simhash")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -538,18 +538,24 @@ object OperatorQueries {
     //      unsampled. Orientation is a TOTAL order, so each triangle
     //      holds exactly one node with two out-edges into it — counted
     //      once, no per-wedge dedup. The node sample is lifted from %7
-    //      to %2 (4× the nodes, ~13× the edges of the r13 row); the
+    //      to %3 (~5.5× the edges of the r13 row — %2 measured 6.6 s
+    //      solo at sf0.1, too hot for a bench row); the
     //      closing-edge probe stays in id-canonical (a < b) space, which
     //      the out-neighbor pair (x.dst < y.dst) already is. ----
     QueryDef(
       "q_triangle_count",
       (sp, dir) => {
         val li = Tables.lineitem(sp, dir)
-          .filter(col("l_partkey") % 2 === 0)
+          .filter(col("l_partkey") % 3 === 0)
           .select(col("l_orderkey"), col("l_partkey"))
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-        val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-        val pairs = a.join(b, Seq("l_orderkey"))
+        // edge build in ONE scan + one shuffle: per-order item sets, pairs
+        // exploded in codegen (values distinct per set, so a < b emits
+        // each unordered pair once) — replaces the scan-twice self-join
+        // on l_orderkey, which paid two table reads and an extra shuffle
+        val pairs = li.groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(col("ps"), posexplode(col("ps")).as(Seq("pi", "a")))
+          .select(col("a"), posexplode(col("ps")).as(Seq("pj", "b")))
           .filter(col("a") < col("b"))
           .select("a", "b").distinct().persist()
         val deg = pairs.select(col("a").as("n"))
@@ -577,7 +583,7 @@ object OperatorQueries {
           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
           |  FROM lineitem a JOIN lineitem b
           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
+          |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
           |tri AS (
           |  SELECT count(*) AS n_triangles
           |  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
