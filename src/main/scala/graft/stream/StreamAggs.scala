@@ -85,8 +85,21 @@ object StreamAggs {
       _commit_ts: java.sql.Timestamp)
   /** Per-key state for [[cdcLatestExplicit]]: the current winning record
     * (public: the state encoder's generated code calls the constructor).
+    * `ts` is epoch MICROseconds (r14, was millis): real CDC feeds carry
+    * sub-millisecond commit density, and a millis-truncated state made
+    * distinct commits TIE — the fold then picked the winner by arrival
+    * order instead of commit order.
     */
   final case class CdcBest(ts: Long, op: String, v: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** CONTINUOUS CDC dedup — the streaming form of
     * [[graft.model.Cdc.scd1]]'s ROW_NUMBER latest-record-wins
@@ -123,25 +136,27 @@ object StreamAggs {
           if (state.hasTimedOut) {
             // watermark passed the key's last commit: flush + reclaim
             val out = state.getOption.filter(_.op != "d")
-              .map(b => CdcCurrent(key, b.v, new java.sql.Timestamp(b.ts)))
+              .map(b => CdcCurrent(key, b.v, microsTs(b.ts)))
               .iterator
             state.remove()
             out
           } else {
             var best = state.getOption
             rows.foreach { e =>
-              val c = CdcBest(e._commit_ts.getTime, e._op, e.v)
+              val c = CdcBest(tsMicros(e._commit_ts), e._op, e.v)
               val keep = best.exists(b =>
                 b.ts > c.ts || (b.ts == c.ts && b.op >= c.op))
               if (!keep) best = Some(c)
             }
             best.foreach { b =>
               state.update(b)
-              // fire as soon as the watermark passes the winning commit;
-              // the +1 guard keeps the timestamp strictly ahead of a
+              // fire as soon as the watermark passes the winning commit
+              // (timeouts are millis — round the micros commit UP); the
+              // +1 guard keeps the timestamp strictly ahead of a
               // watermark that has already caught up to it
               state.setTimeoutTimestamp(
-                math.max(b.ts, state.getCurrentWatermarkMs() + 1))
+                math.max(math.floorDiv(b.ts + 999, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
             }
             Iterator.empty
           }

@@ -513,19 +513,43 @@ object StreamQueries {
         concat(lit("u"), (col("user_id") % 256).cast("string")).as("k"),
         round(col("value") * 100).cast("long").as("v"),
         when(col("event_id") % 11 === 0, "d").otherwise("u").as("op"),
+        // MICROsecond-granular commit ts (r14, was seconds): still
+        // strictly unique per event, but the span stays ~1 day even on a
+        // x10 key-offset replica instead of ~3000 years - second
+        // granularity pushed replica commits past the range pandas (the
+        // driver compare) can represent in ns, and made the span dwarf
+        // any fixed lateness
         date_format(
-          timestamp_seconds(lit(1704067200L) + col("event_id")), tsFmt)
+          timestamp_micros(lit(1704067200000000L) + col("event_id")), tsFmt)
           .as("cts"))
-        .repartitionByRange(3, col("v")).write.json(l)
+        // range-partition on the COMMIT TS (r14, was v): ts-ordered files
+        // keep the mid-drain watermark below every not-yet-read commit at
+        // ANY span — value-ordered files fed late-ts data early, which
+        // late-drops once the span exceeds the lateness (the ×10 replica's
+        // event_id offsets stretch the span to ~3000 years)
+        .repartitionByRange(3, col("cts")).write.json(l)
       Thread.sleep(1100)
-      def sentinel(name: String, ts: String): Unit =
+      // sentinels DERIVED from the fixture's own commit span: the flush
+      // needs watermark = sentinel − lateness to clear every real commit,
+      // and fixed calendar sentinels (2030/2031 pre-r14) silently stop
+      // flushing once max(event_id) pushes commits past them (the ×10
+      // key-offset replica does exactly that)
+      val maxId = Tables.events(spark, dir)
+        .agg(max(col("event_id"))).head.getLong(0)
+      val latenessSec = 26280L * 3600 // keep in step with the drain's value
+      val utc = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      def sentinel(name: String, tsSec: Long): Unit =
         java.nio.file.Files.write(
           java.nio.file.Paths.get(l, name),
-          (s"""{"k":"zz-sentinel","v":0,"op":"u","cts":"$ts"}""")
+          (s"""{"k":"zz-sentinel","v":0,"op":"u",""" +
+            s""""cts":"${utc.format(java.time.Instant.ofEpochSecond(tsSec))}"}""")
             .getBytes("UTF-8"))
-      sentinel("zz-sentinel-1.json", "2030-01-01 00:00:00.000000")
+      sentinel("zz-sentinel-1.json",
+        1704067200L + maxId / 1000000 + latenessSec + 86400)
       Thread.sleep(20)
-      sentinel("zz-sentinel-2.json", "2031-01-01 00:00:00.000000")
+      sentinel("zz-sentinel-2.json",
+        1704067200L + maxId / 1000000 + latenessSec + 2 * 86400)
       l
     })
 
@@ -566,7 +590,7 @@ object StreamQueries {
       |  SELECT 'u' || CAST(user_id % 256 AS VARCHAR) AS k,
       |         CAST(round(value * 100) AS BIGINT) AS v,
       |         CASE WHEN event_id % 11 = 0 THEN 'd' ELSE 'u' END AS op,
-      |         make_timestamp((1704067200 + event_id) * 1000000) AS cts
+      |         make_timestamp(1704067200000000 + event_id) AS cts
       |  FROM events),
       |r AS (SELECT *, row_number() OVER (PARTITION BY k
       |                                   ORDER BY cts DESC, op DESC) AS rn
@@ -603,17 +627,26 @@ object StreamQueries {
           struct(concat(lit("u"), (col("user_id") % 256).cast("string")).as("k"),
             cents.as("cents"))).as("after"),
         op.as("op"),
-        ((lit(1704067200L) + col("event_id")) * 1000).as("ts_ms"))
+        // MILLIsecond-granular ts_ms (r14, was seconds x1000): unique per
+        // event with a replica-safe span - see cdcLandingFor
+        (lit(1704067200000L) + col("event_id")).as("ts_ms"))
         .repartitionByRange(3, col("ts_ms")).write.json(l)
       Thread.sleep(1100)
+      // sentinels derived from the commit span (see cdcLandingFor): the
+      // flush watermark must clear max(commit) even on key-offset replicas
+      val maxId = Tables.events(spark, dir)
+        .agg(max(col("event_id"))).head.getLong(0)
+      val latenessSec = 26280L * 3600
       def sentinel(name: String, tsMs: Long): Unit =
         java.nio.file.Files.write(
           java.nio.file.Paths.get(l, name),
           (s"""{"after":{"k":"zz-sentinel","cents":0},"op":"u",""" +
             s""""ts_ms":$tsMs}""").getBytes("UTF-8"))
-      sentinel("zz-sentinel-1.json", 1893456000000L) // 2030-01-01 UTC
+      sentinel("zz-sentinel-1.json",
+        1704067200000L + maxId + (latenessSec + 86400) * 1000)
       Thread.sleep(20)
-      sentinel("zz-sentinel-2.json", 1924992000000L) // 2031-01-01 UTC
+      sentinel("zz-sentinel-2.json",
+        1704067200000L + maxId + (latenessSec + 2 * 86400) * 1000)
       l
     })
 
@@ -653,7 +686,7 @@ object StreamQueries {
       |              THEN CAST(round(value * 100) AS BIGINT) - 100
       |              ELSE CAST(round(value * 100) AS BIGINT) END AS v,
       |         CASE WHEN event_id % 11 = 0 THEN 'd' ELSE 'u' END AS op,
-      |         make_timestamp((1704067200 + event_id) * 1000000) AS cts
+      |         make_timestamp((1704067200000 + event_id) * 1000) AS cts
       |  FROM events),
       |r AS (SELECT *, row_number() OVER (PARTITION BY k
       |                                   ORDER BY cts DESC, op DESC) AS rn
