@@ -495,9 +495,11 @@ object OperatorQueries {
           .filter(col("q") > coalesce(col("mxq_strict"), lit(-1L)) &&
             col("q") === col("mxq_tie"))
           .select(col("b").as("sb"), col("sz").as("ssz"), col("q").as("sq"))
+        // persist: survivors feed BOTH sides of the final BNL — without
+        // it the cross-bucket prune (a corpus pass) is planned twice
         val survivors = d.join(broadcast(pareto),
           col("sb") < col("b") && col("ssz") >= col("sz") &&
-            col("sq") >= col("q"), "left_anti")
+            col("sq") >= col("q"), "left_anti").persist()
         val s2 = survivors.select(col("cents").as("c2"),
           col("sz").as("z2"), col("q").as("q2"))
         survivors.join(broadcast(s2),

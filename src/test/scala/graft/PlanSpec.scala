@@ -295,4 +295,53 @@ class PlanSpec extends SparkSpec {
     val nEx = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
     assert(nEx == 2, s"expected 2 exchanges (agg + order), got $nEx:\n$p")
   }
+
+  test("emb_corr_matrix aggregates map-side: partials before every exchange") {
+    // the pair sums must collapse to 2016 groups PER PARTITION before the
+    // shuffle — without the partial, the generator's n·d² pair rows cross
+    // the wire and the plan dies at corpus scale
+    val p = plan(q("emb_corr_matrix"))
+    assert("partial_sum".r.findAllIn(p).nonEmpty,
+      s"no partial aggregation before the pair-sum exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in corr plan:\n$p")
+    // the closing dim joins run over 2016-/64-row aggregates → broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim-sum joins did not broadcast:\n$p")
+  }
+
+  // formatted explain re-prints shared subtrees once per consumer but
+  // keeps ONE operator id — always count DISTINCT ids, never mentions
+  private def distinctOps(p: String, op: String): Int =
+    s"\\((\\d+)\\) $op".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  test("q_skyline_3d: both dominance probes broadcast; corpus never self-joins") {
+    val p = plan(q("q_skyline_3d"))
+    // stage 2 + stage 3 are broadcast nested loops against skyline-sized
+    // sides; a SortMergeJoin or cartesian here means a corpus-sized pair
+    // blowup shape crept in
+    val nBnl = distinctOps(p, "BroadcastNestedLoopJoin")
+    assert(nBnl == 2, s"expected exactly 2 broadcast dominance probes " +
+      s"(a 3rd means the survivors pass is planned twice — persist lost), got $nBnl:\n$p")
+    assert(distinctOps(p, "CartesianProduct") == 0, s"cartesian in skyline plan:\n$p")
+    // the part scan reads exactly the three skyline dims + key
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rs.exists(_.split(",").length == 4),
+      s"scan reads more than (partkey, price, size, name): ${rs.getOrElse("?")}")
+  }
+
+  test("q_triangle_count: equi-join core, edges built from one scan") {
+    val p = plan(q("q_triangle_count"))
+    // the data-sized joins (wedges, closing semi-join, degree joins) must
+    // all be equi; the only non-equi shapes allowed are the two 1-row
+    // presentational crossJoins stitching the three count aggregates
+    // (they plan as BNLJ-cross over broadcast single rows)
+    assert(distinctOps(p, "BroadcastNestedLoopJoin") <= 2,
+      s"more BNLJs than the two scalar-count crosses:\n$p")
+    assert(distinctOps(p, "CartesianProduct") == 0,
+      s"cartesian in triangle plan:\n$p")
+    // one-scan edge build: exactly one lineitem scan feeds the pair
+    // generator (the r14 rewrite replaced the scan-twice self-join)
+    val scans = distinctOps(p, "Scan parquet")
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
 }
