@@ -806,46 +806,48 @@ object Similarity {
     // exact operands — IEEE-correctly-rounded, so bit-equal cross-engine
     // (the previous ml.stat.Correlation float path differed from DuckDB's
     // corr() in summation order and flipped 0.00005 rounding boundaries).
-    // SCALE SHAPE: the pairwise Σxy rides a generator (double posexplode)
-    // straight into a partial hash aggregate on d(d-1)/2 = 2016 keys, so
-    // the pair rows are PIPELINED inside whole-stage codegen — never
-    // materialized — and exactly ~2016 longs cross the wire per partition:
-    // the same d² scalars/partition wire cost as an outer-product
-    // treeAggregate, with no driver collect at all. The closing joins run
-    // over 2016- and 64-row aggregates (auto-broadcast).
+    // SCALE SHAPE: ALL sufficient statistics ride ONE mergeable
+    // TypedImperativeAggregate ([[graft.functions.CorrSufficientStats]]):
+    // per input vector the update loop does d²/2 multiply-adds into a
+    // single long array — no generated pair rows, no per-pair hash-agg
+    // probes — and exactly one ~17.7 KB state crosses the wire per
+    // partition (the outer-product treeAggregate shape, kept fully inside
+    // the declarative plan, no driver collect). The 2016 output cells
+    // are then unpacked from the ONE stats row by generator expressions;
+    // SimilaritySpec pins the aggregate's sums equal to the declarative
+    // posexplode + hash-aggregate formulation.
     QueryDef(
       "emb_corr_matrix",
       (sp, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val dec = (c: Column) => c.cast(DecimalType(38, 0))
-        val base = Tables.embeddings(sp, dir).select(col("vec_id"), col("embedding"))
-        val q = (x: Column) => round(x.cast("double") * 10000).cast("long")
-        // per-dimension exact sums: 64 groups
-        val dims = base
-          .select(posexplode(col("embedding")).as(Seq("p", "x")))
-          .select((col("p") + 1).cast("int").as("i"), q(col("x")).as("qx"))
-          .groupBy("i")
-          .agg(count(lit(1)).as("n"), sum(col("qx")).as("sx"),
-            sum(col("qx") * col("qx")).as("sxx"))
-        // per-pair exact cross sums: 2016 groups, pairs pipelined in codegen
-        val sxy = base
-          .select(col("embedding"), posexplode(col("embedding")).as(Seq("pi", "xi")))
-          .select(col("pi"), q(col("xi")).as("qi"),
-            posexplode(col("embedding")).as(Seq("pj", "xj")))
-          .filter(col("pi") < col("pj"))
-          .select((col("pi") + 1).cast("int").as("i"),
-            (col("pj") + 1).cast("int").as("j"),
-            (col("qi") * q(col("xj"))).as("xy"))
-          .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
-        val di = dims.select(col("i"), col("n"), col("sx").as("sxi"), col("sxx").as("sxxi"))
-        val dj = dims.select(col("i").as("j"), col("sx").as("sxj"), col("sxx").as("sxxj"))
+        val stats = Tables.embeddings(sp, dir)
+          .agg(graft.functions.SketchFunctions
+            .corr_stats(col("embedding"), 10000).as("s"))
+        val dd = element_at(col("s"), 2).cast("int")
+        val cells = stats
+          .select(col("s"), posexplode(sequence(lit(1), dd)).as(Seq("p", "i")))
+          .select(col("s"), col("i"),
+            explode(sequence(col("i") + 1, dd)).as("j"))
+          // sequence() DESCENDS when start > stop (d<2 corner): keep only
+          // true upper-triangle cells
+          .filter(col("i") < col("j") && col("j") <= dd)
+        // layout: [n, d, sx(1..d), sxx(1..d), sxy(row-major triangle)]
+        val at = (ix: Column) => element_at(col("s"), ix.cast("int"))
+        val n = at(lit(1))
+        val sxi = at(lit(2) + col("i"))
+        val sxj = at(lit(2) + col("j"))
+        val sxxi = at(lit(2) + dd + col("i"))
+        val sxxj = at(lit(2) + dd + col("j"))
+        val tri = ((col("i") - 1) * dd - (col("i") - 1) * col("i") / 2
+          + col("j") - col("i"))
+        val sxy = at(lit(2) + dd * 2 + tri)
         // exact decimal(38,0) cross-products (≤ ~1e25 at petabyte row
         // counts — far inside decimal38), ONE double division at the end
-        val num = dec(col("n")) * dec(col("sxy")) - dec(col("sxi")) * dec(col("sxj"))
-        val deni = dec(col("n")) * dec(col("sxxi")) - dec(col("sxi")) * dec(col("sxi"))
-        val denj = dec(col("n")) * dec(col("sxxj")) - dec(col("sxj")) * dec(col("sxj"))
-        sxy.join(di, "i").join(dj, "j")
-          .select(col("i"), col("j"),
+        val num = dec(n) * dec(sxy) - dec(sxi) * dec(sxj)
+        val deni = dec(n) * dec(sxxi) - dec(sxi) * dec(sxi)
+        val denj = dec(n) * dec(sxxj) - dec(sxj) * dec(sxj)
+        cells.select(col("i"), col("j"),
             round(when(deni === 0 || denj === 0, lit(null))
               .otherwise(num.cast("double") /
                 sqrt(deni.cast("double") * denj.cast("double"))), 4).as("corr_r"))

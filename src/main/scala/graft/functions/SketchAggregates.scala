@@ -88,11 +88,133 @@ case class MinHashUnionSketch(
     copy(child = newChild)
 }
 
+/** Exact Pearson sufficient statistics over quantized vector elements as
+  * ONE mergeable aggregate — the outer-product treeAggregate shape
+  * expressed as a TypedImperativeAggregate. Per input vector the update
+  * loop accumulates n, Σq_i, Σq_i², and the upper-triangle Σq_i·q_j into
+  * a single long array: the same exact integers as the declarative
+  * double-posexplode + hash-aggregate formulation, but each element pair
+  * costs one multiply-add into an array slot instead of a generated row
+  * plus a 2016-key hash probe — the CPU constant that matters when n·d²
+  * is 4e12 at corpus scale. State is (2 + 2d + d(d-1)/2) longs (~17.7 KB
+  * at d = 64), map-side partial by construction, associative merge.
+  *
+  * Quantization is q = round(x·scale) with HALF-AWAY-FROM-ZERO ties —
+  * bit-matching Spark's `round()` on doubles (SimilaritySpec pins the
+  * aggregate equal to the declarative sums), so the DuckDB oracle is
+  * unchanged. Layout: [n, d, sx(1..d), sxx(1..d), sxy(upper triangle,
+  * row-major)].
+  */
+case class CorrSufficientStats(
+    child: Expression,
+    scale: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"corr_stats expects array<float|double>, got ${other.simpleString}")
+  }
+
+  // lazy: the child is unresolved at construction/copy time
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "corr_stats"
+
+  // allocated lazily on the first vector (d unknown until then); the
+  // 2-slot zero buffer stays mergeable as the identity
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2)
+
+  /** Spark Round semantics on doubles: half away from zero, exact on the
+    * binary value (floor/ceil on x ± 0.5 agrees with BigDecimal HALF_UP
+    * for every representable halfway case).
+    */
+  private def q(x: Double): Long =
+    if (x >= 0) math.floor(x * scale + 0.5).toLong
+    else math.ceil(x * scale - 0.5).toLong
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    var buf = buffer
+    if (buf.length == 2) {
+      buf = new Array[Long](2 + 2 * d + d * (d - 1) / 2)
+      buf(1) = d
+    }
+    require(buf(1) == d,
+      s"corr_stats: embedding dimension changed mid-aggregate (${buf(1)} -> $d)")
+    val qs = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      qs(i) = q(if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      i += 1
+    }
+    buf(0) += 1
+    i = 0
+    while (i < d) { buf(2 + i) += qs(i); buf(2 + d + i) += qs(i) * qs(i); i += 1 }
+    var idx = 2 + 2 * d
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) { buf(idx) += qs(i) * qs(j); idx += 1; j += 1 }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.length == 2) return buffer
+    if (buffer.length == 2) return other.clone()
+    require(buffer(1) == other(1),
+      s"corr_stats: merging different dimensions (${buffer(1)} vs ${other(1)})")
+    var i = 0
+    while (i < buffer.length) { if (i != 1) buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.length * 8)
+    bb.putInt(buffer.length)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CorrSufficientStats =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CorrSufficientStats =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CorrSufficientStats =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
 
   /** Aggregate Column: union-MinHash sketch of per-row signatures. */
   def minhash_union(sig: Column, k: Int): Column =
     toCol(MinHashUnionSketch(toExpr(sig), k).toAggregateExpression())
+
+  /** Aggregate Column: exact Pearson sufficient statistics (see
+    * [[CorrSufficientStats]]).
+    */
+  def corr_stats(vec: Column, scale: Int): Column =
+    toCol(CorrSufficientStats(toExpr(vec), scale).toAggregateExpression())
 
   /** Estimated Jaccard between two sketches: matching-lane fraction. */
   def sketch_jaccard(a: Column, b: Column): Column =

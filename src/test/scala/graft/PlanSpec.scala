@@ -296,17 +296,19 @@ class PlanSpec extends SparkSpec {
     assert(nEx == 2, s"expected 2 exchanges (agg + order), got $nEx:\n$p")
   }
 
-  test("emb_corr_matrix aggregates map-side: partials before every exchange") {
-    // the pair sums must collapse to 2016 groups PER PARTITION before the
-    // shuffle — without the partial, the generator's n·d² pair rows cross
-    // the wire and the plan dies at corpus scale
+  test("emb_corr_matrix: one partial corr_stats aggregate, cells from one row") {
+    // the corpus pass must be a PARTIAL corr_stats fold (one ~17.7 KB
+    // state per partition crosses the wire) — without the partial, raw
+    // vectors shuffle to a single reducer and the plan dies at scale;
+    // downstream is generator-only cell unpacking, no joins at all
     val p = plan(q("emb_corr_matrix"))
-    assert("partial_sum".r.findAllIn(p).nonEmpty,
-      s"no partial aggregation before the pair-sum exchange:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian in corr plan:\n$p")
-    // the closing dim joins run over 2016-/64-row aggregates → broadcast
-    assert(p.contains("BroadcastHashJoin"),
-      s"dim-sum joins did not broadcast:\n$p")
+    assert(p.contains("partial_corr_stats"),
+      s"no map-side partial corr_stats fold:\n$p")
+    assert(!p.contains("Join"), s"cell unpacking must be join-free:\n$p")
+    // the scan reads only the embedding column
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rs.exists(r => r.startsWith("embedding") && !r.contains(",")),
+      s"scan reads more than the embedding column: ${rs.getOrElse("?")}")
   }
 
   // formatted explain re-prints shared subtrees once per consumer but

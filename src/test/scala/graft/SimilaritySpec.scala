@@ -71,4 +71,41 @@ class SimilaritySpec extends SparkSpec {
     // on both sides, so at least the two directions stay separated
     assert(stats.length >= 2 && stats.length <= 7)
   }
+
+  test("corr_stats aggregate equals the declarative quantized sums exactly") {
+    // the emb_corr_matrix row rides CorrSufficientStats; this pins the
+    // native update/merge loop (incl. half-away-from-zero quantization,
+    // triangle layout, lazy allocation, partial merge across partitions)
+    // bit-equal to the posexplode + hash-aggregate formulation of the
+    // same integers — negative values exercise the rounding tie rule
+    val emb = clustered.select(col("vec_id"),
+      transform(col("embedding"), x => x * 0.013f - lit(0.031f)).as("embedding"))
+      .repartition(5) // several partitions → real partial merges
+    val s = emb.agg(graft.functions.SketchFunctions
+        .corr_stats(col("embedding"), 10000).as("s"))
+      .head.getSeq[Long](0)
+    val d = s(1).toInt
+    assert(d == 4 && s(0) == 40)
+    val q = (x: org.apache.spark.sql.Column) =>
+      round(x.cast("double") * 10000).cast("long")
+    val ex = emb.select(col("embedding"),
+        posexplode(col("embedding")).as(Seq("pi", "xi")))
+      .select(col("pi"), q(col("xi")).as("qi"),
+        posexplode(col("embedding")).as(Seq("pj", "xj")))
+      .select(col("pi"), col("pj"), col("qi"), q(col("xj")).as("qj"))
+    val dims = ex.filter(col("pi") === col("pj")).groupBy("pi")
+      .agg(sum("qi").as("sx"), sum(col("qi") * col("qi")).as("sxx"))
+      .orderBy("pi").as[(Int, Long, Long)].collect()
+    dims.zipWithIndex.foreach { case ((_, sx, sxx), i) =>
+      assert(s(2 + i) == sx, s"sx($i): ${s(2 + i)} != $sx")
+      assert(s(2 + d + i) == sxx, s"sxx($i): ${s(2 + d + i)} != $sxx")
+    }
+    val pairs = ex.filter(col("pi") < col("pj")).groupBy("pi", "pj")
+      .agg(sum(col("qi") * col("qj")).as("sxy"))
+      .orderBy("pi", "pj").as[(Int, Int, Long)].collect()
+    pairs.foreach { case (i, j, sxy) =>
+      val idx = 2 + 2 * d + i * d - i * (i + 1) / 2 + (j - i - 1)
+      assert(s(idx) == sxy, s"sxy($i,$j): ${s(idx)} != $sxy")
+    }
+  }
 }
