@@ -285,6 +285,11 @@ object PipelineQueries {
         .repartition(16, col("doc_id")).write.mode("overwrite").parquet(path)
       graft.sources.Lake.writeBloomIndex(sp, path, "doc_id",
         expectedPerFile = 10000L)
+      // second per-column sidecar for the multi-column lookup row:
+      // n_chars spreads widely, so its bloom discriminates on the
+      // hash-on-doc_id layout too
+      graft.sources.Lake.writeBloomIndex(sp, path, "n_chars",
+        expectedPerFile = 10000L)
       path
     })
 
@@ -826,6 +831,33 @@ object PipelineQueries {
       Some(
         """SELECT doc_id, lang, source, n_chars FROM documents
           |WHERE doc_id IN (10, 137, 256, 404, 499)
+          |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ---- MULTI-COLUMN bloom point lookup (r14): the (doc_id, n_chars)
+    //      probe prunes through BOTH per-column sidecar blooms —
+    //      verdicts AND together, so a file survives only if every
+    //      indexed column says "maybe". Probe VALUES come from the raw
+    //      table (n_chars is data-dependent per SF), the pruned read is
+    //      re-filtered by an exact semi-join on the probe pairs, and the
+    //      oracle recomputes from raw documents — a file wrongly dropped
+    //      by the intersection loses rows and fails the hash. ----
+    QueryDef(
+      "lake_bloom_multi",
+      (sp, dir) => {
+        import sp.implicits._
+        val path = prebuildBloomFixture(sp, dir)
+        val ids = Seq(23L, 142L, 301L, 477L)
+        val probeRows = Tables.documents(sp, dir)
+          .filter(col("doc_id").isin(ids: _*))
+          .select(col("doc_id"), col("n_chars"))
+        graft.sources.Lake.readLookupMulti(sp, path, probeRows)
+          .join(probeRows, Seq("doc_id", "n_chars"), "leftsemi")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id IN (23, 142, 301, 477)
           |ORDER BY doc_id""".stripMargin),
     ),
 
