@@ -480,34 +480,14 @@ object OperatorQueries {
     QueryDef(
       "q_skyline_3d",
       (sp, dir) => {
-        val d = Tables.part(sp, dir)
-          .select(col("p_partkey"),
-            round(col("p_retailprice") * 100).cast("long").as("cents"),
-            col("p_size").cast("long").as("sz"),
-            length(col("p_name")).cast("long").as("q"))
-          .withColumn("b", expr("cents div 10000"))
-        val sweep = Window.partitionBy("b").orderBy(col("sz").desc)
-          .rangeBetween(Window.unboundedPreceding, -1) // strictly larger sz
-        val tie = Window.partitionBy("b", "sz")
-        val pareto = d
-          .withColumn("mxq_strict", max(col("q")).over(sweep))
-          .withColumn("mxq_tie", max(col("q")).over(tie))
-          .filter(col("q") > coalesce(col("mxq_strict"), lit(-1L)) &&
-            col("q") === col("mxq_tie"))
-          .select(col("b").as("sb"), col("sz").as("ssz"), col("q").as("sq"))
-        // persist: survivors feed BOTH sides of the final BNL — without
-        // it the cross-bucket prune (a corpus pass) is planned twice
-        val survivors = d.join(broadcast(pareto),
-          col("sb") < col("b") && col("ssz") >= col("sz") &&
-            col("sq") >= col("q"), "left_anti").persist()
-        val s2 = survivors.select(col("cents").as("c2"),
-          col("sz").as("z2"), col("q").as("q2"))
-        survivors.join(broadcast(s2),
-          col("c2") <= col("cents") && col("z2") >= col("sz") &&
-            col("q2") >= col("q") &&
-            (col("c2") < col("cents") || col("z2") > col("sz") ||
-              col("q2") > col("q")), "left_anti")
-          .select("p_partkey", "cents", "sz", "q")
+        // algorithm factored into Graph.skyline3d (r14) so the randomized
+        // brute-force property test exercises the production path
+        Graph.skyline3d(Tables.part(sp, dir)
+            .select(col("p_partkey").as("id"),
+              round(col("p_retailprice") * 100).cast("long").as("cents"),
+              col("p_size").cast("long").as("sz"),
+              length(col("p_name")).cast("long").as("q")))
+          .select(col("id").as("p_partkey"), col("cents"), col("sz"), col("q"))
           .orderBy("cents", "p_partkey")
       },
       Some(
@@ -559,26 +539,10 @@ object OperatorQueries {
           .select(col("ps"), posexplode(col("ps")).as(Seq("pi", "a")))
           .select(col("a"), posexplode(col("ps")).as(Seq("pj", "b")))
           .filter(col("a") < col("b"))
-          .select("a", "b").distinct().persist()
-        val deg = pairs.select(col("a").as("n"))
-          .unionAll(pairs.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("d"))
-        // a < b always, so on a degree tie the edge keeps a as source
-        val aWins = col("da") < col("db") || (col("da") === col("db"))
-        val e = pairs
-          .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-          .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-          .select(when(aWins, col("a")).otherwise(col("b")).as("src"),
-            when(aWins, col("b")).otherwise(col("a")).as("dst"))
-        val wedges = e.as("x").join(e.as("y"),
-            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-          .select(col("x.dst").as("v"), col("y.dst").as("w"))
-        val closed = wedges.join(
-          pairs.select(col("a").as("v"), col("b").as("w")),
-          Seq("v", "w"), "leftsemi")
-        pairs.select(count(lit(1)).as("n_edges"))
-          .crossJoin(deg.select(count(lit(1)).as("n_nodes")))
-          .crossJoin(closed.select(count(lit(1)).as("n_triangles")))
+          .select("a", "b").distinct()
+        // counting factored into Graph.triangleCount (r14) so the
+        // randomized brute-force property test exercises the production path
+        Graph.triangleCount(pairs)
       },
       Some(
         """WITH pairs AS (

@@ -235,4 +235,56 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(got == want, s"round $round diverged from the model")
     }
   }
+
+  test("degree-oriented triangle count == brute-force triple enumeration") {
+    import graft.operators.Graph
+    val edgeGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+    for (round <- 1 to 8) {
+      // random undirected edges in id-canonical (a < b) distinct form —
+      // small id domain forces heavy degree skew and plenty of ties
+      val edges = sample(edgeGen, round * 31L)
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val Array(nE, nN, nT) =
+          Graph.triangleCount(df).as[(Long, Long, Long)].head() match {
+            case (e, n, t) => Array(e, n, t)
+          }
+        val es = edges.toSet
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+        val want = (for {
+          i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+          if es((i, j)) && es((j, k)) && es((i, k))
+        } yield 1).size.toLong
+        assert(nE == edges.size && nN == nodes.size,
+          s"round $round: edges/nodes $nE/$nN vs ${edges.size}/${nodes.size}")
+        assert(nT == want, s"round $round: $nT triangles, brute force $want")
+      }
+    }
+  }
+
+  test("bucket-pruned 3-D skyline == brute-force dominance filter") {
+    import graft.operators.Graph
+    val rowGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 30000L), Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 6L)))
+    for (round <- 1 to 8) {
+      // small sz/q domains force equal-coordinate ties (incomparable
+      // duplicates must BOTH survive); cents spans several buckets
+      val rows = sample(rowGen, round * 17L).zipWithIndex
+        .map { case ((c, z, q), i) => (i.toLong, c, z, q) }
+      if (rows.nonEmpty) {
+        val got = Graph.skyline3d(rows.toDF("id", "cents", "sz", "q"))
+          .select("id").as[Long].collect().toSet
+        val want = rows.filter { case (_, c, z, q) =>
+          !rows.exists { case (_, c2, z2, q2) =>
+            c2 <= c && z2 >= z && q2 >= q && (c2 < c || z2 > z || q2 > q)
+          }
+        }.map(_._1).toSet
+        assert(got == want,
+          s"round $round: skyline ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+      }
+    }
+  }
 }
