@@ -89,10 +89,15 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // SPARK_GRAFT_ONLY=q1,q2 restricts the timed set — the solo-pin
     // protocol (BASELINE.md) runs single queries through the exact same
-    // warmup + prebuild + timing harness as the driver's full bench
+    // warmup + prebuild + timing harness as the driver's full bench.
+    // Unknown names fail LOUDLY: a typo would otherwise emit a plausible
+    // n_queries=0 artifact and record a vacuous baseline.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) =>

@@ -260,10 +260,6 @@ object Dedup {
   def simhash(shingleCol: Column): Column =
     simhashFromCounts(simhashCounts(shingleCol))
 
-  /** SimHash near-dup pairs with hamming distance <= maxDist, found by
-    * banding the 64-bit fingerprint into 4 exact-match 16-bit chunks
-    * (complete for maxDist <= 3 by pigeonhole).
-    */
   /** md5-vote 64-bit fingerprint assembled from [[graft.functions
     * .TextFunctions.simhash_md5_chunks]]'s 4×16-bit chunk values (chunk c
     * occupies bits 16c..16c+15; chunk 3's top bit lands in the sign bit,
@@ -280,6 +276,10 @@ object Dedup {
         (cv, c) => call_function("shiftleft", cv, (c * 16).cast("int"))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
 
+  /** SimHash near-dup pairs with hamming distance <= maxDist, found by
+    * banding the 64-bit fingerprint into 4 exact-match 16-bit chunks
+    * (complete for maxDist <= 3 by pigeonhole).
+    */
   def simhashDedup(docs: DataFrame, n: Int = 3, maxDist: Int = 3,
       maxBucket: Int = 256, distinctShingles: Boolean = false,
       fingerprint: Column => Column =

@@ -867,11 +867,11 @@ object Similarity {
           |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
           |  GROUP BY 1, 2)
           |SELECT p.i AS i, p.j AS j,
-          |       round(CASE WHEN (di.n * di.sxx - di.sx * di.sx) = 0
-          |                    OR (dj.n * dj.sxx - dj.sx * dj.sx) = 0 THEN NULL
-          |             ELSE CAST(di.n * p.sxy - di.sx * dj.sx AS DOUBLE)
-          |                  / sqrt(CAST(di.n * di.sxx - di.sx * di.sx AS DOUBLE)
-          |                         * CAST(dj.n * dj.sxx - dj.sx * dj.sx AS DOUBLE))
+          |       round(CASE WHEN (CAST(di.n AS HUGEINT) * di.sxx - di.sx * di.sx) = 0
+          |                    OR (CAST(dj.n AS HUGEINT) * dj.sxx - dj.sx * dj.sx) = 0 THEN NULL
+          |             ELSE CAST(CAST(di.n AS HUGEINT) * p.sxy - di.sx * dj.sx AS DOUBLE)
+          |                  / sqrt(CAST(CAST(di.n AS HUGEINT) * di.sxx - di.sx * di.sx AS DOUBLE)
+          |                         * CAST(CAST(dj.n AS HUGEINT) * dj.sxx - dj.sx * dj.sx AS DOUBLE))
           |             END, 4) AS corr_r
           |FROM pair p JOIN dim di ON p.i = di.i JOIN dim dj ON p.j = dj.i
           |ORDER BY 1, 2""".stripMargin),

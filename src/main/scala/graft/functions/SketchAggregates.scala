@@ -133,13 +133,19 @@ case class CorrSufficientStats(
   // 2-slot zero buffer stays mergeable as the identity
   override def createAggregationBuffer(): Array[Long] = new Array[Long](2)
 
-  /** Spark Round semantics on doubles: half away from zero, exact on the
-    * binary value (floor/ceil on x ± 0.5 agrees with BigDecimal HALF_UP
-    * for every representable halfway case).
+  /** Spark Round semantics on doubles, replicated EXACTLY: BigDecimal on
+    * the shortest round-trip representation, HALF_UP. A floor(x·s + 0.5)
+    * shortcut is NOT equivalent for double inputs — for v = 0.5 − 2⁻⁵⁴
+    * the addition rounds up to 1.0 and floor answers 1 where round()
+    * answers 0 (float inputs widened to double cannot hit this: a
+    * float·10⁴ product carries ≤ 38 significant bits, so the sum stays
+    * exact — but this aggregate accepts array<double> too). Per-ELEMENT
+    * cost (n·d), not per-pair (n·d²), so the BigDecimal stays off the
+    * hot loop.
     */
   private def q(x: Double): Long =
-    if (x >= 0) math.floor(x * scale + 0.5).toLong
-    else math.ceil(x * scale - 0.5).toLong
+    java.math.BigDecimal.valueOf(x * scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)

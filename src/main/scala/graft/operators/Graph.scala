@@ -22,6 +22,10 @@ object Graph {
     * @return 1-row DataFrame (n_edges, n_nodes, n_triangles)
     */
   def triangleCount(pairsIn: DataFrame): DataFrame = {
+    // persist with no unpersist is deliberate: the returned frame is
+    // lazy, so the cache must outlive this call; per-invocation entries
+    // are edge-set-sized and LRU-evicted (same lifecycle as minhashDedup's
+    // fingerprint persist)
     val pairs = pairsIn.select("a", "b").persist()
     val deg = pairs.select(col("a").as("n"))
       .unionAll(pairs.select(col("b").as("n")))

@@ -848,9 +848,15 @@ object PipelineQueries {
         import sp.implicits._
         val path = prebuildBloomFixture(sp, dir)
         val ids = Seq(23L, 142L, 301L, 477L)
-        val probeRows = Tables.documents(sp, dir)
+        // collect the probe PAIRS once (4 rows — the metadata-sized probe
+        // contract): a lazy probeRows frame would rescan raw documents
+        // once per indexed column inside lookupFilesMulti and a third
+        // time as the semi-join build side
+        val pairs = Tables.documents(sp, dir)
           .filter(col("doc_id").isin(ids: _*))
           .select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)].collect().toSeq
+        val probeRows = pairs.toDF("doc_id", "n_chars")
         graft.sources.Lake.readLookupMulti(sp, path, probeRows)
           .join(probeRows, Seq("doc_id", "n_chars"), "leftsemi")
           .orderBy("doc_id")

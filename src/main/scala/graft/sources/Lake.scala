@@ -4359,10 +4359,14 @@ object Lake {
     * that file; the intersection of supersets is a superset. Tuple-set
     * probes (rows of (v1, v2) pairs) stay sound for the same reason —
     * each column's prune uses the column's VALUE SET, which can only keep
-    * more files than the exact tuple semantics would. A column with no
-    * index on disk contributes nothing (at least one must be indexed); a
-    * column past the probe cap degrades to no-prune, weakening but never
-    * breaking the intersection. @return (files kept, total current files)
+    * more files than the exact tuple semantics would. On a bloom-only
+    * table, a probe column with no bloom sidecar is skipped (at least one
+    * column must carry an index); on a STATS-bearing table every probe
+    * column is treated as stats-indexed, and a column the manifest does
+    * not track fails LOUDLY — a silently unindexed column must never
+    * masquerade as a no-prune verdict. A column past the probe cap
+    * degrades to no-prune, weakening but never breaking the
+    * intersection. @return (files kept, total current files)
     */
   def lookupFilesMulti(spark: SparkSession, path: String,
       probes: DataFrame, maxProbes: Int = 100000): (Seq[String], Int) = {

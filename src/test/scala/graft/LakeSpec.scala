@@ -637,9 +637,13 @@ class LakeSpec extends SparkSpec {
     val want = spark.read.parquet(dir)
       .filter(col("a") === 5L && col("b") === 10L).select("id").collect().toSet
     assert(got == want && want.nonEmpty)
-    // an unindexed probe column alongside an indexed one still refuses
-    // nothing (the indexed column prunes; the other is skipped) — but a
-    // fully unindexed probe set refuses loudly
+    // on this bloom-only table a probe column with no bloom is skipped
+    // (the indexed columns still prune), and a fully unindexed probe set
+    // refuses loudly
+    val (withUnindexed, _) = Lake.lookupFilesMulti(spark, dir,
+      probes.withColumn("zz", lit(1L)))
+    assert(withUnindexed.toSet == both.toSet,
+      "an unindexed extra column must not change the bloom-only prune")
     intercept[IllegalArgumentException] {
       Lake.lookupFilesMulti(spark, dir, Seq(1L).toDF("zz"))
     }
