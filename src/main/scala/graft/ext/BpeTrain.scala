@@ -238,8 +238,11 @@ object BpeTrain {
     * index from the run start — exactly the greedy left-to-right scan.
     * The batched distributed path is property-pinned merge-for-merge
     * equal to the sequential loop (BpeSpec), so the sequential replay
-    * oracles it. Char splitting is code-point based both sides (ASCII
-    * corpus; Scala's UTF-16 code units would diverge on astral chars).
+    * oracles it. Char splitting: code-POINT based on the DuckDB side
+    * (substr), UTF-16 code UNITS in the trainer (w.map(_.toString)) —
+    * equivalent only for BMP/ASCII corpora; an astral (surrogate-pair)
+    * char would split into two units in the trainer but one code point
+    * in SQL. The fixture corpus is ASCII, so the replay is exact here.
     */
   private[graft] def bpeOracleSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>

@@ -283,7 +283,8 @@ object Dedup {
   def simhashDedup(docs: DataFrame, n: Int = 3, maxDist: Int = 3,
       maxBucket: Int = 256, distinctShingles: Boolean = false,
       fingerprint: Column => Column =
-        sh => graft.functions.TextFunctions.simhash64(sh)): DataFrame = {
+        sh => graft.functions.TextFunctions.simhash64(sh),
+      capMustNotBind: Boolean = false): DataFrame = {
     // Same plan-shape discipline as minhashDedup: cheap guard → repartition
     // → staged non-cheap projections (shingles, counters, fingerprint).
     val fps = docs
@@ -312,7 +313,20 @@ object Dedup {
             call_function("shiftright", col("fp"), c.cast("int") * 16).bitwiseAND(0xFFFFL).as("chunk_val")))).as("c"))
       .select(col("fp"), col("ids"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
       .withColumn("rn", row_number().over(chunkWindow))
-      .filter(col("rn") <= maxBucket) // cap degenerate buckets, cf. minhashDedup
+      // Cap degenerate buckets, cf. minhashDedup. At scale the cap is a
+      // deliberate recall knob (silent drop); for the DuckDB-oracled row
+      // the oracle has NO cap analogue, so a binding cap would surface as
+      // an unexplained hash mismatch — capMustNotBind turns it into a loud
+      // per-row assertion instead (assert_true returns NULL when the
+      // predicate holds, so the filter keeps every row or raises).
+      .filter(
+        if (capMustNotBind)
+          assert_true(col("rn") <= maxBucket,
+            concat(lit("dedup_simhash: chunk-bucket cap (" + maxBucket +
+              ") bound at chunk="), col("chunk"),
+              lit(" chunk_val="), col("chunk_val"),
+              lit(" — the DuckDB oracle has no cap analogue"))).isNull
+        else col("rn") <= maxBucket)
       .drop("rn")
     val crossPairs = chunks.as("x")
       .join(chunks.as("y"),
@@ -517,14 +531,17 @@ object Dedup {
     // md5-vote fingerprint, so the whole pipeline holds a DuckDB oracle
     // (r13 verdict item 5 — this row was no_oracle while xxhash64-based).
     // The oracle is all-pairs-complete by pigeonhole (hamming ≤ 3 ⇒ ≥ 1
-    // equal 16-bit chunk); the bucket cap never binds at test SF (16-bit
-    // chunk values spread text fingerprints far below 256/bucket).
+    // equal 16-bit chunk); the bucket cap is expected never to bind at
+    // test SF (16-bit chunk values spread text fingerprints far below
+    // 256/bucket) — and capMustNotBind ENFORCES that expectation loudly
+    // (assert_true) instead of silently dropping pairs the oracle keeps.
     // xxhash64 fingerprints remain spec-pinned in DedupSpec.
     QueryDef(
       "dedup_simhash",
       (sp, dir) =>
         simhashDedup(Tables.documents(sp, dir), distinctShingles = true,
-          fingerprint = simhashMd5Fp).orderBy("a_id", "b_id"),
+          fingerprint = simhashMd5Fp, capMustNotBind = true)
+          .orderBy("a_id", "b_id"),
       Some(
         """WITH t AS (
           |  SELECT doc_id, string_split(text, ' ') AS toks

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import graft.functions.Canon.roundCanon
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,7 +55,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("rn"),
-        round(col("cos"), 4).as("cos_r"))
+        roundCanon(col("cos"), 4).as("cos_r"))
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot(v, r_i).
@@ -121,7 +122,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("rn"),
-        round(col("cos"), 4).as("cos_r"))
+        roundCanon(col("cos"), 4).as("cos_r"))
   }
 
   /** Cross-engine-verifiable LSH ANN (the `dedup_minhash_md5` pattern
@@ -275,7 +276,7 @@ object Similarity {
       .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("vec_id"),
         (col("pos") + 1).cast("int").as("rn"),
-        round(col("t.score"), 4).as("cos_r"))
+        roundCanon(col("t.score"), 4).as("cos_r"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
@@ -360,7 +361,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("rn"),
-        round(col("cos"), 4).as("cos_r"))
+        roundCanon(col("cos"), 4).as("cos_r"))
   }
 
   /** Fixture for `ann_ivf_persisted` (cached per session+SF): frozen
@@ -463,7 +464,7 @@ object Similarity {
            |SELECT vec_id, rn, cos_r FROM (
            |  SELECT e.vec_id,
            |         row_number() OVER (ORDER BY $cosSql DESC, e.vec_id) AS rn,
-           |         round($cosSql, 4) AS cos_r
+           |         round($cosSql, 4) + 0.0 AS cos_r
            |  FROM embeddings e, q WHERE e.vec_id <> 0)
            |WHERE rn <= 10 ORDER BY rn""".stripMargin),
     ),
@@ -482,7 +483,7 @@ object Similarity {
            |  SELECT q.query_id, e.vec_id,
            |         row_number() OVER (PARTITION BY q.query_id
            |                            ORDER BY $cosSql DESC, e.vec_id) AS rn,
-           |         round($cosSql, 4) AS cos_r
+           |         round($cosSql, 4) + 0.0 AS cos_r
            |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
            |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
     ),
@@ -495,12 +496,12 @@ object Similarity {
             aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
               lit(0.0), (acc, v) => acc + v).as("sq_norm"))
           .groupBy("label")
-          .agg(count(lit(1)).as("n"), round(avg(col("sq_norm")), 4).as("avg_sq_norm"))
+          .agg(count(lit(1)).as("n"), roundCanon(avg(col("sq_norm")), 4).as("avg_sq_norm"))
           .orderBy("label"),
       Some(
         """SELECT label, count(*) AS n,
           |       round(avg(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-          |                                         x -> x * x))), 4) AS avg_sq_norm
+          |                                         x -> x * x))), 4) + 0.0 AS avg_sq_norm
           |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
     ),
     // LSH-bucketed ANN over the same sample queries (the scale path).
@@ -762,7 +763,7 @@ object Similarity {
            |  SELECT q.query_id, e.vec_id,
            |         row_number() OVER (PARTITION BY q.query_id
            |                            ORDER BY $cosSql DESC, e.vec_id) AS rn,
-           |         round($cosSql, 4) AS cos_r
+           |         round($cosSql, 4) + 0.0 AS cos_r
            |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
            |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
     ),
@@ -783,13 +784,13 @@ object Similarity {
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
             cosine(col("a.embedding"), col("b.embedding")).as("cos"))
           .filter(col("cos") >= 0.3)
-          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
+          .select(col("a_id"), col("b_id"), roundCanon(col("cos"), 4).as("cos_r"))
           .orderBy("a_id", "b_id")
       },
       Some(
         """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-          |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_r
+          |                                    CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS cos_r
           |FROM embeddings a, embeddings b
           |WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
           |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -842,13 +843,21 @@ object Similarity {
         val tri = ((col("i") - 1) * dd - (col("i") - 1) * col("i") / 2
           + col("j") - col("i"))
         val sxy = at(lit(2) + dd * 2 + tri)
-        // exact decimal(38,0) cross-products (≤ ~1e25 at petabyte row
-        // counts — far inside decimal38), ONE double division at the end
+        // exact decimal(38,0) cross-products (far inside decimal38), ONE
+        // double division at the end. Row-count bound: the Int64
+        // accumulation inside corr_stats holds to ~9e10 rows at scale=1e4
+        // and FAILS LOUDLY past it (addExact/multiplyExact — see the
+        // CorrSufficientStats overflow contract); beyond that, shard and
+        // sum the stats arrays in decimal.
         val num = dec(n) * dec(sxy) - dec(sxi) * dec(sxj)
         val deni = dec(n) * dec(sxxi) - dec(sxi) * dec(sxi)
         val denj = dec(n) * dec(sxxj) - dec(sxj) * dec(sxj)
+        // roundCanon, not round: r14 driver red — cells (5,62) and (6,10)
+        // at sf0.01 are tiny NEGATIVE correlations that round to +0.0 in
+        // Spark (Decimal path) but -0.0 in DuckDB; the driver hash covers
+        // the sign bit. Canonicalized on BOTH sides (oracle carries + 0.0).
         cells.select(col("i"), col("j"),
-            round(when(deni === 0 || denj === 0, lit(null))
+            roundCanon(when(deni === 0 || denj === 0, lit(null))
               .otherwise(num.cast("double") /
                 sqrt(deni.cast("double") * denj.cast("double"))), 4).as("corr_r"))
           .orderBy("i", "j")
@@ -872,7 +881,7 @@ object Similarity {
           |             ELSE CAST(CAST(di.n AS HUGEINT) * p.sxy - di.sx * dj.sx AS DOUBLE)
           |                  / sqrt(CAST(CAST(di.n AS HUGEINT) * di.sxx - di.sx * di.sx AS DOUBLE)
           |                         * CAST(CAST(dj.n AS HUGEINT) * dj.sxx - dj.sx * dj.sx AS DOUBLE))
-          |             END, 4) AS corr_r
+          |             END, 4) + 0.0 AS corr_r
           |FROM pair p JOIN dim di ON p.i = di.i JOIN dim dj ON p.j = dj.i
           |ORDER BY 1, 2""".stripMargin),
     ),
@@ -892,13 +901,13 @@ object Similarity {
             cosine(col("embedding"), col("b_emb")) >= 0.3)
           .groupBy("vec_id")
           .agg(count(lit(1)).as("n_bench_hits"),
-            round(max(cosine(col("embedding"), col("b_emb"))), 4).as("max_cos"))
+            roundCanon(max(cosine(col("embedding"), col("b_emb"))), 4).as("max_cos"))
           .orderBy("vec_id")
       },
       Some(
         """SELECT a.vec_id, count(*) AS n_bench_hits,
           |       round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-          |                                        CAST(b.embedding AS DOUBLE[]))), 4)
+          |                                        CAST(b.embedding AS DOUBLE[]))), 4) + 0.0
           |         AS max_cos
           |FROM embeddings a, embeddings b
           |WHERE a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import graft.functions.Canon.roundCanon
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -169,7 +170,7 @@ object TextAnalysis {
     tf.crossJoin(broadcast(stats))
       .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
       .select(Seq(col("doc_id")) ++ terms.map(t => col(s"tf_$t")) ++
-        Seq(round(terms.map(term).reduce(_ + _), 4).as("bm25_r")): _*)
+        Seq(roundCanon(terms.map(term).reduce(_ + _), 4).as("bm25_r")): _*)
       .orderBy(col("bm25_r").desc, col("doc_id"))
   }
 
@@ -658,7 +659,7 @@ object TextAnalysis {
           |           (tf_join + 1.2 * (0.25 + 0.75 * (dl / (sum_dl * 1.0 / n_docs)))) +
           |         ln(1.0 + (n_docs - df_filter + 0.5) / (df_filter + 0.5)) *
           |           (tf_filter * 2.2) /
-          |           (tf_filter + 1.2 * (0.25 + 0.75 * (dl / (sum_dl * 1.0 / n_docs)))), 4)
+          |           (tf_filter + 1.2 * (0.25 + 0.75 * (dl / (sum_dl * 1.0 / n_docs)))), 4) + 0.0
           |         AS bm25_r
           |FROM f, s
           |WHERE tf_spark > 0 OR tf_join > 0 OR tf_filter > 0
@@ -722,7 +723,7 @@ object TextAnalysis {
           .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cp") + col("vv"))))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            round(-avg(col("lp")), 4).as("cross_entropy"))
+            roundCanon(-avg(col("lp")), 4).as("cross_entropy"))
           .orderBy("doc_id")
       },
       Some(
@@ -739,7 +740,7 @@ object TextAnalysis {
           |pc AS (SELECT w, count(*) AS cp FROM big GROUP BY 1),
           |v AS (SELECT count(DISTINCT w) AS vv FROM tok)
           |SELECT b.doc_id, count(*) AS n_bigrams,
-          |       round(-avg(ln((bc.cb + 1.0) / (pc.cp + v.vv))), 4) AS cross_entropy
+          |       round(-avg(ln((bc.cb + 1.0) / (pc.cp + v.vv))), 4) + 0.0 AS cross_entropy
           |FROM big b
           |JOIN bc ON b.w = bc.w AND b.w2 = bc.w2
           |JOIN pc ON b.w = pc.w

@@ -104,6 +104,17 @@ case class MinHashUnionSketch(
   * aggregate equal to the declarative sums), so the DuckDB oracle is
   * unchanged. Layout: [n, d, sx(1..d), sxx(1..d), sxy(upper triangle,
   * row-major)].
+  *
+  * OVERFLOW CONTRACT: every accumulation uses Math.addExact/multiplyExact,
+  * so exceeding Int64 FAILS LOUDLY (ArithmeticException) instead of
+  * silently wrapping while the DuckDB oracle keeps summing into HUGEINT.
+  * The real bound: with |q| ≤ Q, Σq² overflows Long at ~2⁶³/Q² rows —
+  * ~9e10 rows for unit-scale elements at scale = 10⁴. Beyond that, shard
+  * the corpus (the stats are associative: sum the [n,sx,sxx,sxy] arrays of
+  * the shards exactly in decimal/HUGEINT) or lower `scale`; the exactness
+  * claim holds only inside this bound, which the guard now enforces. The
+  * exact-check branches are JIT intrinsics (predicted-not-taken), so the
+  * hot-loop cost is unchanged.
   */
 case class CorrSufficientStats(
     child: Expression,
@@ -167,12 +178,19 @@ case class CorrSufficientStats(
     }
     buf(0) += 1
     i = 0
-    while (i < d) { buf(2 + i) += qs(i); buf(2 + d + i) += qs(i) * qs(i); i += 1 }
+    while (i < d) {
+      buf(2 + i) = Math.addExact(buf(2 + i), qs(i))
+      buf(2 + d + i) = Math.addExact(buf(2 + d + i), Math.multiplyExact(qs(i), qs(i)))
+      i += 1
+    }
     var idx = 2 + 2 * d
     i = 0
     while (i < d) {
       var j = i + 1
-      while (j < d) { buf(idx) += qs(i) * qs(j); idx += 1; j += 1 }
+      while (j < d) {
+        buf(idx) = Math.addExact(buf(idx), Math.multiplyExact(qs(i), qs(j)))
+        idx += 1; j += 1
+      }
       i += 1
     }
     buf
@@ -184,7 +202,10 @@ case class CorrSufficientStats(
     require(buffer(1) == other(1),
       s"corr_stats: merging different dimensions (${buffer(1)} vs ${other(1)})")
     var i = 0
-    while (i < buffer.length) { if (i != 1) buffer(i) += other(i); i += 1 }
+    while (i < buffer.length) {
+      if (i != 1) buffer(i) = Math.addExact(buffer(i), other(i))
+      i += 1
+    }
     buffer
   }
 

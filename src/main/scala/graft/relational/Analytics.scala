@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{QueryDef, Tables}
+import graft.functions.Canon.roundCanon
 import org.apache.spark.sql.functions._
 
 /** Product-analytics shapes over the event stream plus an exact-arithmetic
@@ -38,7 +39,7 @@ object Analytics {
           .agg(count(lit(1)).as("n_viewers"),
             sum("converted").cast("long").as("n_converted"))
           .withColumn("conversion",
-            round(col("n_converted") * 1.0 / col("n_viewers"), 4))
+            roundCanon(col("n_converted") * 1.0 / col("n_viewers"), 4))
           .orderBy("cohort_date")
       },
       Some(
@@ -55,7 +56,7 @@ object Analytics {
           |SELECT CAST(first_view AS DATE) AS cohort_date,
           |       count(*) AS n_viewers,
           |       CAST(sum(converted) AS BIGINT) AS n_converted,
-          |       round(sum(converted) * 1.0 / count(*), 4) AS conversion
+          |       round(sum(converted) * 1.0 / count(*), 4) + 0.0 AS conversion
           |FROM u GROUP BY 1 ORDER BY cohort_date""".stripMargin),
     ),
 

@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{QueryDef, Tables}
+import graft.functions.Canon.roundCanon
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
@@ -39,13 +40,24 @@ object Relational5 {
     QueryDef(
       "q2_min_cost_supp",
       (sp, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val offers = Tables.lineitem(sp, dir)
           .select(col("l_partkey"), col("l_suppkey"),
             round(col("l_extendedprice") * 100).cast("long").as("price_c"))
           .groupBy("l_partkey", "l_suppkey")
           .agg(min("price_c").as("supp_price_c"))
-        val best = offers.groupBy("l_partkey")
-          .agg(min("supp_price_c").as("best_price_c"))
+        // best-per-part via ONE window min over the already-reduced offers
+        // (r14: the min-per-group + equality-join formulation consumed the
+        // offers subtree twice and re-shuffled BOTH join sides on
+        // (partkey, price) — 4 exchanges and the worst non-payload ×10
+        // flagship ratio, 2.7). The window costs one exchange on
+        // l_partkey, leaves offers partitioned on l_partkey for the part
+        // join to reuse, and never joins the fact against itself. Same
+        // decorrelated-scalar-min semantics, ties all kept.
+        val best = offers
+          .withColumn("best_price_c",
+            min(col("supp_price_c")).over(Window.partitionBy(col("l_partkey"))))
+          .filter(col("supp_price_c") === col("best_price_c"))
         val partDim = Tables.part(sp, dir)
           .filter(col("p_size") < 25)
           .select("p_partkey", "p_name")
@@ -57,10 +69,7 @@ object Relational5 {
             .filter(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("s_name"), col("n_name").as("supp_nation"))
-        offers
-          .join(best.withColumnRenamed("l_partkey", "b_partkey"),
-            col("l_partkey") === col("b_partkey") &&
-              col("supp_price_c") === col("best_price_c"))
+        best
           .join(partDim, col("l_partkey") === col("p_partkey"))
           .join(suppDim, col("l_suppkey") === col("s_suppkey"))
           .select(col("p_partkey"), col("p_name"), col("s_name"),
@@ -121,7 +130,7 @@ object Relational5 {
           .select(col("o_year"),
             asMoney(col("nation_rev_c")).as("nation_rev"),
             asMoney(col("total_rev_c")).as("total_rev"),
-            round(col("nation_rev_c") * 1.0 / col("total_rev_c"), 4).as("share"))
+            roundCanon(col("nation_rev_c") * 1.0 / col("total_rev_c"), 4).as("share"))
           .orderBy("o_year")
       },
       Some(
@@ -141,7 +150,7 @@ object Relational5 {
           |                 THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
           |                 ELSE 0 END) * 1.0
           |             / sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)),
-          |             4) AS share
+          |             4) + 0.0 AS share
           |FROM lineitem
           |JOIN orders ON o_orderkey = l_orderkey
           |JOIN sn ON s_suppkey = l_suppkey
@@ -403,7 +412,7 @@ object Relational5 {
               (col("mx") - unix_timestamp(col("ts"))) / lit(604800.0)))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("w") * col("value")), 4).as("decayed_value"))
+            roundCanon(sum(col("w") * col("value")), 4).as("decayed_value"))
           .orderBy("user_id")
       },
       Some(
@@ -412,7 +421,7 @@ object Relational5 {
           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
           |       round(sum(power(0.5,
           |         (m.mx - CAST(floor(epoch(ts)) AS BIGINT)) / 604800.0)
-          |         * value), 4) AS decayed_value
+          |         * value), 4) + 0.0 AS decayed_value
           |FROM events, m
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
@@ -432,14 +441,14 @@ object Relational5 {
           .withColumn("quartile", ntile(4).over(w))
           .groupBy("quartile")
           .agg(count(lit(1)).as("n_custs"),
-            round(min(col("c_acctbal")), 2).as("min_bal"),
-            round(max(col("c_acctbal")), 2).as("max_bal"))
+            roundCanon(min(col("c_acctbal")), 2).as("min_bal"),
+            roundCanon(max(col("c_acctbal")), 2).as("max_bal"))
           .orderBy("quartile")
       },
       Some(
         """SELECT quartile, CAST(count(*) AS BIGINT) AS n_custs,
-          |       round(min(c_acctbal), 2) AS min_bal,
-          |       round(max(c_acctbal), 2) AS max_bal
+          |       round(min(c_acctbal), 2) + 0.0 AS min_bal,
+          |       round(max(c_acctbal), 2) + 0.0 AS max_bal
           |FROM (SELECT c_acctbal,
           |             ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
           |               AS quartile

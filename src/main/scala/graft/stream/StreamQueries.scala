@@ -573,9 +573,11 @@ object StreamQueries {
     // lateness sizing: commit-ts grows 1 s per event_id, so the span
     // scales with the fixture — 3 years of lateness keeps the mid-drain
     // watermark below every real commit for any fixture up to ~94M
-    // events, while the 2030/2031 sentinels still land it years past
-    // the span for the timeout flush (720 h broke at ~2.6M events:
-    // mid-drain late-drops + premature flushes)
+    // events (720 h broke at ~2.6M events: mid-drain late-drops +
+    // premature flushes). The timeout-flush sentinels are DERIVED from
+    // the span (max event_id + lateness + 1/2 days — see cdcLandingFor),
+    // so they land past every real commit at ANY fixture size; the fixed
+    // 2030/2031 calendar sentinels they replaced broke on the ×10 replica.
     drainToParquet(
       StreamAggs.cdcLatestExplicit(typed, lateness = "26280 hours").toDF(),
       s"$root/sink", s"$root/ckpt")

@@ -11,6 +11,7 @@ Usage: python3 tools/drivercheck.py <sfDir> <verifyOutDir> [query ...]
 """
 import glob
 import json
+import math
 import os
 import sys
 
@@ -78,6 +79,15 @@ def main(sf_dir, out_dir, only):
                 gv, ev = g.iloc[i], e.iloc[i]
                 if pd.isna(gv) and pd.isna(ev):
                     continue
+                # The driver hashes RAW BYTES, so -0.0 != +0.0 there even
+                # though Python/pandas equality says equal (the r14
+                # emb_corr_matrix red: Spark round() canonicalizes the
+                # zero sign, DuckDB's preserves it). Compare sign bits.
+                if (isinstance(gv, float) and isinstance(ev, float)
+                        and gv == ev == 0.0
+                        and math.copysign(1.0, gv) != math.copysign(1.0, ev)):
+                    diff = (c, i, gv, ev, g.dtype, e.dtype)
+                    break
                 if gv != ev or type(gv).__name__ != type(ev).__name__:
                     diff = (c, i, gv, ev, g.dtype, e.dtype)
                     break
