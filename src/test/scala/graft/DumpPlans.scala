@@ -28,8 +28,10 @@ object DumpPlans {
       "expect: broadcast of the query vectors, native cosine_sim inside " +
       "WholeStageCodegen, TakeOrderedAndProject for the top-k" :: Nil),
     "q2_min_cost_supp" -> ("decorrelated scalar-min subquery (TPC-H Q2 shape)" ::
-      "expect: min-per-group aggregated BEFORE the equality join (no " +
-      "correlated re-evaluation), part/supplier/nation/region all broadcast" :: Nil),
+      "expect: best-offer-per-part as ONE window min over the reduced " +
+      "offers aggregate (no second aggregate, no fact-vs-fact equality " +
+      "join), part/supplier/nation/region all broadcast; exactly the agg " +
+      "+ window + order exchanges" :: Nil),
     "q21_waiting_supp" -> ("EXISTS/NOT EXISTS on the same fact (TPC-H Q21 shape)" ::
       "expect: leftsemi then leftanti hash joins over DISTINCT " +
       "(orderkey, suppkey) pair sets — no correlated subquery execution, " +
@@ -103,6 +105,14 @@ object DumpPlans {
       "with a Project over the keys-sized view's parquet scan " +
       "(MvRewriteRule; staleness falls back to the real aggregate, " +
       "pinned by MvRewriteRuleSpec)" :: Nil),
+    "dedup_simhash" -> ("SimHash near-dup banding (fingerprint-space, capped buckets)" ::
+      "expect: docs collapse to one row per FINGERPRINT (collect_list " +
+      "ids) before any pair work and the group table persists " +
+      "(InMemoryRelation, one parquet scan id); the chunk-bucket cap is " +
+      "a row_number window guarded by assert_true (the oracle has no cap " +
+      "analogue, so a binding cap must fail loudly, never drop pairs); " +
+      "candidate pairs come from an EQUI join on (chunk, chunk_val) — " +
+      "no CartesianProduct, and document text never crosses an Exchange" :: Nil),
     "lake_bloom_skip" -> ("bloom-index point lookup on a hash-clustered layout" ::
       "expect: the probe side resolved at PLAN time (manifest filter + " +
       "BloomMightContainAny ran before this plan existed) — the data " +

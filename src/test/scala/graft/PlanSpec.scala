@@ -331,6 +331,66 @@ class PlanSpec extends SparkSpec {
       s"scan reads more than (partkey, price, size, name): ${rs.getOrElse("?")}")
   }
 
+  test("dedup_simhash: fingerprint-space banding — grouped, capped-loud, persisted") {
+    val p = plan(q("dedup_simhash"))
+    // docs must collapse to one row per FINGERPRINT (collect_list of ids)
+    // before any pair work — a doc-space chunk join is quadratic in
+    // identical-fp group size (documented 342 s regression at sf0.1,
+    // Dedup.scala) — and the group table must persist: the self-join +
+    // intra-pair union consume it three times
+    assert(p.contains("InMemoryRelation"), s"fp group table not persisted:\n$p")
+    assert(p.contains("collect_list"), s"no per-fingerprint id grouping:\n$p")
+    // ONE distinct documents scan id — everything derives from the cache
+    assert(distinctOps(p, "Scan parquet") == 1,
+      s"documents scanned more than once (persist broken):\n$p")
+    // the chunk-bucket cap is a row_number window whose filter must be
+    // the LOUD guard (assert_true compiles to if(rn<=cap) ... raise_error):
+    // the DuckDB oracle has no cap analogue, so a binding cap may never
+    // silently drop pairs
+    assert(p.contains("row_number"), s"no windowed bucket cap:\n$p")
+    assert(p.contains("raise_error") && p.contains("chunk-bucket cap"),
+      s"bucket cap is a silent filter, not the loud guard:\n$p")
+    // candidate pairs come from an EQUI join on (chunk, chunk_val)
+    assert(distinctOps(p, "CartesianProduct") == 0 &&
+      distinctOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"pair search degenerated to a non-equi join:\n$p")
+    // document text crosses exactly ONE exchange: the pre-shingle
+    // load-balancing repartition (single-split local parquet; cluster
+    // no-op). Every post-fingerprint shuffle is 16 B/doc fingerprint
+    // space — text there means the doc-space join came back.
+    val exchangesWithText =
+      "(?s)\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(p).count(_.group(1).contains("text#"))
+    assert(exchangesWithText == 1,
+      s"expected text in exactly the repartition exchange, found $exchangesWithText:\n$p")
+  }
+
+  test("q2_min_cost_supp: one lineitem pass, window best-price, dims broadcast") {
+    val p = plan(q("q2_min_cost_supp"))
+    // best-offer-per-part must be the ONE window min over the reduced
+    // offers aggregate — the r14 formulation re-aggregated offers and
+    // equality-joined the two derivations (4 exchanges, double subtree
+    // consumption, worst non-payload ×10 flagship ratio)
+    assert(distinctOps(p, "Window") == 1, s"expected exactly 1 window:\n$p")
+    // the fact is scanned once; 5 scans total (lineitem + 4 dims)
+    assert(distinctOps(p, "Scan parquet") == 5,
+      s"expected 5 scans (lineitem once + 4 dims):\n$p")
+    assert(distinctOps(p, "CartesianProduct") == 0 &&
+      distinctOps(p, "BroadcastNestedLoopJoin") == 0, s"non-equi join:\n$p")
+    // AQE outcome: dims land as broadcasts; at most one shuffle join
+    // survives (static stats over-estimate the joined supplier dim)
+    val df = q("q2_min_cost_supp")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(executed).length
+    val nShuffleJoin = "SortMergeJoin".r.findAllIn(executed).length +
+      "ShuffledHashJoin".r.findAllIn(executed).length
+    assert(nBroadcast >= 3,
+      s"expected >=3 AQE broadcast joins, got $nBroadcast:\n$executed")
+    assert(nShuffleJoin <= 1,
+      s"$nShuffleJoin shuffle joins (the fact never self-joins):\n$executed")
+  }
+
   test("q_triangle_count: equi-join core, edges built from one scan") {
     val p = plan(q("q_triangle_count"))
     // the data-sized joins (wedges, closing semi-join, degree joins) must
