@@ -165,7 +165,9 @@ object ScaleCheck {
     "lake_mv_refresh", "lake_history", "lake_scd2_feed",
     "stream_silver_equiv", "stream_gold_incremental", "cdc_scd1",
     "sketch_source_sim", "q_percentiles", "q_triangle_count",
-    "q_skyline_3d", "emb_corr_matrix", "dedup_simhash")
+    "q_skyline_3d", "emb_corr_matrix", "dedup_simhash",
+    "doc_dsir_weight", "doc_hybrid_rrf", "q_orc_source", "q_csv_source",
+    "q_json_source", "stream_static_join_equiv", "stream_outer_join_equiv")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

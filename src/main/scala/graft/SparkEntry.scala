@@ -22,7 +22,9 @@ object SparkEntry {
       graft.ext.BpeTrain.all ++
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
+      graft.ext.Selection.all ++
       graft.ext.Multimodal.all ++
+      graft.sources.Formats.all ++
       graft.functions.Aggregates.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.operators.OperatorQueries.all ++

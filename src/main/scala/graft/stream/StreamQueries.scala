@@ -422,6 +422,159 @@ object StreamQueries {
       |WHERE p.event_id % 29 = 0
       |ORDER BY purchase_id, view_ts""".stripMargin
 
+  // ---- stream_outer_join_equiv: stream-stream LEFT OUTER join ------------
+  //
+  // The outer variant is a genuinely different state machine from the
+  // inner row above: an unmatched left (purchase) row can only emit its
+  // NULL-padded result when the WATERMARK proves no matching view can
+  // still arrive — so this drain needs the sessions row's two-sentinel
+  // protocol (advance, then one more batch to evict-and-emit), where the
+  // inner join needed none. Half the purchases are rewritten to a user id
+  // that exists in no view (+1e6 — below the ×10 replica's 1e10 key
+  // offsets, so never a real user at any replication), giving a
+  // deterministic matched/unmatched mix.
+
+  private val outerJoinLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def outerJoinLandingsFor(spark: SparkSession,
+      dir: String): (String, String) =
+    outerJoinLandings.computeIfAbsent(dir, _ => {
+      val ev = Tables.events(spark, dir)
+      val vDir = Scratch.dir("stream_ojoin_views")
+      val pDir = Scratch.dir("stream_ojoin_purch")
+      ev.select(col("user_id"), date_format(col("ts"), tsFmt).as("view_ts"))
+        .repartitionByRange(2, col("user_id")).write.json(vDir)
+      ev.filter(col("event_id") % 29 === 0)
+        .select(col("event_id").as("purchase_id"),
+          when(col("event_id") % 58 === 0, col("user_id") + 1000000L)
+            .otherwise(col("user_id")).as("user_id"),
+          date_format(col("ts") + expr("INTERVAL 30 MINUTES"), tsFmt)
+            .as("purchase_ts"))
+        .repartitionByRange(2, col("purchase_id")).write.json(pDir)
+      Thread.sleep(1100)
+      // sentinels on BOTH streams: the query watermark is the MIN across
+      // sources, so a lagging side would hold every outer row hostage.
+      // Fixed calendar sentinels are replica-safe here (the ×10 replica
+      // offsets event_id/user_id, never ts — the sessions row's proven
+      // regime), unlike the CDC rows whose commit-ts derives from event_id.
+      def sentinel(d: String, name: String, json: String): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, name), json.getBytes("UTF-8"))
+      sentinel(vDir, "zz-sentinel-1.json",
+        """{"user_id":-1,"view_ts":"2030-01-01 00:00:00.000000"}""")
+      sentinel(pDir, "zz-sentinel-1.json",
+        """{"purchase_id":-1,"user_id":-2,"purchase_ts":"2030-01-01 00:00:00.000000"}""")
+      Thread.sleep(20)
+      sentinel(vDir, "zz-sentinel-2.json",
+        """{"user_id":-1,"view_ts":"2031-01-01 00:00:00.000000"}""")
+      sentinel(pDir, "zz-sentinel-2.json",
+        """{"purchase_id":-2,"user_id":-2,"purchase_ts":"2031-01-01 00:00:00.000000"}""")
+      (vDir, pDir)
+    })
+
+  private def streamOuterJoinEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val (vDir, pDir) = outerJoinLandingsFor(spark, dir)
+    val root = Scratch.dir("stream_ojoin")
+    // views at 1 file/trigger → (d)(d)(s1)(s2): sentinel-2's batch runs
+    // UNDER the watermark sentinel-1 advanced, which is when expired
+    // unmatched purchases evict and emit their NULL rows; purchases drain
+    // whole in batch 1. Lateness 720 h: tight enough that the 2030
+    // sentinel clears every real ts + the 1 h join window by years.
+    val views = jsonStream(spark, vDir, viewSchema, Some(1))
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, None)
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+    drainToParquet(
+      StreamAggs.purchaseViewJoin(views, purchases, joinType = "leftOuter",
+        viewLateness = "720 hours", purchaseLateness = "720 hours"),
+      s"$root/sink", s"$root/ckpt")
+    spark.read.parquet(s"$root/sink")
+      .filter(col("purchase_id") >= 0)
+      .orderBy(col("purchase_id"), col("view_ts").asc_nulls_last)
+  }
+
+  private val outerJoinOracle =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id,
+      |         CASE WHEN event_id % 58 = 0 THEN user_id + 1000000
+      |              ELSE user_id END AS user_id,
+      |         ts + INTERVAL 30 MINUTE AS purchase_ts
+      |  FROM events WHERE event_id % 29 = 0)
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts, v.ts AS view_ts
+      |FROM p
+      |LEFT JOIN events v
+      |  ON v.user_id = p.user_id
+      | AND v.ts >= p.purchase_ts - INTERVAL 1 HOUR
+      | AND v.ts <= p.purchase_ts
+      |ORDER BY purchase_id, view_ts NULLS LAST""".stripMargin
+
+  // ---- stream_static_join_equiv: stream-static broadcast enrichment -----
+  //
+  // The most common production streaming shape: a fact stream enriched
+  // against a STATIC dimension table (stream-static joins are STATELESS —
+  // each micro-batch joins against the dim snapshot independently, no
+  // state store, no watermark). The static side is small-dim-sized, so it
+  // must BROADCAST inside every micro-batch plan (BroadcastHashJoin, not a
+  // per-batch shuffle of the dim) — at 100 TB/day of events the dim
+  // broadcast is what keeps enrichment a map-only pipeline. Two
+  // micro-batches (maxFilesPerTrigger=2 over 3 landing files) prove the
+  // enrichment is incremental; statelessness means the split points
+  // cannot change the result.
+
+  private val staticJoinLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def staticJoinLandingFor(spark: SparkSession, dir: String): String =
+    staticJoinLandings.computeIfAbsent(dir, _ => {
+      val l = Scratch.dir("stream_sjoin_landing")
+      Tables.events(spark, dir).select(
+        col("event_id"),
+        date_format(col("ts"), tsFmt).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(3, col("event_id")).write.json(l)
+      l
+    })
+
+  private def streamStaticJoinEquiv(spark: SparkSession,
+      dir: String): DataFrame = {
+    val landing = staticJoinLandingFor(spark, dir)
+    val root = Scratch.dir("stream_sjoin")
+    val customers = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    val enriched = jsonStream(spark, landing, staticJoinSchema, Some(2))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .join(customers, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation_key"))
+    drainToParquet(enriched, s"$root/sink", s"$root/ckpt")
+    spark.read.parquet(s"$root/sink").orderBy("event_id")
+  }
+
+  private val staticJoinSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private val staticJoinOracle =
+    """SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+      |       c.c_mktsegment AS segment,
+      |       CAST(c.c_nationkey AS BIGINT) AS nation_key
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_type IN ('click', 'view', 'purchase')
+      |ORDER BY event_id""".stripMargin
+
   // ---- stream_sessions_equiv: session windows under the watermark -------
 
   private val sessionLandings =
@@ -711,6 +864,10 @@ object StreamQueries {
     QueryDef("stream_gold_incremental", streamGoldIncremental, Some(goldOracle)),
     QueryDef("stream_dedup_equiv", streamDedupEquiv, Some(dedupOracle)),
     QueryDef("stream_join_equiv", streamJoinEquiv, Some(joinOracle)),
+    QueryDef("stream_outer_join_equiv", streamOuterJoinEquiv,
+      Some(outerJoinOracle)),
+    QueryDef("stream_static_join_equiv", streamStaticJoinEquiv,
+      Some(staticJoinOracle)),
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
     QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
     QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),

@@ -52,6 +52,8 @@ object PlanAudit {
     "doc_mix_temperature", // 1-row total-weight aggregate broadcast-crossed to budgets
     "q_triangle_count", // 1-row edge/node/triangle counts crossed into the single output row
     "q_skyline_3d", // broadcast anti-joins vs bucket-pareto union and vs survivors (both skyline-sized)
+    "doc_dsir_weight", // 1-row corpus-totals aggregate crossed into the 64-row bucket-weight table (q6_forecast shape)
+    "doc_hybrid_rrf", // broadcast 1-row query vector crossed to the corpus for the cosine leg (ann_topk shape)
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected
