@@ -257,5 +257,81 @@ object Checks {
           |FROM d JOIN s ON d.event_type = s.event_type
           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
     ),
+
+    // ---- k-anonymity with a generalization ladder (privacy suppression —
+    //      the release gate a curation pipeline runs before publishing
+    //      per-user records). Quasi-identifier at L0 = (nation, segment,
+    //      5000-unit balance band); equivalence classes smaller than k=8
+    //      escalate to the COARSER L1 = (region, segment, 10000-unit band)
+    //      — local recoding: L1 classes form over the ESCALATED rows only
+    //      (rows already k-anonymous at L0 keep their finer QI) — and
+    //      rows still exposed at L1 are fully suppressed. Balance bands
+    //      use the exact-cents idiom (round→long) then one IEEE floor-
+    //      division, identical on both engines. Group sizes are computed
+    //      as hash AGGREGATES broadcast back (≤ |QI-combo| rows — a few
+    //      hundred at L0 — at ANY corpus size), not windows: a window over a
+    //      low-cardinality QI partition would single-task the largest
+    //      class at 100 TB, while the aggregate partials map-side and the
+    //      broadcast join keeps the verdict pass embarrassingly parallel. ----
+    QueryDef(
+      "dq_k_anonymity",
+      (sp, dir) => {
+        val k = 8
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val cust = Tables.customer(sp, dir)
+          .join(broadcast(Tables.nation(sp, dir)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_nationkey").cast("long").as("nat"),
+            col("n_regionkey").cast("long").as("reg"),
+            floor(cents.cast("double") / 500000.0).as("b1"),
+            floor(cents.cast("double") / 1000000.0).as("b2"))
+        val g0 = cust.groupBy("nat", "seg", "b1").agg(count(lit(1)).as("n0"))
+        val withN0 = cust.join(broadcast(g0), Seq("nat", "seg", "b1"))
+        val l0 = withN0.filter(col("n0") >= k)
+          .select(col("c_custkey"), lit("L0").as("anon_level"),
+            concat(lit("N"), col("nat")).as("qi_geo"), col("seg").as("qi_seg"),
+            concat(lit("K1:"), col("b1")).as("qi_band"),
+            col("n0").as("group_n"))
+        val esc = withN0.filter(col("n0") < k)
+        val g1 = esc.groupBy("reg", "seg", "b2").agg(count(lit(1)).as("n1"))
+        val withN1 = esc.join(broadcast(g1), Seq("reg", "seg", "b2"))
+        val l1 = withN1.filter(col("n1") >= k)
+          .select(col("c_custkey"), lit("L1").as("anon_level"),
+            concat(lit("R"), col("reg")).as("qi_geo"), col("seg").as("qi_seg"),
+            concat(lit("K2:"), col("b2")).as("qi_band"),
+            col("n1").as("group_n"))
+        val sup = withN1.filter(col("n1") < k)
+          .select(col("c_custkey"), lit("SUPPRESSED").as("anon_level"),
+            lit(null).cast("string").as("qi_geo"),
+            lit(null).cast("string").as("qi_seg"),
+            lit(null).cast("string").as("qi_band"),
+            lit(null).cast("long").as("group_n"))
+        l0.unionByName(l1).unionByName(sup).orderBy("c_custkey")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT c_custkey, c_mktsegment AS seg,
+          |         CAST(c_nationkey AS BIGINT) AS nat,
+          |         CAST(n_regionkey AS BIGINT) AS reg,
+          |         CAST(FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 500000.0) AS BIGINT) AS b1,
+          |         CAST(FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 1000000.0) AS BIGINT) AS b2
+          |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+          |w0 AS (SELECT *, count(*) OVER (PARTITION BY nat, seg, b1) AS n0 FROM c),
+          |e AS (SELECT *, count(*) OVER (PARTITION BY reg, seg, b2) AS n1
+          |      FROM w0 WHERE n0 < 8)
+          |SELECT c_custkey, 'L0' AS anon_level, 'N' || nat AS qi_geo,
+          |       seg AS qi_seg, 'K1:' || b1 AS qi_band,
+          |       CAST(n0 AS BIGINT) AS group_n
+          |FROM w0 WHERE n0 >= 8
+          |UNION ALL
+          |SELECT c_custkey, 'L1', 'R' || reg, seg, 'K2:' || b2, CAST(n1 AS BIGINT)
+          |FROM e WHERE n1 >= 8
+          |UNION ALL
+          |SELECT c_custkey, 'SUPPRESSED', NULL, NULL, NULL, NULL
+          |FROM e WHERE n1 < 8
+          |ORDER BY c_custkey""".stripMargin),
+    ),
   )
 }

@@ -215,6 +215,40 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** URL canonicalization — the normalization pass a crawl-dedup pipeline
+    * runs before URL-level dedup (the same spelling of a page arrives as
+    * `HTTP://WWW.Example.COM:80/a/?id=1&utm_source=feed#top` and
+    * `http://example.com/a?id=1`). Canonical form: scheme + host
+    * lowercased, leading `www.` dropped, default port stripped (`:80` for
+    * http, `:443` for https — a NON-default port is identity-bearing and
+    * kept), fragment removed, tracking params removed (`utm_*`, `fbclid`,
+    * `gclid`), trailing path slashes dropped, empty query dropped. The
+    * scheme itself is preserved: http vs https are different resources,
+    * only the SPELLING is normalized. Pure RE2-compatible regexp work —
+    * whole-stage-codegen'd, linear scan speed at any corpus size.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_replace(
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), "#.*$", "")
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    // &-prefix trick: every param (incl. the first) is preceded by `&`, so
+    // one global pattern removes tracking params at any position; the
+    // leading `&` of the first survivor (or of an emptied query) strips off
+    val query = regexp_replace(
+      regexp_replace(concat(lit("&"), regexp_extract(rest, "\\?(.*)$", 1)),
+        "&(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*", ""),
+      "^&", "")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "doc_token_stats",
@@ -746,6 +780,106 @@ object TextAnalysis {
           |JOIN pc ON b.w = pc.w
           |CROSS JOIN v
           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+    ),
+
+    // ---- URL-level dedup: canonicalize crawl URLs, then group identical
+    //      canonical forms. The fixture builds a deterministic MESSY url
+    //      per doc (case-varied scheme/host, www prefix, default port,
+    //      tracking params, fragment, trailing slash — all keyed off
+    //      doc_id residues) over a shared base key (doc_id % 500), so
+    //      ~500 canonical pages each arrive under many raw spellings; the
+    //      protocol (http/https) derives from the BASE key, because
+    //      canonicalization must never merge across protocols. The oracle
+    //      rebuilds the same messy string and replays the same RE2
+    //      pipeline — the canonical string itself is the group key, so
+    //      content (not just counts) is verified. groupBy canonical_url
+    //      shuffles one short string per doc; at crawl scale this is the
+    //      standard first dedup stage (exact-URL) before content dedup. ----
+    QueryDef(
+      "doc_url_dedup",
+      (sp, dir) => {
+        val base = col("doc_id") % 500
+        val proto = when(base % 2 === 0, lit("http")).otherwise(lit("https"))
+        val schemeStr = when(col("doc_id") % 2 === 0, upper(proto)).otherwise(proto)
+        val hostStr = when(col("doc_id") % 3 === 0, lit("Example.COM"))
+          .when(col("doc_id") % 3 === 1, lit("www.example.com"))
+          .otherwise(lit("example.com"))
+        val portStr = when(col("doc_id") % 5 === 0,
+          when(proto === "http", lit(":80")).otherwise(lit(":443"))).otherwise(lit(""))
+        val pathStr = concat(lit("/catalog/item-"), base,
+          when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")))
+        val queryStr = concat(lit("?id="), base,
+          when(col("doc_id") % 2 === 0, lit("&utm_source=feed&utm_campaign=c1"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("&gclid=g123")).otherwise(lit("")))
+        val fragStr = when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit(""))
+        val url = concat(schemeStr, lit("://"), hostStr, portStr, pathStr,
+          queryStr, fragStr)
+        Tables.documents(sp, dir)
+          .select(col("doc_id"), url.as("raw_url"))
+          .select(col("doc_id"), col("raw_url"),
+            canonicalizeUrl(col("raw_url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("raw_url")).as("n_spellings"),
+            min(col("doc_id")).as("keep_doc"))
+          .orderBy("canonical_url")
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 2 = 0
+          |          THEN upper(CASE WHEN (doc_id % 500) % 2 = 0 THEN 'http' ELSE 'https' END)
+          |          ELSE CASE WHEN (doc_id % 500) % 2 = 0 THEN 'http' ELSE 'https' END END)
+          |    || '://'
+          |    || (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+          |             WHEN doc_id % 3 = 1 THEN 'www.example.com'
+          |             ELSE 'example.com' END)
+          |    || (CASE WHEN doc_id % 5 = 0
+          |             THEN CASE WHEN (doc_id % 500) % 2 = 0 THEN ':80' ELSE ':443' END
+          |             ELSE '' END)
+          |    || '/catalog/item-' || (doc_id % 500)
+          |    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+          |    || '?id=' || (doc_id % 500)
+          |    || (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=c1' ELSE '' END)
+          |    || (CASE WHEN doc_id % 7 = 0 THEN '&gclid=g123' ELSE '' END)
+          |    || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS raw_url
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, raw_url,
+          |    lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          |    || '://'
+          |    || (CASE
+          |          WHEN lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+          |          THEN regexp_replace(regexp_replace(lower(regexp_extract(raw_url,
+          |                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', ''), ':80$', '')
+          |          WHEN lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+          |          THEN regexp_replace(regexp_replace(lower(regexp_extract(raw_url,
+          |                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', ''), ':443$', '')
+          |          ELSE regexp_replace(lower(regexp_extract(raw_url,
+          |                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '')
+          |        END)
+          |    || regexp_replace(regexp_extract(
+          |         regexp_replace(regexp_replace(raw_url,
+          |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', ''),
+          |         '^([^?]*)', 1), '/+$', '')
+          |    || (CASE WHEN regexp_replace(regexp_replace(
+          |               '&' || regexp_extract(regexp_replace(regexp_replace(raw_url,
+          |                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', ''),
+          |                 '\?(.*)$', 1),
+          |               '&(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*', '', 'g'), '^&', '') = ''
+          |             THEN ''
+          |             ELSE '?' || regexp_replace(regexp_replace(
+          |               '&' || regexp_extract(regexp_replace(regexp_replace(raw_url,
+          |                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', ''),
+          |                 '\?(.*)$', 1),
+          |               '&(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*', '', 'g'), '^&', '')
+          |        END) AS canonical_url
+          |  FROM u)
+          |SELECT canonical_url, count(*) AS n_docs,
+          |       count(DISTINCT raw_url) AS n_spellings,
+          |       min(doc_id) AS keep_doc
+          |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin),
     ),
   )
 }

@@ -279,17 +279,19 @@ object StreamQueries {
   }
 
   private def drainToParquet(df: DataFrame, sink: String,
-      ckpt: String): Unit = {
+      ckpt: String, shards: Int = 8): Unit = {
     // stateful operators shard their state store BY SHUFFLE PARTITION,
     // and every micro-batch commits every shard: at the bench's 32
     // partitions a 3-batch drain pays ~100 store commits of pure
     // overhead for KB of state. 8 shards keeps the differential rows'
-    // cost in the operator, not the store. (Production sizing is the
+    // cost in the operator, not the store; stream-stream JOINS commit
+    // FOUR stores per shard (keyToNumValues + keyWithIndexToValue per
+    // side), so the join rows drop to 2. (Production sizing is the
     // opposite knob — shards ∝ state volume; StreamingOpsSpec covers
     // semantics at the session default.)
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", shards.toString)
     try {
       val q = df.writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -432,7 +434,18 @@ object StreamQueries {
   // inner join needed none. Half the purchases are rewritten to a user id
   // that exists in no view (+1e6 — below the ×10 replica's 1e10 key
   // offsets, so never a real user at any replication), giving a
-  // deterministic matched/unmatched mix.
+  // deterministic matched/unmatched mix. The views stream is the %3
+  // event sample, not the full table: the outer join must buffer EVERY
+  // view until the watermark passes it (the equivalence fixture spans
+  // days, so state = the whole stream) and the sample keeps that bounded
+  // — though profiling showed the drain's cost is per-MICRO-BATCH fixed
+  // overhead, not state volume (a 1-row batch still costs ~0.75 s:
+  // ~0.5 s addBatch incl. the full-state eviction scan + sink commit,
+  // plus planning/offset-log writes), so the wall-clock levers are batch
+  // COUNT (2 files/trigger: (d,d)(s1,s2)(evict) instead of five) and
+  // store-commit fan-out (2 shards × 4 join stores, not 8 × 4). The
+  // unmatched (NULL-padded) class also gets RICHER under the sample,
+  // since purchases whose views all fall outside it now evict unmatched.
 
   private val outerJoinLandings =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
@@ -443,7 +456,8 @@ object StreamQueries {
       val ev = Tables.events(spark, dir)
       val vDir = Scratch.dir("stream_ojoin_views")
       val pDir = Scratch.dir("stream_ojoin_purch")
-      ev.select(col("user_id"), date_format(col("ts"), tsFmt).as("view_ts"))
+      ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), date_format(col("ts"), tsFmt).as("view_ts"))
         .repartitionByRange(2, col("user_id")).write.json(vDir)
       ev.filter(col("event_id") % 29 === 0)
         .select(col("event_id").as("purchase_id"),
@@ -476,19 +490,22 @@ object StreamQueries {
   private def streamOuterJoinEquiv(spark: SparkSession, dir: String): DataFrame = {
     val (vDir, pDir) = outerJoinLandingsFor(spark, dir)
     val root = Scratch.dir("stream_ojoin")
-    // views at 1 file/trigger → (d)(d)(s1)(s2): sentinel-2's batch runs
-    // UNDER the watermark sentinel-1 advanced, which is when expired
+    // views at 2 files/trigger → (d,d)(s1,s2)(evict): the sentinel batch
+    // advances the watermark past every real ts + the 1 h join window by
+    // years (720 h lateness), and the engine's required follow-up batch
+    // (lastExecutionRequiresAnotherBatch — AvailableNow keeps running
+    // until watermark-dependent state is flushed) is where expired
     // unmatched purchases evict and emit their NULL rows; purchases drain
-    // whole in batch 1. Lateness 720 h: tight enough that the 2030
-    // sentinel clears every real ts + the 1 h join window by years.
-    val views = jsonStream(spark, vDir, viewSchema, Some(1))
+    // whole in batch 0. Three batches, not five — per-batch fixed
+    // overhead is this drain's real cost (see the header comment).
+    val views = jsonStream(spark, vDir, viewSchema, Some(2))
       .withColumn("view_ts", col("view_ts").cast("timestamp"))
     val purchases = jsonStream(spark, pDir, purchaseSchema, None)
       .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
     drainToParquet(
       StreamAggs.purchaseViewJoin(views, purchases, joinType = "leftOuter",
         viewLateness = "720 hours", purchaseLateness = "720 hours"),
-      s"$root/sink", s"$root/ckpt")
+      s"$root/sink", s"$root/ckpt", shards = 2)
     spark.read.parquet(s"$root/sink")
       .filter(col("purchase_id") >= 0)
       .orderBy(col("purchase_id"), col("view_ts").asc_nulls_last)
@@ -505,6 +522,7 @@ object StreamQueries {
       |FROM p
       |LEFT JOIN events v
       |  ON v.user_id = p.user_id
+      | AND v.event_id % 3 = 0
       | AND v.ts >= p.purchase_ts - INTERVAL 1 HOUR
       | AND v.ts <= p.purchase_ts
       |ORDER BY purchase_id, view_ts NULLS LAST""".stripMargin
@@ -853,6 +871,8 @@ object StreamQueries {
   def prebuildStatefulLandings(spark: SparkSession, dir: String): Unit = {
     dedupLandingFor(spark, dir)
     joinLandingsFor(spark, dir)
+    outerJoinLandingsFor(spark, dir)
+    staticJoinLandingFor(spark, dir)
     sessionLandingFor(spark, dir)
     cdcLandingFor(spark, dir)
     debeziumLandingFor(spark, dir)

@@ -75,6 +75,40 @@ class ChecksSpec extends SparkSpec {
     assert(res == Map("nn" -> 1L, "uq" -> 1L))
   }
 
+  test("k-anonymity ladder: every released class has >= k members") {
+    // The DuckDB oracle proves Spark == DuckDB; this proves BOTH are
+    // actually k-anonymous — released equivalence classes (the rows
+    // sharing one (anon_level, qi_geo, qi_seg, qi_band)) all have >= 8
+    // members, group_n states that size truthfully, escalation is local
+    // (L1 sizes count escalated rows only, so an L1 class can be smaller
+    // than the L0 total for the same region), and the partition covers
+    // every customer exactly once.
+    // sf0.01: the smallest SF where the ladder actually releases classes
+    // (at sf0.001's 150 customers every L0/L1 class is < 8 → all rows
+    // suppressed, which drivercheck proves exact but exercises nothing).
+    val out = Checks.all.find(_.name == "dq_k_anonymity").get
+      .fn(spark, "/root/testdata/sf0.01").cache()
+    val nCust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet").count()
+    assert(out.count() == nCust)
+    assert(out.select("c_custkey").distinct().count() == nCust)
+    val classes = out.filter(col("anon_level") =!= "SUPPRESSED")
+      .groupBy("anon_level", "qi_geo", "qi_seg", "qi_band")
+      .agg(count(lit(1)).as("actual"), min("group_n").as("lo"), max("group_n").as("hi"))
+      .collect()
+    assert(classes.exists(_.getAs[String]("anon_level") == "L0"), "no L0 class released")
+    assert(classes.exists(_.getAs[String]("anon_level") == "L1"), "no L1 class released")
+    classes.foreach { r =>
+      assert(r.getAs[Long]("actual") >= 8L, s"class below k: $r")
+      assert(r.getAs[Long]("lo") == r.getAs[Long]("actual") &&
+        r.getAs[Long]("hi") == r.getAs[Long]("actual"), s"group_n lies: $r")
+    }
+    // suppressed rows carry no quasi-identifier at all
+    val sup = out.filter(col("anon_level") === "SUPPRESSED")
+    assert(sup.filter(col("qi_geo").isNotNull || col("qi_seg").isNotNull ||
+      col("qi_band").isNotNull || col("group_n").isNotNull).isEmpty)
+    out.unpersist()
+  }
+
   test("profile reports exact per-column nulls, distincts and bounds") {
     val df = Seq(
       (Some(3L), Some("b")),

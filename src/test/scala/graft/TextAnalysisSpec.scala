@@ -149,4 +149,31 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     got.foreach { case (id, g, w) => assert(g == w, s"case $id: '$g' != '$w'") }
   }
+
+  test("canonicalizeUrl normalizes spelling without merging resources") {
+    val cases = Seq(
+      // case + www + default port + tracking + fragment all collapse
+      (1L, "HTTP://WWW.Example.COM:80/a/?id=1&utm_source=feed#top",
+        "http://example.com/a?id=1"),
+      (2L, "http://example.com/a?id=1", "http://example.com/a?id=1"),
+      // https default port strips; http's :80 rule must NOT fire on https
+      (3L, "HTTPS://example.com:443/a", "https://example.com/a"),
+      // non-default port is identity-bearing
+      (4L, "http://example.com:8080/a", "http://example.com:8080/a"),
+      // scheme is preserved: http and https stay distinct
+      (5L, "https://example.com/a?id=1", "https://example.com/a?id=1"),
+      // tracking param in the MIDDLE and LAST position both drop
+      (6L, "http://example.com/p?a=1&utm_x=9&b=2&gclid=g", "http://example.com/p?a=1&b=2"),
+      // all params tracking → query dropped entirely
+      (7L, "http://example.com/p?utm_a=1&fbclid=f", "http://example.com/p"),
+      // root path: trailing slash drops, no query
+      (8L, "http://Example.com/", "http://example.com"),
+      // utm-LIKE but not tracking (no underscore match) is kept
+      (9L, "http://example.com/p?utmx=1", "http://example.com/p?utmx=1"),
+    ).toDF("id", "raw", "want")
+    val got = cases.select(col("id"),
+      TextAnalysis.canonicalizeUrl(col("raw")).as("got"), col("want"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, g, w) => assert(g == w, s"case $id: '$g' != '$w'") }
+  }
 }
