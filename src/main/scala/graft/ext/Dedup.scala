@@ -580,5 +580,83 @@ object Dedup {
           |HAVING CAST(sum(bit_count(xor(fa.cv, fb.cv))) AS INT) <= 3
           |ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // ---- Entity resolution: blocking → pairwise edit-distance match →
+    //      connected components. The RECORD-level sibling of document
+    //      dedup: the same person/org arrives as several records with
+    //      attribute typos, and resolution = (1) partition records into
+    //      BLOCKS by cheap deterministic attributes so the pairwise step
+    //      never sees the full corpus, (2) match within a block by
+    //      levenshtein <= 1 on the name, (3) collapse the match graph
+    //      with [[graft.operators.ConnectedComponents]] (typo chains are
+    //      transitive: two variants of one record match each other only
+    //      through it). Fixture: every customer is an entity with a
+    //      key-derived 8-hex name; %4 keys add a variant record (first
+    //      hash char → 'z', edit distance exactly 1), %8 keys a second
+    //      ('y') — so entities have 1, 2, or 3 records and the 3-record
+    //      chains exercise real transitive closure (z- and y-variants are
+    //      also distance 1 from EACH OTHER here, making those cliques).
+    //      Names are md5-derived, not c_name: TPC-H names differ only in
+    //      trailing digits (any two adjacent keys are edit distance 1 —
+    //      every block would collapse), and the ×10 replica repeats
+    //      c_name verbatim per replica while md5(key) keeps replicas
+    //      distinct entities. Scale: block = key-range of 20 → block
+    //      size is a CONSTANT ~27 records at ANY corpus size, so the
+    //      within-block self-join is linear in corpus with bounded fan-
+    //      out; the match graph (≤ 3-record entities) routes to CC's
+    //      driver union-find fast path, corpus-sized graphs to its
+    //      distributed min-label loop. Variant ids sit at +1e9/+2e9 —
+    //      clear of every replica key block (k + i*1e10 + 1.5e6). ----
+    QueryDef(
+      "dedup_entity_resolution",
+      (sp, dir) => {
+        val h = md5(col("c_custkey").cast("string"))
+        val base = Tables.customer(sp, dir)
+          .select(col("c_custkey").cast("long").as("rec_id"),
+            concat(lit("C-"), substring(h, 1, 8)).as("name"),
+            floor(col("c_custkey") / 20.0).cast("long").as("blk"))
+        def variant(mod: Int, offset: Long, mark: String) =
+          Tables.customer(sp, dir)
+            .filter(col("c_custkey") % mod === 0)
+            .select((col("c_custkey").cast("long") + offset).as("rec_id"),
+              concat(lit("C-" + mark), substring(h, 2, 7)).as("name"),
+              floor(col("c_custkey") / 20.0).cast("long").as("blk"))
+        val recs = base
+          .unionByName(variant(4, 1000000000L, "z"))
+          .unionByName(variant(8, 2000000000L, "y"))
+        val pairs = recs.as("a")
+          .join(recs.as("b"), col("a.blk") === col("b.blk") &&
+            col("a.rec_id") < col("b.rec_id"))
+          .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
+          .select(col("a.rec_id").as("src"), col("b.rec_id").as("dst"))
+        graft.operators.ConnectedComponents(
+            recs.select(col("rec_id").as("id")), pairs)
+          .select(col("id").as("rec_id"), col("comp").as("entity_id"))
+          .orderBy("rec_id")
+      },
+      Some(
+        """WITH RECURSIVE
+          |  c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+          |               md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer),
+          |  r AS (
+          |    SELECT k AS rec_id, 'C-' || substr(h, 1, 8) AS name,
+          |           CAST(FLOOR(k / 20.0) AS BIGINT) AS blk FROM c
+          |    UNION ALL
+          |    SELECT k + 1000000000, 'C-z' || substr(h, 2, 7),
+          |           CAST(FLOOR(k / 20.0) AS BIGINT) FROM c WHERE k % 4 = 0
+          |    UNION ALL
+          |    SELECT k + 2000000000, 'C-y' || substr(h, 2, 7),
+          |           CAST(FLOOR(k / 20.0) AS BIGINT) FROM c WHERE k % 8 = 0),
+          |  e AS (SELECT a.rec_id AS src, b.rec_id AS dst
+          |        FROM r a JOIN r b ON a.blk = b.blk AND a.rec_id < b.rec_id
+          |        WHERE levenshtein(a.name, b.name) <= 1),
+          |  edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |  reach(id, x) AS (
+          |    SELECT rec_id, rec_id FROM r
+          |    UNION
+          |    SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.x = edges.src)
+          |SELECT id AS rec_id, min(x) AS entity_id
+          |FROM reach GROUP BY id ORDER BY rec_id""".stripMargin),
+    ),
   )
 }

@@ -127,4 +127,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(fullScan == after, "full-scan screen diverges from pruned screen")
   }
+
+  test("entity resolution resolves typo variants to their original record") {
+    // The DuckDB oracle proves Spark == DuckDB; this proves the resolution
+    // is SEMANTICALLY right: every variant record lands in its original's
+    // entity, entity sizes are exactly the fixture's 1/2/3-record design
+    // (md5-derived names keep unrelated records apart), and the 3-record
+    // entities prove transitive closure through the chain.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ext.Dedup.all.find(_.name == "dedup_entity_resolution").get
+      .fn(spark, dir)
+      .as[(Long, Long)].collect()
+    val keys = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long")).as[Long].collect()
+    val n4 = keys.count(_ % 4 == 0) // carries a z-variant
+    val n8 = keys.count(_ % 8 == 0) // carries a y-variant too (3 records)
+    assert(out.length == keys.length + n4 + n8)
+    // every variant (+1e9 / +2e9 ids) resolves to its original's entity
+    out.filter(_._1 >= 1000000000L).foreach { case (rec, ent) =>
+      assert(ent == rec % 1000000000L, s"variant $rec resolved to $ent")
+    }
+    val sizes = out.groupBy(_._2).map(_._2.length).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    assert(sizes == Map(1 -> (keys.length - n4), 2 -> (n4 - n8), 3 -> n8),
+      s"entity sizes: $sizes")
+  }
 }
