@@ -168,7 +168,8 @@ object ScaleCheck {
     "q_skyline_3d", "emb_corr_matrix", "dedup_simhash",
     "doc_dsir_weight", "doc_hybrid_rrf", "q_orc_source", "q_csv_source",
     "q_json_source", "stream_static_join_equiv", "stream_outer_join_equiv",
-    "dq_k_anonymity", "doc_url_dedup", "dedup_entity_resolution")
+    "dq_k_anonymity", "doc_url_dedup", "dedup_entity_resolution",
+    "stream_full_outer_join_equiv")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

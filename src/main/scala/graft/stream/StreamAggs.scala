@@ -62,7 +62,12 @@ object StreamAggs {
         v("view_ts") >= p("purchase_ts") - expr("INTERVAL 1 HOUR") &&
         v("view_ts") <= p("purchase_ts"),
       joinType)
-      .select(p("purchase_id"), p("user_id"), p("purchase_ts"), v("view_ts"))
+      // coalesce keeps the VIEW's identity on fullOuter's unmatched-view
+      // rows (p.user_id is NULL there); for inner/leftOuter the purchase
+      // side is never null, so this is exactly p("user_id")
+      .select(p("purchase_id"),
+        coalesce(p("user_id"), v("user_id")).as("user_id"),
+        p("purchase_ts"), v("view_ts"))
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

@@ -527,6 +527,56 @@ object StreamQueries {
       | AND v.ts <= p.purchase_ts
       |ORDER BY purchase_id, view_ts NULLS LAST""".stripMargin
 
+  // ---- stream_full_outer_join_equiv: stream-stream FULL OUTER join ------
+  //
+  // The symmetric state machine: BOTH buffers evict-and-emit on watermark
+  // — unmatched purchases pad the view side with NULLs (as in leftOuter)
+  // AND unmatched views pad the purchase side, so the output carries
+  // three row classes at once. Same landing, drain shape (3 batches,
+  // 2 shards), and sentinel protocol as the left-outer row; the sentinel
+  // rows surface as unmatched-view/-purchase emissions here and are
+  // excluded by their negative user ids (every real or rewritten user id
+  // is >= 0). Output volume is views-sized (every unmatched view emits),
+  // which is the honest cost of fullOuter at any scale — the row's time
+  // is sink-write-proportional, not state-proportional.
+
+  private def streamFullOuterJoinEquiv(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (vDir, pDir) = outerJoinLandingsFor(spark, dir)
+    val root = Scratch.dir("stream_fojoin")
+    val views = jsonStream(spark, vDir, viewSchema, Some(2))
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, None)
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+    drainToParquet(
+      StreamAggs.purchaseViewJoin(views, purchases, joinType = "fullOuter",
+        viewLateness = "720 hours", purchaseLateness = "720 hours"),
+      s"$root/sink", s"$root/ckpt", shards = 2)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("purchase_id").asc_nulls_last, col("user_id"),
+        col("view_ts").asc_nulls_last)
+  }
+
+  private val fullOuterJoinOracle =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id,
+      |         CASE WHEN event_id % 58 = 0 THEN user_id + 1000000
+      |              ELSE user_id END AS user_id,
+      |         ts + INTERVAL 30 MINUTE AS purchase_ts
+      |  FROM events WHERE event_id % 29 = 0),
+      |v AS (
+      |  SELECT user_id, ts AS view_ts FROM events WHERE event_id % 3 = 0)
+      |SELECT p.purchase_id,
+      |       COALESCE(p.user_id, v.user_id) AS user_id,
+      |       p.purchase_ts, v.view_ts
+      |FROM p
+      |FULL JOIN v
+      |  ON v.user_id = p.user_id
+      | AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+      | AND v.view_ts <= p.purchase_ts
+      |ORDER BY purchase_id NULLS LAST, user_id, view_ts NULLS LAST""".stripMargin
+
   // ---- stream_static_join_equiv: stream-static broadcast enrichment -----
   //
   // The most common production streaming shape: a fact stream enriched
@@ -886,6 +936,8 @@ object StreamQueries {
     QueryDef("stream_join_equiv", streamJoinEquiv, Some(joinOracle)),
     QueryDef("stream_outer_join_equiv", streamOuterJoinEquiv,
       Some(outerJoinOracle)),
+    QueryDef("stream_full_outer_join_equiv", streamFullOuterJoinEquiv,
+      Some(fullOuterJoinOracle)),
     QueryDef("stream_static_join_equiv", streamStaticJoinEquiv,
       Some(staticJoinOracle)),
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
