@@ -344,7 +344,7 @@ object StreamQueries {
     // one row per event_id no matter how the files split into batches
     drainToParquet(
       StreamAggs.dedupWithinWatermark(typed, horizon = "8760 hours"),
-      s"$root/sink", s"$root/ckpt")
+      s"$root/sink", s"$root/ckpt", shards = 4)
     spark.read.parquet(s"$root/sink")
       .orderBy("event_id", "ts", "user_id", "value")
   }
@@ -407,7 +407,7 @@ object StreamQueries {
     drainToParquet(
       StreamAggs.purchaseViewJoin(views, purchases, joinType = "inner",
         viewLateness = "87600 hours", purchaseLateness = "87600 hours"),
-      s"$root/sink", s"$root/ckpt")
+      s"$root/sink", s"$root/ckpt", shards = 2)
     spark.read.parquet(s"$root/sink")
       .orderBy("purchase_id", "view_ts")
   }
@@ -691,7 +691,7 @@ object StreamQueries {
     // session_window emits only windows the watermark has closed)
     drainToParquet(
       StreamAggs.sessionize(typed, gap = "30 minutes", lateness = "720 hours"),
-      s"$root/sink", s"$root/ckpt")
+      s"$root/sink", s"$root/ckpt", shards = 4)
     spark.read.parquet(s"$root/sink")
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "session_start")
@@ -801,7 +801,7 @@ object StreamQueries {
     // 2030/2031 calendar sentinels they replaced broke on the ×10 replica.
     drainToParquet(
       StreamAggs.cdcLatestExplicit(typed, lateness = "26280 hours").toDF(),
-      s"$root/sink", s"$root/ckpt")
+      s"$root/sink", s"$root/ckpt", shards = 4)
     spark.read.parquet(s"$root/sink")
       .filter(col("k") =!= "zz-sentinel")
       .select(col("k"), col("v"), col("_commit_ts").as("commit_ts"))
@@ -895,7 +895,7 @@ object StreamQueries {
     // lateness sizing: same span as stream_cdc_equiv (1 s per event_id)
     drainToParquet(
       StreamAggs.cdcLatestExplicit(parsed, lateness = "26280 hours").toDF(),
-      s"$root/sink", s"$root/ckpt")
+      s"$root/sink", s"$root/ckpt", shards = 4)
     spark.read.parquet(s"$root/sink")
       .filter(col("k") =!= "zz-sentinel")
       .select(col("k"), col("v"), col("_commit_ts").as("commit_ts"))
