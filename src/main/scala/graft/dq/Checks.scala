@@ -1,7 +1,7 @@
 package graft.dq
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality operators (SURVEY.md §2.7, A25–A28), recreated as engine
@@ -275,41 +275,10 @@ object Checks {
     //      broadcast join keeps the verdict pass embarrassingly parallel. ----
     QueryDef(
       "dq_k_anonymity",
-      (sp, dir) => {
-        val k = 8
-        val cents = round(col("c_acctbal") * 100).cast("long")
-        val cust = Tables.customer(sp, dir)
-          .join(broadcast(Tables.nation(sp, dir)
-            .select(col("n_nationkey"), col("n_regionkey"))),
-            col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
-            col("c_nationkey").cast("long").as("nat"),
-            col("n_regionkey").cast("long").as("reg"),
-            floor(cents.cast("double") / 500000.0).as("b1"),
-            floor(cents.cast("double") / 1000000.0).as("b2"))
-        val g0 = cust.groupBy("nat", "seg", "b1").agg(count(lit(1)).as("n0"))
-        val withN0 = cust.join(broadcast(g0), Seq("nat", "seg", "b1"))
-        val l0 = withN0.filter(col("n0") >= k)
-          .select(col("c_custkey"), lit("L0").as("anon_level"),
-            concat(lit("N"), col("nat")).as("qi_geo"), col("seg").as("qi_seg"),
-            concat(lit("K1:"), col("b1")).as("qi_band"),
-            col("n0").as("group_n"))
-        val esc = withN0.filter(col("n0") < k)
-        val g1 = esc.groupBy("reg", "seg", "b2").agg(count(lit(1)).as("n1"))
-        val withN1 = esc.join(broadcast(g1), Seq("reg", "seg", "b2"))
-        val l1 = withN1.filter(col("n1") >= k)
-          .select(col("c_custkey"), lit("L1").as("anon_level"),
-            concat(lit("R"), col("reg")).as("qi_geo"), col("seg").as("qi_seg"),
-            concat(lit("K2:"), col("b2")).as("qi_band"),
-            col("n1").as("group_n"))
-        val sup = withN1.filter(col("n1") < k)
-          .select(col("c_custkey"), lit("SUPPRESSED").as("anon_level"),
-            lit(null).cast("string").as("qi_geo"),
-            lit(null).cast("string").as("qi_seg"),
-            lit(null).cast("string").as("qi_band"),
-            lit(null).cast("long").as("group_n"))
-        l0.unionByName(l1).unionByName(sup).orderBy("c_custkey")
-      },
+      (sp, dir) => kAnonLadder(sp, dir)
+        .select("c_custkey", "anon_level", "qi_geo", "qi_seg", "qi_band",
+          "group_n")
+        .orderBy("c_custkey"),
       Some(
         """WITH c AS (
           |  SELECT c_custkey, c_mktsegment AS seg,
@@ -333,5 +302,101 @@ object Checks {
           |FROM e WHERE n1 < 8
           |ORDER BY c_custkey""".stripMargin),
     ),
+
+    // ---- l-diversity over the SAME released classes (k-anonymity's
+    //      necessary companion: a k-anonymous class whose members all
+    //      share one sensitive value still leaks it — homogeneity
+    //      attack). Per released equivalence class, count DISTINCT
+    //      values of the sensitive attribute and verdict RELEASE only
+    //      when >= l = 7; the ladder, classes, and group sizes are the
+    //      shared [[kAnonLadder]], so the two gates can never drift
+    //      apart. The sensitive attribute is key-derived (custkey % 10 —
+    //      this testdata carries no non-QI payload column), chosen so
+    //      the sf0.01 gate exercises BOTH verdicts at BOTH ladder levels
+    //      (19/49 L0 and 26/28 L1 classes pass at l=7). Output is one
+    //      row per CLASS — aggregate-sized (QI-combo-bounded), tiny at
+    //      any corpus. ----
+    QueryDef(
+      "dq_l_diversity",
+      (sp, dir) => kAnonLadder(sp, dir)
+        .filter(col("anon_level") =!= "SUPPRESSED")
+        .groupBy("anon_level", "qi_geo", "qi_seg", "qi_band")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("sens")).as("n_sensitive"))
+        .withColumn("verdict",
+          when(col("n_sensitive") >= 7, "RELEASE").otherwise("SUPPRESS"))
+        .orderBy("anon_level", "qi_geo", "qi_seg", "qi_band"),
+      Some(
+        """WITH c AS (
+          |  SELECT c_custkey, c_custkey % 10 AS sens, c_mktsegment AS seg,
+          |         CAST(c_nationkey AS BIGINT) AS nat,
+          |         CAST(n_regionkey AS BIGINT) AS reg,
+          |         CAST(FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 500000.0) AS BIGINT) AS b1,
+          |         CAST(FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 1000000.0) AS BIGINT) AS b2
+          |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+          |w0 AS (SELECT *, count(*) OVER (PARTITION BY nat, seg, b1) AS n0 FROM c),
+          |e AS (SELECT *, count(*) OVER (PARTITION BY reg, seg, b2) AS n1
+          |      FROM w0 WHERE n0 < 8),
+          |cls AS (
+          |  SELECT 'L0' AS anon_level, 'N' || nat AS qi_geo, seg AS qi_seg,
+          |         'K1:' || b1 AS qi_band, CAST(count(*) AS BIGINT) AS n_members,
+          |         CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive
+          |  FROM w0 WHERE n0 >= 8 GROUP BY nat, seg, b1
+          |  UNION ALL
+          |  SELECT 'L1', 'R' || reg, seg, 'K2:' || b2,
+          |         CAST(count(*) AS BIGINT), CAST(count(DISTINCT sens) AS BIGINT)
+          |  FROM e WHERE n1 >= 8 GROUP BY reg, seg, b2)
+          |SELECT anon_level, qi_geo, qi_seg, qi_band, n_members, n_sensitive,
+          |       CASE WHEN n_sensitive >= 7 THEN 'RELEASE' ELSE 'SUPPRESS' END AS verdict
+          |FROM cls
+          |ORDER BY anon_level, qi_geo, qi_seg, qi_band""".stripMargin),
+    ),
   )
+
+  /** Shared generalization-ladder classification for the privacy rows
+    * (`dq_k_anonymity`, `dq_l_diversity`): per customer, its release
+    * level (L0 / L1 / SUPPRESSED), QI class labels, class size, and the
+    * sensitive attribute. Group sizes come from hash AGGREGATES broadcast
+    * back (≤ |QI-combo| rows at ANY corpus size), not windows — a window
+    * over a low-cardinality QI partition would single-task the largest
+    * class at 100 TB, while the aggregate partials map-side and the
+    * broadcast join keeps the classification embarrassingly parallel.
+    */
+  private def kAnonLadder(sp: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val cust = Tables.customer(sp, dir)
+      .join(broadcast(Tables.nation(sp, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), (col("c_custkey") % 10).as("sens"),
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"),
+        floor(cents.cast("double") / 500000.0).as("b1"),
+        floor(cents.cast("double") / 1000000.0).as("b2"))
+    val g0 = cust.groupBy("nat", "seg", "b1").agg(count(lit(1)).as("n0"))
+    val withN0 = cust.join(broadcast(g0), Seq("nat", "seg", "b1"))
+    val l0 = withN0.filter(col("n0") >= k)
+      .select(col("c_custkey"), col("sens"), lit("L0").as("anon_level"),
+        concat(lit("N"), col("nat")).as("qi_geo"), col("seg").as("qi_seg"),
+        concat(lit("K1:"), col("b1")).as("qi_band"),
+        col("n0").as("group_n"))
+    val esc = withN0.filter(col("n0") < k)
+    val g1 = esc.groupBy("reg", "seg", "b2").agg(count(lit(1)).as("n1"))
+    val withN1 = esc.join(broadcast(g1), Seq("reg", "seg", "b2"))
+    val l1 = withN1.filter(col("n1") >= k)
+      .select(col("c_custkey"), col("sens"), lit("L1").as("anon_level"),
+        concat(lit("R"), col("reg")).as("qi_geo"), col("seg").as("qi_seg"),
+        concat(lit("K2:"), col("b2")).as("qi_band"),
+        col("n1").as("group_n"))
+    val sup = withN1.filter(col("n1") < k)
+      .select(col("c_custkey"), col("sens"),
+        lit("SUPPRESSED").as("anon_level"),
+        lit(null).cast("string").as("qi_geo"),
+        lit(null).cast("string").as("qi_seg"),
+        lit(null).cast("string").as("qi_band"),
+        lit(null).cast("long").as("group_n"))
+    l0.unionByName(l1).unionByName(sup)
+  }
 }

@@ -109,6 +109,34 @@ class ChecksSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("l-diversity verdicts match the k-anonymity classes and the l bound") {
+    def q(n: String) = Checks.all.find(_.name == n).get.fn(spark, "/root/testdata/sf0.01")
+    val ld = q("dq_l_diversity").collect()
+    // verdict is exactly the l >= 7 rule
+    ld.foreach { r =>
+      val rel = r.getAs[Long]("n_sensitive") >= 7
+      assert(r.getAs[String]("verdict") == (if (rel) "RELEASE" else "SUPPRESS"), r)
+      assert(r.getAs[Long]("n_sensitive") <= 10) // sens has 10 values
+    }
+    // both verdicts occur at both ladder levels at the gate SF — the row
+    // exercises the homogeneity-attack branch, not just the happy path
+    for (lvl <- Seq("L0", "L1"); v <- Seq("RELEASE", "SUPPRESS"))
+      assert(ld.exists(r => r.getAs[String]("anon_level") == lvl &&
+        r.getAs[String]("verdict") == v), s"no $lvl/$v class")
+    // classes and sizes agree with dq_k_anonymity's released classes
+    val ka = q("dq_k_anonymity").filter(col("anon_level") =!= "SUPPRESSED")
+      .groupBy("anon_level", "qi_geo", "qi_seg", "qi_band")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getAs[Long]("n"))
+      .toMap
+    assert(ld.length == ka.size)
+    ld.foreach { r =>
+      val key = (r.getAs[String]("anon_level"), r.getAs[String]("qi_geo"),
+        r.getAs[String]("qi_seg"), r.getAs[String]("qi_band"))
+      assert(ka(key) == r.getAs[Long]("n_members"), s"size drift at $key")
+    }
+  }
+
   test("profile reports exact per-column nulls, distincts and bounds") {
     val df = Seq(
       (Some(3L), Some("b")),
