@@ -881,5 +881,62 @@ object TextAnalysis {
           |       min(doc_id) AS keep_doc
           |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin),
     ),
+
+    // ---- Unicode NFC normalization: the canonical-composition pass that
+    //      runs BEFORE any fingerprinting (composed U+00E9 and decomposed
+    //      e+U+0301 are different byte strings — every dedup hash
+    //      diverges on them unless spelling is canonicalized). The
+    //      fixture appends a deterministic suffix per doc_id % 4: three
+    //      decomposed classes (combining acute, combining ring, Hangul
+    //      jamo — each COMPOSES under NFC) and one already-composed
+    //      control (must pass through untouched, exercising the
+    //      isNormalized zero-allocation fast path). Spark side runs the
+    //      native [[graft.functions.NfcNormalize]] expression; the
+    //      oracle replays with DuckDB's nfc_normalize — two independent
+    //      Unicode implementations pinned equal on content (min/max of
+    //      the normalized strings cross the compare, not just counts).
+    //      Per-class aggregate output: 4 rows at any corpus size. ----
+    QueryDef(
+      "doc_nfc_normalize",
+      (sp, dir) => {
+        // escape sequences, not glyphs (an editor could silently
+        // re-compose pasted text): cases 0-2 are DECOMPOSED (e + combining
+        // acute, A + combining ring, Hangul jamo), case 3 the composed
+        // control U+00E9
+        val suffix = when(col("doc_id") % 4 === 0, lit("e\u0301"))
+          .when(col("doc_id") % 4 === 1, lit("A\u030A"))
+          .when(col("doc_id") % 4 === 2, lit("\u1100\u1161\u11A8"))
+          .otherwise(lit("\u00E9"))
+        val raw = concat(substring(col("text"), 1, 24), lit(" "), suffix)
+        Tables.documents(sp, dir)
+          .select((col("doc_id") % 4).as("case_id"), raw.as("raw"))
+          .select(col("case_id"), col("raw"),
+            graft.functions.TextFunctions.nfc_normalize(col("raw")).as("norm"))
+          .groupBy("case_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(length(col("raw"))).as("cp_before"),
+            sum(length(col("norm"))).as("cp_after"),
+            min(col("norm")).as("sample_norm"))
+          .orderBy("case_id")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id % 4 AS case_id,
+          |         substr(text, 1, 24) || ' ' ||
+          |         (CASE WHEN doc_id % 4 = 0 THEN 'e' || chr(769)
+          |               WHEN doc_id % 4 = 1 THEN 'A' || chr(778)
+          |               WHEN doc_id % 4 = 2 THEN chr(4352) || chr(4449) || chr(4520)
+          |               ELSE chr(233) END) AS raw
+          |  FROM documents),
+          |n AS (SELECT case_id, raw, nfc_normalize(raw) AS norm FROM d)
+          |SELECT case_id, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          |       CAST(sum(length(raw)) AS BIGINT) AS cp_before,
+          |       CAST(sum(length(norm)) AS BIGINT) AS cp_after,
+          |       min(norm) AS sample_norm
+          |FROM n GROUP BY case_id ORDER BY case_id""".stripMargin),
+    ),
   )
 }

@@ -543,6 +543,49 @@ case class IntersectCount(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization — the canonical-composition pass a text
+  * pipeline runs before any hashing/dedup (the same logical string
+  * arrives as composed U+00E9 from one crawler and decomposed
+  * e + U+0301 from another; every downstream fingerprint diverges unless
+  * spelling is canonicalized first). Fast path: `Normalizer.isNormalized`
+  * is a scan with NO allocation, and real corpus text is almost always
+  * already NFC — so the common case returns the input UTF8String
+  * untouched and only the rare decomposed row pays the
+  * String→normalize→UTF8String round trip. Same codegen shape as the
+  * rest of this file: one virtual call, stage stays fused. Oracle twin:
+  * DuckDB's `nfc_normalize` (both implement Unicode canonical
+  * composition; the differential rows pin them equal).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nfcNormalize", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** True iff the serialized bloom filter in `child` may contain ANY of the
   * constant probe `hashes` (xxhash64 longs — the same keying
   * [[TextFunctions.bloom_filter_agg]] feeds `putLong`). Evaluated once per
@@ -594,6 +637,8 @@ object TextFunctions {
     toCol(WordShingleHashes(toExpr(text), n, distinct))
   def char_ngrams(text: Column, n: Int): Column =
     toCol(CharNGrams(toExpr(text), n))
+  def nfc_normalize(text: Column): Column =
+    toCol(NfcNormalize(toExpr(text)))
   def minhash_sig(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles), k))
   def minhash_md5_lanes(shingles: Column, k: Int): Column =

@@ -187,4 +187,25 @@ class TextExpressionsSpec extends SparkSpec {
         col("lb")).as("n")).collect()
     assert(nullArr.head.isNullAt(0))
   }
+
+  test("nfc_normalize composes decomposed sequences, passes NFC through") {
+    val cases = Seq(
+      (1L, "e\u0301", "\u00E9"),                 // combining acute composes
+      (2L, "A\u030A", "\u00C5"),                 // combining ring composes
+      (3L, "\u1100\u1161\u11A8", "\uAC01"),      // Hangul jamo compose
+      (4L, "\u00E9", "\u00E9"),                  // already NFC: untouched
+      (5L, "plain ascii", "plain ascii"),        // fast path
+      (6L, "mix e\u0301 end", "mix \u00E9 end"), // mid-string
+      (7L, "", ""),
+    ).toDF("id", "raw", "want")
+    val got = cases.select(col("id"),
+      TextFunctions.nfc_normalize(col("raw")).as("got"), col("want"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, g, w) => assert(g == w,
+      s"case $id: ${g.map(_.toInt.toHexString)} != ${w.map(_.toInt.toHexString)}") }
+    // null propagates
+    assert(cases.limit(1).select(
+      TextFunctions.nfc_normalize(lit(null).cast("string")).as("n"))
+      .collect().head.isNullAt(0))
+  }
 }
