@@ -56,18 +56,22 @@ object StreamAggs {
       purchaseLateness: String = "2 hours"): DataFrame = {
     val v = views.withWatermark("view_ts", viewLateness)
     val p = purchases.withWatermark("purchase_ts", purchaseLateness)
-    p.join(
+    val joined = p.join(
       v,
       p("user_id") === v("user_id") &&
         v("view_ts") >= p("purchase_ts") - expr("INTERVAL 1 HOUR") &&
         v("view_ts") <= p("purchase_ts"),
       joinType)
-      // coalesce keeps the VIEW's identity on fullOuter's unmatched-view
-      // rows (p.user_id is NULL there); for inner/leftOuter the purchase
-      // side is never null, so this is exactly p("user_id")
-      .select(p("purchase_id"),
-        coalesce(p("user_id"), v("user_id")).as("user_id"),
-        p("purchase_ts"), v("view_ts"))
+    // leftSemi exposes only the left side's columns (the join is a
+    // filter, not a widening); the other types carry the view timestamp,
+    // with coalesce keeping the VIEW's identity on fullOuter's
+    // unmatched-view rows (p.user_id is NULL there) — for inner/leftOuter
+    // the purchase side is never null, so it is exactly p("user_id")
+    if (joinType == "leftSemi")
+      joined.select(p("purchase_id"), p("user_id"), p("purchase_ts"))
+    else joined.select(p("purchase_id"),
+      coalesce(p("user_id"), v("user_id")).as("user_id"),
+      p("purchase_ts"), v("view_ts"))
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

@@ -577,6 +577,52 @@ object StreamQueries {
       | AND v.view_ts <= p.purchase_ts
       |ORDER BY purchase_id NULLS LAST, user_id, view_ts NULLS LAST""".stripMargin
 
+  // ---- stream_semi_join_equiv: stream-stream LEFT SEMI join -------------
+  //
+  // The join-as-FILTER state machine: a purchase passes iff at least one
+  // view lands in its window, and it is emitted ONCE however many views
+  // match — so unlike inner (one row per match) or the outer variants
+  // (NULL padding), the output is a SUBSET of the left stream. Emission
+  // happens at the first match, which makes the output SET independent
+  // of batch split points (no watermark dependence for the positive
+  // class); the sentinel protocol is still needed so the drain's state
+  // doesn't hold the run open. Same landing + drain shape as the other
+  // join rows; half the purchases are keyed to a user no view can match
+  // (the +1e6 rewrite), giving the filter a real reject class.
+
+  private def streamSemiJoinEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val (vDir, pDir) = outerJoinLandingsFor(spark, dir)
+    val root = Scratch.dir("stream_sjoin")
+    val views = jsonStream(spark, vDir, viewSchema, Some(2))
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, None)
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+    drainToParquet(
+      StreamAggs.purchaseViewJoin(views, purchases, joinType = "leftSemi",
+        viewLateness = "720 hours", purchaseLateness = "720 hours"),
+      s"$root/sink", s"$root/ckpt", shards = 2)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("purchase_id") >= 0)
+      .orderBy("purchase_id")
+  }
+
+  private val semiJoinOracle =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id,
+      |         CASE WHEN event_id % 58 = 0 THEN user_id + 1000000
+      |              ELSE user_id END AS user_id,
+      |         ts + INTERVAL 30 MINUTE AS purchase_ts
+      |  FROM events WHERE event_id % 29 = 0)
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts
+      |FROM p
+      |WHERE EXISTS (
+      |  SELECT 1 FROM events v
+      |  WHERE v.event_id % 3 = 0
+      |    AND v.user_id = p.user_id
+      |    AND v.ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |    AND v.ts <= p.purchase_ts)
+      |ORDER BY purchase_id""".stripMargin
+
   // ---- stream_static_join_equiv: stream-static broadcast enrichment -----
   //
   // The most common production streaming shape: a fact stream enriched
@@ -938,6 +984,8 @@ object StreamQueries {
       Some(outerJoinOracle)),
     QueryDef("stream_full_outer_join_equiv", streamFullOuterJoinEquiv,
       Some(fullOuterJoinOracle)),
+    QueryDef("stream_semi_join_equiv", streamSemiJoinEquiv,
+      Some(semiJoinOracle)),
     QueryDef("stream_static_join_equiv", streamStaticJoinEquiv,
       Some(staticJoinOracle)),
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
