@@ -351,7 +351,120 @@ object Checks {
           |FROM cls
           |ORDER BY anon_level, qi_geo, qi_seg, qi_band""".stripMargin),
     ),
+
+    // PSI drift monitor — see [[psiDrift]] for the design notes.
+    QueryDef("dq_psi_drift", (sp, dir) => psiDrift(sp, dir),
+      Some(psiDriftOracle)),
   )
+
+  /** Population Stability Index drift detection — the distribution-drift
+    * monitor a feature pipeline runs between a baseline window and the
+    * current one (PSI = Σ_buckets (p_cur − p_base)·ln(p_cur/p_base);
+    * the standard score underneath "retrain when PSI > 0.25"). Design
+    * for exactness AND scale:
+    *  - buckets are FIXED-WIDTH on exact integer cents (clamped to 24),
+    *    not quantiles — quantile edges are estimation-order-dependent
+    *    and would break the cross-engine differential;
+    *  - +1 Laplace smoothing over the fixed 24-bucket spine keeps every
+    *    ln finite; the spine is materialized explicitly (a missing
+    *    bucket still contributes a smoothed term when slice sizes
+    *    differ);
+    *  - each bucket's term is quantized ONCE to integer micro-units and
+    *    SUMMED AS INTEGERS (the doc_dsir_weight recipe): a double sum
+    *    over a hash aggregate is reduction-order-dependent, an integer
+    *    sum is exact on any cluster shape. The output carries psi_micro
+    *    as a BIGINT — no float in the compared columns at all;
+    *  - the shuffle carries one row per (type, slice, bucket) — a few
+    *    hundred rows at ANY corpus size after the map-side partial.
+    * Fixture: slices are calendar halves of the month; the 'error' type's
+    * current slice is deterministically recalibrated (cents·2 — a
+    * doubled sensor scale) so the gate exercises the DRIFT verdict while
+    * the stationary types exercise STABLE.
+    */
+  private def psiDrift(sp: SparkSession, dir: String): DataFrame = {
+    val buckets = 24
+    val ev = Tables.events(sp, dir)
+    val cents0 = round(col("value") * 100).cast("long")
+    val isCur = dayofmonth(col("ts")) > 15
+    val cents = when(isCur && col("event_type") === "error",
+      cents0 * 2).otherwise(cents0)
+    val b = least(greatest(floor(cents.cast("double") / 2500.0), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("long")
+    val counts = ev
+      .select(col("event_type"), b.as("b"),
+        when(isCur, 1L).otherwise(0L).as("is_cur"))
+      .groupBy("event_type", "b")
+      .agg(sum(lit(1L) - col("is_cur")).as("nb"), sum(col("is_cur")).as("nc"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(sp.range(buckets).select(col("id").as("b")))
+    val full = spine.join(counts, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val totals = full.groupBy("event_type")
+      .agg(sum("nb").as("n_base"), sum("nc").as("n_cur"))
+    val pb = (col("nb") + 1).cast("double") /
+      (col("n_base") + buckets).cast("double")
+    val pc = (col("nc") + 1).cast("double") /
+      (col("n_cur") + buckets).cast("double")
+    val termMicro = round((pc - pb) * log(pc / pb) * 1000000.0).cast("long")
+    full.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        termMicro.as("tm"))
+      .groupBy("event_type")
+      .agg(min("n_base").as("n_base"), min("n_cur").as("n_cur"),
+        sum("tm").as("psi_micro"))
+      .withColumn("verdict",
+        when(col("psi_micro") >= 250000L, "DRIFT")
+          .when(col("psi_micro") >= 100000L, "MODERATE")
+          .otherwise("STABLE"))
+      .orderBy("event_type")
+  }
+
+  // def, not val: referenced from `all` ABOVE its definition — a val
+  // would still be null when the Seq is built (object init order)
+  private def psiDriftOracle =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CASE WHEN day(ts) > 15 AND event_type = 'error'
+      |              THEN CAST(round(value * 100) AS BIGINT) * 2
+      |              ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+      |         CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS is_cur
+      |  FROM events),
+      |counts AS (
+      |  SELECT event_type,
+      |         CAST(least(greatest(FLOOR(CAST(cents AS DOUBLE) / 2500.0), 0.0), 23.0) AS BIGINT) AS b,
+      |         CAST(sum(1 - is_cur) AS BIGINT) AS nb,
+      |         CAST(sum(is_cur) AS BIGINT) AS nc
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT t.event_type, g.b
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS b) g),
+      |full_c AS (
+      |  SELECT s.event_type, s.b,
+      |         COALESCE(c.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc
+      |  FROM spine s LEFT JOIN counts c
+      |    ON s.event_type = c.event_type AND s.b = c.b),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(nb) AS BIGINT) AS n_base,
+      |         CAST(sum(nc) AS BIGINT) AS n_cur
+      |  FROM full_c GROUP BY 1),
+      |terms AS (
+      |  SELECT f.event_type, t.n_base, t.n_cur,
+      |         CAST(round(
+      |           (CAST(f.nc + 1 AS DOUBLE) / CAST(t.n_cur + 24 AS DOUBLE)
+      |            - CAST(f.nb + 1 AS DOUBLE) / CAST(t.n_base + 24 AS DOUBLE))
+      |           * ln((CAST(f.nc + 1 AS DOUBLE) / CAST(t.n_cur + 24 AS DOUBLE))
+      |                / (CAST(f.nb + 1 AS DOUBLE) / CAST(t.n_base + 24 AS DOUBLE)))
+      |           * 1000000.0) AS BIGINT) AS tm
+      |  FROM full_c f JOIN tot t ON f.event_type = t.event_type)
+      |SELECT event_type, min(n_base) AS n_base, min(n_cur) AS n_cur,
+      |       CAST(sum(tm) AS BIGINT) AS psi_micro,
+      |       CASE WHEN CAST(sum(tm) AS BIGINT) >= 250000 THEN 'DRIFT'
+      |            WHEN CAST(sum(tm) AS BIGINT) >= 100000 THEN 'MODERATE'
+      |            ELSE 'STABLE' END AS verdict
+      |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Shared generalization-ladder classification for the privacy rows
     * (`dq_k_anonymity`, `dq_l_diversity`): per customer, its release

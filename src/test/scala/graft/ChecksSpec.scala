@@ -137,6 +137,25 @@ class ChecksSpec extends SparkSpec {
     }
   }
 
+  test("psi drift flags the recalibrated type and only it") {
+    val out = Checks.all.find(_.name == "dq_psi_drift").get
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val psi = r.getAs[Long]("psi_micro")
+      val want = if (psi >= 250000L) "DRIFT"
+        else if (psi >= 100000L) "MODERATE" else "STABLE"
+      assert(r.getAs[String]("verdict") == want, r)
+      // slice totals are the real row counts, not smoothed
+      assert(r.getAs[Long]("n_base") > 0 && r.getAs[Long]("n_cur") > 0)
+    }
+    val byType = out.map(r => r.getAs[String]("event_type") ->
+      r.getAs[String]("verdict")).toMap
+    assert(byType("error") == "DRIFT", s"injected drift not flagged: $byType")
+    assert(byType.filter(_._1 != "error").values.forall(_ == "STABLE"),
+      s"stationary type misflagged: $byType")
+  }
+
   test("profile reports exact per-column nulls, distincts and bounds") {
     val df = Seq(
       (Some(3L), Some("b")),
