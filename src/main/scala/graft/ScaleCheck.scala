@@ -170,7 +170,7 @@ object ScaleCheck {
     "q_json_source", "stream_static_join_equiv", "stream_outer_join_equiv",
     "dq_k_anonymity", "doc_url_dedup", "dedup_entity_resolution",
     "stream_full_outer_join_equiv", "dq_l_diversity", "doc_nfc_normalize",
-    "stream_semi_join_equiv", "dq_psi_drift")
+    "stream_semi_join_equiv", "dq_psi_drift", "doc_domain_filter")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

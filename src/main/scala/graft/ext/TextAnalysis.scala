@@ -938,5 +938,74 @@ object TextAnalysis {
           |       min(norm) AS sample_norm
           |FROM n GROUP BY case_id ORDER BY case_id""".stripMargin),
     ),
+
+    // ---- Domain blocklist filter: drop crawl docs whose host falls
+    //      under a blocked REGISTRABLE DOMAIN — subdomain-suffix
+    //      semantics ("tracker-net.com" blocks "cdn.tracker-net.com"
+    //      too), the standard crawl-exclusion rule. Scale shape: each
+    //      host expands to its label-suffix tails (bounded fan-out =
+    //      label count, ≤4 here) and the verdict is an EQUI-join of
+    //      suffixes against the broadcast blocklist — linear in corpus
+    //      and correct for a MILLION-domain blocklist, where the naive
+    //      `endswith any` predicate is a non-equi scan per domain. (For
+    //      a literal handful of domains, `arrays_overlap` against a lit
+    //      array is narrower still — the join path is registered because
+    //      it is the production shape.) The oracle replays suffix
+    //      expansion with DuckDB list slicing and verifies per-host
+    //      verdicts AND which domain matched, not just counts. ----
+    QueryDef(
+      "doc_domain_filter",
+      (sp, dir) => {
+        val hosts = Seq("news.example.org", "cdn.tracker-net.com",
+          "blog.example.org", "tracker-net.com", "shop.goodsite.io",
+          "a.b.spamfarm.net", "docs.goodsite.io", "spamfarm.net")
+        val blocked = Seq("tracker-net.com", "spamfarm.net")
+        val host = element_at(
+          array(hosts.map(lit): _*), (col("doc_id") % 8).cast("int") + 1)
+        val docs = Tables.documents(sp, dir)
+          .select(col("doc_id"), host.as("host"),
+            split(host, "\\.").as("labels"))
+        val suffixes = docs.select(col("doc_id"), col("host"),
+          explode(transform(sequence(lit(1), size(col("labels"))),
+            i => concat_ws(".", slice(col("labels"), i,
+              size(col("labels")) - i + 1)))).as("suffix"))
+        val bl = sp.createDataFrame(
+          blocked.map(Tuple1(_))).toDF("domain")
+        val hits = suffixes
+          .join(broadcast(bl), col("suffix") === col("domain"))
+          .groupBy("doc_id").agg(min(col("domain")).as("blocked_by"))
+        docs.join(hits, Seq("doc_id"), "left")
+          .groupBy(col("host"),
+            when(col("blocked_by").isNotNull, "BLOCKED")
+              .otherwise("KEPT").as("verdict"),
+            coalesce(col("blocked_by"), lit("")).as("blocked_by"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("host")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         (['news.example.org', 'cdn.tracker-net.com',
+          |           'blog.example.org', 'tracker-net.com', 'shop.goodsite.io',
+          |           'a.b.spamfarm.net', 'docs.goodsite.io', 'spamfarm.net'])
+          |           [CAST(doc_id % 8 AS INTEGER) + 1] AS host
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, host,
+          |         array_to_string(string_split(host, '.')[i:], '.') AS suffix
+          |  FROM d, (SELECT unnest(generate_series(1, 4)) AS i)
+          |  WHERE i <= len(string_split(host, '.'))),
+          |hits AS (
+          |  SELECT doc_id, min(b.domain) AS blocked_by
+          |  FROM s JOIN (SELECT unnest(['tracker-net.com', 'spamfarm.net']) AS domain) b
+          |    ON s.suffix = b.domain
+          |  GROUP BY doc_id)
+          |SELECT d.host,
+          |       CASE WHEN h.blocked_by IS NOT NULL THEN 'BLOCKED' ELSE 'KEPT' END AS verdict,
+          |       COALESCE(h.blocked_by, '') AS blocked_by,
+          |       count(*) AS n_docs
+          |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          |GROUP BY 1, 2, 3 ORDER BY host""".stripMargin),
+    ),
   )
 }
