@@ -170,7 +170,9 @@ object ScaleCheck {
     "q_json_source", "stream_static_join_equiv", "stream_outer_join_equiv",
     "dq_k_anonymity", "doc_url_dedup", "dedup_entity_resolution",
     "stream_full_outer_join_equiv", "dq_l_diversity", "doc_nfc_normalize",
-    "stream_semi_join_equiv", "dq_psi_drift", "doc_domain_filter")
+    "stream_semi_join_equiv", "dq_psi_drift", "doc_domain_filter",
+    "doc_gopher_rules", "q_grid_neighbor_join", "q_interval_merge",
+    "q_bfs_reach")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -28,6 +28,7 @@ object SparkEntry {
       graft.functions.Aggregates.all ++
       graft.pipeline.PipelineQueries.all ++
       graft.operators.OperatorQueries.all ++
+      graft.operators.SpatialTemporal.all ++
       graft.stream.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

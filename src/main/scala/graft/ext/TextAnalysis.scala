@@ -1007,5 +1007,92 @@ object TextAnalysis {
           |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
           |GROUP BY 1, 2, 3 ORDER BY host""".stripMargin),
     ),
+
+    // ---- Gopher-style repetition rules: the char-WEIGHTED quality
+    //      signals (Rae et al. 2021 §A1.1) that complement the count
+    //      fraction in doc_repetition — (a) fraction of characters
+    //      inside occurrences of the single most common word 2-gram,
+    //      (b) fraction of characters inside duplicated word 5-grams
+    //      (each occurrence counted, the paper's definition), and the
+    //      keep/drop verdict at the conventional 0.20 / 0.15 cut-offs.
+    //      Everything is computed INSIDE the row with higher-order
+    //      array functions — O(tokens²) per doc with bounded doc size,
+    //      zero shuffle, scan speed at 100 TB (vs the explode+groupBy
+    //      shape whose gram shuffle carries the whole corpus). The
+    //      fractions leave the row as exact integer micro-units:
+    //      floor(1e6·a/b) with a,b exact ints, b ≤ doc length — a single
+    //      double division whose rational value sits ≥ 1/b from any
+    //      integer, so truncation lands identically to DuckDB's BIGINT
+    //      `//` and the hash compare is trivially exact. Ties
+    //      for the top 2-gram resolve (count, then gram string) max —
+    //      mirrored in the oracle via the same two-pass max. ----
+    QueryDef(
+      "doc_gopher_rules",
+      (sp, dir) => {
+        val g2 = graft.functions.TextFunctions.word_shingles(col("text"), 2)
+        val g5 = graft.functions.TextFunctions.word_shingles(col("text"), 5)
+        def cntIn(arr: Column, g: Column) = size(filter(arr, x => x === g))
+        Tables.documents(sp, dir)
+          .filter(size(split(col("text"), " ")) >= 5)
+          .repartition(sp.sparkContext.defaultParallelism)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            g2.as("g2"), g5.as("g5"))
+          .withColumn("top2_cnt",
+            array_max(transform(array_distinct(col("g2")),
+              g => cntIn(col("g2"), g))).cast("long"))
+          .withColumn("top2_gram",
+            array_max(filter(array_distinct(col("g2")),
+              g => cntIn(col("g2"), g) === col("top2_cnt"))))
+          .withColumn("dup5_chars",
+            aggregate(col("g5"), lit(0L), (acc, g) =>
+              acc + when(cntIn(col("g5"), g) > 1,
+                length(g).cast("long")).otherwise(0L)))
+          .select(col("doc_id"),
+            (lit(1000000L) * col("top2_cnt") * length(col("top2_gram")) /
+              col("n_chars")).cast("long").as("top2_micro"),
+            (lit(1000000L) * col("dup5_chars") / col("n_chars"))
+              .cast("long").as("dup5_micro"))
+          .withColumn("verdict",
+            when(col("top2_micro") < 200000 && col("dup5_micro") < 150000,
+              "KEEP").otherwise("DROP"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |         string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+          |g AS (
+          |  SELECT doc_id, n_chars,
+          |         list_transform(generate_series(1, len(toks) - 1),
+          |           i -> array_to_string(toks[i : i + 1], ' ')) AS g2,
+          |         list_transform(generate_series(1, len(toks) - 4),
+          |           i -> array_to_string(toks[i : i + 4], ' ')) AS g5
+          |  FROM t),
+          |c AS (
+          |  SELECT doc_id, n_chars, g2, g5,
+          |         list_max(list_transform(list_distinct(g2),
+          |           x -> len(list_filter(g2, y -> y = x)))) AS top2_cnt
+          |  FROM g),
+          |m AS (
+          |  SELECT doc_id, n_chars,
+          |         CAST(top2_cnt AS BIGINT) AS top2_cnt,
+          |         list_max(list_filter(list_distinct(g2),
+          |           x -> len(list_filter(g2, y -> y = x)) = top2_cnt)) AS top2_gram,
+          |         CAST(COALESCE(list_sum(list_transform(g5, x ->
+          |           CASE WHEN len(list_filter(g5, y -> y = x)) > 1
+          |                THEN CAST(length(x) AS BIGINT) ELSE 0 END)), 0)
+          |           AS BIGINT) AS dup5_chars
+          |  FROM c)
+          |SELECT doc_id,
+          |       (1000000 * top2_cnt * CAST(length(top2_gram) AS BIGINT))
+          |         // n_chars AS top2_micro,
+          |       (1000000 * dup5_chars) // n_chars AS dup5_micro,
+          |       CASE WHEN (1000000 * top2_cnt * CAST(length(top2_gram) AS BIGINT))
+          |                   // n_chars < 200000
+          |              AND (1000000 * dup5_chars) // n_chars < 150000
+          |            THEN 'KEEP' ELSE 'DROP' END AS verdict
+          |FROM m ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
