@@ -53,7 +53,11 @@ object Selection {
     // ONE corpus tokenize pass into the compact (doc, bucket, count)
     // feature table; persisted because target LM, raw LM, totals, and the
     // scoring join all consume it (the simhash `groups` discipline — at
-    // 100 TB this is the materialized feature table).
+    // 100 TB this is the materialized feature table). Persist with no
+    // unpersist is deliberate (the Graph.triangleCount lifecycle): the
+    // returned frame is lazy, so the cache must outlive this call;
+    // entries are (doc, bucket≤64)-grain and LRU-evicted, so repeated
+    // bench invocations are bounded by the storage pool, not the count.
     val dbc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), featureBucket(col("tok"), nBuckets).as("b"))

@@ -190,7 +190,9 @@ object SpatialTemporal {
     // ---- bounded BFS reachability over the bipartite part—supplier
     //      graph (distinct lineitem (partkey, suppkey) pairs as edges;
     //      the reduced schema's partsupp). Seeds = parts with key % 100
-    //      = 0; 3 hops. Each hop is ONE distributed equi-join frontier ⋈
+    //      = 0; 6 hops (the maxHops constant below — the oracle's
+    //      WHERE b.hop < 6 must move with it). Each hop is ONE
+    //      distributed equi-join frontier ⋈
     //      edges + an anti-join against visited — the set-at-a-time BFS
     //      whose state is node-bounded (never path-bounded). Each level
     //      localCheckpoints (lineage cut, the CC idiom). Output is the

@@ -16,6 +16,7 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -83,7 +84,11 @@ def main(sf_dir, out_dir, only):
                 # though Python/pandas equality says equal (the r14
                 # emb_corr_matrix red: Spark round() canonicalizes the
                 # zero sign, DuckDB's preserves it). Compare sign bits.
-                if (isinstance(gv, float) and isinstance(ev, float)
+                # numpy-aware: a float32 column yields np.float32 cells,
+                # which are NOT isinstance(float) — plain-float detection
+                # would reopen the exact blind spot this check closes.
+                if (isinstance(gv, (float, np.floating))
+                        and isinstance(ev, (float, np.floating))
                         and gv == ev == 0.0
                         and math.copysign(1.0, gv) != math.copysign(1.0, ev)):
                     diff = (c, i, gv, ev, g.dtype, e.dtype)
