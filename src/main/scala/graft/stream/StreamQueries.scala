@@ -623,6 +623,102 @@ object StreamQueries {
       |    AND v.ts <= p.purchase_ts)
       |ORDER BY purchase_id""".stripMargin
 
+  // ---- stream_anti_join_equiv: stream-stream LEFT ANTI join -------------
+  //
+  // The decontamination shape — purchases with NO view in the window —
+  // and the semi row's complement: together they partition the left
+  // stream. Spark has no native stream-stream leftAnti (the planner
+  // rejects it), so the row is the watermark-correct COMPOSITION:
+  // leftOuter join, then a stateless IS NULL filter on the padded side.
+  // Semantically exact, not an approximation — an unmatched purchase's
+  // NULL-padded row emits only when the watermark proves no matching
+  // view can still arrive, which is precisely anti-join eviction; the
+  // filter then passes exactly those rows. A purchase with >= 1 match
+  // emits only matched (non-NULL) rows, all dropped by the filter. Same
+  // landing, sentinels, 3-batch/2-shard drain as the rest of the family.
+
+  private def streamAntiJoinEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val (vDir, pDir) = outerJoinLandingsFor(spark, dir)
+    val root = Scratch.dir("stream_ajoin")
+    val views = jsonStream(spark, vDir, viewSchema, Some(2))
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, None)
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+    val anti = StreamAggs.purchaseViewJoin(views, purchases,
+      joinType = "leftOuter",
+      viewLateness = "720 hours", purchaseLateness = "720 hours")
+      .filter(col("view_ts").isNull)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"))
+    drainToParquet(anti, s"$root/sink", s"$root/ckpt", shards = 2)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("purchase_id") >= 0)
+      .orderBy("purchase_id")
+  }
+
+  private val antiJoinOracle =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id,
+      |         CASE WHEN event_id % 58 = 0 THEN user_id + 1000000
+      |              ELSE user_id END AS user_id,
+      |         ts + INTERVAL 30 MINUTE AS purchase_ts
+      |  FROM events WHERE event_id % 29 = 0)
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts
+      |FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events v
+      |  WHERE v.event_id % 3 = 0
+      |    AND v.user_id = p.user_id
+      |    AND v.ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |    AND v.ts <= p.purchase_ts)
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---- stream_right_outer_join_equiv: stream-stream RIGHT OUTER join ----
+  //
+  // The left-outer row's mirror: unmatched VIEWS (the right/build side)
+  // emit purchase-NULL-padded rows on watermark eviction, while every
+  // matched pair emits as in inner — fullOuter minus the unmatched-
+  // purchase class. Output is views-sized (every unmatched view emits),
+  // the same honest sink-write cost as fullOuter. The coalesce in
+  // purchaseViewJoin keeps the view's user identity on padded rows, and
+  // the sentinel emissions are excluded by their negative user ids.
+
+  private def streamRightOuterJoinEquiv(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (vDir, pDir) = outerJoinLandingsFor(spark, dir)
+    val root = Scratch.dir("stream_rojoin")
+    val views = jsonStream(spark, vDir, viewSchema, Some(2))
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, None)
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+    drainToParquet(
+      StreamAggs.purchaseViewJoin(views, purchases, joinType = "rightOuter",
+        viewLateness = "720 hours", purchaseLateness = "720 hours"),
+      s"$root/sink", s"$root/ckpt", shards = 2)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("purchase_id").asc_nulls_last, col("user_id"),
+        col("view_ts"))
+  }
+
+  private val rightOuterJoinOracle =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id,
+      |         CASE WHEN event_id % 58 = 0 THEN user_id + 1000000
+      |              ELSE user_id END AS user_id,
+      |         ts + INTERVAL 30 MINUTE AS purchase_ts
+      |  FROM events WHERE event_id % 29 = 0),
+      |v AS (
+      |  SELECT user_id, ts AS view_ts FROM events WHERE event_id % 3 = 0)
+      |SELECT p.purchase_id,
+      |       COALESCE(p.user_id, v.user_id) AS user_id,
+      |       p.purchase_ts, v.view_ts
+      |FROM p
+      |RIGHT JOIN v
+      |  ON v.user_id = p.user_id
+      | AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+      | AND v.view_ts <= p.purchase_ts
+      |ORDER BY purchase_id NULLS LAST, user_id, view_ts""".stripMargin
+
   // ---- stream_static_join_equiv: stream-static broadcast enrichment -----
   //
   // The most common production streaming shape: a fact stream enriched
@@ -986,6 +1082,10 @@ object StreamQueries {
       Some(fullOuterJoinOracle)),
     QueryDef("stream_semi_join_equiv", streamSemiJoinEquiv,
       Some(semiJoinOracle)),
+    QueryDef("stream_anti_join_equiv", streamAntiJoinEquiv,
+      Some(antiJoinOracle)),
+    QueryDef("stream_right_outer_join_equiv", streamRightOuterJoinEquiv,
+      Some(rightOuterJoinOracle)),
     QueryDef("stream_static_join_equiv", streamStaticJoinEquiv,
       Some(staticJoinOracle)),
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),

@@ -122,6 +122,62 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream anti composition and rightOuter complete the join family") {
+    implicit val sqlCtx = spark.sqlContext
+    // anti = leftOuter + IS NULL filter (Spark has no native stream-stream
+    // leftAnti): a matched purchase must NOT appear, an unmatched one
+    // emits exactly once when the watermark proves no view can arrive
+    val vMem = MemoryStream[(Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val anti = StreamAggs.purchaseViewJoin(
+      vMem.toDF().toDF("user_id", "view_ts"),
+      pMem.toDF().toDF("purchase_id", "user_id", "purchase_ts"),
+      joinType = "leftOuter")
+      .filter(col("view_ts").isNull)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"))
+    val q = anti.writeStream.format("memory").queryName("anti_out")
+      .outputMode(OutputMode.Append()).start()
+    vMem.addData((1L, ts("2024-01-01 10:00:00")))   // matches p100
+    pMem.addData((100L, 1L, ts("2024-01-01 10:30:00")),
+      (200L, 3L, ts("2024-01-01 10:30:00")))        // user 3: no views
+    q.processAllAvailable()
+    vMem.addData((9L, ts("2024-01-02 00:00:00")))   // advance watermarks
+    pMem.addData((999L, 9L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    val got = spark.table("anti_out").filter(col("purchase_id") < 999)
+      .select("purchase_id").as[Long].collect().toSet
+    assert(got == Set(200L), s"anti must pass ONLY the no-view purchase: $got")
+    q.stop()
+
+    // rightOuter: matched pair emits as inner; an unmatched VIEW emits
+    // purchase-NULL-padded on watermark eviction, keeping its identity
+    // via the coalesce'd user_id
+    val vMem2 = MemoryStream[(Long, Timestamp)]
+    val pMem2 = MemoryStream[(Long, Long, Timestamp)]
+    val ro = StreamAggs.purchaseViewJoin(
+      vMem2.toDF().toDF("user_id", "view_ts"),
+      pMem2.toDF().toDF("purchase_id", "user_id", "purchase_ts"),
+      joinType = "rightOuter")
+    val q2 = ro.writeStream.format("memory").queryName("ro_out")
+      .outputMode(OutputMode.Append()).start()
+    vMem2.addData((1L, ts("2024-01-01 10:00:00")),  // matches p100
+      (5L, ts("2024-01-01 10:10:00")))              // user 5: no purchase
+    pMem2.addData((100L, 1L, ts("2024-01-01 10:30:00")))
+    q2.processAllAvailable()
+    vMem2.addData((9L, ts("2024-01-02 00:00:00")))
+    pMem2.addData((999L, 9L, ts("2024-01-02 00:00:00")))
+    q2.processAllAvailable()
+    val got2 = spark.table("ro_out")
+      .filter(col("user_id") =!= 9L)
+      .select("purchase_id", "user_id", "view_ts")
+      .as[(Option[Long], Long, Option[Timestamp])].collect().toSet
+    assert(got2 == Set(
+      (Some(100L), 1L, Some(ts("2024-01-01 10:00:00"))),
+      (None, 5L, Some(ts("2024-01-01 10:10:00")))),
+      s"rightOuter must carry the matched pair + the NULL-padded view: $got2")
+    q2.stop()
+  }
+
   test("foreachBatch splits each micro-batch into retained + quarantine sinks") {
     import graft.dq.Expectations
     implicit val sqlCtx = spark.sqlContext
