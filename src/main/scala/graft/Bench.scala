@@ -76,6 +76,7 @@ object Bench {
     warm("constraint_fixture")(graft.pipeline.PipelineQueries.prebuildConstraintFixture(spark, sfDir))
     warm("restore_fixture")(graft.pipeline.PipelineQueries.prebuildRestoreFixture(spark, sfDir))
     warm("mv_refresh_fixture")(graft.pipeline.PipelineQueries.prebuildMvRefreshFixture(spark, sfDir))
+    warm("mv_join_fixture")(graft.pipeline.PipelineQueries.prebuildMvJoinFixture(spark, sfDir))
     warm("mv_rewrite_fixture")(graft.pipeline.PipelineQueries.prebuildMvRewriteFixture(spark, sfDir))
     warm("bloom_fixture")(graft.pipeline.PipelineQueries.prebuildBloomFixture(spark, sfDir))
     warm("bucketed_fixture")(graft.pipeline.PipelineQueries.prebuildBucketedFixture(spark, sfDir))
@@ -148,7 +149,8 @@ object Bench {
       "lake_rowcount",         // dvDelete no-op on re-run
       "lake_merge_cdc",        // delete arm finds rows already gone
       "lake_stream_versioned", // delete-only mergeCdc: devices already gone
-      "lake_mv_refresh")       // view already at head: empty incremental fold
+      "lake_mv_refresh",       // view already at head: empty incremental fold
+      "lake_mv_join_refresh")  // both watermarks at head: fold is a no-op
     val retimeK = sys.env.get("SPARK_GRAFT_RETIME_K").map(_.toInt)
       .getOrElse(15)
     val retimeNames = results.toSeq.sortBy { case (n, s) => (-s, n) }

@@ -172,7 +172,9 @@ object ScaleCheck {
     "stream_full_outer_join_equiv", "dq_l_diversity", "doc_nfc_normalize",
     "stream_semi_join_equiv", "dq_psi_drift", "doc_domain_filter",
     "doc_gopher_rules", "q_grid_neighbor_join", "q_interval_merge",
-    "q_bfs_reach", "stream_anti_join_equiv", "stream_right_outer_join_equiv")
+    "q_bfs_reach", "stream_anti_join_equiv", "stream_right_outer_join_equiv",
+    "stream_sliding_window_equiv", "dq_seasonal_anomaly", "emb_kmeans",
+    "lake_mv_join_refresh")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -355,6 +355,71 @@ object Checks {
     // PSI drift monitor — see [[psiDrift]] for the design notes.
     QueryDef("dq_psi_drift", (sp, dir) => psiDrift(sp, dir),
       Some(psiDriftOracle)),
+
+    // ---- seasonal anomaly detection: per-(type, hour-of-day) baseline,
+    //      flag (type, day, hour) buckets deviating > 3σ — the volume
+    //      monitor a pipeline runs on arrival counts ("did 3 AM traffic
+    //      triple?"). The baseline is SEASONAL (each hour-of-day compared
+    //      only to itself across days), so diurnal shape never
+    //      false-positives. The verdict reuses dq_outliers' exact
+    //      cross-multiplied test — (n·x − Σx)² > 9·(n·Σx² − (Σx)²) in
+    //      decimal(38,0)/HUGEINT, no double ever compared. Shuffle
+    //      carries one row per (type, day, hour) after the map-side
+    //      count partial — day-bounded at any corpus; the baseline
+    //      stats are (type, hour)-bounded and broadcast back. Fixture
+    //      injection (the dq_psi_drift recipe): the 2024-01-10 03:00
+    //      bucket's count ×4 on both engines, so the gate exercises the
+    //      ANOMALY verdict at every SF while ordinary buckets stay
+    //      inside 3σ. ----
+    QueryDef(
+      "dq_seasonal_anomaly",
+      (sp, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
+        val injected = col("hr") === 3L &&
+          col("day") === lit("2024-01-10").cast("date")
+        val b = Tables.events(sp, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            hour(col("ts")).cast("long").as("hr"))
+          .groupBy("event_type", "day", "hr")
+          .agg(count(lit(1)).as("raw_n"))
+          .withColumn("x",
+            col("raw_n") * when(injected, 4L).otherwise(1L))
+        val s = b.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+        val dev = dec(col("n")) * dec(col("x")) - dec(col("sx"))
+        b.join(broadcast(s), Seq("event_type", "hr"))
+          .filter(dev * dev > dec(lit(9L)) *
+            (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))))
+          .select(col("event_type"), col("day"), col("hr"),
+            col("x").as("n_events"))
+          .orderBy("event_type", "day", "hr")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         CAST(hour(ts) AS BIGINT) AS hr,
+          |         CAST(count(*) AS BIGINT) AS raw_n
+          |  FROM events GROUP BY 1, 2, 3),
+          |i AS (
+          |  SELECT event_type, day, hr,
+          |         raw_n * CASE WHEN hr = 3 AND day = DATE '2024-01-10'
+          |                      THEN 4 ELSE 1 END AS x
+          |  FROM b),
+          |s AS (
+          |  SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM i GROUP BY 1, 2)
+          |SELECT i.event_type, i.day, i.hr, CAST(i.x AS BIGINT) AS n_events
+          |FROM i JOIN s USING (event_type, hr)
+          |WHERE (CAST(s.n AS HUGEINT) * i.x - s.sx)
+          |      * (CAST(s.n AS HUGEINT) * i.x - s.sx)
+          |      > 9 * (CAST(s.n AS HUGEINT) * s.sxx
+          |             - CAST(s.sx AS HUGEINT) * s.sx)
+          |ORDER BY event_type, day, hr""".stripMargin),
+    ),
   )
 
   /** Population Stability Index drift detection — the distribution-drift

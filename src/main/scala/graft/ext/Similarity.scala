@@ -448,6 +448,78 @@ object Similarity {
       |         / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
       |            * sqrt(list_sum(list_transform(q.qe, x -> x * x))))""".stripMargin
 
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * clustering stage a curation pipeline runs for topic-balanced data
+    * mixing and semantic bucketing (and the quality sibling of
+    * [[ivfTopKInt]]'s codebook). Engineered for the cross-engine gate
+    * AND the 1000-executor shape:
+    *  - elements are quantized ONCE to round(x·1000)+1000 (all
+    *    non-negative), so every distance, argmin, and centroid update is
+    *    EXACT integer arithmetic — no float crosses an engine or a
+    *    reduction order anywhere;
+    *  - init = the k smallest vec_ids' vectors (nameable in SQL; each
+    *    seed is its own unique nearest, so no iteration-1 cluster is
+    *    ever empty and the update needs no empty-cluster rule);
+    *  - per iteration the corpus does ONE pass: distances to the k
+    *    broadcast literal centroids are fused zip_with/aggregate loops
+    *    (whole-stage codegen, no explode of the corpus), assignment is
+    *    array_position(argmin) with ties to the lowest cluster ordinal,
+    *    and the update aggregates (cluster, dim)-grain integer sums —
+    *    k·d rows to the driver, never data;
+    *  - the new centroid is round-half-up(S/n) computed DIVISION-FREE as
+    *    (2S+n) div (2n) on non-negative longs — identical floor
+    *    semantics in JVM and DuckDB `//`.
+    * Output is k rows: cluster size, exact integer inertia, and the
+    * centroid's L1 mass. Inertia sums bound: d·(2·scale)²·N < 2^63 up to
+    * ~3e10 vectors; past that the sum column widens to decimal(38,0)
+    * (the dq_outliers rule) — at our SFs int64 holds with 6 orders to
+    * spare.
+    */
+  def kmeans(sp: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
+      .as("q"))
+    val init = emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(init.length == k, s"corpus smaller than k=$k")
+    val dim = init.head.length
+    var cents: Seq[Array[Long]] = init.toSeq
+    def assign(): DataFrame = {
+      val dists = array(cents.map { c =>
+        val lc = array(c.map(lit): _*)
+        aggregate(zip_with(col("q"), lc, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)
+      emb.withColumn("d", array_min(dists))
+        .withColumn("cluster_id", array_position(dists, col("d")))
+    }
+    for (_ <- 1 until iters) {
+      val sums = assign()
+        .select(col("cluster_id"), posexplode(col("q")).as(Seq("j", "qv")))
+        .groupBy("cluster_id", "j")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()).toArray
+      sums.foreach { r =>
+        next(r.getLong(0).toInt - 1)(r.getInt(1)) =
+          (2L * r.getLong(2) + r.getLong(3)) / (2L * r.getLong(3))
+      }
+      cents = next.toSeq
+    }
+    import sp.implicits._
+    val l1 = cents.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.sum) }
+      .toDF("cluster_id", "centroid_l1")
+    assign()
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_points"), sum(col("d")).cast("long").as("inertia"))
+      .join(broadcast(l1), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_points"), col("inertia"),
+        col("centroid_l1"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Single-query brute-force top-10 against vec_id = 0.
     QueryDef(
@@ -950,6 +1022,55 @@ object Similarity {
     // id (ids are dense from 0 at every SF; C is SQL-derivable from
     // count(*)), assignment is argmax cosine with ties to the smaller
     // centroid id — the same NearestCentroid tie rule the IVF path uses.
+    // Distributed Lloyd's k-means — see [[kmeans]] for the design notes.
+    // The oracle replays both iterations at (vec, dim) grain: same
+    // integer quantization, same argmin tie-break (ORDER BY d, cid ≡
+    // array_position's first-match), same division-free centroid update.
+    QueryDef(
+      "emb_kmeans",
+      (sp, dir) => kmeans(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |seed AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, q AS c
+          |  FROM e ORDER BY vec_id LIMIT 8),
+          |eg AS (SELECT vec_id, j, q[j] AS qv
+          |       FROM e, generate_series(1, 64) t(j)),
+          |c0 AS (SELECT cid, j, c[j] AS cv
+          |       FROM seed, generate_series(1, 64) t(j)),
+          |d1 AS (SELECT eg.vec_id, c0.cid,
+          |              sum((qv - cv) * (qv - cv)) AS d
+          |       FROM eg JOIN c0 USING (j) GROUP BY 1, 2),
+          |a1 AS (SELECT vec_id, cid FROM (
+          |         SELECT vec_id, cid, row_number() OVER (
+          |           PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+          |       WHERE rn = 1),
+          |c1 AS (SELECT cid, j,
+          |              (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |       FROM a1 JOIN eg USING (vec_id) GROUP BY 1, 2),
+          |d2 AS (SELECT eg.vec_id, c1.cid,
+          |              sum((qv - cv) * (qv - cv)) AS d
+          |       FROM eg JOIN c1 USING (j) GROUP BY 1, 2),
+          |a2 AS (SELECT vec_id, cid, d FROM (
+          |         SELECT vec_id, cid, d, row_number() OVER (
+          |           PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+          |       WHERE rn = 1),
+          |cl1 AS (SELECT cid, CAST(sum(cv) AS BIGINT) AS centroid_l1
+          |        FROM c1 GROUP BY 1)
+          |SELECT a2.cid AS cluster_id,
+          |       count(*) AS n_points,
+          |       CAST(sum(a2.d) AS BIGINT) AS inertia,
+          |       cl1.centroid_l1
+          |FROM a2 JOIN cl1 USING (cid)
+          |GROUP BY a2.cid, cl1.centroid_l1
+          |ORDER BY cluster_id""".stripMargin),
+    ),
+
     QueryDef(
       "emb_semdedup",
       (sp, dir) => semDedup(Tables.embeddings(sp, dir)),

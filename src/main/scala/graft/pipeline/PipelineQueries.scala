@@ -389,6 +389,54 @@ object PipelineQueries {
       (src, view)
     })
 
+  /** Fixture for `lake_mv_join_refresh`: a versioned FACT (user-day
+    * cents) and a versioned DIM (user → segment) plus the join view
+    * initialized at (fact v1, dim v1). After the init, the fact gains an
+    * append + a week takedown and the DIM gains a segment-move merge
+    * (every user_id % 5 == 0 re-segments to 'S9') — so the timed fold
+    * exercises all three delta classes: fact inserts, fact deletes, and
+    * a dim attribute change that must RETRACT each moved user's old
+    * (user, segment) group and insert the new one.
+    */
+  private val mvJoinFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), (String, String, String)]
+
+  def prebuildMvJoinFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, String) =
+    mvJoinFixtureCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val root = Scratch.dir("mvj")
+      val fact = s"$root/fact"
+      val dimT = s"$root/dim"
+      val view = s"$root/view"
+      graft.sources.Lake.writeVersioned(sp,
+        base.filter(col("day") <= lit("2024-01-15").cast("date"))
+          .repartitionByRange(4, col("day")), fact)
+      val users = base.select("user_id").distinct()
+      graft.sources.Lake.writeVersioned(sp,
+        users.withColumn("segment",
+          concat(lit("S"), (col("user_id") % 3).cast("string")))
+          .repartitionByRange(2, col("user_id")), dimT)
+      graft.sources.Lake.refreshJoinIncremental(sp, fact, dimT, view,
+        joinKeys = Seq("user_id"), groupKeys = Seq("user_id", "segment"),
+        sumCols = Seq("cents"), countCol = "n_events")
+      graft.sources.Lake.appendVersioned(sp,
+        base.filter(col("day") > lit("2024-01-15").cast("date") &&
+          col("day") <= lit("2024-01-25").cast("date"))
+          .repartitionByRange(4, col("day")), fact)
+      graft.sources.Lake.deleteWhere(sp, fact,
+        col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+      graft.sources.Lake.mergeCdc(sp, dimT,
+        users.filter(col("user_id") % 5 === 0)
+          .withColumn("segment", lit("S9"))
+          .withColumn("_is_deleted", lit(false)),
+        Seq("user_id"), col("_is_deleted"))
+      (fact, dimT, view)
+    })
+
   /** Fixture for `lake_scd2_feed`: the merge-maintained user-totals table
     * at its three states (snapshot → full-source merge → week takedown via
     * mergeCdc). The timed query derives the SCD2 intervals from the feed —
@@ -1690,6 +1738,50 @@ object PipelineQueries {
           |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
           |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- INCREMENTAL JOIN-VIEW MAINTENANCE: the delta-join algebra
+    //      ΔV = ΔF ⋈ D_old + F_new ⋈ ΔD over a fact AND a dim that both
+    //      changed since the last fold — fact insert/delete commits plus
+    //      a dim segment-move merge whose feed (delete old row + insert
+    //      new row) must RETRACT each moved user's (user, old-segment)
+    //      group to zero (mergeCdc deletes it) and open the (user, 'S9')
+    //      group with the user's full fact mass. The oracle recomputes
+    //      the final join+aggregate from raw events, blind to the feed
+    //      machinery: a double-folded delta, a missed retraction, a
+    //      carried-pair that fails to cancel, or a stale dim version in
+    //      either join all break the hash. Re-invocations find both
+    //      watermarks at head and fold nothing (same published state) —
+    //      deterministic, but retime-UNSAFE (the no-op is cheaper). ----
+    QueryDef(
+      "lake_mv_join_refresh",
+      (sp, dir) => {
+        val (fact, dimT, view) = prebuildMvJoinFixture(sp, dir)
+        graft.sources.Lake.refreshJoinIncremental(sp, fact, dimT, view,
+          joinKeys = Seq("user_id"), groupKeys = Seq("user_id", "segment"),
+          sumCols = Seq("cents"), countCol = "n_events")
+        graft.sources.Lake.readVersioned(sp, view)
+          .select(col("user_id"), col("segment"), col("n_events"),
+            col("cents").as("total_cents"))
+          .orderBy("user_id", "segment")
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT user_id,
+          |         CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events
+          |  WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+          |    AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08'
+          |                                 AND DATE '2024-01-14'),
+          |d AS (
+          |  SELECT DISTINCT user_id,
+          |         CASE WHEN user_id % 5 = 0 THEN 'S9'
+          |              ELSE 'S' || CAST(user_id % 3 AS VARCHAR) END AS segment
+          |  FROM events)
+          |SELECT f.user_id, d.segment, count(*) AS n_events,
+          |       CAST(sum(f.cents) AS BIGINT) AS total_cents
+          |FROM f JOIN d USING (user_id)
+          |GROUP BY 1, 2 ORDER BY user_id, segment""".stripMargin),
     ),
 
     // ---- SCD2 HISTORY FROM THE CHANGE FEED: a merge-maintained

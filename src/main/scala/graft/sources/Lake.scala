@@ -889,6 +889,110 @@ object Lake {
     (v, srcHead)
   }
 
+  // The join-view watermark packs BOTH source versions into the one
+  // streamBatchId slot a manifest carries: fact*1e6 + dim. Versions are
+  // commit ordinals (a table gains a few per refresh cycle), so the 1e6
+  // radix holds for ~1e6 dim commits and ~9e12 fact commits; the encode
+  // refuses loudly past that rather than aliasing two states.
+  private def encodeJoinWatermark(f: Long, d: Long): Long = {
+    require(d >= 0 && d < 1000000L && f >= 0 && f < 9000000000000L,
+      s"join-view watermark out of range: fact=$f dim=$d")
+    f * 1000000L + d
+  }
+
+  /** Incremental maintenance of a JOIN view — the delta-join algebra
+    * [[refreshIncremental]] (aggregate-only) cannot express. The view is
+    *   SELECT groupKeys, count, sums FROM fact JOIN dim USING (joinKeys)
+    * and BOTH sources may change between refreshes. The fold applies the
+    * sequential decomposition
+    *   V(F', D') − V(F, D) = ΔF ⋈ D  +  F' ⋈ ΔD
+    * (fact changes join the dim AT ITS LAST-FOLDED version; dim changes
+    * join the fact at its NEW head), with every feed row weighted ±1 by
+    * change type — updates are delete+insert pairs, so a dim attribute
+    * move RETRACTS the old group and inserts the new one, and carried
+    * (identical) pairs net zero. Cost ∝ changed files on each source
+    * plus ONE join per changed side — never the view, never both
+    * corpora; at 100 TB the fact feed reads megabytes and the dim
+    * snapshot broadcast-joins it.
+    *
+    * Same contracts as refreshIncremental: non-null keys, count+sum
+    * aggregates only (retraction-foldable), groups folding to count ≤ 0
+    * are deleted. Fact and dim must not share non-join column names.
+    */
+  def refreshJoinIncremental(spark: SparkSession, factPath: String,
+      dimPath: String, viewPath: String, joinKeys: Seq[String],
+      groupKeys: Seq[String], sumCols: Seq[String] = Seq.empty,
+      countCol: String = "n_rows"): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    require(joinKeys.nonEmpty && groupKeys.nonEmpty,
+      "refreshJoinIncremental needs join and group keys")
+    def head(p: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(versionsDir(p)), s"$p is not a versioned table")
+      readVersionPointer(fs, p).orElse(manifestVersions(fs, p).lastOption)
+        .getOrElse(sys.error(s"no versions under $p"))
+    }
+    val (fHead, dHead) = (head(factPath), head(dimPath))
+    val vfs = new org.apache.hadoop.fs.Path(viewPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!vfs.exists(versionsDir(viewPath))) {
+      val full = readVersioned(spark, factPath, Some(fHead))
+        .join(readVersioned(spark, dimPath, Some(dHead)), joinKeys)
+        .groupBy(groupKeys.map(col): _*)
+        .agg(count(lit(1)).as(countCol),
+          sumCols.map(c => sum(col(c)).as(c)): _*)
+      return (writeVersioned(spark, full, viewPath,
+        streamBatchId = Some(encodeJoinWatermark(fHead, dHead))),
+        fHead, dHead)
+    }
+    val viewHead = readVersionPointer(vfs, viewPath)
+      .orElse(manifestVersions(vfs, viewPath).lastOption)
+      .getOrElse(sys.error(s"no versions under $viewPath"))
+    val w = readRawManifest(spark, vfs, viewPath, viewHead)
+      .flatMap(_.streamBatchId).getOrElse(sys.error(
+        s"$viewPath's latest commit carries no source watermark — " +
+          "not a refresh-maintained join view"))
+    val (fW, dW) = (w / 1000000L, w % 1000000L)
+    if (fHead <= fW && dHead <= dW) return (viewHead, fW, dW)
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val meta = Seq("_change_type", "_commit_version", "_commit_timestamp")
+    val picked = (groupKeys ++ sumCols :+ "_graft_w").map(col)
+    val fPiece =
+      if (fHead > fW)
+        Some(readChangeFeed(spark, factPath, fW + 1, fHead)
+          .withColumn("_graft_w", sign).drop(meta: _*)
+          .join(readVersioned(spark, dimPath, Some(dW)), joinKeys)
+          .select(picked: _*))
+      else None
+    val dPiece =
+      if (dHead > dW)
+        Some(readVersioned(spark, factPath, Some(fHead))
+          .join(readChangeFeed(spark, dimPath, dW + 1, dHead)
+            .withColumn("_graft_w", sign).drop(meta: _*), joinKeys)
+          .select(picked: _*))
+      else None
+    val deltaAggs = sum(col("_graft_w")).as("_graft_dn") +:
+      sumCols.map(c => sum(col(c) * col("_graft_w")).as(s"_graft_d_$c"))
+    val delta = Seq(fPiece, dPiece).flatten.reduce(_.unionByName(_))
+      .groupBy(groupKeys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val view = readVersioned(spark, viewPath, Some(viewHead))
+    val viewTypes = view.schema.map(f => f.name -> f.dataType).toMap
+    val merged = delta.join(view, groupKeys, "left_outer")
+      .select((groupKeys.map(col) :+
+        (coalesce(col(countCol), lit(0L)) + col("_graft_dn")).as(countCol))
+        ++ sumCols.map(c =>
+          (coalesce(col(c), lit(0).cast(viewTypes(c))) +
+            coalesce(col(s"_graft_d_$c"), lit(0).cast(viewTypes(c))))
+            .cast(viewTypes(c)).as(c)): _*)
+    val (v, _) = mergeCdc(spark, viewPath, merged, groupKeys,
+      deleteWhen = col(countCol) <= 0L,
+      streamBatchId = Some(encodeJoinWatermark(fHead, dHead)))
+    (v, fHead, dHead)
+  }
+
   /** TIME-based retention vacuum — `VACUUM … RETAIN n HOURS` semantics on
     * the commit stamps: keep every version committed within `retainMs` of
     * now (and always the newest), drop the rest, then reclaim files and

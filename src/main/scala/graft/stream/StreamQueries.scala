@@ -857,6 +857,64 @@ object StreamQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- stream_sliding_window_equiv: overlapping event-time windows ------
+  //
+  // The plain windowed aggregation the family was missing: session_window
+  // (data-driven bounds) and the incremental gold fold are covered, but
+  // not `window(ts, length, slide)` — the fixed-grid shape with OVERLAP
+  // fan-out (1 h / 15 min: every event belongs to exactly 4 windows) and
+  // append-mode emission gated on watermark closure. State is one
+  // aggregate row per OPEN window (bounded by length/slide × the live
+  // horizon, never the corpus); the fan-out happens map-side before the
+  // shuffle, so the shuffle carries 4× pre-aggregated partials, not raw
+  // events. Reuses the sessions landing (events + the two watermark
+  // sentinels); sentinel windows land in 2030/2031 and are excluded by a
+  // post-sink calendar filter — their ONLY job is advancing the
+  // watermark so every real window closes and emits.
+
+  private def streamSlidingWindowEquiv(spark: SparkSession,
+      dir: String): DataFrame = {
+    val landing = sessionLandingFor(spark, dir)
+    val root = Scratch.dir("stream_swin")
+    val typed = jsonStream(spark, landing, sessionSchema, Some(2))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = typed
+      .withWatermark("ts", "720 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("win_cents"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_events"), col("win_cents"))
+    drainToParquet(agg, s"$root/sink", s"$root/ckpt", shards = 4)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("window_start") < lit("2029-01-01").cast("timestamp"))
+      .orderBy("window_start")
+  }
+
+  // Window grid replay: Spark's window() aligns to the epoch, so an
+  // event at ts belongs to the 4 slide-aligned starts in (ts-1h, ts] —
+  // derived in exact INTEGER micros (epoch_us // slide), never float
+  // seconds. Sentinels (user_id = -1, ts in 2030/2031) are counted into
+  // their own far-future windows only, which the calendar filter drops
+  // on both engines.
+  private val slidingWindowOracle =
+    """WITH e AS (
+      |  SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k)
+      |           * 900000000) AS window_start,
+      |         cents
+      |  FROM e, (VALUES (0), (1), (2), (3)) k(k))
+      |SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS win_cents
+      |FROM w
+      |WHERE window_start < TIMESTAMP '2029-01-01'
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
   // ---- stream_cdc_equiv: continuous CDC latest-record-wins ---------------
   //
   // cdcLatestExplicit is the custom-state path (flatMapGroupsWithState +
@@ -1089,6 +1147,8 @@ object StreamQueries {
     QueryDef("stream_static_join_equiv", streamStaticJoinEquiv,
       Some(staticJoinOracle)),
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
+    QueryDef("stream_sliding_window_equiv", streamSlidingWindowEquiv,
+      Some(slidingWindowOracle)),
     QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
     QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),
   )

@@ -1989,6 +1989,51 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, view).count() == 3)
   }
 
+  test("join-view incremental fold equals recompute across fact+dim changes") {
+    val fact = tmp() + "/jf"; val dim = tmp() + "/jd"; val view = tmp() + "/jv"
+    Lake.writeVersioned(spark,
+      Seq((1L, 10L), (1L, 5L), (2L, 7L), (3L, 1L)).toDF("k", "x"), fact)
+    Lake.writeVersioned(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "g"), dim)
+    def fold() = Lake.refreshJoinIncremental(spark, fact, dim, view,
+      joinKeys = Seq("k"), groupKeys = Seq("g"), sumCols = Seq("x"),
+      countCol = "n")
+    fold()
+    def got = Lake.readVersioned(spark, view).orderBy("g")
+      .select("g", "n", "x").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 22L), ("b", 1L, 1L)))
+    // fact-only change folds against the dim's last version
+    Lake.appendVersioned(spark, Seq((2L, 100L)).toDF("k", "x"), fact)
+    fold()
+    assert(got == Seq(("a", 4L, 122L), ("b", 1L, 1L)))
+    // dim-only change: k=2 moves a -> b — the feed's delete+insert pair
+    // must retract k2's mass from 'a' and land it whole on 'b'
+    Lake.mergeCdc(spark, dim,
+      Seq((2L, "b", false)).toDF("k", "g", "_is_deleted"),
+      Seq("k"), col("_is_deleted"))
+    fold()
+    assert(got == Seq(("a", 2L, 15L), ("b", 3L, 108L)))
+    // BOTH sides change in one fold: the fact delete joins the dim at its
+    // LAST-FOLDED version, the dim delete joins the fact at its new head
+    Lake.deleteWhere(spark, fact, col("x") === 5L)
+    Lake.mergeCdc(spark, dim,
+      Seq((3L, "b", true)).toDF("k", "g", "_is_deleted"),
+      Seq("k"), col("_is_deleted"))
+    fold()
+    assert(got == Seq(("a", 1L, 10L), ("b", 2L, 107L)))
+    // matches a from-scratch recompute of the same join+aggregate
+    val recomputed = Lake.readVersioned(spark, fact)
+      .join(Lake.readVersioned(spark, dim), "k")
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("x"))
+      .orderBy("g").select("g", "n", "x")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == recomputed)
+    // nothing new: the fold is a no-op and publishes no version
+    val (v1, _, _) = fold()
+    val (v2, _, _) = fold()
+    assert(v1 == v2, "a no-change fold must not publish a new version")
+  }
+
   test("drifted append keeps the skipping manifest live") {
     val dir = tmp() + "/evostat"
     Lake.writeVersioned(spark,
