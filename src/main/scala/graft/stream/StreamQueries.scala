@@ -915,6 +915,156 @@ object StreamQueries {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // ---- stream_tws_equiv: transformWithState device health ---------------
+  //
+  // The Spark-4 arbitrary-state API (StatefulProcessor + typed ValueState
+  // handles over the RocksDB store) registered as a driver-oracled row —
+  // until now transformWithState had spec coverage only, while its
+  // predecessor (flatMapGroupsWithState) carries the CDC rows. The
+  // processor is the per-device health fold (suspect counts + trailing
+  // streak + score). Determinism by construction: reading timestamps are
+  // derived from event_id at MILLISECOND grain (unique per device — the
+  // fold sorts each batch by ts.getTime, so a ms-grain tie would make
+  // the streak arrival-order-dependent), the landing is range-laid on ts
+  // so micro-batches deliver ts-contiguous slices in order, and Update
+  // mode emits each device's state per batch — the LAST emission (max
+  // batch id) is the final state the oracle recomputes from scratch:
+  // trailing streak = suspect readings after the device's last good one.
+  // No watermark, no sentinels (TimeMode.None): state lives for the
+  // drain and the checkpoint ends with AvailableNow.
+
+  private val twsLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def twsLandingFor(spark: SparkSession, dir: String): String =
+    twsLandings.computeIfAbsent(dir, _ => {
+      val l = Scratch.dir("stream_tws_landing")
+      val frame = Tables.events(spark, dir).select(
+        concat(lit("dev-"), (col("user_id") % 64).cast("string"))
+          .as("device_id"),
+        date_format(timestamp_millis(lit(1704067200000L) + col("event_id")),
+          tsFmt).as("ts"),
+        expr(qualityCaseSql).as("quality_flag"),
+        col("value"), col("event_id"))
+      // The streak fold is ORDER-DEPENDENT across batches, and
+      // FileStreamSource orders files by MODIFICATION TIME — a single
+      // range-partitioned write gives all files one mtime and the tie
+      // order is listing order, not ts order (bit us at sf0.01: one
+      // shuffled batch flips every trailing streak). Write the three
+      // ts-contiguous slices SEQUENTIALLY with the sentinel rows'
+      // mtime-separation sleeps, so micro-batches always deliver the
+      // stream in event-time order. Slice bounds come from the event_id
+      // range (ts is a monotone function of event_id by construction).
+      val mm = frame.agg(min("event_id"), max("event_id")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      def slice(pred: org.apache.spark.sql.Column): Unit = {
+        frame.filter(pred).drop("event_id")
+          .coalesce(1).write.mode("append").json(l)
+        Thread.sleep(1100)
+      }
+      slice(col("event_id") <= c1)
+      slice(col("event_id") > c1 && col("event_id") <= c2)
+      slice(col("event_id") > c2)
+      l
+    })
+
+  private val twsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("device_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("quality_flag",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def streamTwsEquiv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val landing = twsLandingFor(spark, dir)
+    val root = Scratch.dir("stream_tws")
+    val sink = s"$root/sink"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    val shardKey = "spark.sql.shuffle.partitions"
+    val savedShards = spark.conf.get(shardKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(shardKey, "4") // one state store per shard (agg-row sizing)
+    try {
+      val readings = jsonStream(spark, landing, twsSchema, Some(2))
+        .select(col("device_id"), col("ts").cast("timestamp").as("timestamp"),
+          col("quality_flag"), col("value"))
+        .as[StreamAggs.DeviceReading]
+      val q = StreamAggs.deviceHealthTws(readings)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamAggs.DeviceHealth],
+            bid: Long) =>
+          batch.toDF().withColumn("_bid", lit(bid))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(shardKey, savedShards)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("device_id").orderBy(col("_bid").desc)
+    spark.read.parquet(sink)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("device_id"), col("n_total"), col("n_suspect"),
+        col("suspect_streak"),
+        graft.functions.Canon.roundCanon(col("health_score"), 4)
+          .as("health_score"))
+      .orderBy("device_id")
+  }
+
+  // The score's float ops are written identically on both sides (one
+  // exact-integer division, one 0.1 scale forced to DOUBLE — DuckDB's
+  // bare 0.1 is DECIMAL and would multiply exactly where the JVM fold
+  // multiplies in binary), then round(4)+canon defends the last ulp.
+  private val twsOracle =
+    """WITH r AS (
+      |  SELECT 'dev-' || CAST(user_id % 64 AS VARCHAR) AS device_id,
+      |         make_timestamp((1704067200000 + event_id) * 1000) AS ts,
+      |         CASE WHEN event_id % 4 = 0 THEN 'Good'
+      |              WHEN event_id % 4 = 1 THEN ' Good '
+      |              WHEN event_id % 4 = 2 THEN 'SUSPECT'
+      |              ELSE 'bad' END AS q
+      |  FROM events),
+      |f AS (SELECT device_id, ts,
+      |             (lower(trim(q)) = 'suspect') AS is_s FROM r),
+      |agg AS (
+      |  SELECT device_id,
+      |         CAST(count(*) AS BIGINT) AS n_total,
+      |         CAST(sum(CASE WHEN is_s THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_suspect,
+      |         max(CASE WHEN NOT is_s THEN ts END) AS last_ok
+      |  FROM f GROUP BY 1),
+      |st AS (
+      |  SELECT a.device_id, a.n_total, a.n_suspect,
+      |         CAST(count(*) FILTER (WHERE f.is_s AND
+      |           (a.last_ok IS NULL OR f.ts > a.last_ok)) AS BIGINT)
+      |           AS suspect_streak
+      |  FROM agg a JOIN f ON f.device_id = a.device_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT device_id, n_total, n_suspect, suspect_streak,
+      |       round(greatest(CAST(0.0 AS DOUBLE),
+      |         CAST(1.0 AS DOUBLE) - n_suspect / n_total
+      |           - least(CAST(0.5 AS DOUBLE),
+      |                   suspect_streak * CAST(0.1 AS DOUBLE))), 4) + 0.0
+      |         AS health_score
+      |FROM st ORDER BY device_id""".stripMargin
+
   // ---- stream_cdc_equiv: continuous CDC latest-record-wins ---------------
   //
   // cdcLatestExplicit is the custom-state path (flatMapGroupsWithState +
@@ -1124,6 +1274,7 @@ object StreamQueries {
     outerJoinLandingsFor(spark, dir)
     staticJoinLandingFor(spark, dir)
     sessionLandingFor(spark, dir)
+    twsLandingFor(spark, dir)
     cdcLandingFor(spark, dir)
     debeziumLandingFor(spark, dir)
   }
@@ -1149,6 +1300,7 @@ object StreamQueries {
     QueryDef("stream_sessions_equiv", streamSessionsEquiv, Some(sessionsOracle)),
     QueryDef("stream_sliding_window_equiv", streamSlidingWindowEquiv,
       Some(slidingWindowOracle)),
+    QueryDef("stream_tws_equiv", streamTwsEquiv, Some(twsOracle)),
     QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
     QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),
   )
