@@ -67,6 +67,13 @@ object PipelineQueries {
   def prebuildDvFixture(sp: org.apache.spark.sql.SparkSession,
       dir: String): String = dvFixture(sp, dir, "dv")
 
+  /** Source table for `lake_shallow_clone` — its own fixture because the
+    * row's contract is that the SOURCE is never mutated (each invocation
+    * clones to a fresh scratch dir and deletes on the clone only).
+    */
+  def prebuildCloneSrcFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String = dvFixture(sp, dir, "clsrc")
+
   def prebuildDvPurgeFixture(sp: org.apache.spark.sql.SparkSession,
       dir: String): String = dvFixture(sp, dir, "dvp")
 
@@ -1738,6 +1745,45 @@ object PipelineQueries {
           |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
           |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- SHALLOW CLONE + write isolation: a zero-copy clone (v1 is a
+    //      metadata-only manifest referencing the source head's files),
+    //      then a COW week-delete ON THE CLONE — the dev/test-table
+    //      pattern CLONE exists for. The output reads BOTH tables: the
+    //      clone must show the delete, the source must not (a rewrite
+    //      that landed in the source, a clone that missed a referenced
+    //      file, or a delete that leaked through the shared files all
+    //      break the hash). The clone dir is FRESH per invocation
+    //      (Scratch), so re-runs repeat the same clone+delete work. ----
+    QueryDef(
+      "lake_shallow_clone",
+      (sp, dir) => {
+        val src = prebuildCloneSrcFixture(sp, dir)
+        val clone = s"${Scratch.dir("clone")}/t"
+        graft.sources.Lake.shallowClone(sp, src, clone)
+        graft.sources.Lake.deleteWhere(sp, clone,
+          col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+        def side(p: String, s: String) =
+          graft.sources.Lake.readVersioned(sp, p)
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("cents")).as("sum_cents"))
+            .select(lit(s).as("side"), col("n_events"), col("sum_cents"))
+        side(clone, "clone").unionByName(side(src, "source"))
+          .orderBy("side")
+      },
+      Some(
+        """SELECT 'clone' AS side, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08'
+          |                               AND DATE '2024-01-14'
+          |UNION ALL
+          |SELECT 'source', count(*),
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |FROM events
+          |ORDER BY side""".stripMargin),
     ),
 
     // ---- INCREMENTAL JOIN-VIEW MAINTENANCE: the delta-join algebra

@@ -575,7 +575,7 @@ object Lake {
     def dvView(ddl: String, dvs: Seq[DvEntry]) =
       VersionManifest(0L, ddl, Nil, dvs)
     def tombFrame(dvs: Seq[DvEntry]): DataFrame = spark.read
-      .parquet(qualifyForRead(fs, dvs.map(d => s"$root/${d.dv}")): _*)
+      .parquet(qualifyForRead(fs, dvs.map(d => resolveRef(root, d.dv))): _*)
       .select(org.apache.spark.sql.functions.col("file"),
         org.apache.spark.sql.functions.col("pos"))
     val parts: Seq[DataFrame] = inRange.flatMap { v =>
@@ -592,7 +592,7 @@ object Lake {
         if (files.isEmpty) None
         else Some(stamp(
           readFilesWithDv(spark, fs, path, dvView(raw.schemaDdl, dvs),
-            files.map(f => s"$root/$f")), changeType))
+            files.map(f => resolveRef(root, f))), changeType))
       // rows of `files` AT the tombstoned positions in `positions` — the
       // dv-delete preimages; cost ∝ covered files + KB-sized sidecars
       def rowsAt(files: Seq[String], positions: DataFrame,
@@ -601,7 +601,7 @@ object Lake {
         else {
           import org.apache.spark.sql.functions.broadcast
           val scanned = readFilesWithDvTagged(spark, fs, path,
-            dvView(raw.schemaDdl, Nil), files.map(f => s"$root/$f"))
+            dvView(raw.schemaDdl, Nil), files.map(f => resolveRef(root, f)))
           Some(stamp(scanned.join(broadcast(positions),
               scanned(DvSrcFileCol) === positions("file") &&
                 scanned(DvPosCol) === positions("pos"),
@@ -993,6 +993,49 @@ object Lake {
     (v, fHead, dHead)
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE` semantics): a
+    * ZERO-COPY table whose v1 manifest references the source head's data
+    * files — no bytes move, so cloning a 100 TB table is a metadata
+    * write. References are stored as RELATIVE paths with `..` traversal
+    * (manifests are relative so tables survive relocation; the clone's
+    * resolve `root/../src/file` normalizes in Hadoop paths), and the
+    * isolation properties fall out of the existing machinery:
+    *  - writes on the clone (append/delete/merge) add files under the
+    *    CLONE's root and drop source references from its manifests — the
+    *    source never observes them;
+    *  - vacuum on the clone reclaims only files under the clone's root
+    *    (its orphan listing never walks the source), matching Delta's
+    *    rule that external files are never deleted through a clone.
+    * The one contract the caller owns, as in Delta: do not vacuum the
+    * SOURCE past versions the clone still references. Tables with live
+    * deletion vectors refuse (purge first) — a cloned sidecar reference
+    * would couple the clone to source tombstones the source may purge.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      dstPath: String): Long = {
+    val shp = new org.apache.hadoop.fs.Path(srcPath)
+    val sfs = shp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(versionsDir(srcPath)),
+      s"$srcPath is not a versioned table")
+    val head = readVersionPointer(sfs, srcPath)
+      .orElse(manifestVersions(sfs, srcPath).lastOption)
+      .getOrElse(sys.error(s"no versions under $srcPath"))
+    val m = readVersionManifest(spark, sfs, srcPath, head).getOrElse(
+      sys.error(s"version $head has no manifest under $srcPath"))
+    require(m.dvs.isEmpty, s"shallowClone: $srcPath@v$head carries live " +
+      "deletion vectors — purgeDeletes the source first")
+    val dhp = new org.apache.hadoop.fs.Path(dstPath)
+    val dfs = dhp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!dfs.exists(versionsDir(dstPath)),
+      s"$dstPath is already a versioned table")
+    val rel = java.nio.file.Paths.get(rootPath(dfs, dhp))
+      .relativize(java.nio.file.Paths.get(rootPath(sfs, shp))).toString
+    writeVersionManifest(spark, dfs, dstPath, 1L, m.schemaDdl,
+      m.entries.map { case (f, n) => (s"$rel/$f", n) }, op = Some("clone"))
+    writeVersionPointer(spark, dfs, dstPath, 1L)
+    1L
+  }
+
   /** TIME-based retention vacuum — `VACUUM … RETAIN n HOURS` semantics on
     * the commit stamps: keep every version committed within `retainMs` of
     * now (and always the newest), drop the rest, then reclaim files and
@@ -1070,7 +1113,7 @@ object Lake {
       }
       val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
         sys.error(s"version $v0 has no manifest under $path"))
-      val abs0 = m0.entries.map(e => s"$root/${e._1}")
+      val abs0 = m0.entries.map(e => resolveRef(root, e._1))
       // files whose stats bounds exclude every matching row are not even
       // OPENED; files the stats manifest does not cover stay candidates
       val candidates: Seq[String] = filePrune match {
@@ -1091,7 +1134,7 @@ object Lake {
         else if (m0.dvs.nonEmpty)
           readFilesWithDvTagged(spark, fs, path, m0, candidates)
             .filter(pred).select(col(DvSrcFileCol)).distinct()
-            .collect().map(r => s"$root/${r.getString(0)}").toSet
+            .collect().map(r => resolveRef(root, r.getString(0))).toSet
         else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
           .filter(pred).select(input_file_name().as("f")).distinct()
           .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
@@ -1106,7 +1149,7 @@ object Lake {
       val (_, rewritten) = writeClaimedDir(spark, fs, path,
         readFilesWithDv(spark, fs, path, m0, matched.toSeq)
           .filter(!coalesce(pred, lit(false))))
-      val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
+      val matchedEntries = m0.entries.filter(e => matched(resolveRef(root, e._1)))
       // an evolved rewrite lands latest-LOGICAL-schema files (compact's
       // invariant); the manifest schema follows
       val ddl =
@@ -1162,7 +1205,7 @@ object Lake {
         .distinct.filter(liveFiles)
       if (winnerAdds.isEmpty) return (next, total)
       val anyMatch = winnerAdds.nonEmpty && !readSomeFiles(spark, fs, path,
-        winnerAdds.map(f => s"$root/$f"), live.schemaDdl).filter(pred).isEmpty
+        winnerAdds.map(f => resolveRef(root, f)), live.schemaDdl).filter(pred).isEmpty
       if (!anyMatch) return (next, total)
       val r = onePass()
       v0 = r._1; next = r._2; total += r._3
@@ -1224,7 +1267,7 @@ object Lake {
     }
     val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
       sys.error(s"version $v0 has no manifest under $path"))
-    val abs0 = m0.entries.map(e => s"$root/${e._1}")
+    val abs0 = m0.entries.map(e => resolveRef(root, e._1))
     val candidates: Seq[String] = filePrune match {
       case Some(keep) if fs.exists(statsDir) =>
         pruneCandidatesWithStats(spark, statsDir, keep, abs0)
@@ -1253,7 +1296,7 @@ object Lake {
     // covered-file list: path strings only to the driver (the engine's
     // metadata-transfer rule), bounded by the candidate file count
     val covered = spark.read
-      .parquet(qualifyForRead(fs, written.map(e => s"$root/${e._1}")): _*)
+      .parquet(qualifyForRead(fs, written.map(e => resolveRef(root, e._1))): _*)
       .select("file").distinct().collect().map(_.getString(0)).toSeq
     val next = publishNonCommuting(spark, fs, path, v0, m0.schemaDdl,
       add = Nil, remove = Nil, op = "dvdelete",
@@ -1314,7 +1357,7 @@ object Lake {
     if (dvdRel.isEmpty) return (v0, 0L)
     val (_, rewritten) = writeClaimedDir(spark, fs, path,
       readFilesWithDv(spark, fs, path, m0,
-        dvdRel.map(f => s"$root/$f")))
+        dvdRel.map(f => resolveRef(root, f))))
     val next = publishNonCommuting(spark, fs, path, v0, m0.schemaDdl,
       add = rewritten, remove = dvdRel, op = "purge",
       readSet = dvdRel.toSet)
@@ -1373,7 +1416,7 @@ object Lake {
       dvs: Seq[DvEntry], files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     spark.read
-      .parquet(qualifyForRead(fs, dvs.map(d => s"$root/${d.dv}")): _*)
+      .parquet(qualifyForRead(fs, dvs.map(d => resolveRef(root, d.dv))): _*)
       .filter(col("file").isin(files: _*))
       .select("file", "pos").distinct()
   }
@@ -1534,7 +1577,7 @@ object Lake {
     val root = rootPath(fs, hp)
     val probe = hintedProbe(source.select(keyCols.map(col): _*),
       source.count(), maxBroadcastKeys)
-    readSomeFiles(spark, fs, path, m0.entries.map(e => s"$root/${e._1}"),
+    readSomeFiles(spark, fs, path, m0.entries.map(e => resolveRef(root, e._1)),
       m0.schemaDdl)
       .withColumn("_graft_file", input_file_name())
       .select((keyCols.map(col) :+ col("_graft_file")): _*)
@@ -1588,7 +1631,7 @@ object Lake {
         (keyCols.map(col) :+ delFlag.as("_graft_del")): _*),
         nSrc, maxBroadcastKeys)
       val root = rootPath(fs, hp)
-      val abs0 = m0.entries.map(e => s"$root/${e._1}")
+      val abs0 = m0.entries.map(e => resolveRef(root, e._1))
       val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
       val candidates: Seq[String] = filePrune match {
         case Some(keep) if fs.exists(statsDir) =>
@@ -1637,7 +1680,7 @@ object Lake {
       val (_, rewritten) = writeClaimedDir(spark, fs, path,
         keptOld.unionByName(
           src.filter(!delFlag).select(prior.fieldNames.map(col): _*)))
-      val matchedEntries = m0.entries.filter(e => matched(s"$root/${e._1}"))
+      val matchedEntries = m0.entries.filter(e => matched(resolveRef(root, e._1)))
       // a constraint may have landed since the gate: re-enforce the NEW
       // ones against the upsert arm (src is persisted — one cheap pass)
       val csNow = checkConstraints(spark, path).filterNot(cs0.contains)
@@ -1768,9 +1811,9 @@ object Lake {
     if (checkConstraints(spark, path).nonEmpty)
       enforceConstraints(spark, path,
         spark.read.parquet(
-          qualifyForRead(fs, fresh.map(r => s"$root/$r")): _*),
+          qualifyForRead(fs, fresh.map(r => resolveRef(root, r))): _*),
         s"commitStreamVersion($path)")
-    val entries = fileEntries(spark, fs, path, fresh.map(r => s"$root/$r"))
+    val entries = fileEntries(spark, fs, path, fresh.map(r => resolveRef(root, r)))
     val next = v0 + 1
     writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
       base = v0, add = entries, remove = Seq.empty,
@@ -2001,7 +2044,7 @@ object Lake {
       val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
       enforceConstraintsOn(spark,
         readSomeFiles(spark, fs, path,
-          entries.map(e => s"$root/${e._1}"), schemaDdl),
+          entries.map(e => resolveRef(root, e._1)), schemaDdl),
         fresh, what)
     }
   }
@@ -2087,8 +2130,11 @@ object Lake {
       v -> readVersionManifest(spark, fs, path, v).toSeq
         .flatMap(m => m.entries.map(_._1) ++ m.dvs.map(_.dv)))
     droppedEntries.foreach { case (v, rels) =>
-      rels.filterNot(referenced).foreach(rel =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
+      // external (shallow-clone) references are dropped from the
+      // manifests but their files belong to the SOURCE table — never
+      // physically deleted through the clone (Delta's clone rule)
+      rels.filterNot(referenced).filterNot(isExternalRef).foreach(rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(resolveRef(root, rel)), false))
       fs.delete(versionManifestFile(path, v), false)
     }
     // reclaim CRASH ORPHANS — unreferenced files in v= dirs, gated by an
@@ -2179,7 +2225,7 @@ object Lake {
       sys.error(s"version $v0 has no manifest under $path"))
     val root = rootPath(fs, hp)
     val sized = m0.entries.map { e =>
-      (e, fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/${e._1}")).getLen)
+      (e, fs.getFileStatus(new org.apache.hadoop.fs.Path(resolveRef(root, e._1))).getLen)
     }
     val small = sized.filter(_._2 < targetFileBytes / 2)
     if (small.size <= 1) return (v0, 0L)
@@ -2193,7 +2239,7 @@ object Lake {
     // rewrite, and the files' dv coverage drops with the remove
     val (_, folded) = writeClaimedDir(spark, fs, path,
       readFilesWithDv(spark, fs, path, m0,
-        small.map(e => s"$root/${e._1._1}"))
+        small.map(e => resolveRef(root, e._1._1)))
         .coalesce(nOut)) // NARROW: compaction moves bytes, never an exchange
     val ddl =
       if (readSchemaManifests(spark, path).nonEmpty) logicalDdl(spark, path)
@@ -2293,7 +2339,7 @@ object Lake {
       val e = it.next()
       val len =
         try fs.getFileStatus(
-          new org.apache.hadoop.fs.Path(s"$root/${e._1}")).getLen
+          new org.apache.hadoop.fs.Path(resolveRef(root, e._1))).getLen
         catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       if (len < target / 2) small += 1
     }
@@ -2630,6 +2676,28 @@ object Lake {
       hp: org.apache.hadoop.fs.Path): String =
     fs.makeQualified(hp).toUri.getPath
 
+  /** Resolve a manifest-relative reference against the table root,
+    * NORMALIZING `..` traversal (a shallow clone's external references
+    * into its source): readers tolerate `root/../src/file`, but the
+    * string-comparison sites (delete/merge matched-file sets, census
+    * diffs) compare against Spark's NORMALIZED input_file_name output
+    * and must see the canonical form. Plain entries resolve by
+    * concatenation, exactly as before.
+    */
+  private def resolveRef(root: String, rel: String): String =
+    if (rel.contains(".."))
+      java.nio.file.Paths.get(root, rel).normalize().toString
+    else root + "/" + rel
+
+  /** An entry that points OUTSIDE the table root — a shallow clone's
+    * reference into its source. Such files are never physically deleted
+    * through THIS table (Delta's clone rule: vacuum reclaims only files
+    * the table owns); dropping the reference from the manifests is the
+    * whole cleanup.
+    */
+  private def isExternalRef(rel: String): Boolean =
+    rel.startsWith("../") || rel.contains("/../")
+
   private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[Long] =
     fs.listStatus(versionsDir(path)).toSeq.map(_.getPath.getName)
@@ -2862,7 +2930,7 @@ object Lake {
       m: VersionManifest): DataFrame = {
     val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
     readFilesWithDv(spark, fs, path, m,
-      m.entries.map(e => s"$root/${e._1}"))
+      m.entries.map(e => resolveRef(root, e._1)))
   }
 
   /** Read a subset of a manifest's data files MERGE-ON-READ: files no dv
@@ -2895,7 +2963,7 @@ object Lake {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
     val covered: Set[String] =
-      m.dvs.flatMap(_.files).map(f => s"$root/$f").toSet
+      m.dvs.flatMap(_.files).map(f => resolveRef(root, f)).toSet
     val (dvd, clean) = files.partition(covered)
     def tagged(fl: Seq[String]) =
       if (fl.isEmpty)
@@ -2909,7 +2977,7 @@ object Lake {
           .withColumn(DvPosCol, col("_metadata.row_index"))
     if (dvd.isEmpty) return tagged(files)
     val tombRaw = spark.read
-      .parquet(qualifyForRead(fs, m.dvs.map(d => s"$root/${d.dv}")): _*)
+      .parquet(qualifyForRead(fs, m.dvs.map(d => resolveRef(root, d.dv))): _*)
       .select(col("file"), col("pos"))
     val tomb =
       if (m.dvs.map(_.nDel).sum <= DvBroadcastPositions) broadcast(tombRaw)
@@ -3754,7 +3822,7 @@ object Lake {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, entries) = readStagedEntries(fs, path, id)
     val root = rootPath(fs, hp)
-    readFileSubset(spark, path, entries.map(e => s"$root/${e._1}"))
+    readFileSubset(spark, path, entries.map(e => resolveRef(root, e._1)))
   }
 
   /** The WOULD-BE table after publish: current snapshot ∪ staged batch —
@@ -3857,7 +3925,7 @@ object Lake {
         val cs = checkConstraints(spark, path)
         if (cs.nonEmpty)
           enforceConstraintsOn(spark,
-            readFileSubset(spark, path, entries.map(e => s"$root/${e._1}")),
+            readFileSubset(spark, path, entries.map(e => resolveRef(root, e._1))),
             cs, s"publishStaged($path, $id)")
         (v0, curDdl)
       } catch { case e: Throwable => unclaim(); throw e }
@@ -3915,7 +3983,7 @@ object Lake {
     val (_, entries) = readStagedEntries(fs, path, id)
     val root = rootPath(fs, hp)
     entries.foreach(e =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/${e._1}"), false))
+      fs.delete(new org.apache.hadoop.fs.Path(resolveRef(root, e._1)), false))
     // the claimed dir is exclusively this stage's namespace (the claim
     // marker won it); reclaim it outright
     fs.delete(new org.apache.hadoop.fs.Path(path,
@@ -3987,7 +4055,7 @@ object Lake {
       val m = readVersionManifest(spark, fs, path, v).getOrElse(
         sys.error(s"version $v has no manifest under $path"))
       val root = rootPath(fs, hp)
-      m.entries.map(e => s"$root/${e._1}")
+      m.entries.map(e => resolveRef(root, e._1))
     }
 
   /** Load the `_graft_stats` manifest with the stale-manifest guard: every

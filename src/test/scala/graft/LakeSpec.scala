@@ -1989,6 +1989,48 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, view).count() == 3)
   }
 
+  test("shallow clone: zero-copy create, write isolation both directions") {
+    val src = tmp() + "/clsrc"; val cl = tmp() + "/clone"
+    Lake.writeVersioned(spark,
+      (1L to 40L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), src)
+    val dataFiles = (p: String) => {
+      val d = new java.io.File(p)
+      if (!d.exists()) 0
+      else d.listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("v="))
+        .flatMap(_.listFiles()).count(f =>
+          f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val srcFiles = dataFiles(src)
+    Lake.shallowClone(spark, src, cl)
+    // zero-copy: the clone holds NO data files, yet reads the full table
+    assert(dataFiles(cl) == 0, "clone must not copy data files")
+    assert(Lake.readVersioned(spark, cl).count() == 40)
+    // delete on the clone: clone shrinks, source untouched (byte-level:
+    // its file census is unchanged)
+    Lake.deleteWhere(spark, cl, col("id") <= 10L)
+    assert(Lake.readVersioned(spark, cl).count() == 30)
+    assert(Lake.readVersioned(spark, src).count() == 40)
+    assert(dataFiles(src) == srcFiles, "COW rewrite must land in the clone")
+    // append on the clone stays invisible to the source
+    Lake.appendVersioned(spark, Seq((99L, 0L)).toDF("id", "v"), cl)
+    assert(Lake.readVersioned(spark, cl).count() == 31)
+    assert(Lake.readVersioned(spark, src).count() == 40)
+    // vacuum on the clone never reclaims source files
+    Lake.vacuum(spark, cl, keepLast = 1, orphanGraceMs = 0L)
+    assert(Lake.readVersioned(spark, src).count() == 40)
+    assert(dataFiles(src) == srcFiles, "clone vacuum must not touch the source")
+    // a second clone at the same path refuses; DV-bearing sources refuse
+    intercept[IllegalArgumentException](Lake.shallowClone(spark, src, cl))
+    val dvSrc = tmp() + "/cldv"
+    Lake.writeVersioned(spark, Seq((1L, 1L)).toDF("id", "v"), dvSrc)
+    Lake.deleteWhereDv(spark, dvSrc, col("id") === 1L)
+    val e = intercept[IllegalArgumentException](
+      Lake.shallowClone(spark, dvSrc, tmp() + "/cldv2"))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
   test("join-view incremental fold equals recompute across fact+dim changes") {
     val fact = tmp() + "/jf"; val dim = tmp() + "/jd"; val view = tmp() + "/jv"
     Lake.writeVersioned(spark,
