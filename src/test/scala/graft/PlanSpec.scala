@@ -406,4 +406,45 @@ class PlanSpec extends SparkSpec {
     val scans = distinctOps(p, "Scan parquet")
     assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
   }
+
+  test("emb_kmeans: fused distance loops, no corpus explode, broadcast l1") {
+    val p = plan(q("emb_kmeans"))
+    // the final assignment pass evaluates k fused zip_with/aggregate
+    // loops per row — a Generate (posexplode) here would blow the corpus
+    // up d× before the aggregate (the retired ivf q-join shape); the
+    // only explode in the OPERATOR lives in the tiny k·d update
+    // collection, which never appears in the output plan
+    assert(distinctOps(p, "Generate") == 0,
+      s"corpus exploded in the scoring pass:\n$p")
+    // the k-row centroid-mass frame joins broadcast, never shuffles the
+    // aggregated clusters
+    assert(p.contains("BroadcastHashJoin"), s"l1 join not broadcast:\n$p")
+    assert(distinctOps(p, "CartesianProduct") == 0 &&
+      distinctOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"non-equi join in kmeans plan:\n$p")
+  }
+
+  test("dq_seasonal_anomaly: baseline stats broadcast back, partial counts") {
+    val p = plan(q("dq_seasonal_anomaly"))
+    // (type, hour) baseline stats are QI-bounded (|types|·24 rows at any
+    // corpus) and must broadcast back to the bucket frame — a shuffle
+    // join here would repartition the day-grain buckets for a few-row dim
+    assert(p.contains("BroadcastHashJoin"),
+      s"baseline stats not broadcast:\n$p")
+    assert(distinctOps(p, "CartesianProduct") == 0,
+      s"cartesian in anomaly plan:\n$p")
+  }
+
+  test("q_grid_neighbor_join: stencil join is a pure shuffled equi-join") {
+    val p = plan(q("q_grid_neighbor_join"))
+    // both sides are corpus-sized: broadcast never applies, and the cell
+    // join must be hash/merge on (cx, cy) — a radius theta-join would
+    // plan BNLJ and go corpus² at any scale
+    assert(distinctOps(p, "BroadcastNestedLoopJoin") == 0 &&
+      distinctOps(p, "CartesianProduct") == 0,
+      s"grid join degenerated to a non-equi shape:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no equi join found:\n$p")
+  }
 }
