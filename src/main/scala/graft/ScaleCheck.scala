@@ -174,7 +174,8 @@ object ScaleCheck {
     "doc_gopher_rules", "q_grid_neighbor_join", "q_interval_merge",
     "q_bfs_reach", "stream_anti_join_equiv", "stream_right_outer_join_equiv",
     "stream_sliding_window_equiv", "dq_seasonal_anomaly", "emb_kmeans",
-    "lake_mv_join_refresh", "stream_tws_equiv", "lake_shallow_clone")
+    "lake_mv_join_refresh", "stream_tws_equiv", "lake_shallow_clone",
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

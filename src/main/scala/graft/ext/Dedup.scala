@@ -361,6 +361,99 @@ object Dedup {
         """SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS fp
           |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
     ),
+
+    // ---- ASYMMETRIC CONTAINMENT (doc-in-doc / quote detection): the
+    //      near-dup rows score symmetric Jaccard, which goes to ~|A|/|B|
+    //      for a short excerpt inside a long host and misses it entirely;
+    //      containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| flags the
+    //      excerpt regardless of the host's length (the CCNet/quote-
+    //      removal shape). Scale shape: RARE-GRAM blocking — candidate
+    //      pairs come only from 8-gram shingles with global df ≤ 24, so
+    //      pair fan-out per gram is constant-bounded and candidates stay
+    //      linear in the corpus (24, not a tighter 4, so a 10×-replicated
+    //      corpus — where every excerpt's grams appear in all 20 copies —
+    //      still blocks its pairs) — then an EXACT verify join over the candidates'
+    //      full shingle sets (16-byte md5 keys, never text). The verdict
+    //      is integer permille ((n_common·1000) div n_a): no float
+    //      crosses the compare. Fixture: every doc_id % 37 == 0 gets a
+    //      derived excerpt (first max(3/5, 8 tokens) of its text, id
+    //      +5e6) — a prefix, so its containment in the original is
+    //      exactly 1000 while the reverse direction scores 3/5 and is
+    //      correctly excluded at the 0.8 gate. Natural exact dups (the
+    //      corpus has them) surface symmetrically at 1000. ----
+    QueryDef(
+      "dedup_containment",
+      (sp, dir) => {
+        val base = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
+        val excerpts = base.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            expr("concat_ws(' ', slice(split(text, ' '), 1, " +
+              "greatest((size(split(text, ' ')) * 3) div 5, 8)))").as("text"))
+        val dd = base.unionByName(excerpts)
+        val sh = dd.filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(0, size(split(text,' ')) - 8)," +
+              " i -> md5(concat_ws(' ', slice(split(text,' '), i + 1, 8)))))"))
+            .as("m"))
+        val rare = sh.join(
+          sh.groupBy("m").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 24), "m")
+        val cand = rare.select(col("m"), col("doc_id").as("a"))
+          .join(rare.select(col("m"), col("doc_id").as("b")), "m")
+          .filter(col("a") =!= col("b"))
+          .select("a", "b").distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        cand
+          .join(sh.select(col("doc_id").as("a"), col("m")), Seq("a"))
+          .join(sh.select(col("doc_id").as("b"), col("m")), Seq("b", "m"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+          .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")),
+            Seq("a"))
+          .withColumn("cont_permille",
+            expr("(n_common * 1000) div n_a"))
+          .filter(col("cont_permille") >= 800)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"),
+            col("n_common"), col("n_a"), col("cont_permille"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        """WITH exc AS (
+          |  SELECT doc_id + 5000000 AS doc_id,
+          |         array_to_string(w[1 : greatest((len(w) * 3) // 5, 8)],
+          |                         ' ') AS text
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |        FROM documents WHERE doc_id % 37 = 0)),
+          |dd AS (SELECT doc_id, text FROM documents
+          |       UNION ALL SELECT doc_id, text FROM exc),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |         md5(array_to_string(w[i : i + 7], ' ')) AS m
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+          |       unnest(range(1, len(w) - 8 + 2)) AS t(i)
+          |  WHERE len(w) >= 8),
+          |rare AS (
+          |  SELECT sh.doc_id, sh.m FROM sh
+          |  JOIN (SELECT m FROM sh GROUP BY m HAVING count(*) <= 24) r
+          |    USING (m)),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM rare x JOIN rare y ON x.m = y.m AND x.doc_id <> y.doc_id),
+          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          |       FROM sh GROUP BY 1),
+          |com AS (
+          |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_common
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.a
+          |  JOIN sh sb ON sb.doc_id = c.b AND sb.m = sa.m
+          |  GROUP BY 1, 2)
+          |SELECT com.a AS doc_a, com.b AS doc_b, n_common,
+          |       sz.n_sh AS n_a,
+          |       CAST((n_common * 1000) // sz.n_sh AS BIGINT)
+          |         AS cont_permille
+          |FROM com JOIN sz ON sz.doc_id = com.a
+          |WHERE (n_common * 1000) // sz.n_sh >= 800
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // Word-SET Jaccard over a deterministic doc sample — oracle-checkable
     // twin of the shingle-set verification step (exact integer set sizes,
     // exact-division ratio). The sample is RANK-capped (doc_id < 100: ids
