@@ -348,6 +348,111 @@ object OperatorQueries {
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     ),
 
+    // ---- LEAKAGE-SAFE TRAIN/VALID/TEST SPLIT: near-dup clusters are
+    //      assigned WHOLE to a split by hashing the cluster
+    //      representative (md5 → 12 hex digits → mod 100: <80 train,
+    //      <90 valid, else test — the grid join's cross-engine hash
+    //      idiom), so no near-duplicate pair can straddle train and
+    //      test — the eval-contamination guard a curation pipeline runs
+    //      before publishing splits. The output carries the EVIDENCE,
+    //      not just the assignment: leaky_pairs_grouped counts near-dup
+    //      edges whose endpoints landed in different splits (must be 0
+    //      by construction, computed honestly from the edge set) next to
+    //      leaky_pairs_naive — the same count under a doc-id-hash split,
+    //      nonzero, which is why the operator exists. Same memoized
+    //      node/edge/component build as dedup_clusters; the split adds
+    //      one broadcast-sized hash projection and two edge joins. ----
+    QueryDef(
+      "doc_leakage_safe_split",
+      (sp, dir) => {
+        val (_, half, comps) = clusteredDocs(sp, dir)
+        def bucket(c: org.apache.spark.sql.Column) = pmod(
+          conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long"),
+          lit(100L))
+        def splitOf(b: org.apache.spark.sql.Column) =
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        val assigned = comps.select(col("id").as("doc_id"),
+          splitOf(bucket(col("comp"))).as("split"),
+          splitOf(bucket(col("id"))).as("naive_split"))
+        def leaks(splitCol: String) = half
+          .join(assigned.select(col("doc_id").as("src"),
+            col(splitCol).as("s1")), Seq("src"))
+          .join(assigned.select(col("doc_id").as("dst"),
+            col(splitCol).as("s2")), Seq("dst"))
+          .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+            .as("value"))
+        val perSplit = assigned
+          .join(comps.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("comp")).as("n_clusters"))
+        perSplit.select(concat(col("split"), lit("_docs")).as("metric"),
+            col("n_docs").as("value"))
+          .unionByName(perSplit.select(
+            concat(col("split"), lit("_clusters")).as("metric"),
+            col("n_clusters").as("value")))
+          .unionByName(leaks("split")
+            .select(lit("leaky_pairs_grouped").as("metric"), col("value")))
+          .unionByName(leaks("naive_split")
+            .select(lit("leaky_pairs_naive").as("metric"), col("value")))
+          .orderBy("metric")
+      },
+      Some(
+        """WITH RECURSIVE
+          |  s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+          |        FROM documents WHERE doc_id % 10 = 0),
+          |  e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          |        FROM s a, s b WHERE a.doc_id < b.doc_id
+          |          AND len(list_intersect(a.w, b.w)) * 1.0
+          |              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9),
+          |  edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |  reach(id, r) AS (
+          |    SELECT doc_id, doc_id FROM s
+          |    UNION
+          |    SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+          |  comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          |  hbs AS (
+          |    SELECT id, comp,
+          |      CAST(list_sum(list_transform(generate_series(1, 12),
+          |        i -> (strpos('0123456789abcdef',
+          |                substr(md5(CAST(comp AS VARCHAR)), i, 1)) - 1)
+          |             * (CAST(1 AS BIGINT) << (4 * (12 - i))))) AS BIGINT)
+          |        % 100 AS hbc,
+          |      CAST(list_sum(list_transform(generate_series(1, 12),
+          |        i -> (strpos('0123456789abcdef',
+          |                substr(md5(CAST(id AS VARCHAR)), i, 1)) - 1)
+          |             * (CAST(1 AS BIGINT) << (4 * (12 - i))))) AS BIGINT)
+          |        % 100 AS hbi
+          |    FROM comps),
+          |  asg AS (
+          |    SELECT id AS doc_id, comp,
+          |      CASE WHEN hbc < 80 THEN 'train'
+          |           WHEN hbc < 90 THEN 'valid' ELSE 'test' END AS split,
+          |      CASE WHEN hbi < 80 THEN 'train'
+          |           WHEN hbi < 90 THEN 'valid' ELSE 'test' END AS naive_split
+          |    FROM hbs),
+          |  per AS (SELECT split, count(*) AS n_docs,
+          |                 count(DISTINCT comp) AS n_clusters
+          |          FROM asg GROUP BY 1)
+          |SELECT split || '_docs' AS metric, CAST(n_docs AS BIGINT) AS value
+          |FROM per
+          |UNION ALL
+          |SELECT split || '_clusters', CAST(n_clusters AS BIGINT) FROM per
+          |UNION ALL
+          |SELECT 'leaky_pairs_grouped',
+          |       CAST(sum(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END)
+          |            AS BIGINT)
+          |FROM e JOIN asg a1 ON a1.doc_id = e.src
+          |       JOIN asg a2 ON a2.doc_id = e.dst
+          |UNION ALL
+          |SELECT 'leaky_pairs_naive',
+          |       CAST(sum(CASE WHEN a1.naive_split <> a2.naive_split
+          |                     THEN 1 ELSE 0 END) AS BIGINT)
+          |FROM e JOIN asg a1 ON a1.doc_id = e.src
+          |       JOIN asg a2 ON a2.doc_id = e.dst
+          |ORDER BY metric""".stripMargin),
+    ),
+
     // ---- PageRank over the near-dup similarity graph (same memoized
     //      node/edge build as dedup_clusters): the centrality signal a
     //      curation pipeline uses to weight canonical documents inside
