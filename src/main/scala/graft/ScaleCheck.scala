@@ -175,7 +175,8 @@ object ScaleCheck {
     "q_bfs_reach", "stream_anti_join_equiv", "stream_right_outer_join_equiv",
     "stream_sliding_window_equiv", "dq_seasonal_anomaly", "emb_kmeans",
     "lake_mv_join_refresh", "stream_tws_equiv", "lake_shallow_clone",
-    "dedup_containment", "doc_leakage_safe_split")
+    "dedup_containment", "doc_leakage_safe_split", "q_string_agg",
+    "dq_fd_profile")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Third tranche: pivot, correlated-style aggregates, array aggregation,
@@ -74,6 +75,117 @@ object Relational3 {
       Some(
         """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, count(*) AS n
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ---- ORDERED string aggregation (LISTAGG / string_agg ... ORDER BY):
+    //      per order-priority, the top-5 customers by total price as one
+    //      deterministic CSV. The rank cap bounds the string at any
+    //      corpus size (an unbounded group listagg is a driver/row-size
+    //      hazard at 100 TB); Spark has no ordered string_agg, so the
+    //      order is carried explicitly — collect (rn, key) structs,
+    //      array_sort (struct ordering = rn first), project, join. ----
+    QueryDef(
+      "q_string_agg",
+      (sp, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("price_cents").desc, col("o_custkey"))
+        Tables.orders(sp, dir)
+          .groupBy("o_orderpriority", "o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("price_cents"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("o_orderpriority")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn"),
+              col("o_custkey").cast("string").as("ck")))),
+            x => x.getField("ck")), ",").as("top_custs"),
+            sum("price_cents").as("top5_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT o_orderpriority, o_custkey,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |              AS BIGINT) AS price_cents
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+          |           ORDER BY price_cents DESC, o_custkey) AS rn
+          |  FROM t)
+          |SELECT o_orderpriority,
+          |       string_agg(CAST(o_custkey AS VARCHAR), ',' ORDER BY rn)
+          |         AS top_custs,
+          |       CAST(sum(price_cents) AS BIGINT) AS top5_cents
+          |FROM r WHERE rn <= 5
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // ---- FUNCTIONAL-DEPENDENCY profiler (the data-profiling check that
+    //      proposes constraints): for each candidate FD X → Y, count the
+    //      X-keys carrying more than one distinct Y — 0 means the FD
+    //      holds and can be promoted to a constraint. One hash aggregate
+    //      per FD at (X)-grain, map-side partials, output one row per
+    //      candidate: a profiler shape that stays flat at any corpus.
+    //      Candidates chosen so the gate exercises BOTH verdicts:
+    //      c_nationkey → nation name holds by construction; user_id →
+    //      event_type is false (users emit many types). ----
+    QueryDef(
+      "dq_fd_profile",
+      (sp, dir) => {
+        def fd(name: String, grouped: DataFrame) = grouped
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("n_y") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+            when(col("n_violating") === 0, "HOLDS").otherwise("VIOLATED")
+              .as("verdict"))
+        val custNation = Tables.customer(sp, dir)
+          .join(Tables.nation(sp, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_nationkey")
+          .agg(countDistinct(col("n_name")).as("n_y"))
+        val userType = Tables.events(sp, dir)
+          .groupBy("user_id")
+          .agg(countDistinct(col("event_type")).as("n_y"))
+        val orderCust = Tables.orders(sp, dir)
+          .groupBy("o_orderkey")
+          .agg(countDistinct(col("o_custkey")).as("n_y"))
+        fd("c_nationkey->n_name", custNation)
+          .unionByName(fd("o_orderkey->o_custkey", orderCust))
+          .unionByName(fd("user_id->event_type", userType))
+          .orderBy("fd")
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT c_nationkey, count(DISTINCT n_name) AS n_y
+          |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1),
+          |b AS (
+          |  SELECT o_orderkey, count(DISTINCT o_custkey) AS n_y
+          |  FROM orders GROUP BY 1),
+          |c AS (
+          |  SELECT user_id, count(DISTINCT event_type) AS n_y
+          |  FROM events GROUP BY 1)
+          |SELECT 'c_nationkey->n_name' AS fd, count(*) AS n_keys,
+          |       CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_violating,
+          |       CASE WHEN sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) = 0
+          |            THEN 'HOLDS' ELSE 'VIOLATED' END AS verdict
+          |FROM a
+          |UNION ALL
+          |SELECT 'o_orderkey->o_custkey', count(*),
+          |       CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |       CASE WHEN sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) = 0
+          |            THEN 'HOLDS' ELSE 'VIOLATED' END
+          |FROM b
+          |UNION ALL
+          |SELECT 'user_id->event_type', count(*),
+          |       CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |       CASE WHEN sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) = 0
+          |            THEN 'HOLDS' ELSE 'VIOLATED' END
+          |FROM c
+          |ORDER BY fd""".stripMargin),
     ),
 
     // ---- explode/unnest: global top-20 tokens across the corpus ----
