@@ -188,6 +188,59 @@ object Relational3 {
           |ORDER BY fd""".stripMargin),
     ),
 
+    // ---- OHLC RESAMPLING (time-series bars): per (event_type, 6-hour
+    //      bucket) the open/high/low/close of the value stream — the
+    //      downsampling shape every metrics/market pipeline runs. ONE
+    //      hash aggregate at bucket grain (map-side partials; never a
+    //      window over the raw stream, which would single-task hot
+    //      buckets at 100 TB). Open/close pick the value at the
+    //      earliest/latest (ts, event_id) — the tie-break rides a
+    //      ZERO-PADDED string key (lexicographic = numeric for padded
+    //      non-negatives), because min_by/arg_min over a composite is
+    //      engine-specific while string ordering is not, and epoch_us ×
+    //      1e6 + event_id overflows int64. ----
+    QueryDef(
+      "q_ohlc_bars",
+      (sp, dir) => {
+        val ev = Tables.events(sp, dir)
+        val cents = round(col("value") * 100).cast("long")
+        val key = concat(
+          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 20, "0"))
+        ev.select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"),
+            cents.as("cents"), key.as("k"))
+          .groupBy("event_type", "bucket")
+          .agg(min_by(col("cents"), col("k")).as("open_cents"),
+            max(col("cents")).as("high_cents"),
+            min(col("cents")).as("low_cents"),
+            max_by(col("cents"), col("k")).as("close_cents"),
+            count(lit(1)).as("n_events"))
+          .withColumn("bucket_start",
+            timestamp_micros(col("bucket") * lit(21600000000L)))
+          .select("event_type", "bucket_start", "open_cents", "high_cents",
+            "low_cents", "close_cents", "n_events")
+          .orderBy("event_type", "bucket_start")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) // 21600000000 AS bucket,
+          |         CAST(round(value * 100) AS BIGINT) AS cents,
+          |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+          |           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+          |  FROM events)
+          |SELECT event_type,
+          |       make_timestamp(bucket * 21600000000) AS bucket_start,
+          |       CAST(arg_min(cents, k) AS BIGINT) AS open_cents,
+          |       CAST(max(cents) AS BIGINT) AS high_cents,
+          |       CAST(min(cents) AS BIGINT) AS low_cents,
+          |       CAST(arg_max(cents, k) AS BIGINT) AS close_cents,
+          |       count(*) AS n_events
+          |FROM e GROUP BY 1, 2
+          |ORDER BY event_type, bucket_start""".stripMargin),
+    ),
+
     // ---- explode/unnest: global top-20 tokens across the corpus ----
     QueryDef(
       "q_top_tokens",
