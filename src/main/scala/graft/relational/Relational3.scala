@@ -241,6 +241,56 @@ object Relational3 {
           |ORDER BY event_type, bucket_start""".stripMargin),
     ),
 
+    // ---- EXACT WEIGHTED MEDIAN per group (lower weighted median: the
+    //      smallest value whose cumulative weight reaches half the
+    //      total — percentile_cont has no weighted form in either
+    //      engine, so the operator is built from first principles).
+    //      Values collapse to (group, value)-grain with summed weights
+    //      FIRST, so the cumulative window walks distinct values — both
+    //      deterministic (no tie-order dependence) and skew-proof (the
+    //      window partition is value-distinct-bounded, not row-bounded,
+    //      at 100 TB). All integer: cents values, integer weights,
+    //      2·cum ≥ total comparison — no float crosses the compare. ----
+    QueryDef(
+      "q_weighted_median",
+      (sp, dir) => {
+        val d = Tables.events(sp, dir)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"),
+            (col("user_id") % 10 + 1).cast("long").as("w"))
+          .groupBy("event_type", "cents")
+          .agg(sum("w").as("w"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("cents")
+        val tot = d.groupBy("event_type").agg(sum("w").as("tw"))
+        d.withColumn("cw", sum("w").over(win))
+          .join(broadcast(tot), Seq("event_type"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("event_type")
+          .agg(min("cents").as("wmedian_cents"))
+          .join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("wmedian_cents"),
+            col("tw").as("total_weight"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+          |         CAST(sum(user_id % 10 + 1) AS BIGINT) AS w
+          |  FROM events GROUP BY 1, 2),
+          |c AS (
+          |  SELECT event_type, cents, w,
+          |         sum(w) OVER (PARTITION BY event_type ORDER BY cents
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          |         sum(w) OVER (PARTITION BY event_type) AS tw
+          |  FROM d)
+          |SELECT event_type,
+          |       CAST(min(cents) FILTER (WHERE cw * 2 >= tw) AS BIGINT)
+          |         AS wmedian_cents,
+          |       CAST(max(tw) AS BIGINT) AS total_weight
+          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
     // ---- explode/unnest: global top-20 tokens across the corpus ----
     QueryDef(
       "q_top_tokens",
