@@ -86,6 +86,12 @@ object Bench {
     warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
     warm("stream_stateful_landings")(
       graft.stream.StreamQueries.prebuildStatefulLandings(spark, sfDir))
+    // memoized session builds whose FIRST consumer would otherwise pay the
+    // build in its timed pass — and whose retime second pass would then
+    // time warm-cache work the first pass didn't (best-of-two would drop
+    // the build cost from the headline silently)
+    warm("clustered_docs")(
+      graft.operators.OperatorQueries.prebuildClusteredDocs(spark, sfDir))
     // Host-load context makes contended runs SELF-IDENTIFYING: same-binary
     // totals on this box swing ~30% with co-tenant load (BASELINE.md),
     // and the signature of interference — uniform inflation across
@@ -152,8 +158,16 @@ object Bench {
       "lake_stream_versioned", // delete-only mergeCdc: devices already gone
       "lake_mv_refresh",       // view already at head: empty incremental fold
       "lake_mv_join_refresh")  // both watermarks at head: fold is a no-op
-    val retimeK = sys.env.get("SPARK_GRAFT_RETIME_K").map(_.toInt)
-      .getOrElse(15)
+    // a malformed value must not kill the bench AFTER every query already
+    // ran — warn and fall back to the default instead
+    val retimeK = sys.env.get("SPARK_GRAFT_RETIME_K").flatMap { v =>
+      try Some(v.trim.toInt)
+      catch { case _: NumberFormatException =>
+        System.err.println(s"[bench] ignoring malformed " +
+          s"SPARK_GRAFT_RETIME_K='$v' (want an integer); using 15")
+        None
+      }
+    }.getOrElse(15)
     val retimeNames = results.toSeq.sortBy { case (n, s) => (-s, n) }
       .iterator.map(_._1).filterNot(retimeUnsafe).take(retimeK).toSeq
     val secondPass = retimeNames.flatMap { name =>
@@ -169,6 +183,29 @@ object Bench {
     }.toMap
     val best = results.map { case (n, s) =>
       n -> math.min(s, secondPass.getOrElse(n, s)) }
+    // ---- pin-vs-pin regression flag: best-of-two is an OPTIMISTIC
+    // estimator by construction (it corrects co-tenant inflation but would
+    // also let an occasionally-reproducing slowdown report its fast mode).
+    // The check that retime cannot launder: compare each row's best-of-two
+    // against the PREVIOUS round's quiet-host pin — a genuine regression
+    // reproduces in both passes, so even the best exceeds the prior pin,
+    // while one-pass contamination does not survive the min(). Prior pins
+    // live in a flat {"name":sec,...} file regenerated from each round's
+    // closing quiet bench; absent file → empty flag (first round, or a
+    // run outside the repo root).
+    val priorPinsPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_PINS",
+      "tools/pins_prev.json")
+    val priorPins: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(priorPinsPath)
+        val txt = try src.mkString finally src.close()
+        "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val pinRegressed = best.toSeq.flatMap { case (n, s) =>
+      priorPins.get(n).filter(p => p > 0.0 && s > p * 1.5)
+        .map(p => (n, p, s))
+    }.sortBy { case (n, p, s) => (-(s / p), n) }
     val loadEnd =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")
@@ -208,6 +245,11 @@ object Bench {
       }.mkString("{", ",", "}")
     val retimeSaved = retimeNames.filter(secondPass.contains)
       .map(n => results(n) - best(n)).sum
+    // summary-line form capped at 8 entries (the retime_corrected size
+    // discipline); n_pin_regressed carries the uncapped count
+    val pinRegJson = pinRegressed.take(8).map { case (n, p, s) =>
+      s"\"" + n + "\":[" + r3(p) + "," + r3(s) + "]"
+    }.mkString("{", ",", "}")
     def strList(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failJson = strList(failed.toList.sorted)
@@ -235,7 +277,7 @@ object Bench {
     // the total), the per-query map is ordered FASTEST-FIRST so the
     // slowest timings sit at the line's end, and total_sec + the load
     // fields repeat AFTER the map for tail captures.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem_start":"$psiMemStart","psi_io_start":"$psiIoStart","psi_mem_end":"$psiMemEnd","psi_io_end":"$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"retimed":$retimedAll,"queries":$qs,"total_sec":${r3(total)},"failed_tail":$failJson,"warmup_failed_tail":$warmJson,"loadavg_start_tail":"$loadStart","loadavg_end_tail":"$loadEnd","n_jvms_tail":$jvms}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem_start":"$psiMemStart","psi_io_start":"$psiIoStart","psi_mem_end":"$psiMemEnd","psi_io_end":"$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retimed":$retimedAll,"queries":$qs,"total_sec":${r3(total)},"failed_tail":$failJson,"warmup_failed_tail":$warmJson,"loadavg_start_tail":"$loadStart","loadavg_end_tail":"$loadEnd","n_jvms_tail":$jvms}""")
     // LINE 2 — a compact summary emitted LAST, sized (~1.3 KB at the full
     // registry) to sit WHOLE inside the driver's ~2 KB stdout TAIL capture:
     // the r14 artifact kept only the slowest ~73 of 188 per-query timings
@@ -249,7 +291,7 @@ object Bench {
     // retime_corrected carries the (first, second) pairs for rows the
     // second pass improved >20% — empty on a quiet host, the contamination
     // evidence on a loud one — capped at 8 entries to bound line size.
-    println(s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20}""")
+    println(s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20}""")
     spark.stop()
   }
 }

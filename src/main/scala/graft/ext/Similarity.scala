@@ -483,6 +483,12 @@ object Similarity {
     val init = emb.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
     require(init.length == k, s"corpus smaller than k=$k")
+    // Duplicate quantized seeds would leave an iteration-1 cluster empty,
+    // where Scala keeps the stale centroid but the SQL oracle's regrouping
+    // drops the cid — a silent cross-engine divergence. Fail loudly.
+    require(init.map(_.toSeq).distinct.length == k,
+      s"k=$k seed vectors are not pairwise-distinct after quantization; " +
+        "an empty cluster would diverge from the replay oracle")
     val dim = init.head.length
     var cents: Seq[Array[Long]] = init.toSeq
     def assign(): DataFrame = {

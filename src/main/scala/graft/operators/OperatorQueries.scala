@@ -64,6 +64,19 @@ object OperatorQueries {
       (docs, edges, comps)
     })
 
+  /** Bench warm-up hook: force the memoized clusteredDocs build (docs,
+    * pair graph, components) so the alphabetically-first consumer row
+    * times its QUERY, not the shared one-time corpus build — and so the
+    * retime pass's second invocation measures the same work as the first
+    * (best-of-two would otherwise silently drop the build cost from the
+    * headline total).
+    */
+  def prebuildClusteredDocs(sp: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (docs, edges, comps) = clusteredDocs(sp, dir)
+    docs.count(); edges.count(); comps.count()
+  }
+
   /** Corpus minhash-signature index paths, one per (session, dir) — see
     * `dedup_incremental`: built on first screening, reused after.
     */

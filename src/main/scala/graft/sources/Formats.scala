@@ -29,6 +29,104 @@ object Formats {
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
+  private val avroFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Avro writer/reader schema for the lineitem slice — the record-oriented
+    * fourth landing format. This distribution ships avro core + avro-mapred
+    * but NOT the spark-avro connector, so the source is built on the public
+    * `AvroKeyInputFormat`/`AvroKeyOutputFormat` (the same split-aware
+    * container-file machinery spark-avro wraps): reads split on the Avro
+    * sync markers like any HDFS input, so a 100 TB Avro landing zone scans
+    * with full partition parallelism. Avro is row-oriented — there is no
+    * column pruning inside a block by design — which is exactly why the
+    * engine's lake converts landed Avro to parquet/ORC for analytics; this
+    * source covers the LANDING read (schema declared, values exact).
+    */
+  private val avroSchemaJson: String =
+    """{"type":"record","name":"lineitem_slice","namespace":"graft","fields":[
+      |{"name":"l_orderkey","type":"long"},
+      |{"name":"l_returnflag","type":"string"},
+      |{"name":"l_linestatus","type":"string"},
+      |{"name":"l_quantity","type":"long"},
+      |{"name":"price_cents","type":"long"}]}""".stripMargin
+
+  /** One Avro object-container copy of the deterministic lineitem slice,
+    * written DISTRIBUTEDLY (one container file per partition via
+    * `saveAsNewAPIHadoopFile`) and cached per SF dir — the registered row
+    * times the read, not the one-time conversion.
+    */
+  private[graft] def avroFixtureFor(spark: SparkSession, dir: String): String =
+    avroFixtures.computeIfAbsent(dir, _ => {
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericRecord}
+      import org.apache.avro.mapred.AvroKey
+      import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+      import org.apache.hadoop.io.NullWritable
+      val slice = Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      val root = graft.pipeline.Scratch.dir("formats")
+      val path = s"$root/lineitem_avro"
+      val job = org.apache.hadoop.mapreduce.Job
+        .getInstance(spark.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(job,
+        new Schema.Parser().parse(avroSchemaJson))
+      val sj = avroSchemaJson
+      slice.rdd.mapPartitions { it =>
+        // parse once per partition; Schema is not serializable-stable
+        // across Avro versions, so the JSON string travels instead
+        val sch = new Schema.Parser().parse(sj)
+        it.map { r =>
+          val rec = new GenericData.Record(sch)
+          rec.put("l_orderkey", java.lang.Long.valueOf(r.getLong(0)))
+          rec.put("l_returnflag", r.getString(1))
+          rec.put("l_linestatus", r.getString(2))
+          rec.put("l_quantity", java.lang.Long.valueOf(r.getLong(3)))
+          rec.put("price_cents", java.lang.Long.valueOf(r.getLong(4)))
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }.saveAsNewAPIHadoopFile(path,
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+      path
+    })
+
+  /** Batch-read an Avro container-file directory into a DataFrame with the
+    * declared reader schema. Record objects from the Hadoop reader are
+    * REUSED between `next()` calls, so every field is copied out into a
+    * fresh Row before the iterator advances — the documented
+    * newAPIHadoopFile contract.
+    */
+  private[graft] def readAvroSlice(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+    import org.apache.hadoop.io.NullWritable
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(avroSchemaJson))
+    val rows = spark.sparkContext.newAPIHadoopFile(path,
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      job.getConfiguration)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        org.apache.spark.sql.Row(
+          rec.get("l_orderkey").asInstanceOf[java.lang.Long].longValue(),
+          rec.get("l_returnflag").toString,
+          rec.get("l_linestatus").toString,
+          rec.get("l_quantity").asInstanceOf[java.lang.Long].longValue(),
+          rec.get("price_cents").asInstanceOf[java.lang.Long].longValue())
+      }
+    spark.createDataFrame(rows, csvSchema)
+  }
+
   private val csvSchema = StructType(Seq(
     StructField("l_orderkey", LongType),
     StructField("l_returnflag", StringType),
@@ -136,6 +234,36 @@ object Formats {
           |       CAST(max(l_orderkey) AS BIGINT) AS max_key
           |FROM lineitem
           |WHERE l_orderkey % 7 = 0 AND CAST(l_quantity AS BIGINT) <= 40
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+    // Avro container-file batch read (the record-oriented landing format,
+    // via the split-aware AvroKeyInputFormat — see avroSchemaJson's scale
+    // note). Same oracle-vs-parquet-original design as the other three:
+    // any value drift through the Avro writer/reader fails the hash.
+    QueryDef(
+      "q_avro_source",
+      (sp, dir) => {
+        val path = avroFixtureFor(sp, dir)
+        readAvroSlice(sp, path)
+          .filter(col("l_quantity").between(5, 45))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(col("price_cents")).cast("long").as("sum_cents"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents,
+          |       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+          |       CAST(max(l_orderkey) AS BIGINT) AS max_key
+          |FROM lineitem
+          |WHERE l_orderkey % 7 = 0
+          |  AND CAST(l_quantity AS BIGINT) BETWEEN 5 AND 45
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
   )

@@ -45,6 +45,28 @@ class FormatsSpec extends SparkSpec {
     assert(json === want)
   }
 
+  test("Avro container round-trip agrees cell-exactly with the parquet original") {
+    val want = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").cast("long"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.toSeq).toSet
+    val path = graft.sources.Formats.avroFixtureFor(spark, dir)
+    val got = graft.sources.Formats.readAvroSlice(spark, path)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // the distributed write produced real Avro object-container files
+    // (magic "Obj"), one per non-empty input partition
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    val magic = new Array[Byte](4)
+    val in = new java.io.FileInputStream(files.head)
+    try in.read(magic) finally in.close()
+    assert(magic.toSeq === Seq[Byte]('O', 'b', 'j', 1))
+  }
+
   test("FAILFAST fails loudly on a malformed row instead of nulling it") {
     val root = graft.pipeline.Scratch.dir("formats_failfast")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))

@@ -435,6 +435,28 @@ class PlanSpec extends SparkSpec {
       s"cartesian in anomaly plan:\n$p")
   }
 
+  test("kAnonLadder: group sizes are aggregates broadcast back, never windows") {
+    // the ladder is load-bearing for BOTH privacy rows: a refactor to
+    // count(*) OVER (PARTITION BY QI) would single-task the largest
+    // equivalence class at 100 TB — a cliff CORRECTNESS would never catch
+    // (the oracle uses windows precisely because DuckDB is single-node)
+    for (row <- Seq("dq_k_anonymity", "dq_l_diversity")) {
+      val p = plan(q(row))
+      assert(distinctOps(p, "Window") == 0,
+        s"$row plans a Window over QI partitions:\n$p")
+      // nation dim + both ladder-level group-size frames come back as
+      // broadcast joins (QI-combo-bounded at any corpus size)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$row lost its broadcast-back group sizes:\n$p")
+      assert(distinctOps(p, "SortMergeJoin") == 0 &&
+        distinctOps(p, "ShuffledHashJoin") == 0,
+        s"$row shuffles a join that must broadcast:\n$p")
+      assert(distinctOps(p, "CartesianProduct") == 0 &&
+        distinctOps(p, "BroadcastNestedLoopJoin") == 0,
+        s"$row degenerated to a non-equi join:\n$p")
+    }
+  }
+
   test("q_grid_neighbor_join: stencil join is a pure shuffled equi-join") {
     val p = plan(q("q_grid_neighbor_join"))
     // both sides are corpus-sized: broadcast never applies, and the cell
