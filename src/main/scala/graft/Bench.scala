@@ -68,6 +68,7 @@ object Bench {
     warm("delete_fixture")(graft.pipeline.PipelineQueries.prebuildDeleteFixture(spark, sfDir))
     warm("dv_fixture")(graft.pipeline.PipelineQueries.prebuildDvFixture(spark, sfDir))
     warm("clone_src_fixture")(graft.pipeline.PipelineQueries.prebuildCloneSrcFixture(spark, sfDir))
+    warm("cmap_src_fixture")(graft.pipeline.PipelineQueries.prebuildCmapSrcFixture(spark, sfDir))
     warm("dv_purge_fixture")(graft.pipeline.PipelineQueries.prebuildDvPurgeFixture(spark, sfDir))
     warm("dv_count_fixture")(graft.pipeline.PipelineQueries.prebuildDvCountFixture(spark, sfDir))
     warm("merge_target")(graft.pipeline.PipelineQueries.prebuildMergeTarget(spark, sfDir))

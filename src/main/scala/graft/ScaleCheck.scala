@@ -176,7 +176,9 @@ object ScaleCheck {
     "stream_sliding_window_equiv", "dq_seasonal_anomaly", "emb_kmeans",
     "lake_mv_join_refresh", "stream_tws_equiv", "lake_shallow_clone",
     "dedup_containment", "doc_leakage_safe_split", "q_string_agg",
-    "dq_fd_profile", "q_ohlc_bars", "q_weighted_median")
+    "dq_fd_profile", "q_ohlc_bars", "q_weighted_median",
+    "q_avro_source", "lake_column_mapping", "stream_tws_timer_equiv",
+    "stream_chained_equiv")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -77,6 +77,30 @@ object PipelineQueries {
   def prebuildDvPurgeFixture(sp: org.apache.spark.sql.SparkSession,
       dir: String): String = dvFixture(sp, dir, "dvp")
 
+  /** Source table for `lake_column_mapping`: a versioned (user_id, day,
+    * cents) slice (days ≤ Jan-20), built once per (session, SF dir) — the
+    * row shallow-clones it per invocation and renames/drops on the clone,
+    * so the source is never mutated and re-runs repeat identical work.
+    * No stats manifest: rename refuses column-keyed maintenance artifacts
+    * by design.
+    */
+  private val cmapSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildCmapSrcFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    cmapSrcCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .filter(col("day") <= lit("2024-01-20").cast("date"))
+      val path = s"${Scratch.dir("cmsrc")}/t"
+      graft.sources.Lake.writeVersioned(sp,
+        base.repartitionByRange(4, col("day")), path)
+      path
+    })
+
   def prebuildDvCountFixture(sp: org.apache.spark.sql.SparkSession,
       dir: String): String = dvFixture(sp, dir, "dvc")
 
@@ -1784,6 +1808,74 @@ object PipelineQueries {
           |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
           |FROM events
           |ORDER BY side""".stripMargin),
+    ),
+
+    // ---- COLUMN MAPPING (Delta's rename/drop analog): a shallow clone
+    //      of the prebuilt source takes a METADATA-ONLY rename commit
+    //      (user_id→client_id, cents→amount_cents — zero data files
+    //      touched, so the same commit costs KBs on a 100 TB table), an
+    //      append lands in the NEW logical names (translated once to the
+    //      frozen physical names — old and new files stay mutually
+    //      readable), then a metadata-only DROP of `day`. The output
+    //      reads the head under the new names (post-drop: 2 columns) AND
+    //      time-travels to v1 under the OLD names (3 columns) — per-
+    //      version maps are the whole feature. The n_cols literals pin
+    //      drop visibility (a drop that failed to hide the column reads
+    //      3≠2 and breaks the hash); the cohort split keyed by the
+    //      RENAMED column pins that values flow through the projection.
+    //      Clone + both commits are metadata-sized; the appended batch is
+    //      5 days of events — re-runs clone fresh, so the row is
+    //      deterministic and retime-safe. ----
+    QueryDef(
+      "lake_column_mapping",
+      (sp, dir) => {
+        val src = prebuildCmapSrcFixture(sp, dir)
+        val t = s"${Scratch.dir("cmap")}/t"
+        graft.sources.Lake.shallowClone(sp, src, t)
+        graft.sources.Lake.renameColumns(sp, t,
+          Map("user_id" -> "client_id", "cents" -> "amount_cents"))
+        val batch = Tables.events(sp, dir)
+          .select(col("user_id").as("client_id"),
+            to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("amount_cents"))
+          .filter(col("day").between(lit("2024-01-21").cast("date"),
+            lit("2024-01-25").cast("date")))
+        graft.sources.Lake.appendVersioned(sp, batch, t)
+        graft.sources.Lake.dropColumns(sp, t, Seq("day"))
+        val head = graft.sources.Lake.readVersioned(sp, t)
+        val pre = graft.sources.Lake.readVersioned(sp, t, Some(1L))
+        val headAgg = head
+          .groupBy((col("client_id") % 10).as("cohort"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("amount_cents")).as("sum_amount"))
+          .select(lit("head").as("era"), col("cohort"), col("n_rows"),
+            col("sum_amount"),
+            lit(head.schema.fields.length).cast("int").as("n_cols"))
+        val preAgg = pre
+          .filter(col("day") <= lit("2024-01-20").cast("date"))
+          .groupBy((col("user_id") % 10).as("cohort"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("sum_amount"))
+          .select(lit("v1").as("era"), col("cohort"), col("n_rows"),
+            col("sum_amount"),
+            lit(pre.schema.fields.length).cast("int").as("n_cols"))
+        headAgg.unionByName(preAgg).orderBy("era", "cohort")
+      },
+      Some(
+        """SELECT 'head' AS era, CAST(user_id % 10 AS BIGINT) AS cohort,
+          |       count(*) AS n_rows,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_amount,
+          |       CAST(2 AS INTEGER) AS n_cols
+          |FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+          |GROUP BY 2
+          |UNION ALL
+          |SELECT 'v1', CAST(user_id % 10 AS BIGINT), count(*),
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+          |       CAST(3 AS INTEGER)
+          |FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+          |GROUP BY 2
+          |ORDER BY era, cohort""".stripMargin),
     ),
 
     // ---- INCREMENTAL JOIN-VIEW MAINTENANCE: the delta-join algebra

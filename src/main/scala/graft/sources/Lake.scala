@@ -212,6 +212,23 @@ object Lake {
           s"batch $bid recorded but no versions under $path"))
       }
     }
+    // COLUMN-MAPPED table: the batch arrives in LOGICAL names and is
+    // translated ONCE to the frozen physical names, before any schema
+    // logic — the drift checks below then compare physical-vs-physical,
+    // and the published delta INHERITS the base's colmap (manifest
+    // resolution rule), so a concurrent rename rebases cleanly.
+    val headCm = colMapAtHead(spark, fs, path)
+    val dfP =
+      if (headCm.isEmpty) df
+      else {
+        val logical = headCm.map(_._1)
+        require(df.schema.fields.map(_.name).toSeq == logical,
+          s"appendVersioned($path): column-mapped table expects logical " +
+            s"columns (${logical.mkString(", ")}); frame has " +
+            s"(${df.schema.fieldNames.mkString(", ")})")
+        df.select(headCm.map { case (l, p) =>
+          org.apache.spark.sql.functions.col(l).as(p) }: _*)
+      }
     // SCHEMA EVOLUTION IS NOT A REFUSAL: a 24/7 stream appending through
     // this path must survive upstream column drift. Three cases:
     //   1. evolving table, batch matches the current LOGICAL schema →
@@ -227,7 +244,7 @@ object Lake {
     //      schema v2 via writeEvolving. Invalid drift (dropped column,
     //      narrowing) still refuses, loudly, inside writeEvolving.
     val priors = readSchemaManifests(spark, path)
-    def batchFields = df.schema.fields
+    def batchFields = dfP.schema.fields
       .map(f => f.name -> f.dataType.catalogString).toSeq
     // writeEvolving returns the SCHEMA version; this method's contract is
     // the TABLE version — re-read it after an evolving delegation
@@ -262,6 +279,11 @@ object Lake {
       val cur = org.apache.spark.sql.types.StructType.fromDDL(curDdl)
         .fields.map(f => f.name -> f.dataType.catalogString).toSeq
       if (batchFields != cur) {
+        // a column-mapped table cannot drift into the evolving chain: the
+        // chain's fold logic knows nothing of the physical-name map
+        require(headCm.isEmpty,
+          s"appendVersioned($path): schema drift on a column-mapped table " +
+            "is not supported - materializeMapping first")
         // constraint gate BEFORE the chain bootstrap: writeEvolving would
         // refuse a constrained table anyway, but only after the chain
         // manifest existed — leaving the forbidden constrained+evolving
@@ -292,18 +314,18 @@ object Lake {
     }
     def schemaCheck(baseDdl: String): Unit = {
       val prior = org.apache.spark.sql.types.StructType.fromDDL(baseDdl)
-      require(df.schema.fields.map(f =>
+      require(dfP.schema.fields.map(f =>
           (f.name, f.dataType.catalogString)).toSeq ==
           prior.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
         s"appendVersioned schema mismatch: table has ${prior.toDDL}, " +
-          s"frame has ${df.schema.toDDL}")
+          s"frame has ${dfP.schema.toDDL}")
     }
     // constraints gate BEFORE any write: a violating batch refuses with
     // nothing on disk, not even an unpublished claimed dir. The batch is
     // persisted around gate + write so the caller's (possibly expensive)
     // plan runs once, not twice.
     val cs = checkConstraints(spark, path)
-    val batch = if (cs.nonEmpty) df.persist() else df
+    val batch = if (cs.nonEmpty) dfP.persist() else dfP
     val fresh =
       try {
         if (cs.nonEmpty)
@@ -536,6 +558,8 @@ object Lake {
       s"readChangeFeed: fromVersion $fromVersion > toVersion $toVersion")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "readChangeFeed")  // feed rows would expose
+    // physical names, and deltas across a rename version would mix eras
     ensureVersionManifests(spark, path)
     require(fs.exists(versionsDir(path)), s"no versions under $path")
     val all = manifestVersions(fs, path)
@@ -1028,12 +1052,151 @@ object Lake {
     val dfs = dhp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!dfs.exists(versionsDir(dstPath)),
       s"$dstPath is already a versioned table")
+    // `../` references relativize scheme-less PATHS and later resolve
+    // against the CLONE's filesystem — across filesystems (s3a→hdfs,
+    // cross-bucket) they would point at nonexistent files and fail only
+    // at first read. Refuse loudly at clone time instead.
+    require(sfs.getUri == dfs.getUri,
+      s"shallowClone: source and destination live on different " +
+        s"filesystems (${sfs.getUri} vs ${dfs.getUri}); relative " +
+        "references cannot cross them - deep-copy instead")
     val rel = java.nio.file.Paths.get(rootPath(dfs, dhp))
       .relativize(java.nio.file.Paths.get(rootPath(sfs, shp))).toString
     writeVersionManifest(spark, dfs, dstPath, 1L, m.schemaDdl,
-      m.entries.map { case (f, n) => (s"$rel/$f", n) }, op = Some("clone"))
+      m.entries.map { case (f, n) => (s"$rel/$f", n) }, op = Some("clone"),
+      colmap = m.colmap)
     writeVersionPointer(spark, dfs, dstPath, 1L)
     1L
+  }
+
+  /** METADATA-ONLY column rename (Delta's column-mapping rename): publish a
+    * new version whose manifest carries a logical→physical name map — not
+    * one data file is touched, so a rename on a 100 TB table is a KB-sized
+    * commit. Reads of the new version resolve through the map (one alias
+    * projection Catalyst folds into the scan); time travel to a
+    * pre-rename version returns THAT version's names, because each
+    * manifest carries its own map. The manifest's `schema` field keeps
+    * describing the PHYSICAL file schema, so every internal scan path
+    * stays byte-identical.
+    *
+    * Physical names are FROZEN at first mapping: a second rename re-maps
+    * logical names onto the same physical columns (Delta freezes physical
+    * ids the same way). Operations that scan or rewrite by physical
+    * column names refuse on mapped tables ([[requireNoColMap]]);
+    * [[materializeMapping]] rewrites once under the logical names and
+    * clears the map.
+    *
+    * @return the published version
+    */
+  def renameColumns(spark: SparkSession, path: String,
+      renames: Map[String, String]): Long = {
+    require(renames.nonEmpty, "renameColumns: empty rename set")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; rename through writeEvolving's " +
+        "renames parameter instead")
+    ensureVersionManifests(spark, path)
+    if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    val v0 = readVersionPointer(fs, path)
+      .getOrElse(manifestVersions(fs, path).last)
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val cm0: Seq[(String, String)] =
+      if (m0.colmap.nonEmpty) m0.colmap
+      else org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+        .fields.toSeq.map(f => (f.name, f.name))
+    val logical0 = cm0.map(_._1)
+    requireNoMaintenanceArtifacts(spark, fs, path, "renameColumns")
+    renames.foreach { case (from, to) =>
+      require(logical0.contains(from),
+        s"renameColumns: '$from' is not a column of $path@v$v0 " +
+          s"(have: ${logical0.mkString(", ")})")
+      require(from != to, s"renameColumns: '$from' -> '$to' is a no-op")
+    }
+    val cm1 = cm0.map { case (l, p) => (renames.getOrElse(l, l), p) }
+    require(cm1.map(_._1).distinct.length == cm1.length,
+      s"renameColumns: resulting schema has duplicate column names " +
+        s"(${cm1.map(_._1).mkString(", ")})")
+    val next = v0 + 1
+    writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
+      base = v0, add = Nil, remove = Nil, op = Some("rename"),
+      colmap = cm1)
+    writeVersionPointer(spark, fs, path, next)
+    next
+  }
+
+  /** METADATA-ONLY column drop: publish a new version whose column map no
+    * longer carries the dropped logical columns — the physical data stays
+    * in the files untouched (time travel before the drop still reads it),
+    * and because the manifest's physical `schema` shrinks with the map,
+    * post-drop scans never even READ the dropped column (column pruning
+    * at the manifest, not just the reader). [[vacuum]]-of-versions never
+    * reclaims the bytes (the files are shared with pre-drop versions);
+    * [[materializeMapping]] is the rewrite that physically sheds them.
+    *
+    * @return the published version
+    */
+  def dropColumns(spark: SparkSession, path: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "dropColumns: empty column set")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; evolving drops are refused by " +
+        "design (writeEvolving's carry-or-rename contract)")
+    ensureVersionManifests(spark, path)
+    if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    val v0 = readVersionPointer(fs, path)
+      .getOrElse(manifestVersions(fs, path).last)
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    val phys = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+    val cm0: Seq[(String, String)] =
+      if (m0.colmap.nonEmpty) m0.colmap
+      else phys.fields.toSeq.map(f => (f.name, f.name))
+    requireNoMaintenanceArtifacts(spark, fs, path, "dropColumns")
+    cols.foreach(c => require(cm0.exists(_._1 == c),
+      s"dropColumns: '$c' is not a column of $path@v$v0 " +
+        s"(have: ${cm0.map(_._1).mkString(", ")})"))
+    val cm1 = cm0.filterNot(e => cols.contains(e._1))
+    require(cm1.nonEmpty, s"dropColumns: cannot drop every column of $path")
+    val keepPhys = cm1.map(_._2).toSet
+    val ddl1 = org.apache.spark.sql.types.StructType(
+      phys.fields.filter(f => keepPhys(f.name))).toDDL
+    val next = v0 + 1
+    writeVersionDelta(spark, fs, path, next, ddl1,
+      base = v0, add = Nil, remove = Nil, op = Some("drop"),
+      colmap = cm1)
+    writeVersionPointer(spark, fs, path, next)
+    next
+  }
+
+  /** Rewrite a column-mapped table ONCE under its logical names and clear
+    * the map (the purgeDeletes analog for column mapping): after this,
+    * physical == logical again and every physical-name operation
+    * (delete/merge/optimize/stats/…) works. Cost ∝ table bytes — the
+    * deliberate, explicit price; the rename/drop commits themselves stay
+    * metadata-only.
+    *
+    * @return (published version, files rewritten); (current, 0) when the
+    *         table carries no mapping
+    */
+  def materializeMapping(spark: SparkSession, path: String): (Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = readVersionPointer(fs, path)
+      .getOrElse(manifestVersions(fs, path).last)
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    if (m0.colmap.isEmpty) return (v0, 0L)
+    val logical = readManifestFiles(spark, fs, path, m0)
+    val (_, entries) = writeClaimedDir(spark, fs, path, logical)
+    val next = v0 + 1
+    writeVersionManifest(spark, fs, path, next, logical.schema.toDDL,
+      entries, op = Some("remap"))
+    writeVersionPointer(spark, fs, path, next)
+    (next, entries.size.toLong)
   }
 
   /** TIME-based retention vacuum — `VACUUM … RETAIN n HOURS` semantics on
@@ -1101,6 +1264,8 @@ object Lake {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ensureVersionManifests(spark, path)
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    requireNoColMap(spark, fs, path, "deleteWhere")  // pred names logical columns; the COW
+    // rewrite would also persist physical names under a stale map
     val root = rootPath(fs, hp)
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     // one base→publish delete pass; returns (base read, version published,
@@ -1258,6 +1423,7 @@ object Lake {
         "fixed-schema read path - use the copy-on-write deleteWhere")
     ensureVersionManifests(spark, path)
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    requireNoColMap(spark, fs, path, "deleteWhereDv")
     val root = rootPath(fs, hp)
     val statsDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     val v0 = readVersionPointer(fs, path).getOrElse {
@@ -1267,6 +1433,17 @@ object Lake {
     }
     val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
       sys.error(s"version $v0 has no manifest under $path"))
+    // Shallow-clone guard (the mirror of shallowClone's DV refusal): an
+    // external `../src` entry cannot be keyed table-relatively by
+    // relDataPathCol — the sidecar would record the SOURCE-absolute path,
+    // readers would re-prefix the clone root via resolveRef, the
+    // covered-set match would miss, and the tombstoned rows would
+    // silently reappear. Copy-on-write deleteWhere handles clones: it
+    // rewrites matched files under the clone's own root.
+    require(!m0.entries.exists(e => isExternalRef(e._1)),
+      s"$path@v$v0 holds shallow-clone external references; deletion " +
+        "vectors key files table-relatively and cannot cover them - use " +
+        "the copy-on-write deleteWhere (it localizes matched files)")
     val abs0 = m0.entries.map(e => resolveRef(root, e._1))
     val candidates: Seq[String] = filePrune match {
       case Some(keep) if fs.exists(statsDir) =>
@@ -1326,6 +1503,7 @@ object Lake {
       s"minDeletedFraction must be in [0,1], got $minDeletedFraction")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "purgeDeletes")
     ensureVersionManifests(spark, path)
     val v0 = readVersionPointer(fs, path).getOrElse {
       val vs = listVersions(spark, path)
@@ -1485,6 +1663,13 @@ object Lake {
       keyCols: Seq[String],
       filePrune: Option[org.apache.spark.sql.Column] = None,
       maxBroadcastKeys: Long = 1000000L): (Long, (Long, Long)) = {
+    // the colmap guard must precede the schema compare: on a mapped table
+    // the physical-vs-logical mismatch message would mislead (mergeImpl's
+    // own guard would also catch it, but only after this check)
+    requireNoColMap(spark,
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "mergeInto")
     // exact-schema contract for the plain upsert (the CDC form allows
     // extra source columns because the delete flag rides there)
     val priorDdl = currentSchemaDdl(spark, path)
@@ -1594,6 +1779,7 @@ object Lake {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "mergeInto")
     ensureVersionManifests(spark, path)
     requireNoDvs(spark, fs, path, "mergeInto")
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
@@ -1758,6 +1944,7 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return None
+    requireNoColMap(spark, fs, path, "commitStreamVersion")
     require(readSchemaManifests(spark, path).isEmpty,
       s"$path is a schema-evolving table; streamed commits assume the " +
         "sink's fixed schema (evolve via writeEvolving, not a stream)")
@@ -1897,9 +2084,11 @@ object Lake {
     if (v == v0) return v0 // restoring the latest is a no-op
     val next = v0 + 1
     // the restored version's live deletion vectors travel with it — a
-    // restore to a pre-purge version re-applies that version's sidecars
+    // restore to a pre-purge version re-applies that version's sidecars —
+    // and so does its column mapping (restoring past a rename restores
+    // that version's own logical names)
     writeVersionManifest(spark, fs, path, next, m.schemaDdl, m.entries,
-      op = Some("restore"), dv = m.dvs)
+      op = Some("restore"), dv = m.dvs, colmap = m.colmap)
     writeVersionPointer(spark, fs, path, next)
     next
   }
@@ -1937,6 +2126,7 @@ object Lake {
         "fixed-schema versioned write path")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "addCheckConstraint")
     // fail fast on unparseable SQL before publishing anything
     readVersioned(spark, path).filter(expr(sqlExpr)).limit(0).count()
     // PUBLISH FIRST, validate second, roll back on failure: once the
@@ -2120,7 +2310,7 @@ object Lake {
         writeVersionManifest(spark, fs, path, v, m.schemaDdl, m.entries,
           replace = true, ts = orig.flatMap(_.ts),
           streamBatchId = orig.flatMap(_.streamBatchId),
-          op = orig.flatMap(_.op), dv = m.dvs)
+          op = orig.flatMap(_.op), dv = m.dvs, colmap = m.colmap)
       }
     }
     val root = rootPath(fs, hp)
@@ -2216,6 +2406,7 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ensureVersionManifests(spark, path)
+    requireNoColMap(spark, fs, path, "optimizeVersioned")
     val v0 = readVersionPointer(fs, path).getOrElse {
       val vs = listVersions(spark, path)
       require(vs.nonEmpty, s"no versions under $path")
@@ -2374,6 +2565,7 @@ object Lake {
     require(targetFileRows > 0, "targetFileRows must be positive")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "rerangeVersioned")
     require(fs.exists(versionsDir(path)),
       s"$path carries no _graft_versions manifests; use rerange (in-place " +
         "dir swap) for plain tables")
@@ -2597,8 +2789,17 @@ object Lake {
   private[sources] case class DvEntry(dv: String, nDel: Long,
       files: Seq[String])
 
+  /** `colmap` — the COLUMN MAPPING (Delta's column-mapping analog): ordered
+    * (logical name, physical name) pairs covering the version's whole
+    * logical column set. `schemaDdl` always describes the PHYSICAL file
+    * schema (what a parquet scan of the entries resolves by name), so
+    * every internal scan path stays correct unchanged; the logical
+    * projection is applied once at the read surface. Empty = identity
+    * (no rename/drop ever committed) — the legacy form.
+    */
   private case class VersionManifest(version: Long, schemaDdl: String,
-      entries: Seq[(String, Long)], dvs: Seq[DvEntry] = Nil)
+      entries: Seq[(String, Long)], dvs: Seq[DvEntry] = Nil,
+      colmap: Seq[(String, String)] = Nil)
 
   /** Raw on-disk form: full (files defined) or delta (base defined).
     * `ts` is the commit wall-clock (epoch millis), stamped at publish and
@@ -2609,7 +2810,8 @@ object Lake {
       depth: Long, files: Option[Seq[(String, Long)]], base: Option[Long],
       add: Seq[(String, Long)], remove: Seq[String], ts: Option[Long],
       streamBatchId: Option[Long], op: Option[String],
-      dv: Seq[DvEntry] = Nil, dvAdd: Seq[DvEntry] = Nil)
+      dv: Seq[DvEntry] = Nil, dvAdd: Seq[DvEntry] = Nil,
+      colmap: Seq[(String, String)] = Nil)
 
   private val MaxChainDepth = 32L
 
@@ -2785,12 +2987,18 @@ object Lake {
         s""""files":${d.files.map(jsonStr).mkString("[", ",", "]")}}""")
       .mkString("[", ",", "]")
 
+  private def colmapJson(cm: Seq[(String, String)]): String =
+    cm.map { case (l, p) =>
+      s"""{"logical":${jsonStr(l)},"physical":${jsonStr(p)}}"""
+    }.mkString("[", ",", "]")
+
   private def writeVersionManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, entries: Seq[(String, Long)],
       replace: Boolean = false, ts: Option[Long] = None,
       streamBatchId: Option[Long] = None,
-      op: Option[String] = None, dv: Seq[DvEntry] = Nil): Unit = {
+      op: Option[String] = None, dv: Seq[DvEntry] = Nil,
+      colmap: Seq[(String, String)] = Nil): Unit = {
     // a fresh commit stamps now; a materialization rewrite (replace)
     // carries the original ts through — or keeps having NONE for
     // pre-timestamp manifests (stamping those "now" would teleport an old
@@ -2802,8 +3010,10 @@ object Lake {
       .map(b => s""""streamBatchId":$b,""").getOrElse("")
     val opField = op.map(o => s""""op":${jsonStr(o)},""").getOrElse("")
     val dvField = if (dv.isEmpty) "" else s""""dv":${dvJson(dv)},"""
+    val cmField =
+      if (colmap.isEmpty) "" else s""""colmap":${colmapJson(colmap)},"""
     writeManifestFile(fs, path, v,
-      s"""{"version":$v,$tsField$bidField$opField$dvField""" +
+      s"""{"version":$v,$tsField$bidField$opField$dvField$cmField""" +
         s""""schema":${jsonStr(schemaDdl)},""" +
         s""""depth":0,"files":${entriesJson(entries)}}""",
       replace)
@@ -2818,7 +3028,8 @@ object Lake {
       fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
       schemaDdl: String, base: Long, add: Seq[(String, Long)],
       remove: Seq[String], streamBatchId: Option[Long] = None,
-      op: Option[String] = None, dvAdd: Seq[DvEntry] = Nil): Unit = {
+      op: Option[String] = None, dvAdd: Seq[DvEntry] = Nil,
+      colmap: Seq[(String, String)] = Nil): Unit = {
     val parentDepth = readRawManifest(spark, fs, path, base)
       .map(_.depth).getOrElse(
         sys.error(s"delta base version $base has no manifest under $path"))
@@ -2828,16 +3039,20 @@ object Lake {
       writeVersionManifest(spark, fs, path, v, schemaDdl,
         resolved.entries.filterNot(e => rm(e._1)) ++ add,
         streamBatchId = streamBatchId, op = op,
-        dv = applyDvDelta(resolved.dvs, rm, dvAdd))
+        dv = applyDvDelta(resolved.dvs, rm, dvAdd),
+        // a checkpoint never inherits: materialize the effective mapping
+        colmap = if (colmap.nonEmpty) colmap else resolved.colmap)
     } else {
       val removeJson = remove.map(jsonStr).mkString("[", ",", "]")
       val bidField = streamBatchId
         .map(b => s""""streamBatchId":$b,""").getOrElse("")
       val opField = op.map(o => s""""op":${jsonStr(o)},""").getOrElse("")
       val dvField = if (dvAdd.isEmpty) "" else s""""dvAdd":${dvJson(dvAdd)},"""
+      val cmField =
+        if (colmap.isEmpty) "" else s""""colmap":${colmapJson(colmap)},"""
       writeManifestFile(fs, path, v,
         s"""{"version":$v,"ts":${System.currentTimeMillis()},$bidField""" +
-          s"""$opField$dvField"schema":${jsonStr(schemaDdl)},""" +
+          s"""$opField$dvField$cmField"schema":${jsonStr(schemaDdl)},""" +
           s""""depth":${parentDepth + 1},"base":$base,""" +
           s""""add":${entriesJson(add)},"remove":$removeJson}""",
         replace = false)
@@ -2884,6 +3099,9 @@ object Lake {
             DvEntry(e.get("path").asText, e.get("n_del").asLong,
               (0 until fl.size).map(fl.get(_).asText))
           })
+      val colmap = opt("colmap").fold(Seq.empty[(String, String)])(a =>
+        (0 until a.size).map(i =>
+          (a.get(i).get("logical").asText, a.get(i).get("physical").asText)))
       Some(RawManifest(n.get("version").asLong, n.get("schema").asText,
         opt("depth").fold(0L)(_.asLong),
         opt("files").map(_ => pairs("files")),
@@ -2894,7 +3112,8 @@ object Lake {
         opt("ts").map(_.asLong),
         opt("streamBatchId").map(_.asLong),
         opt("op").map(_.asText),
-        dv = dvEntries("dv"), dvAdd = dvEntries("dvAdd")))
+        dv = dvEntries("dv"), dvAdd = dvEntries("dvAdd"),
+        colmap = colmap))
     }
   }
 
@@ -2907,16 +3126,23 @@ object Lake {
     readRawManifest(spark, fs, path, v).map { raw =>
       raw.files match {
         case Some(entries) =>
-          VersionManifest(raw.version, raw.schemaDdl, entries, raw.dv)
+          VersionManifest(raw.version, raw.schemaDdl, entries, raw.dv,
+            raw.colmap)
         case None =>
           val base = readVersionManifest(spark, fs, path, raw.base.get)
             .getOrElse(sys.error(
               s"version ${raw.version} under $path resolves through " +
                 s"missing base ${raw.base.get} - manifest chain broken"))
           val rm = raw.remove.toSet
+          // a delta that carries no colmap INHERITS its base's: the mapping
+          // covers the full column set whenever active, so "explicitly
+          // empty" never occurs on deltas — only a full checkpoint
+          // (materializeMapping) clears it. Inheritance means a delta
+          // writer that forgot to thread the map cannot silently strip it.
           VersionManifest(raw.version, raw.schemaDdl,
             base.entries.filterNot(e => rm(e._1)) ++ raw.add,
-            applyDvDelta(base.dvs, rm, raw.dvAdd))
+            applyDvDelta(base.dvs, rm, raw.dvAdd),
+            if (raw.colmap.nonEmpty) raw.colmap else base.colmap)
       }
     }
 
@@ -2929,8 +3155,72 @@ object Lake {
       fs: org.apache.hadoop.fs.FileSystem, path: String,
       m: VersionManifest): DataFrame = {
     val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
-    readFilesWithDv(spark, fs, path, m,
-      m.entries.map(e => resolveRef(root, e._1)))
+    applyColMap(readFilesWithDv(spark, fs, path, m,
+      m.entries.map(e => resolveRef(root, e._1))), m.colmap)
+  }
+
+  /** Project a physically-named scan to the version's LOGICAL column set —
+    * the single point where a column mapping becomes visible. One
+    * zero-cost alias projection (names only, Catalyst folds it into the
+    * scan), applied per version so time travel across a rename returns
+    * each version's own names.
+    */
+  private def applyColMap(df: DataFrame,
+      colmap: Seq[(String, String)]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.select(colmap.map { case (l, p) =>
+      org.apache.spark.sql.functions.col(p).as(l) }: _*)
+
+  /** The HEAD version's column mapping (empty when none / not versioned) —
+    * the guard probe for operations that scan or rewrite physical files.
+    */
+  private def colMapAtHead(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(String, String)] =
+    if (!fs.exists(versionsDir(path))) Nil
+    else manifestVersions(fs, path).lastOption.map { last =>
+      val v = readVersionPointer(fs, path).getOrElse(last)
+      readVersionManifest(spark, fs, path, v).map(_.colmap).getOrElse(Nil)
+    }.getOrElse(Nil)
+
+  /** Refusal for operations whose scans/rewrites/predicates would bypass
+    * the logical-name projection (the [[requireNoDvs]] discipline):
+    * running them against physical names would either fail confusingly or
+    * silently expose/persist the wrong column names. The escape hatch is
+    * [[materializeMapping]] — rewrite once under logical names, then every
+    * operation works again.
+    */
+  private def requireNoColMap(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      opName: String): Unit = {
+    val cm = colMapAtHead(spark, fs, path)
+    require(cm.isEmpty,
+      s"$opName($path): table carries a column mapping (renamed/dropped " +
+        "columns); this operation works on physical file columns and " +
+        "would bypass the logical projection - materializeMapping first")
+  }
+
+  /** Rename/drop refuse while column-keyed maintenance artifacts exist:
+    * a skipping-stats manifest, bloom indexes, or CHECK constraints are
+    * all written against the pre-rename names, and appendVersioned
+    * auto-refreshes stats/bloom after every commit — a silently
+    * stale-keyed artifact (or a guard throw inside the append's publish
+    * loop) is exactly the failure mode this forbids. Drop them, rename,
+    * rebuild under the new names.
+    */
+  private def requireNoMaintenanceArtifacts(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      opName: String): Unit = {
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_stats")),
+      s"$opName($path): a data-skipping stats manifest exists and is " +
+        "keyed by the current column names - delete _graft_stats first " +
+        "and rebuild it (writeStats) after")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_bloom")),
+      s"$opName($path): bloom indexes exist and are keyed by the current " +
+        "column names - drop _graft_bloom first and rebuild after")
+    require(checkConstraints(spark, path).isEmpty,
+      s"$opName($path): CHECK constraints reference the current column " +
+        "names - drop them first and re-add against the new names")
   }
 
   /** Read a subset of a manifest's data files MERGE-ON-READ: files no dv
@@ -3142,6 +3432,7 @@ object Lake {
     // the tombstone anti-join needs — drifting a dv'd table would leave
     // its reads broken. Purge first; the refusal mirrors deleteWhereDv's.
     requireNoDvs(spark, fs, path, "writeEvolving")
+    requireNoColMap(spark, fs, path, "writeEvolving")
     // the constraint contract is two-sided: addCheckConstraint refuses
     // evolving tables, and a table that gained constraints while plain
     // refuses to start evolving. The guards are check-then-act, so a
@@ -3470,6 +3761,7 @@ object Lake {
     // retired files) — readVersioned composes both
     val hp0 = new org.apache.hadoop.fs.Path(path)
     val fs0 = hp0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs0, path, "writeStats")
     val source =
       if (fs0.exists(versionsDir(path))) readVersioned(spark, path)
       else if (readSchemaManifests(spark, path).nonEmpty)
@@ -3533,6 +3825,7 @@ object Lake {
     require(statsCols.nonEmpty, "appendStats needs at least one column")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "appendStats")
     val manifestDir = new org.apache.hadoop.fs.Path(path, "_graft_stats")
     if (!fs.exists(manifestDir)) return writeStats(spark, path, statsCols)
     val manifest = spark.read.json(manifestDir.toString)
@@ -3751,6 +4044,7 @@ object Lake {
   def stageAppend(spark: SparkSession, df: DataFrame, path: String): String = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "stageAppend")
     fs.mkdirs(hp)
     ensureVersionManifests(spark, path)
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
@@ -4140,8 +4434,12 @@ object Lake {
       full.limit(0)
     } else if (evolved) evolvedRead(spark, path, Some(files))
     // versioned tables are unpartitioned (our writers): no basePath, which
-    // over `v=N` rewrite dirs would hallucinate a `v` partition column
-    else if (versioned) spark.read.parquet(qualifyForRead(fs, files): _*)
+    // over `v=N` rewrite dirs would hallucinate a `v` partition column;
+    // a column-mapped table's subset reads project to logical names like
+    // any full read (skipping/probe/lookup callers see the same schema)
+    else if (versioned) applyColMap(
+      spark.read.parquet(qualifyForRead(fs, files): _*),
+      colMapAtHead(spark, fs, path))
     else spark.read.option("basePath", path)
       .parquet(qualifyForRead(fs, files): _*)
   }
@@ -4300,6 +4598,7 @@ object Lake {
       expectedPerFile: Long = 100000L, fpp: Double = 0.01): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "writeBloomIndex")
     val files = currentDataFiles(spark, fs, hp, path)
     val out = bloomDir(path, c)
     val staging = new org.apache.hadoop.fs.Path(path, s"._graft_bloom_build_${c}")
@@ -4323,6 +4622,7 @@ object Lake {
       expectedPerFile: Long = 100000L, fpp: Double = 0.01): Long = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "appendBloomIndex")
     val out = bloomDir(path, c)
     if (!fs.exists(out)) return writeBloomIndex(spark, path, c, expectedPerFile, fpp)
     val covered = spark.read.json(out.toString).select("file").collect()
@@ -4674,6 +4974,7 @@ object Lake {
     require(targetFileRows > 0, "targetFileRows must be positive")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "zorderVersioned")
     require(fs.exists(versionsDir(path)),
       s"$path carries no _graft_versions manifests; use zorderWrite for " +
         "plain tables")
@@ -4717,6 +5018,7 @@ object Lake {
       dropStreamingMetadata: Boolean = false): (Long, Long) = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "compact")
     recoverAside(fs, hp) // finish a publish a prior crash left half-done
     // a versioned table's v= dirs are not partitions and its files are
     // shared across version manifests: a dir rewrite would corrupt every

@@ -210,6 +210,81 @@ object StreamAggs {
         OutputMode.Update())
   }
 
+  /** Idle-tracking state for [[DeviceIdleProcessor]] (`last_ms` epoch). */
+  final case class IdleState(n_total: Long, last_ms: Long)
+  final case class DeviceStatus(device_id: String, n_total: Long,
+      last_ms: Long, status: String)
+
+  /** transformWithState EVENT-TIME TIMER exercise (`stream_tws_timer_equiv`):
+    * per device, every input batch re-arms one timer at the device's last
+    * reading + `timeoutMs`; when the watermark passes it (the device went
+    * silent) the timer FIRES and emits a final DEGRADED record from state.
+    * A later reading supersedes a premature mid-stream fire (its ACTIVE
+    * emission carries a higher batch id), so the last-emission-per-device
+    * answer equals the pure event-time condition the oracle replays:
+    * DEGRADED iff quantize(last + timeout) < final watermark.
+    *
+    * Timers are quantized UP to MINUTE grain and the row's sentinel
+    * watermark sits MID-minute, so no timer can ever land on the eviction
+    * boundary — whether Spark fires `<` or `<=` the watermark is
+    * unobservable, and the oracle's `<` is exact by construction.
+    */
+  class DeviceIdleProcessor(timeoutMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DeviceReading, DeviceStatus] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[IdleState] = _
+
+    private def quantizeUp(ts: Long): Long = ((ts + 59999L) / 60000L) * 60000L
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[IdleState](
+        "idle", org.apache.spark.sql.Encoders.product[IdleState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(deviceId: String,
+        rows: Iterator[DeviceReading],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DeviceStatus] = {
+      val prev = Option(state.get()).getOrElse(IdleState(0L, Long.MinValue))
+      var n = prev.n_total
+      var last = prev.last_ms
+      rows.foreach { r =>
+        n += 1
+        last = math.max(last, r.timestamp.getTime)
+      }
+      state.update(IdleState(n, last))
+      // RE-ARM: exactly one live timer per device — drop stale ones, then
+      // register at the new idle deadline (fired timers self-delete, so
+      // listTimers is only ever 0- or 1-element)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(quantizeUp(last + timeoutMs))
+      Iterator.single(DeviceStatus(deviceId, n, last, "ACTIVE"))
+    }
+
+    override def handleExpiredTimer(deviceId: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[DeviceStatus] = {
+      // state outlives the fire: a reading arriving later re-activates the
+      // device (and re-arms); until then the DEGRADED emission is final
+      Option(state.get()) match {
+        case Some(s) =>
+          Iterator.single(DeviceStatus(deviceId, s.n_total, s.last_ms,
+            "DEGRADED"))
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  def deviceIdleTws(readings: Dataset[DeviceReading],
+      timeoutMs: Long): Dataset[DeviceStatus] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.device_id)
+      .transformWithState(new DeviceIdleProcessor(timeoutMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
   /** Shared per-batch fold: event-ordered suspect-streak + health score. */
   private[stream] def foldReadings(prev: DeviceHealth,
       rows: Iterator[DeviceReading]): DeviceHealth = {

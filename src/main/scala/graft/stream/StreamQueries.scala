@@ -915,6 +915,113 @@ object StreamQueries {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // ---- stream_chained_equiv: two stateful operators in ONE query --------
+  //
+  // Spark-4 multi-stateful support: a time-interval stream-stream JOIN
+  // feeding a tumbling-window AGGREGATE inside a single streaming query —
+  // the first shape a real pipeline composes, and the one every current
+  // stream row avoids (each has exactly one stateful operator).
+  //
+  // Watermark-delay algebra across the two operators: with lateness L on
+  // both inputs and join condition view_ts ∈ [purchase_ts − 1h,
+  // purchase_ts], the join's OUTPUT watermark is min(input watermarks)
+  // minus the 1h condition range — Spark's propagation (SPARK-42376)
+  // delays the downstream aggregate's late threshold by exactly that
+  // range, so a pair emitted late by the join (its view arrived last) is
+  // never late FOR THE AGGREGATE. The aggregate then finalizes window W
+  // when that propagated watermark passes W.end. The landing makes both
+  // ends deterministic the sessions-row way: L = 720h swallows the whole
+  // 2024 data span (no real row is ever late, no join state evicts
+  // mid-drain), per-side sentinels (2030/2031, mtime-AFTER the data, 3
+  // data files + 2 sentinels at 2/trigger → the 2031 sentinel's batch
+  // runs with watermark 2030−720h≈2029) land every real window behind
+  // the watermark, and the calendar filter drops the sentinels' own
+  // windows on both engines. Sentinel users (−1 views, −2 purchases)
+  // can never join — they move watermarks only.
+
+  private val chainedLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def chainedLandingsFor(spark: SparkSession,
+      dir: String): (String, String) =
+    chainedLandings.computeIfAbsent(dir, _ => {
+      val ev = Tables.events(spark, dir)
+      val vDir = Scratch.dir("stream_chained_views")
+      val pDir = Scratch.dir("stream_chained_purch")
+      ev.select(col("user_id"), date_format(col("ts"), tsFmt).as("view_ts"))
+        .repartitionByRange(3, col("user_id")).write.json(vDir)
+      ev.filter(col("event_id") % 29 === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts") + expr("INTERVAL 30 MINUTES"), tsFmt)
+            .as("purchase_ts"))
+        .repartitionByRange(3, col("purchase_id")).write.json(pDir)
+      Thread.sleep(1100)
+      def sentinel(d: String, name: String, body: String): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(d, name),
+          body.getBytes("UTF-8"))
+      sentinel(vDir, "zz-sentinel-1.json",
+        """{"user_id":-1,"view_ts":"2030-01-01 00:00:00.000000"}""")
+      sentinel(pDir, "zz-sentinel-1.json",
+        """{"purchase_id":-1,"user_id":-2,"purchase_ts":"2030-01-01 00:00:00.000000"}""")
+      Thread.sleep(20)
+      sentinel(vDir, "zz-sentinel-2.json",
+        """{"user_id":-1,"view_ts":"2031-01-01 00:00:00.000000"}""")
+      sentinel(pDir, "zz-sentinel-2.json",
+        """{"purchase_id":-2,"user_id":-2,"purchase_ts":"2031-01-01 00:00:00.000000"}""")
+      (vDir, pDir)
+    })
+
+  private def streamChainedEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val (vDir, pDir) = chainedLandingsFor(spark, dir)
+    val root = Scratch.dir("stream_chained")
+    val views = jsonStream(spark, vDir, viewSchema, Some(2))
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+    val purchases = jsonStream(spark, pDir, purchaseSchema, Some(2))
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+    val joined = StreamAggs.purchaseViewJoin(views, purchases,
+      joinType = "inner",
+      viewLateness = "720 hours", purchaseLateness = "720 hours")
+    // SECOND stateful operator, same query: attribution pairs per
+    // purchase hour, finalized by the join's propagated watermark
+    val agg = joined
+      .groupBy(window(col("purchase_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("user_id")).as("sum_uid"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_pairs"), col("sum_uid"))
+    drainToParquet(agg, s"$root/sink", s"$root/ckpt", shards = 2)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("window_start") < lit("2029-01-01").cast("timestamp"))
+      .orderBy("window_start")
+  }
+
+  // The join replay is the inner-join oracle's; the window replay floors
+  // purchase_ts to the epoch-aligned hour in exact integer micros.
+  private val chainedOracle =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |         ts + INTERVAL 30 MINUTE AS purchase_ts
+      |  FROM events WHERE event_id % 29 = 0),
+      |j AS (
+      |  SELECT p.user_id, p.purchase_ts
+      |  FROM p JOIN events v
+      |    ON p.user_id = v.user_id
+      |   AND v.ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |   AND v.ts <= p.purchase_ts),
+      |w AS (
+      |  SELECT make_timestamp((epoch_us(purchase_ts) // 3600000000)
+      |           * 3600000000) AS window_start,
+      |         user_id
+      |  FROM j)
+      |SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       count(*) AS n_pairs,
+      |       CAST(sum(user_id) AS BIGINT) AS sum_uid
+      |FROM w
+      |WHERE window_start < TIMESTAMP '2029-01-01'
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
   // ---- stream_tws_equiv: transformWithState device health ---------------
   //
   // The Spark-4 arbitrary-state API (StatefulProcessor + typed ValueState
@@ -1027,6 +1134,161 @@ object StreamQueries {
           .as("health_score"))
       .orderBy("device_id")
   }
+
+  // ---- stream_tws_timer_equiv: event-time timers + idle timeout ----------
+  //
+  // The transformWithState feature its plain row leaves unexercised:
+  // EVENT-TIME TIMERS. Per device the processor re-arms one timer at
+  // last-reading + timeout; a device silent past the timeout emits a
+  // final DEGRADED record when the watermark passes the timer
+  // (StreamAggs.DeviceIdleProcessor). Determinism discipline:
+  //  - readings are the event_id % 8 == 0 sample over user_id % 256
+  //    devices (sparse per device, so the last-reading spread straddles
+  //    the cut and BOTH verdicts appear at both SFs);
+  //  - timeout T = span/4 and the sentinel watermark sits at
+  //    quantize(base + hi + span/8) + 30s: a device is DEGRADED iff its
+  //    timer (minute-quantized) < that watermark — and because timers
+  //    land on minute boundaries while the watermark sits MID-minute,
+  //    Spark's <-vs-<= eviction boundary is unobservable;
+  //  - TWO sentinel slices: sentinel A carries the watermark value,
+  //    sentinel B forms the batch DURING which (wm = A's ts) the timers
+  //    fire — AvailableNow needs a batch after the watermark advances;
+  //  - a premature mid-stream fire (device idle across early batches) is
+  //    superseded by the device's later ACTIVE emission: the answer is
+  //    the last emission per (device, _bid) with ACTIVE winning a
+  //    same-batch tie, which equals the oracle's pure end-state replay.
+
+  private val twsTimerLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val twsTimerBase = 1704067200000L
+
+  /** (lo, hi) of the sampled reading ids — the constants both the landing
+    * and the oracle derive the timeout/watermark from.
+    */
+  private def twsTimerBounds(spark: SparkSession, dir: String): (Long, Long) = {
+    val mm = Tables.events(spark, dir).filter(col("event_id") % 8 === 0)
+      .agg(min("event_id"), max("event_id")).head()
+    (mm.getLong(0), mm.getLong(1))
+  }
+
+  private def twsTimerLandingFor(spark: SparkSession, dir: String): String =
+    twsTimerLandings.computeIfAbsent(dir, _ => {
+      val l = Scratch.dir("stream_tws_timer_landing")
+      val frame = Tables.events(spark, dir)
+        .filter(col("event_id") % 8 === 0)
+        .select(
+          concat(lit("dev-"), (col("user_id") % 256).cast("string"))
+            .as("device_id"),
+          date_format(timestamp_millis(lit(twsTimerBase)
+            + col("event_id") * 60000L), tsFmt).as("ts"),
+          expr(qualityCaseSql).as("quality_flag"),
+          col("value"), col("event_id"))
+      val (lo, hi) = twsTimerBounds(spark, dir)
+      // one reading-slot per MINUTE: the idle spans must dwarf the timer
+      // quantization grain (at sf0.001 a ms-per-id clock spans under one
+      // minute and every timer would quantize past the watermark)
+      val span = (hi - lo) * 60000L
+      val sentA =
+        ((twsTimerBase + hi * 60000L + span / 8) / 60000L) * 60000L + 30000L
+      // B re-uses A's timestamp ON PURPOSE: its batch is what fires the
+      // timers (watermark = A's ts), and any trailing no-data batch then
+      // sees the SAME watermark — a later B would advance it and fire an
+      // extra hour of timers past the oracle's cut (observed at sf0.001)
+      val sentB = sentA
+      val (c1, c2) = (lo + span / 3, lo + 2 * (span / 3))
+      def slice(df: DataFrame): Unit = {
+        df.coalesce(1).write.mode("append").json(l)
+        Thread.sleep(1100)
+      }
+      slice(frame.filter(col("event_id") <= c1).drop("event_id"))
+      slice(frame.filter(col("event_id") > c1 && col("event_id") <= c2)
+        .drop("event_id"))
+      slice(frame.filter(col("event_id") > c2).drop("event_id"))
+      def sentinel(name: String, ts: Long): DataFrame =
+        spark.range(1).select(lit(name).as("device_id"),
+          date_format(timestamp_millis(lit(ts)), tsFmt).as("ts"),
+          lit("Good").as("quality_flag"), lit(0.0).as("value"))
+      slice(sentinel("sentinel-a", sentA))
+      slice(sentinel("sentinel-b", sentB))
+      l
+    })
+
+  private def streamTwsTimerEquiv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val landing = twsTimerLandingFor(spark, dir)
+    val (lo, hi) = twsTimerBounds(spark, dir)
+    val timeoutMs = (hi - lo) * 60000L / 4
+    val root = Scratch.dir("stream_tws_timer")
+    val sink = s"$root/sink"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    val shardKey = "spark.sql.shuffle.partitions"
+    val savedShards = spark.conf.get(shardKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(shardKey, "4")
+    try {
+      val readings = jsonStream(spark, landing, twsSchema, Some(2))
+        .select(col("device_id"), col("ts").cast("timestamp").as("timestamp"),
+          col("quality_flag"), col("value"))
+        .withWatermark("timestamp", "0 seconds")
+        .as[StreamAggs.DeviceReading]
+      val q = StreamAggs.deviceIdleTws(readings, timeoutMs)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamAggs.DeviceStatus],
+            bid: Long) =>
+          batch.toDF().withColumn("_bid", lit(bid))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(shardKey, savedShards)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    // last emission per device; on a same-batch tie (stale timer fired in
+    // the batch that also delivered new readings) the ACTIVE emission wins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("device_id").orderBy(col("_bid").desc, col("status").asc)
+    spark.read.parquet(sink)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .filter(!col("device_id").startsWith("sentinel"))
+      .select(col("device_id"), col("n_total"), col("last_ms"), col("status"))
+      .orderBy("device_id")
+  }
+
+  private val twsTimerOracle =
+    """WITH p AS (
+      |  SELECT CAST(min(event_id) AS BIGINT) AS lo,
+      |         CAST(max(event_id) AS BIGINT) AS hi
+      |  FROM events WHERE event_id % 8 = 0),
+      |r AS (
+      |  SELECT 'dev-' || CAST(user_id % 256 AS VARCHAR) AS device_id,
+      |         CAST(1704067200000 + event_id * 60000 AS BIGINT) AS ts_ms
+      |  FROM events WHERE event_id % 8 = 0),
+      |c AS (
+      |  SELECT ((hi - lo) * 60000) // 4 AS t_ms,
+      |         ((1704067200000 + hi * 60000 + ((hi - lo) * 60000) // 8)
+      |           // 60000) * 60000 + 30000 AS wm_ms
+      |  FROM p),
+      |l AS (
+      |  SELECT device_id, CAST(count(*) AS BIGINT) AS n_total,
+      |         CAST(max(ts_ms) AS BIGINT) AS last_ms
+      |  FROM r GROUP BY 1)
+      |SELECT device_id, n_total, last_ms,
+      |       CASE WHEN ((last_ms + t_ms + 59999) // 60000) * 60000 < wm_ms
+      |            THEN 'DEGRADED' ELSE 'ACTIVE' END AS status
+      |FROM l CROSS JOIN c
+      |ORDER BY device_id""".stripMargin
 
   // The score's float ops are written identically on both sides (one
   // exact-integer division, one 0.1 scale forced to DOUBLE — DuckDB's
@@ -1275,6 +1537,8 @@ object StreamQueries {
     staticJoinLandingFor(spark, dir)
     sessionLandingFor(spark, dir)
     twsLandingFor(spark, dir)
+    twsTimerLandingFor(spark, dir)
+    chainedLandingsFor(spark, dir)
     cdcLandingFor(spark, dir)
     debeziumLandingFor(spark, dir)
   }
@@ -1301,6 +1565,10 @@ object StreamQueries {
     QueryDef("stream_sliding_window_equiv", streamSlidingWindowEquiv,
       Some(slidingWindowOracle)),
     QueryDef("stream_tws_equiv", streamTwsEquiv, Some(twsOracle)),
+    QueryDef("stream_tws_timer_equiv", streamTwsTimerEquiv,
+      Some(twsTimerOracle)),
+    QueryDef("stream_chained_equiv", streamChainedEquiv,
+      Some(chainedOracle)),
     QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
     QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),
   )

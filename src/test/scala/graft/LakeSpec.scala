@@ -2007,6 +2007,13 @@ class LakeSpec extends SparkSpec {
     // zero-copy: the clone holds NO data files, yet reads the full table
     assert(dataFiles(cl) == 0, "clone must not copy data files")
     assert(Lake.readVersioned(spark, cl).count() == 40)
+    // DV-deletes on a clone refuse: tombstones key files table-relatively
+    // and cannot cover external ../src references — without the guard the
+    // deleted rows would silently reappear on read (r16 ADVICE)
+    val dvOnClone = intercept[IllegalArgumentException](
+      Lake.deleteWhereDv(spark, cl, col("id") <= 10L))
+    assert(dvOnClone.getMessage.contains("external references"),
+      dvOnClone.getMessage)
     // delete on the clone: clone shrinks, source untouched (byte-level:
     // its file census is unchanged)
     Lake.deleteWhere(spark, cl, col("id") <= 10L)
@@ -2029,6 +2036,106 @@ class LakeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Lake.shallowClone(spark, dvSrc, tmp() + "/cldv2"))
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
+  test("column mapping: metadata-only rename, append, time travel, drop") {
+    val t = tmp() + "/cmap"
+    Lake.writeVersioned(spark,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), t)
+    val dataFilesBefore = new java.io.File(t).listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("v="))
+      .flatMap(_.listFiles()).count(f => f.getName.endsWith(".parquet"))
+    // rename is METADATA-ONLY: no new data file appears
+    val v2 = Lake.renameColumns(spark, t, Map("id" -> "key"))
+    assert(v2 == 2L)
+    val afterRename = new java.io.File(t).listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("v="))
+      .flatMap(_.listFiles()).count(f => f.getName.endsWith(".parquet"))
+    assert(afterRename == dataFilesBefore, "rename must not touch data files")
+    // head reads resolve through the map
+    val head = Lake.readVersioned(spark, t)
+    assert(head.schema.fieldNames.toSeq == Seq("key", "v"))
+    assert(head.count() == 20)
+    assert(head.filter(col("key") <= 5L).count() == 5)
+    // time travel BEFORE the rename returns that version's own names
+    val v1 = Lake.readVersioned(spark, t, Some(1L))
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(v1.filter(col("id") <= 5L).count() == 5)
+    // append arrives in the NEW logical names; old and new files read as one
+    Lake.appendVersioned(spark,
+      Seq((21L, 210L), (22L, 220L)).toDF("key", "v"), t)
+    val merged = Lake.readVersioned(spark, t)
+    assert(merged.count() == 22)
+    assert(merged.filter(col("key") === 21L).select("v")
+      .collect().head.getLong(0) == 210L)
+    // a second rename re-maps onto the SAME frozen physical names
+    Lake.renameColumns(spark, t, Map("key" -> "pk"))
+    assert(Lake.readVersioned(spark, t).schema.fieldNames.toSeq
+      == Seq("pk", "v"))
+    assert(Lake.readVersioned(spark, t)
+      .agg(sum(col("pk"))).collect().head.getLong(0) == (1L to 22L).sum)
+    // metadata-only DROP: column disappears at head, survives in history
+    Lake.dropColumns(spark, t, Seq("v"))
+    assert(Lake.readVersioned(spark, t).schema.fieldNames.toSeq == Seq("pk"))
+    assert(Lake.readVersioned(spark, t, Some(1L)).schema.fieldNames.toSeq
+      == Seq("id", "v"), "pre-drop version keeps its own full schema")
+    // appends after the drop carry the reduced logical set
+    Lake.appendVersioned(spark, Seq(Tuple1(23L)).toDF("pk"), t)
+    assert(Lake.readVersioned(spark, t).count() == 23)
+  }
+
+  test("column mapping: mutation ops refuse; materializeMapping clears") {
+    val t = tmp() + "/cmapg"
+    Lake.writeVersioned(spark,
+      (1L to 10L).map(i => (i, i * 2L)).toDF("id", "v"), t)
+    Lake.renameColumns(spark, t, Map("id" -> "key"))
+    // physical-name operations refuse loudly instead of silently drifting
+    for ((name, op) <- Seq[(String, () => Any)](
+      ("deleteWhere", () => Lake.deleteWhere(spark, t, col("key") === 1L)),
+      ("deleteWhereDv", () => Lake.deleteWhereDv(spark, t, col("key") === 1L)),
+      ("mergeInto", () => Lake.mergeInto(spark, t,
+        Seq((1L, 5L)).toDF("key", "v"), Seq("key"))),
+      ("optimizeVersioned", () => Lake.optimizeVersioned(spark, t)),
+      ("writeStats", () => Lake.writeStats(spark, t, Seq("key"))),
+      ("readChangeFeed", () => Lake.readChangeFeed(spark, t, 1L, 2L)))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("column mapping"), s"$name: ${e.getMessage}")
+    }
+    // restore to the pre-rename version restores the old names
+    val restored = Lake.restoreVersion(spark, t, 1L)
+    assert(Lake.readVersioned(spark, t, Some(restored))
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // re-rename, then materializeMapping rewrites once and clears the map
+    Lake.renameColumns(spark, t, Map("id" -> "key"))
+    val (mv, rewritten) = Lake.materializeMapping(spark, t)
+    assert(rewritten > 0)
+    assert(Lake.readVersioned(spark, t, Some(mv))
+      .schema.fieldNames.toSeq == Seq("key", "v"))
+    // the map is gone: physical-name ops work again
+    Lake.deleteWhere(spark, t, col("key") === 1L)
+    assert(Lake.readVersioned(spark, t).count() == 9)
+    // rename refuses while column-keyed maintenance artifacts exist
+    Lake.writeStats(spark, t, Seq("key"))
+    val e2 = intercept[IllegalArgumentException](
+      Lake.renameColumns(spark, t, Map("key" -> "k2")))
+    assert(e2.getMessage.contains("stats"), e2.getMessage)
+  }
+
+  test("column mapping survives vacuum's checkpoint materialization") {
+    val t = tmp() + "/cmapv"
+    Lake.writeVersioned(spark,
+      (1L to 10L).map(i => (i, i * 2L)).toDF("id", "v"), t)
+    Lake.appendVersioned(spark, Seq((11L, 22L)).toDF("id", "v"), t)
+    Lake.renameColumns(spark, t, Map("v" -> "val"))
+    Lake.appendVersioned(spark, Seq((12L, 24L)).toDF("id", "val"), t)
+    // drop the early versions; the kept chain is re-checkpointed
+    Lake.vacuum(spark, t, keepLast = 2, orphanGraceMs = 0L)
+    val head = Lake.readVersioned(spark, t)
+    assert(head.schema.fieldNames.toSeq == Seq("id", "val"))
+    assert(head.count() == 12)
+    assert(head.agg(sum(col("val"))).collect().head.getLong(0)
+      == (1L to 12L).map(_ * 2L).sum)
   }
 
   test("join-view incremental fold equals recompute across fact+dim changes") {
