@@ -87,4 +87,43 @@ object Graph {
           col("q2") > col("q")), "left_anti")
       .select("id", "cents", "sz", "q")
   }
+
+  /** SYNCHRONOUS label propagation (community detection), `rounds` fixed
+    * iterations: every node starts as its own label; each round every
+    * node adopts the most frequent label among its neighbors, ties
+    * broken by SMALLEST label — the deterministic variant (classic async
+    * LPA is order-dependent and un-oracle-able). Isolated nodes keep
+    * their own label.
+    *
+    * Scale shape: one round = one equi-join of the edge list against the
+    * label frame (shuffle on the join key) + one (node, label)-grain hash
+    * aggregate + one node-grain argmax via `max(struct(count, -label))`
+    * — an AGGREGATE, deliberately not a window over node partitions, so
+    * a celebrity node costs a skewed group, not a single-task sort.
+    * State per round is one row per node; lineage is cut per round
+    * (localCheckpoint, the [[ConnectedComponents]]/[[PageRank]]
+    * discipline) so the plan stays round-sized instead of growing
+    * exponentially.
+    *
+    * @param nodes one `id` column; @param edges SYMMETRIC (src, dst)
+    * @return (id, lab) — the community label after `rounds`
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to rounds) {
+      val freq = edges
+        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
+        .groupBy(col("src").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val best = freq.groupBy("id")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("b"))
+        .select(col("id"), (-col("b.nl")).as("newlab"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -521,6 +521,64 @@ object OperatorQueries {
           |SELECT id AS doc_id, r AS pr_fp FROM r3 ORDER BY doc_id""".stripMargin),
     ),
 
+    // ---- LABEL PROPAGATION (community detection) over the same memoized
+    //      near-dup graph: 3 synchronous rounds, each node adopting its
+    //      neighbors' most frequent label with ties to the SMALLEST label
+    //      (the deterministic variant — classic async LPA is arrival-
+    //      order-dependent and un-oracle-able). Per round: one edge⋈label
+    //      equi-join + one (node, label) hash aggregate + one node-grain
+    //      argmax via max(struct(count, -label)) — an aggregate, NOT a
+    //      window over node partitions (a celebrity node costs a skewed
+    //      group, never a single-task sort); lineage cut per round.
+    //      Oracle: 3 unrolled replay rounds over the identical edge
+    //      derivation, argmax via row_number(c DESC, lab ASC). ----
+    QueryDef(
+      "q_label_propagation",
+      (sp, dir) => {
+        val (docs, half, _) = clusteredDocs(sp, dir)
+        val edges = half.union(half.select(col("dst").as("src"),
+          col("src").as("dst")))
+        Graph.labelPropagation(docs.select(col("doc_id").as("id")), edges,
+          rounds = 3)
+          .select(col("id").as("doc_id"), col("lab").cast("long").as("lpa_label"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+          |           FROM documents WHERE doc_id % 10 = 0),
+          |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          |      FROM s a, s b WHERE a.doc_id < b.doc_id
+          |        AND len(list_intersect(a.w, b.w)) * 1.0
+          |            / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9),
+          |edges AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+          |r0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS lab FROM s),
+          |f1 AS (SELECT e.src AS id, r.lab, count(*) AS c
+          |       FROM edges e JOIN r0 r ON r.id = e.dst GROUP BY 1, 2),
+          |b1 AS (SELECT id, lab FROM (
+          |         SELECT id, lab, row_number() OVER (
+          |           PARTITION BY id ORDER BY c DESC, lab) AS rn FROM f1)
+          |       WHERE rn = 1),
+          |r1 AS (SELECT r.id, CAST(coalesce(b.lab, r.lab) AS BIGINT) AS lab
+          |       FROM r0 r LEFT JOIN b1 b ON b.id = r.id),
+          |f2 AS (SELECT e.src AS id, r.lab, count(*) AS c
+          |       FROM edges e JOIN r1 r ON r.id = e.dst GROUP BY 1, 2),
+          |b2 AS (SELECT id, lab FROM (
+          |         SELECT id, lab, row_number() OVER (
+          |           PARTITION BY id ORDER BY c DESC, lab) AS rn FROM f2)
+          |       WHERE rn = 1),
+          |r2 AS (SELECT r.id, CAST(coalesce(b.lab, r.lab) AS BIGINT) AS lab
+          |       FROM r1 r LEFT JOIN b2 b ON b.id = r.id),
+          |f3 AS (SELECT e.src AS id, r.lab, count(*) AS c
+          |       FROM edges e JOIN r2 r ON r.id = e.dst GROUP BY 1, 2),
+          |b3 AS (SELECT id, lab FROM (
+          |         SELECT id, lab, row_number() OVER (
+          |           PARTITION BY id ORDER BY c DESC, lab) AS rn FROM f3)
+          |       WHERE rn = 1),
+          |r3 AS (SELECT r.id, CAST(coalesce(b.lab, r.lab) AS BIGINT) AS lab
+          |       FROM r2 r LEFT JOIN b3 b ON b.id = r.id)
+          |SELECT id AS doc_id, lab AS lpa_label FROM r3 ORDER BY doc_id""".stripMargin),
+    ),
+
     // ---- Pareto frontier (skyline: minimize price, maximize size) via
     //      SORT-SWEEP windows — the scale-right plan for 2D skylines.
     //      The textbook NOT-EXISTS-dominator formulation is a quadratic

@@ -104,6 +104,30 @@ object PipelineQueries {
   def prebuildDvCountFixture(sp: org.apache.spark.sql.SparkSession,
       dir: String): String = dvFixture(sp, dir, "dvc")
 
+  /** Source table for `lake_symlink_export`: versioned events slice with a
+    * COW week-delete already applied, so the head manifest holds BOTH
+    * carried-by-reference files and a delete rewrite while RETIRED files
+    * still sit on disk — the export's live-files-only property is
+    * load-bearing (listing a retired file resurrects the deleted week).
+    */
+  private val symlinkSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildSymlinkFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    symlinkSrcCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val path = s"${Scratch.dir("slsrc")}/t"
+      graft.sources.Lake.writeVersioned(sp,
+        base.repartitionByRange(4, col("day")), path)
+      graft.sources.Lake.deleteWhere(sp, path,
+        col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+      path
+    })
+
   /** Versioned per-user-totals target for `lake_merge_upsert`, built once
     * per (session, SF dir) — in production the upsert TARGET long
     * predates any batch; Bench prebuilds it so the query times the MERGE.
@@ -1876,6 +1900,40 @@ object PipelineQueries {
           |FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
           |GROUP BY 2
           |ORDER BY era, cohort""".stripMargin),
+    ),
+
+    // ---- SYMLINK MANIFEST EXPORT (Delta GENERATE analog): external-
+    //      engine interop — the export lists the CURRENT version's live
+    //      files as absolute URIs, and the query then reads THROUGH that
+    //      listing as plain parquet, exactly like Trino/Presto/Athena
+    //      would. The fixture's head holds carried references + a delete
+    //      rewrite while the retired pre-delete files still sit on disk:
+    //      listing a retired file resurrects the deleted week, missing a
+    //      live file drops days — either breaks the hash. Export is
+    //      metadata-only (∝ file count); re-export overwrites the same
+    //      snapshot, so the row is deterministic and retime-safe. ----
+    QueryDef(
+      "lake_symlink_export",
+      (sp, dir) => {
+        val src = prebuildSymlinkFixture(sp, dir)
+        graft.sources.Lake.exportSymlinkManifest(sp, src)
+        // the external-engine read path: the listing, then plain parquet
+        val files = sp.read.textFile(s"$src/_symlink_format_manifest/manifest")
+          .collect().toSeq.filter(_.nonEmpty)
+        sp.read.parquet(files: _*)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08'
+          |                               AND DATE '2024-01-14'
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
 
     // ---- INCREMENTAL JOIN-VIEW MAINTENANCE: the delta-join algebra

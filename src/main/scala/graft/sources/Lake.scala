@@ -1199,6 +1199,56 @@ object Lake {
     (next, entries.size.toLong)
   }
 
+  /** Delta's `GENERATE symlink_format_manifest` analog — EXTERNAL-ENGINE
+    * interop: write `_symlink_format_manifest/manifest`, one absolute
+    * qualified data-file URI per line for the CURRENT version, so engines
+    * that speak plain parquet + a file listing (Trino/Presto/Athena/Hive
+    * via SymlinkTextInputFormat) read the versioned table WITHOUT
+    * understanding its manifests. Metadata-only: cost ∝ live-file count,
+    * never bytes; atomic tmp+rename publish; re-export after a commit
+    * overwrites (like Delta, the export is a SNAPSHOT — stale until
+    * regenerated, which is the documented contract of the feature).
+    *
+    * Refusals keep the external read HONEST: live deletion vectors
+    * (an external engine cannot apply tombstones — purge first) and
+    * column mappings (it would read physical names — materialize first)
+    * refuse loudly.
+    *
+    * @return number of files listed
+    */
+  def exportSymlinkManifest(spark: SparkSession, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(versionsDir(path)),
+      s"$path carries no _graft_versions manifests - nothing to export")
+    val v0 = readVersionPointer(fs, path)
+      .getOrElse(manifestVersions(fs, path).last)
+    val m0 = readVersionManifest(spark, fs, path, v0).getOrElse(
+      sys.error(s"version $v0 has no manifest under $path"))
+    require(m0.dvs.isEmpty,
+      s"exportSymlinkManifest($path): table carries live deletion " +
+        "vectors; an external engine cannot apply tombstones - " +
+        "purgeDeletes first")
+    require(m0.colmap.isEmpty,
+      s"exportSymlinkManifest($path): table carries a column mapping; " +
+        "an external engine would read physical names - " +
+        "materializeMapping first")
+    val root = rootPath(fs, hp)
+    val uris = m0.entries.map(e => fs.makeQualified(
+      new org.apache.hadoop.fs.Path(resolveRef(root, e._1))).toString)
+    val dir = new org.apache.hadoop.fs.Path(path, "_symlink_format_manifest")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, "manifest")
+    val out = fs.create(tmp, true)
+    out.write((uris.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    uris.size.toLong
+  }
+
   /** TIME-based retention vacuum — `VACUUM … RETAIN n HOURS` semantics on
     * the commit stamps: keep every version committed within `retainMs` of
     * now (and always the newest), drop the rest, then reclaim files and

@@ -275,6 +275,45 @@ object StreamAggs {
     }
   }
 
+  /** transformWithState TTL exercise: a per-key running count whose
+    * ValueState expires `ttlMs` after its last write (processing-time
+    * TTL — Spark reclaims the entry without any timer or tombstone from
+    * us). The 100 TB posture TTL exists for: keyed state on an unbounded
+    * key domain (device ids, session ids) must self-reclaim, or the
+    * store grows with every key ever seen. Deterministic assertions live
+    * in StreamingOpsSpec (TTL is wall-clock — a driver oracle would
+    * race), which proves both arms: a write inside the TTL horizon
+    * continues the count, one beyond it starts over.
+    */
+  final case class KeyCount(key: String, n: Long)
+  class TtlCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, String, KeyCount] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long](
+        "cnt", org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyCount] = {
+      val prev = if (state.exists()) state.get() else 0L
+      val next = prev + rows.size
+      state.update(next)
+      Iterator.single(KeyCount(key, next))
+    }
+  }
+
+  def ttlCounts(keys: Dataset[String], ttlMs: Long): Dataset[KeyCount] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(identity)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
   def deviceIdleTws(readings: Dataset[DeviceReading],
       timeoutMs: Long): Dataset[DeviceStatus] = {
     import readings.sparkSession.implicits._

@@ -2122,6 +2122,51 @@ class LakeSpec extends SparkSpec {
     assert(e2.getMessage.contains("stats"), e2.getMessage)
   }
 
+  test("symlink export lists exactly the live files; snapshot + refusal contracts") {
+    val t = tmp() + "/sym"
+    Lake.writeVersioned(spark,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), t)
+    Lake.deleteWhere(spark, t, col("id") <= 5L)
+    val n = Lake.exportSymlinkManifest(spark, t)
+    assert(n > 0)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_symlink_format_manifest", "manifest"))
+      .toArray.map(_.toString).filter(_.nonEmpty).toSeq
+    assert(lines.size == n)
+    // the external-engine read: plain parquet over the listing equals the
+    // versioned read — retired pre-delete files are NOT listed
+    val viaManifest = spark.read.parquet(lines: _*)
+    assert(viaManifest.count() == 15)
+    assert(viaManifest.agg(sum(col("id"))).collect().head.getLong(0)
+      == (6L to 20L).sum)
+    // SNAPSHOT contract: stale until re-exported, then current
+    Lake.appendVersioned(spark, Seq((21L, 210L)).toDF("id", "v"), t)
+    val stale = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_symlink_format_manifest", "manifest"))
+      .toArray.map(_.toString).filter(_.nonEmpty).toSeq
+    assert(stale == lines, "export must be a snapshot, not live")
+    Lake.exportSymlinkManifest(spark, t)
+    val fresh = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_symlink_format_manifest", "manifest"))
+      .toArray.map(_.toString).filter(_.nonEmpty).toSeq
+    assert(spark.read.parquet(fresh: _*).count() == 16)
+    // refusals: DVs (tombstones invisible to external engines) and
+    // column mappings (physical names would leak)
+    val dvT = tmp() + "/symdv"
+    Lake.writeVersioned(spark, Seq((1L, 1L), (2L, 2L)).toDF("id", "v"), dvT)
+    Lake.deleteWhereDv(spark, dvT, col("id") === 1L)
+    val e1 = intercept[IllegalArgumentException](
+      Lake.exportSymlinkManifest(spark, dvT))
+    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
+    val cmT = tmp() + "/symcm"
+    Lake.writeVersioned(spark, Seq((1L, 1L)).toDF("id", "v"), cmT)
+    Lake.renameColumns(spark, cmT, Map("id" -> "key"))
+    val e2 = intercept[IllegalArgumentException](
+      Lake.exportSymlinkManifest(spark, cmT))
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+  }
+
   test("column mapping survives vacuum's checkpoint materialization") {
     val t = tmp() + "/cmapv"
     Lake.writeVersioned(spark,

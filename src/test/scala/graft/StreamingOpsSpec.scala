@@ -243,6 +243,79 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState TTL: state survives inside the horizon, expires beyond it") {
+    // AvailableNow restarts over ONE checkpoint, never processAllAvailable:
+    // processing-time TTL schedules continuous eviction micro-batches
+    // under the ASAP trigger (the deviceHealth NoTimeout busy-loop,
+    // observed as a hang here too); bounded drains terminate by contract
+    // and the wall clock elapses BETWEEN runs, which is exactly the
+    // horizon TTL measures (state lifetime spans restarts).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft-ttl")
+      .toFile.getAbsolutePath
+    val landing = s"$root/landing"; new java.io.File(landing).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    def land(name: String, keys: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(landing, name),
+        keys.map(k => s"""{"k":"$k"}""").mkString("\n").getBytes("UTF-8"))
+    def sinkRows(): Int =
+      try spark.read.parquet(s"$root/sink").collect().length
+      catch { case _: Throwable => 0 }
+    // The 15 s horizon dwarfs query-restart overhead (checkpoint reload +
+    // RocksDB reopen measured at 2-5 s — a 4 s horizon expired state
+    // before the inside-horizon batch even processed).
+    // STOP-BOUNDED drain, never awaitTermination: processing-time TTL
+    // keeps scheduling state-maintenance micro-batches even under
+    // AvailableNow (observed: thousands of empty batches), so we poll the
+    // sink for the emissions this batch must produce and stop the query —
+    // the empty maintenance batches emit nothing, so the counts are exact.
+    def drain(expectRows: Int): Unit = {
+      import spark.implicits._
+      val in = spark.readStream.schema(schema).json(landing)
+        .select(col("k")).as[String]
+      val q = StreamAggs.ttlCounts(in, ttlMs = 15000L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamAggs.KeyCount], _: Long) =>
+          b.write.mode("append").parquet(s"$root/sink"); ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val deadline = System.currentTimeMillis() + 90000
+      while (System.currentTimeMillis() < deadline && q.isActive &&
+        sinkRows() < expectRows) Thread.sleep(200)
+      q.stop()
+      assert(sinkRows() >= expectRows,
+        s"drain timed out at ${sinkRows()}/$expectRows emissions")
+    }
+    try {
+      land("b1.json", Seq("a", "a", "b"))
+      drain(2) // a->2, b->1
+      land("b2.json", Seq("b"))
+      drain(3) // inside the horizon: b->2 (state alive across restart)
+      Thread.sleep(16500) // beyond the horizon: both entries expire
+      land("b3.json", Seq("a", "b"))
+      drain(5) // a->1, b->1 (TTL reclaimed; without TTL: a->3, b->3)
+      val rows = spark.read.parquet(s"$root/sink")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows.count { case (k, n) => k == "b" && n == 2L } == 1,
+        s"inside-horizon continuation missing: $rows")
+      assert(rows.count { case (k, n) => k == "a" && n == 1L } == 1 &&
+        rows.count { case (k, n) => k == "b" && n == 1L } == 2,
+        s"TTL expiry missing (counts continued past the horizon): $rows")
+      assert(!rows.exists(_._2 >= 3L), s"state never expired: $rows")
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("foreachBatch MERGE upsert: versioned commit, idempotent re-drain + replay") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
