@@ -70,6 +70,7 @@ object Bench {
     warm("clone_src_fixture")(graft.pipeline.PipelineQueries.prebuildCloneSrcFixture(spark, sfDir))
     warm("cmap_src_fixture")(graft.pipeline.PipelineQueries.prebuildCmapSrcFixture(spark, sfDir))
     warm("symlink_fixture")(graft.pipeline.PipelineQueries.prebuildSymlinkFixture(spark, sfDir))
+    warm("gen_src_fixture")(graft.pipeline.PipelineQueries.prebuildGenSrcFixture(spark, sfDir))
     warm("dv_purge_fixture")(graft.pipeline.PipelineQueries.prebuildDvPurgeFixture(spark, sfDir))
     warm("dv_count_fixture")(graft.pipeline.PipelineQueries.prebuildDvCountFixture(spark, sfDir))
     warm("merge_target")(graft.pipeline.PipelineQueries.prebuildMergeTarget(spark, sfDir))

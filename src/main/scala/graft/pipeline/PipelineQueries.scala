@@ -128,6 +128,30 @@ object PipelineQueries {
       path
     })
 
+  /** Source table for `lake_generated_column`: (user_id, ts_ms, day,
+    * cents) with days ≤ Jan-15 — `day` physically stored so the clone-
+    * side addGeneratedColumn has existing data to VALIDATE. The row
+    * clones per invocation (the cmap discipline), so the source is never
+    * mutated.
+    */
+  private val genSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  def prebuildGenSrcFixture(sp: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    genSrcCache.computeIfAbsent((sp, dir), { _ =>
+      val base = Tables.events(sp, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .filter(col("day") <= lit("2024-01-15").cast("date"))
+      val path = s"${Scratch.dir("gensrc")}/t"
+      graft.sources.Lake.writeVersioned(sp,
+        base.repartitionByRange(4, col("day")), path)
+      path
+    })
+
   /** Versioned per-user-totals target for `lake_merge_upsert`, built once
     * per (session, SF dir) — in production the upsert TARGET long
     * predates any batch; Bench prebuilds it so the query times the MERGE.
@@ -1900,6 +1924,48 @@ object PipelineQueries {
           |FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
           |GROUP BY 2
           |ORDER BY era, cohort""".stripMargin),
+    ),
+
+    // ---- GENERATED COLUMNS (Delta GENERATED ALWAYS AS): declare
+    //      day = to_date(timestamp_millis(ts_ms)) on a clone (validating
+    //      the existing v1 slice in one pass), then append ten days of
+    //      events WITHOUT the day column — the engine computes it and
+    //      the exact-schema append contract still holds (the helper
+    //      restores table column order). The day-grain aggregate then
+    //      mixes stored-day rows (v1) with computed-day rows (append):
+    //      a wrong or missing derivation shifts days and breaks the
+    //      hash. Clone + declare + append are per-invocation
+    //      (deterministic, retime-safe); validation costs one aggregate
+    //      pass of the data read — the CHECK-constraint cost shape. ----
+    QueryDef(
+      "lake_generated_column",
+      (sp, dir) => {
+        val src = prebuildGenSrcFixture(sp, dir)
+        val t = s"${Scratch.dir("gen")}/t"
+        graft.sources.Lake.shallowClone(sp, src, t)
+        graft.sources.Lake.addGeneratedColumn(sp, t, "day",
+          "to_date(timestamp_millis(ts_ms))")
+        val batch = Tables.events(sp, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+            round(col("value") * 100).cast("long").as("cents"),
+            to_date(col("ts")).as("d0"))
+          .filter(col("d0").between(lit("2024-01-16").cast("date"),
+            lit("2024-01-25").cast("date")))
+          .drop("d0") // the generated column is OMITTED on purpose
+        graft.sources.Lake.appendVersioned(sp, batch, t)
+        graft.sources.Lake.readVersioned(sp, t)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents
+          |FROM events
+          |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
 
     // ---- SYMLINK MANIFEST EXPORT (Delta GENERATE analog): external-

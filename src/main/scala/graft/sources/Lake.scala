@@ -154,8 +154,9 @@ object Lake {
     ensureVersionManifests(spark, path)
     // when a constraint gate will read the batch before the write does,
     // persist it so the caller's (possibly expensive) plan runs once
+    val dfG = applyGeneratedTo(spark, path, df, "writeVersioned")
     val cs = checkConstraints(spark, path)
-    val batch = if (cs.nonEmpty) df.persist() else df
+    val batch = if (cs.nonEmpty) dfG.persist() else dfG
     try {
       if (cs.nonEmpty)
         enforceConstraintsOn(spark, batch, cs, s"writeVersioned($path)")
@@ -166,9 +167,9 @@ object Lake {
       val (dataDir, entries) = writeClaimedDir(spark, fs, path, batch)
       val ms = if (fs.exists(versionsDir(path))) manifestVersions(fs, path) else Nil
       val next = if (ms.nonEmpty) ms.last + 1 else dataDir
-      reenforceIfChanged(spark, fs, path, cs, entries, df.schema.toDDL,
+      reenforceIfChanged(spark, fs, path, cs, entries, batch.schema.toDDL,
         s"writeVersioned($path)")
-      writeVersionManifest(spark, fs, path, next, df.schema.toDDL, entries,
+      writeVersionManifest(spark, fs, path, next, batch.schema.toDDL, entries,
         streamBatchId = streamBatchId, op = Some("snapshot"))
       writeVersionPointer(spark, fs, path, next)
       next
@@ -212,6 +213,10 @@ object Lake {
           s"batch $bid recorded but no versions under $path"))
       }
     }
+    // GENERATED columns first: compute the ones the batch omits, validate
+    // the ones it carries — before any schema logic, so an omitted
+    // generated column never masquerades as schema drift
+    val dfG = applyGeneratedTo(spark, path, df, "appendVersioned")
     // COLUMN-MAPPED table: the batch arrives in LOGICAL names and is
     // translated ONCE to the frozen physical names, before any schema
     // logic — the drift checks below then compare physical-vs-physical,
@@ -219,14 +224,14 @@ object Lake {
     // resolution rule), so a concurrent rename rebases cleanly.
     val headCm = colMapAtHead(spark, fs, path)
     val dfP =
-      if (headCm.isEmpty) df
+      if (headCm.isEmpty) dfG
       else {
         val logical = headCm.map(_._1)
-        require(df.schema.fields.map(_.name).toSeq == logical,
+        require(dfG.schema.fields.map(_.name).toSeq == logical,
           s"appendVersioned($path): column-mapped table expects logical " +
             s"columns (${logical.mkString(", ")}); frame has " +
-            s"(${df.schema.fieldNames.mkString(", ")})")
-        df.select(headCm.map { case (l, p) =>
+            s"(${dfG.schema.fieldNames.mkString(", ")})")
+        dfG.select(headCm.map { case (l, p) =>
           org.apache.spark.sql.functions.col(l).as(p) }: _*)
       }
     // SCHEMA EVOLUTION IS NOT A REFUSAL: a 24/7 stream appending through
@@ -291,6 +296,9 @@ object Lake {
         require(checkConstraints(spark, path).isEmpty,
           s"$path carries CHECK constraints; a schema-drifting append " +
             "would bypass their enforcement - drop them first")
+        require(generatedColumns(spark, path).isEmpty,
+          s"$path carries GENERATED columns; a schema-drifting append " +
+            "would bypass their derivation - drop them first")
         // drift gate BEFORE the chain bootstrap, same reason as the
         // constraint gate above: writeEvolving would refuse an invalid
         // drift (dropped / narrowed column) anyway, but only after the v1
@@ -1830,6 +1838,11 @@ object Lake {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoColMap(spark, fs, path, "mergeInto")
+    // generated columns: a merge source must carry complete rows and its
+    // derived values must MATCH — one aggregate gate, nothing published
+    // on violation (computeAbsent=false: an upsert that omitted the
+    // column would need per-branch computation; refuse instead)
+    applyGeneratedTo(spark, path, source, "mergeInto", computeAbsent = false)
     ensureVersionManifests(spark, path)
     requireNoDvs(spark, fs, path, "mergeInto")
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
@@ -1995,6 +2008,10 @@ object Lake {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return None
     requireNoColMap(spark, fs, path, "commitStreamVersion")
+    require(generatedColumns(spark, path).isEmpty,
+      s"commitStreamVersion($path): table declares GENERATED columns; " +
+        "adopted stream files were written outside the derivation gate - " +
+        "append through appendVersioned, or drop the generated spec")
     require(readSchemaManifests(spark, path).isEmpty,
       s"$path is a schema-evolving table; streamed commits assume the " +
         "sink's fixed schema (evolve via writeEvolving, not a stream)")
@@ -2220,6 +2237,154 @@ object Lake {
         fs.delete(dst, false) // roll back: an invalid constraint never sticks
         throw e
     }
+  }
+
+  // ======================================================================
+  // GENERATED COLUMNS — Delta's `GENERATED ALWAYS AS (expr)`: a column
+  // declared as a deterministic function of the row's OTHER columns.
+  // Append-path batches may OMIT the column (the engine computes it) or
+  // carry it (the engine VALIDATES it matches, one aggregate pass — the
+  // CHECK-constraint cost shape); either way no commit can publish a row
+  // where column ≠ expr. The spec lives as `_graft_generated/<name>.json`
+  // (tmp+rename, like constraints), added against EXISTING data with a
+  // validate-or-rollback pass. The 100 TB point is partition-prune
+  // synergy: a stats manifest over a generated day/bucket column prunes
+  // scans while writers never hand-maintain the derivation.
+  // ======================================================================
+
+  /** Declare `name` (already in the table schema) as GENERATED ALWAYS AS
+    * `sqlExpr`. Refuses: evolving tables, column mappings, a type
+    * mismatch between the expression and the declared column, and
+    * existing rows that violate the derivation (validated in one pass,
+    * spec rolled back on failure — an invalid spec never sticks).
+    */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"generated column name '$name' must be [A-Za-z0-9_]+")
+    require(readSchemaManifests(spark, path).isEmpty,
+      s"$path is a schema-evolving table; generated columns require the " +
+        "fixed-schema versioned write path")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoColMap(spark, fs, path, "addGeneratedColumn")
+    val cur = readVersioned(spark, path)
+    require(cur.schema.fieldNames.contains(name),
+      s"addGeneratedColumn($path): '$name' is not a column of the table " +
+        s"(have: ${cur.schema.fieldNames.mkString(", ")})")
+    val declared = cur.schema(name).dataType.catalogString
+    val computed = cur.select(expr(sqlExpr).as(name))
+      .schema.head.dataType.catalogString
+    require(computed == declared,
+      s"addGeneratedColumn($path): expression type $computed does not " +
+        s"match declared column type $declared")
+    val dir = new org.apache.hadoop.fs.Path(path, "_graft_generated")
+    fs.mkdirs(dir)
+    val dst = new org.apache.hadoop.fs.Path(dir, s"$name.json")
+    require(!fs.exists(dst),
+      s"generated column '$name' already declared on $path (drop it first)")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    out.write(
+      s"""{"name":${jsonStr(name)},"expr":${jsonStr(sqlExpr)}}"""
+        .getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp, dst),
+      s"generated column '$name' already declared on $path (concurrent writer?)")
+    // validate EXISTING data after publish (the addCheckConstraint order:
+    // once the spec is visible every new commit enforces it, so the scan
+    // races no one); roll back on violation
+    try validateGeneratedOn(spark, cur, Seq(name -> sqlExpr),
+      s"addGeneratedColumn($name) on existing data of $path")
+    catch {
+      case e: Throwable =>
+        fs.delete(dst, false)
+        throw e
+    }
+  }
+
+  def dropGeneratedColumn(spark: SparkSession, path: String,
+      name: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(path, s"_graft_generated/$name.json"),
+      false)
+  }
+
+  /** The table's (column, sql) generated-column specs, name-ascending. */
+  def generatedColumns(spark: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(path, "_graft_generated")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+          !s.getPath.getName.startsWith("."))
+        .map { st =>
+          val in = fs.open(st.getPath)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val n = m.readTree(txt)
+          (n.get("name").asText, n.get("expr").asText)
+        }.sortBy(_._1)
+    }
+  }
+
+  /** One aggregate pass refusing any row where a generated column's
+    * stored value differs (null-safely) from its derivation.
+    */
+  private def validateGeneratedOn(spark: SparkSession, incoming: DataFrame,
+      specs: Seq[(String, String)], what: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, sum, when, lit}
+    val aggs = specs.map { case (n, e) =>
+      sum(when(!(col(n) <=> expr(e)), 1L).otherwise(0L)).as(n)
+    }
+    val row = incoming.agg(aggs.head, aggs.tail: _*).head()
+    val bad = specs.indices.map(i => specs(i)._1 -> (
+      if (row.isNullAt(i)) 0L else row.getLong(i))).filter(_._2 > 0)
+    require(bad.isEmpty,
+      s"GENERATED column violation in $what: " +
+        bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+        " - commit refused, nothing published")
+  }
+
+  /** Apply the table's generated-column specs to an incoming batch:
+    * COMPUTE columns the batch omits, VALIDATE ones it carries, and
+    * return the frame in the table's column order (compute appends at
+    * the end, which the exact-schema append contract would refuse).
+    * No specs → the batch passes through untouched.
+    */
+  private def applyGeneratedTo(spark: SparkSession, path: String,
+      df: DataFrame, what: String, computeAbsent: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val specs = generatedColumns(spark, path)
+    if (specs.isEmpty) return df
+    var out = df
+    val toValidate = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    specs.foreach { case (n, e) =>
+      if (!out.columns.contains(n)) {
+        require(computeAbsent,
+          s"$what($path): source omits generated column '$n'; this path " +
+            "requires complete rows - compute it upstream")
+        out = out.withColumn(n, expr(e))
+      } else toValidate += (n -> e)
+    }
+    if (toValidate.nonEmpty)
+      validateGeneratedOn(spark, out, toValidate.toSeq, what)
+    // restore the table's column order when the schemas now agree as SETS
+    currentSchemaDdl(spark, path).foreach { ddl =>
+      val tableCols = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fieldNames.toSeq
+      if (out.columns.toSeq != tableCols &&
+        out.columns.toSet == tableCols.toSet)
+        out = out.select(tableCols.map(col): _*)
+    }
+    out
   }
 
   def dropCheckConstraint(spark: SparkSession, path: String,
@@ -3271,6 +3436,9 @@ object Lake {
     require(checkConstraints(spark, path).isEmpty,
       s"$opName($path): CHECK constraints reference the current column " +
         "names - drop them first and re-add against the new names")
+    require(generatedColumns(spark, path).isEmpty,
+      s"$opName($path): GENERATED column specs reference the current " +
+        "column names - drop them first and re-declare after")
   }
 
   /** Read a subset of a manifest's data files MERGE-ON-READ: files no dv
@@ -3483,6 +3651,9 @@ object Lake {
     // its reads broken. Purge first; the refusal mirrors deleteWhereDv's.
     requireNoDvs(spark, fs, path, "writeEvolving")
     requireNoColMap(spark, fs, path, "writeEvolving")
+    require(generatedColumns(spark, path).isEmpty,
+      s"$path declares GENERATED columns; schema evolution would bypass " +
+        "their derivation - drop them first")
     // the constraint contract is two-sided: addCheckConstraint refuses
     // evolving tables, and a table that gained constraints while plain
     // refuses to start evolving. The guards are check-then-act, so a
@@ -4098,14 +4269,15 @@ object Lake {
     fs.mkdirs(hp)
     ensureVersionManifests(spark, path)
     if (!fs.exists(versionsDir(path))) bootstrapRootVersion(spark, fs, path)
+    val dfG = applyGeneratedTo(spark, path, df, "stageAppend")
     val curDdl = readRawManifest(spark, fs, path,
       manifestVersions(fs, path).last).get.schemaDdl
     val cur = org.apache.spark.sql.types.StructType.fromDDL(curDdl)
-    require(df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+    require(dfG.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
         == cur.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
       s"stageAppend schema mismatch: table has $curDdl, " +
-        s"frame has ${df.schema.toDDL}")
-    val (d, entries) = writeClaimedDir(spark, fs, path, df)
+        s"frame has ${dfG.schema.toDDL}")
+    val (d, entries) = writeClaimedDir(spark, fs, path, dfG)
     val id = s"stage$d"
     fs.mkdirs(stagedDir(path))
     // atomic marker publish (tmp + rename): a reader of _graft_staged

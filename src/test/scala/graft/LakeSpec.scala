@@ -2122,6 +2122,50 @@ class LakeSpec extends SparkSpec {
     assert(e2.getMessage.contains("stats"), e2.getMessage)
   }
 
+  test("generated columns: computed when omitted, validated when carried") {
+    val t = tmp() + "/gen"
+    Lake.writeVersioned(spark,
+      (1L to 10L).map(i => (i, i * 2L)).toDF("id", "twice"), t)
+    Lake.addGeneratedColumn(spark, t, "twice", "id * 2")
+    // omitted → computed (and the frame lands in table column order)
+    Lake.appendVersioned(spark, Seq(Tuple1(11L)).toDF("id"), t)
+    assert(Lake.readVersioned(spark, t).filter(col("id") === 11L)
+      .select("twice").collect().head.getLong(0) == 22L)
+    // carried and correct → validated, passes
+    Lake.appendVersioned(spark, Seq((12L, 24L)).toDF("id", "twice"), t)
+    // carried and WRONG → refused, nothing published
+    val e = intercept[IllegalArgumentException](
+      Lake.appendVersioned(spark, Seq((13L, 7L)).toDF("id", "twice"), t))
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    assert(Lake.readVersioned(spark, t).count() == 12)
+    // merge source with a violating derivation refuses; a correct one merges
+    val e2 = intercept[IllegalArgumentException](
+      Lake.mergeInto(spark, t, Seq((5L, 11L)).toDF("id", "twice"), Seq("id")))
+    assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
+    Lake.mergeInto(spark, t, Seq((5L, 10L)).toDF("id", "twice"), Seq("id"))
+    assert(Lake.readVersioned(spark, t).count() == 12)
+    // declaring against violating existing data rolls the spec back
+    val t2 = tmp() + "/genbad"
+    Lake.writeVersioned(spark,
+      Seq((1L, 3L), (2L, 4L)).toDF("id", "twice"), t2)
+    intercept[IllegalArgumentException](
+      Lake.addGeneratedColumn(spark, t2, "twice", "id * 2"))
+    assert(Lake.generatedColumns(spark, t2).isEmpty,
+      "an invalid generated spec must never stick")
+    // expression type must match the declared column type
+    val e3 = intercept[IllegalArgumentException](
+      Lake.addGeneratedColumn(spark, t, "id", "CAST(twice AS STRING)"))
+    assert(e3.getMessage.contains("type"), e3.getMessage)
+    // rename refuses while a generated spec references the columns
+    val e4 = intercept[IllegalArgumentException](
+      Lake.renameColumns(spark, t, Map("id" -> "k")))
+    assert(e4.getMessage.contains("GENERATED"), e4.getMessage)
+    // drop the spec → rename works again
+    Lake.dropGeneratedColumn(spark, t, "twice")
+    Lake.renameColumns(spark, t, Map("id" -> "k"))
+    assert(Lake.readVersioned(spark, t).schema.fieldNames.head == "k")
+  }
+
   test("symlink export lists exactly the live files; snapshot + refusal contracts") {
     val t = tmp() + "/sym"
     Lake.writeVersioned(spark,
