@@ -1106,5 +1106,69 @@ object Similarity {
           |FROM asgn LEFT JOIN dup ON asgn.vec_id = dup.vec_id
           |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+
+    // ---- MATRYOSHKA (truncated-prefix) two-stage retrieval: stage 1
+    //      scores the corpus on the FIRST 16 of 64 dims (MRL embeddings
+    //      front-load information, so the prefix is a valid coarse
+    //      ranker at a quarter of the flops/bytes — at 100 TB the prefix
+    //      lives as its own compact column and the full vectors are only
+    //      fetched for candidates), keeps top-50 via TakeOrdered (no
+    //      global sort); stage 2 reranks ONLY those 50 at full dimension
+    //      and emits top-10. Cut determinism: both engines compute the
+    //      same left-to-right double sums and break ties by vec_id, the
+    //      ann_topk discipline; outputs round(4)+canon. A wrong slice,
+    //      a candidate-set drift, or a rerank that re-used the truncated
+    //      score all break the hash. ----
+    QueryDef(
+      "emb_matryoshka",
+      (sp, dir) => {
+        val emb = Tables.embeddings(sp, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v"))
+          .crossJoin(broadcast(qv.select(
+            slice(col("embedding"), 1, 16).as("qv"))))
+          .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos_tr"))
+          .orderBy(col("cos_tr").desc, col("vec_id")).limit(50)
+        val rr = emb.join(broadcast(cand.select("vec_id")), "vec_id")
+          .crossJoin(broadcast(qv.select(col("embedding").as("qe"))))
+          .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))
+        rr.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("rn"), col("vec_id"), roundCanon(col("cos"), 4).as("cos_r"))
+          .orderBy("rn")
+      },
+      Some(
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          |           FROM embeddings WHERE vec_id = 0),
+          |cand AS (
+          |  SELECT e.vec_id,
+          |         row_number() OVER (ORDER BY
+          |           list_sum(list_transform(
+          |             list_zip((CAST(e.embedding AS DOUBLE[]))[1:16], q.qe[1:16]),
+          |             z -> z[1] * z[2]))
+          |           / (sqrt(list_sum(list_transform(
+          |                (CAST(e.embedding AS DOUBLE[]))[1:16], x -> x * x)))
+          |              * sqrt(list_sum(list_transform(q.qe[1:16], x -> x * x))))
+          |           DESC, e.vec_id) AS rn
+          |  FROM embeddings e, q WHERE e.vec_id <> 0),
+          |c50 AS (SELECT vec_id FROM cand WHERE rn <= 50),
+          |rr AS (
+          |  SELECT e.vec_id,
+          |         list_sum(list_transform(
+          |           list_zip(CAST(e.embedding AS DOUBLE[]), q.qe),
+          |           z -> z[1] * z[2]))
+          |         / (sqrt(list_sum(list_transform(
+          |              CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+          |            * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cos
+          |  FROM embeddings e JOIN c50 USING (vec_id), q)
+          |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+          |         AS rn,
+          |       vec_id, round(cos, 4) + 0.0 AS cos_r
+          |FROM rr
+          |QUALIFY rn <= 10
+          |ORDER BY rn""".stripMargin),
+    ),
   )
 }

@@ -1227,7 +1227,10 @@ object StreamQueries {
     val savedShards = spark.conf.get(shardKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(shardKey, "4")
+    // 2 shards: one ValueState + timer store per shard, and every batch
+    // commits every shard — the fixed-overhead knob (the drainToParquet
+    // doc's sizing note)
+    spark.conf.set(shardKey, "2")
     try {
       val readings = jsonStream(spark, landing, twsSchema, Some(2))
         .select(col("device_id"), col("ts").cast("timestamp").as("timestamp"),
