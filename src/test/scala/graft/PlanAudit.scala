@@ -55,6 +55,7 @@ object PlanAudit {
     "doc_dsir_weight", // 1-row corpus-totals aggregate crossed into the 64-row bucket-weight table (q6_forecast shape)
     "doc_hybrid_rrf", // broadcast 1-row query vector crossed to the corpus for the cosine leg (ann_topk shape)
     "dq_psi_drift", // |event_type| x 24-bucket spine cross (~120 rows at any corpus; the smoothed-PSI bucket frame)
+    "emb_matryoshka", // broadcast 1-row query vector crossed for both stages (ann_topk shape; stage-2 side is 50 candidates)
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected
