@@ -111,7 +111,7 @@ object Graph {
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     var labels = nodes.select(col("id"), col("id").as("lab"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val freq = edges
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
         .groupBy(col("src").as("id"), col("lab"))
@@ -122,7 +122,11 @@ object Graph {
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("newlab"), col("lab")).as("lab"))
-        .localCheckpoint()
+      // cut lineage BETWEEN rounds only: the last round stays a plan (one
+      // round deep — fine), so callers and PlanSpec see the round's real
+      // shape instead of a Scan ExistingRDD, and the final materialization
+      // is saved
+      if (r < rounds) labels = labels.localCheckpoint()
     }
     labels
   }

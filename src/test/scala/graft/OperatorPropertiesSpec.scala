@@ -265,6 +265,42 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("synchronous label propagation == brute-force round simulation") {
+    import graft.operators.Graph
+    val edgeGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+    for (round <- 1 to 6) {
+      val edges = sample(edgeGen, round * 53L)
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val nodes = (0L to 11L).toSeq
+      val sym = edges ++ edges.map(_.swap)
+      val rounds = 3
+      // brute-force synchronous simulation: most frequent neighbor label,
+      // ties to the SMALLEST label; isolated nodes keep their own
+      var model = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        val next = nodes.map { n =>
+          val neigh = sym.collect { case (s, d) if s == n => model(d) }
+          if (neigh.isEmpty) n -> model(n)
+          else {
+            val freq = neigh.groupBy(identity).map { case (l, xs) => (l, xs.size) }
+            val bestCount = freq.values.max
+            n -> freq.collect { case (l, c) if c == bestCount => l }.min
+          }
+        }.toMap
+        model = next
+      }
+      val got = Graph.labelPropagation(
+        nodes.toDF("id"),
+        if (sym.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else sym.toDF("src", "dst"),
+        rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got == model, s"round $round: $got vs model $model")
+    }
+  }
+
   test("bucket-pruned 3-D skyline == brute-force dominance filter") {
     import graft.operators.Graph
     val rowGen = Gen.listOf(Gen.zip(

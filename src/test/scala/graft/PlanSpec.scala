@@ -457,6 +457,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("emb_matryoshka: prefix stage is TakeOrdered, rerank side stays candidate-bounded") {
+    val p = plan(q("emb_matryoshka"))
+    // stage 1's top-50 must plan as TakeOrderedAndProject — a global sort
+    // of the corpus by truncated cosine would shuffle every vector at
+    // 100 TB for a 50-row cut
+    assert(p.contains("TakeOrderedAndProject"),
+      s"prefix top-50 lost its TakeOrdered plan:\n$p")
+    assert(distinctOps(p, "CartesianProduct") == 0,
+      s"cartesian in matryoshka plan:\n$p")
+  }
+
+  test("q_label_propagation: rounds are aggregates, never windows over nodes") {
+    // the argmax is max(struct(count, -label)) per node — a refactor to
+    // row_number over node partitions would survive CORRECTNESS (the
+    // oracle uses windows because DuckDB is single-node) but single-task
+    // celebrity nodes at 100 TB; the per-round localCheckpoint means the
+    // visible plan is the LAST round's, which is exactly the shape to pin
+    val p = plan(q("q_label_propagation"))
+    assert(distinctOps(p, "Window") == 0,
+      s"label propagation plans a Window over node partitions:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"label propagation lost its aggregate argmax:\n$p")
+    assert(distinctOps(p, "CartesianProduct") == 0 &&
+      distinctOps(p, "BroadcastNestedLoopJoin") == 0,
+      s"label propagation degenerated to a non-equi join:\n$p")
+  }
+
   test("q_grid_neighbor_join: stencil join is a pure shuffled equi-join") {
     val p = plan(q("q_grid_neighbor_join"))
     // both sides are corpus-sized: broadcast never applies, and the cell
