@@ -420,6 +420,67 @@ object Checks {
           |             - CAST(s.sx AS HUGEINT) * s.sx)
           |ORDER BY event_type, day, hr""".stripMargin),
     ),
+
+    // ---- BENFORD'S-LAW first-digit gate — the classic fraud /
+    //      fabricated-data screen on monetary amounts: the leading digit
+    //      of naturally-occurring multi-magnitude amounts follows
+    //      P(d) = log10(1 + 1/d). Observed per-digit counts compare
+    //      against the NINE precomputed ppm literals (identical on both
+    //      engines — no log evaluated at query time, so no float ever
+    //      crosses the engine boundary); the deviation n_d·1e6 − N·exp
+    //      and the 20000-ppm (2-percentage-point) flag threshold are
+    //      pure BIGINT. One map-side-combined 9-group aggregate —
+    //      shuffle carries 9 rows at any corpus size. TPC-H prices span
+    //      ~1 decade (Benford needs several), so FLAG verdicts are
+    //      expected on this data — the gate's arithmetic, not the
+    //      distribution, is what the oracle pins. ----
+    QueryDef(
+      "dq_benford",
+      (sp, dir) => {
+        val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val exp = benford.zipWithIndex
+          .map { case (p, i) => ((i + 1).toLong, p) }
+          .foldLeft(lit(0L)) { case (acc, (d, p)) =>
+            when(col("digit") === d, lit(p)).otherwise(acc) }
+        val digits = Tables.lineitem(sp, dir)
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .filter(col("cents") >= 1L)
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val total = digits.agg(sum(col("n")).as("total"))
+        digits.crossJoin(broadcast(total))
+          .withColumn("exp_ppm", exp)
+          .withColumn("dev_ppm_x_n",
+            col("n") * lit(1000000L) - col("total") * col("exp_ppm"))
+          .withColumn("verdict",
+            when(abs(col("dev_ppm_x_n")) > col("total") * lit(20000L),
+              "FLAG").otherwise("PASS"))
+          .select(col("digit"), col("n"), col("exp_ppm"),
+            col("dev_ppm_x_n"), col("verdict"))
+          .orderBy("digit")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+          |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          |  FROM lineitem
+          |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) >= 1),
+          |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+          |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+          |        (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+          |        (8, 51153), (9, 45757)) v(digit, exp_ppm))
+          |SELECT c.digit, c.n, CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+          |       CAST(c.n * 1000000 - t.total * e.exp_ppm AS BIGINT)
+          |         AS dev_ppm_x_n,
+          |       CASE WHEN abs(c.n * 1000000 - t.total * e.exp_ppm)
+          |                 > t.total * 20000
+          |            THEN 'FLAG' ELSE 'PASS' END AS verdict
+          |FROM c JOIN e USING (digit) CROSS JOIN t
+          |ORDER BY digit""".stripMargin),
+    ),
   )
 
   /** Population Stability Index drift detection — the distribution-drift
