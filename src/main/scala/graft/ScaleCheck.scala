@@ -179,7 +179,8 @@ object ScaleCheck {
     "dq_fd_profile", "q_ohlc_bars", "q_weighted_median",
     "q_avro_source", "lake_column_mapping", "stream_tws_timer_equiv",
     "stream_chained_equiv", "q_label_propagation", "lake_symlink_export",
-    "lake_generated_column", "emb_matryoshka", "dq_benford")
+    "lake_generated_column", "emb_matryoshka", "dq_benford",
+    "doc_heaps_growth")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

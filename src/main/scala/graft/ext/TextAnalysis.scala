@@ -1094,5 +1094,84 @@ object TextAnalysis {
           |            THEN 'KEEP' ELSE 'DROP' END AS verdict
           |FROM m ORDER BY doc_id""".stripMargin),
     ),
+
+    // ---- HEAPS'-LAW vocabulary growth: distinct-token counts at four
+    //      NESTED corpus prefixes (doc_id quartiles by max id) — the
+    //      diversity/saturation diagnostic a curation pipeline reads
+    //      before committing a corpus: a healthy mixed corpus keeps
+    //      adding vocabulary (V ∝ n^β, β≈0.5); a near-duplicate-heavy or
+    //      template-heavy one flattens early. One tokenize pass, one
+    //      shuffle at TOKEN grain carrying four boolean membership flags
+    //      (max-combined map-side), then a 4-row rollup — never four
+    //      corpus scans, and the prefix sets are NESTED by construction
+    //      so the growth curve is monotone. All counts integer. ----
+    QueryDef(
+      "doc_heaps_growth",
+      (sp, dir) => {
+        val docs = Tables.documents(sp, dir)
+        val hi = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cuts = Seq(1L, 2L, 3L, 4L).map(q => (hi + 1) * q / 4)
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        // per token: the SMALLEST prefix containing it (min doc_id decides)
+        val perTok = toks.groupBy("tok")
+          .agg(min(col("doc_id")).as("first_doc"))
+        val perPrefix = perTok
+          .select(when(col("first_doc") < cuts(0), 1L)
+            .when(col("first_doc") < cuts(1), 2L)
+            .when(col("first_doc") < cuts(2), 3L)
+            .otherwise(4L).as("q"))
+          .groupBy("q").agg(count(lit(1)).as("new_vocab"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("q").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val tokCounts = toks
+          .select(when(col("doc_id") < cuts(0), 1L)
+            .when(col("doc_id") < cuts(1), 2L)
+            .when(col("doc_id") < cuts(2), 3L)
+            .otherwise(4L).as("q"))
+          .groupBy("q").agg(count(lit(1)).as("toks_in_q"))
+        perPrefix.join(tokCounts, Seq("q"), "full")
+          .select(col("q"),
+            coalesce(col("new_vocab"), lit(0L)).as("new_vocab"),
+            coalesce(col("toks_in_q"), lit(0L)).as("toks_in_q"))
+          .withColumn("vocab_cum", sum(col("new_vocab")).over(w))
+          .withColumn("tokens_cum", sum(col("toks_in_q")).over(w))
+          .select(col("q"), col("tokens_cum").cast("long").as("n_tokens"),
+            col("vocab_cum").cast("long").as("n_vocab"))
+          .orderBy("q")
+      },
+      Some(
+        """WITH hi AS (SELECT max(doc_id) AS h FROM documents),
+          |t AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |tf AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+          |q AS (
+          |  SELECT tf.doc_id, tf.tok,
+          |         CASE WHEN tf.doc_id < (h + 1) * 1 // 4 THEN 1
+          |              WHEN tf.doc_id < (h + 1) * 2 // 4 THEN 2
+          |              WHEN tf.doc_id < (h + 1) * 3 // 4 THEN 3
+          |              ELSE 4 END AS q
+          |  FROM tf CROSS JOIN hi),
+          |v AS (SELECT min(q) AS q FROM q GROUP BY tok),
+          |nv AS (SELECT q, CAST(count(*) AS BIGINT) AS new_vocab
+          |       FROM v GROUP BY 1),
+          |tc AS (SELECT q, CAST(count(*) AS BIGINT) AS toks_in_q
+          |       FROM q GROUP BY 1),
+          |g AS (SELECT gs.q, COALESCE(nv.new_vocab, 0) AS new_vocab,
+          |             COALESCE(tc.toks_in_q, 0) AS toks_in_q
+          |      FROM (VALUES (1), (2), (3), (4)) gs(q)
+          |      LEFT JOIN nv USING (q) LEFT JOIN tc USING (q)
+          |      WHERE COALESCE(nv.new_vocab, 0) + COALESCE(tc.toks_in_q, 0)
+          |            > 0)
+          |SELECT CAST(q AS BIGINT) AS q,
+          |       CAST(sum(toks_in_q) OVER (ORDER BY q) AS BIGINT)
+          |         AS n_tokens,
+          |       CAST(sum(new_vocab) OVER (ORDER BY q) AS BIGINT)
+          |         AS n_vocab
+          |FROM g ORDER BY q""".stripMargin),
+    ),
   )
 }
