@@ -56,6 +56,7 @@ object PlanAudit {
     "doc_hybrid_rrf", // broadcast 1-row query vector crossed to the corpus for the cosine leg (ann_topk shape)
     "dq_psi_drift", // |event_type| x 24-bucket spine cross (~120 rows at any corpus; the smoothed-PSI bucket frame)
     "emb_matryoshka", // broadcast 1-row query vector crossed for both stages (ann_topk shape; stage-2 side is 50 candidates)
+    "dq_benford", // 1-row total-count aggregate broadcast-crossed into the 9 digit rows (q11 scalar shape)
   )
 
   /** An all-LocalRelation plan with more rows than this is a collected
