@@ -2733,6 +2733,14 @@ object Lake {
   private def maybeAutoOptimize(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
       limit: Int, target: Long): Unit = {
+    // COLUMN-MAPPED tables skip auto-compaction SILENTLY rather than let
+    // optimizeVersioned's refusal throw INSIDE a caller's publish loop:
+    // appendVersioned catches IllegalArgumentException-with-manifest-
+    // present as a lost manifest race and would re-publish the same batch
+    // on every retry — a duplicate-rows corruption, not just a failure.
+    // The policy is file-size-based and resumes the moment the map is
+    // materialized away.
+    if (colMapAtHead(spark, fs, path).nonEmpty) return
     val head = readVersionPointer(fs, path)
       .orElse(manifestVersions(fs, path).lastOption)
     val entries = head

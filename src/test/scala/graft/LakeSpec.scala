@@ -2211,6 +2211,31 @@ class LakeSpec extends SparkSpec {
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
   }
 
+  test("column mapping + auto-optimize: appends stay exactly-once (no retry storm)") {
+    // regression: optimizeVersioned refuses mapped tables, and its throw
+    // INSIDE appendVersioned's post-publish hook looked exactly like a
+    // lost manifest race to the rebase loop — every retry re-published
+    // the same batch (duplicate rows). maybeAutoOptimize now skips
+    // mapped tables silently.
+    val t = tmp() + "/cmapao"
+    Lake.writeVersioned(spark,
+      (1L to 10L).map(i => (i, i * 2L)).toDF("id", "v"), t)
+    Lake.setAutoOptimize(spark, t, smallFileLimit = 2,
+      targetFileBytes = 128L << 20)
+    Lake.renameColumns(spark, t, Map("id" -> "key"))
+    // several small appends would trip the policy on an unmapped table
+    for (i <- 11L to 14L)
+      Lake.appendVersioned(spark, Seq((i, i * 2L)).toDF("key", "v"), t)
+    val got = Lake.readVersioned(spark, t)
+    assert(got.count() == 14, "a retried publish duplicated the batch")
+    assert(got.select("key").as[Long].collect().sorted.toSeq
+      == (1L to 14L), "duplicate or missing keys after mapped appends")
+    // once the map is materialized away, the policy resumes
+    Lake.materializeMapping(spark, t)
+    Lake.appendVersioned(spark, Seq((15L, 30L)).toDF("key", "v"), t)
+    assert(Lake.readVersioned(spark, t).count() == 15)
+  }
+
   test("column mapping survives vacuum's checkpoint materialization") {
     val t = tmp() + "/cmapv"
     Lake.writeVersioned(spark,
