@@ -4451,6 +4451,15 @@ object Lake {
           enforceConstraintsOn(spark,
             readFileSubset(spark, path, entries.map(e => resolveRef(root, e._1))),
             cs, s"publishStaged($path, $id)")
+        // generated columns declared AFTER staging get the same
+        // publish-time re-validation as constraints: the staged files
+        // were written before the derivation existed, so a violating
+        // stage must unclaim (back to staged for abort), never fold in
+        val gs = generatedColumns(spark, path)
+        if (gs.nonEmpty)
+          validateGeneratedOn(spark,
+            readFileSubset(spark, path, entries.map(e => resolveRef(root, e._1))),
+            gs, s"publishStaged($path, $id)")
         (v0, curDdl)
       } catch { case e: Throwable => unclaim(); throw e }
     val next = publishNonCommuting(spark, fs, path, v0, curDdl,

@@ -2166,6 +2166,27 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readVersioned(spark, t).schema.fieldNames.head == "k")
   }
 
+  test("generated spec declared after staging gates the publish") {
+    val t = tmp() + "/genwap"
+    Lake.writeVersioned(spark,
+      (1L to 5L).map(i => (i, i * 2L)).toDF("id", "twice"), t)
+    // stage rows that violate a derivation that does not exist yet
+    val id = Lake.stageAppend(spark,
+      Seq((6L, 99L)).toDF("id", "twice"), t)
+    // the declaration validates PUBLISHED data only, so it sticks...
+    Lake.addGeneratedColumn(spark, t, "twice", "id * 2")
+    // ...and the publish-time gate catches the stale stage, unclaiming it
+    val e = intercept[IllegalArgumentException](
+      Lake.publishStaged(spark, t, id))
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    Lake.abortStaged(spark, t, id)
+    assert(Lake.readVersioned(spark, t).count() == 5)
+    // a correctly-derived stage still publishes
+    val id2 = Lake.stageAppend(spark, Seq((7L, 14L)).toDF("id", "twice"), t)
+    Lake.publishStaged(spark, t, id2)
+    assert(Lake.readVersioned(spark, t).count() == 6)
+  }
+
   test("symlink export lists exactly the live files; snapshot + refusal contracts") {
     val t = tmp() + "/sym"
     Lake.writeVersioned(spark,
