@@ -248,9 +248,13 @@ object Bench {
       }.mkString("{", ",", "}")
     val retimeSaved = retimeNames.filter(secondPass.contains)
       .map(n => results(n) - best(n)).sum
-    // summary-line form capped at 8 entries (the retime_corrected size
-    // discipline); n_pin_regressed carries the uncapped count
-    val pinRegJson = pinRegressed.take(8).map { case (n, p, s) =>
+    // UNCAPPED: the r17 driver artifact counted 12 regressed rows but the
+    // 8-entry cap silently dropped 4 names (dedup_containment among them) —
+    // the flag's whole point is NAMING the rows, so the map must always
+    // have exactly n_pin_regressed entries. Size is bounded in practice:
+    // entries are ~35 bytes and a contaminated run — the only time the map
+    // grows — is precisely when the grader needs every name.
+    val pinRegJson = pinRegressed.map { case (n, p, s) =>
       s"\"" + n + "\":[" + r3(p) + "," + r3(s) + "]"
     }.mkString("{", ",", "}")
     def strList(xs: Seq[String]): String =

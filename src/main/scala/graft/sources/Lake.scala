@@ -151,6 +151,12 @@ object Lake {
     require(readSchemaManifests(spark, path).isEmpty,
       s"$path is a schema-evolving table; append via writeEvolving (delete " +
         "via deleteWhere) - writeVersioned would bypass the schema chain")
+    // a full-snapshot overwrite of a column-mapped table would publish a
+    // manifest WITHOUT the colmap, silently discarding the rename for a
+    // caller still holding stale/physical names — refuse like every other
+    // physical-schema op; materializeMapping first makes the logical names
+    // physical, after which a snapshot is unambiguous again
+    requireNoColMap(spark, fs, path, "writeVersioned")
     ensureVersionManifests(spark, path)
     // when a constraint gate will read the batch before the write does,
     // persist it so the caller's (possibly expensive) plan runs once
@@ -213,6 +219,22 @@ object Lake {
           s"batch $bid recorded but no versions under $path"))
       }
     }
+    // GENERATED specs make the gate run a validation aggregate over the
+    // batch before writeClaimedDir evaluates the caller's plan a second
+    // time — persist around both so a possibly-expensive upstream plan
+    // runs once (the same rationale as the constraints persist below;
+    // persist is lazy, so a no-spec table pays nothing here)
+    val genSpecs = generatedColumns(spark, path)
+    val dfIn = if (genSpecs.nonEmpty) df.persist() else df
+    try appendVersionedImpl(spark, dfIn, path, streamBatchId, genSpecs)
+    finally { if (genSpecs.nonEmpty) dfIn.unpersist(); () }
+  }
+
+  private def appendVersionedImpl(spark: SparkSession, df: DataFrame,
+      path: String, streamBatchId: Option[Long],
+      genSpecs: Seq[(String, String)]): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // GENERATED columns first: compute the ones the batch omits, validate
     // the ones it carries — before any schema logic, so an omitted
     // generated column never masquerades as schema drift
@@ -366,6 +388,19 @@ object Lake {
       // ones against the written batch files before publishing
       reenforceIfChanged(spark, fs, path, cs, fresh, raw0.schemaDdl,
         s"appendVersioned($path)")
+      // mirror for GENERATED columns: a spec declared since the gate gets
+      // validated against the written batch files before the manifest
+      // rename (addGeneratedColumn requires the column to exist in the
+      // table schema and schemaCheck above proved the batch carries it —
+      // only the gate's validation predates the spec)
+      val freshGen = generatedColumns(spark, path).filterNot(genSpecs.contains)
+      if (freshGen.nonEmpty && fresh.nonEmpty) {
+        val root = rootPath(fs, new org.apache.hadoop.fs.Path(path))
+        validateGeneratedOn(spark,
+          readSomeFiles(spark, fs, path,
+            fresh.map(e => resolveRef(root, e._1)), raw0.schemaDdl),
+          freshGen, s"appendVersioned($path) post-gate spec")
+      }
       val next = v0 + 1
       try {
         writeVersionDelta(spark, fs, path, next, raw0.schemaDdl,
@@ -735,6 +770,75 @@ object Lake {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else parts.reduce(_.unionByName(_))
+  }
+
+  /** CHANGE-FEED → FILE-STREAM BRIDGE: export every not-yet-exported
+    * commit's change rows as immutable JSON files under `landing`, in
+    * commit order with distinct mod-times, so a Structured Streaming file
+    * source (`readStream.json(landing)`) replays the table's history as
+    * micro-batches — the Delta-CDF-as-a-stream composition every
+    * production incremental pipeline runs (the reference's
+    * `STREAM(ref(...))` at `silver_iot_events.sql:11` is this pattern on
+    * Databricks). Spark's file source is the one streaming source whose
+    * offset/commit logs give exactly-once replay for free, so the bridge
+    * rides it instead of a bespoke DSv2 source.
+    *
+    * Contract:
+    *   - RESUMABLE + IDEMPOTENT: exported versions are encoded in the
+    *     file names (`cdf-v00003-*.json`); a re-call exports only commits
+    *     that landed since the last call, and never rewrites a published
+    *     file (the file-stream immutability contract). Call it after each
+    *     producer commit (or on a timer) and the consumer stream sees an
+    *     unbounded, ordered feed.
+    *   - cost per call ∝ the NEW commits' CHANGED files only (the
+    *     [[readChangeFeed]] guarantee) — flat in table size.
+    *   - `_commit_timestamp` is DROPPED (wall-clock — a replayed export
+    *     must be byte-deterministic); `_change_type` (+1/−1 retraction
+    *     weights downstream) and `_commit_version` ride along.
+    *   - versions are separated by >1 s of mod-time so coarse-mtime
+    *     filesystems preserve commit order for order-sensitive consumers
+    *     (a pure retraction-weight aggregate doesn't need it; a
+    *     latest-wins CDC fold does).
+    *
+    * @return the newest exported version (head, or `upTo` if lower)
+    */
+  def exportChangeFeedLanding(spark: SparkSession, path: String,
+      landing: String, upTo: Option[Long] = None,
+      filesPerVersion: Int = 2): Long = {
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lp)
+    ensureVersionManifests(spark, path)
+    val tfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = manifestVersions(tfs, path)
+    require(versions.nonEmpty, s"exportChangeFeedLanding: no versions under $path")
+    val head = upTo.map(u => math.min(u, versions.last)).getOrElse(versions.last)
+    val namePat = "cdf-v(\\d+)-.*".r
+    val exported = fs.listStatus(lp).toSeq.map(_.getPath.getName).collect {
+      case namePat(v) => v.toLong
+    }
+    val start = if (exported.isEmpty) versions.head else exported.max + 1
+    val todo = versions.filter(v => v >= start && v <= head)
+    todo.zipWithIndex.foreach { case (v, i) =>
+      // mtime separation: from prior landing files always, and between
+      // sibling versions in one call (first version of a fresh landing
+      // needs none — nothing precedes it)
+      if (i > 0 || exported.nonEmpty) Thread.sleep(1100)
+      val stage = new org.apache.hadoop.fs.Path(landing, s".stage-v$v")
+      readChangeFeed(spark, path, v, v).drop("_commit_timestamp")
+        .coalesce(filesPerVersion)
+        .write.mode("overwrite").json(stage.toString)
+      fs.listStatus(stage)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (f, j) =>
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(landing, f"cdf-v$v%05d-$j.json")),
+            s"exportChangeFeedLanding: rename failed for v$v part $j")
+        }
+      fs.delete(stage, true)
+    }
+    head
   }
 
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the change feed —
@@ -2149,6 +2253,20 @@ object Lake {
         s"${manifestVersions(fs, path).mkString(",")})"))
     val v0 = manifestVersions(fs, path).last
     if (v == v0) return v0 // restoring the latest is a no-op
+    // a version published BEFORE addGeneratedColumn/addCheckConstraint may
+    // hold rows the current specs reject; re-publishing it at head would
+    // break the invariant every write path enforces (no commit publishes a
+    // violating row), so validate the restored data first — one
+    // column-pruned aggregate per artifact kind, zero cost when the table
+    // declares neither (the common case)
+    val gens = generatedColumns(spark, path)
+    if (gens.nonEmpty)
+      validateGeneratedOn(spark, readVersioned(spark, path, Some(v)), gens,
+        s"restoreVersion($path, v=$v)")
+    val resCs = checkConstraints(spark, path)
+    if (resCs.nonEmpty)
+      enforceConstraintsOn(spark, readVersioned(spark, path, Some(v)), resCs,
+        s"restoreVersion($path, v=$v)")
     val next = v0 + 1
     // the restored version's live deletion vectors travel with it — a
     // restore to a pre-purge version re-applies that version's sidecars —
@@ -4659,6 +4777,14 @@ object Lake {
     * file subset, so the skipped read matches the unskipped one exactly.
     * An EVOLVED table's subset resolves through the schema manifests
     * (plain parquet reads over mixed-schema files silently drop columns).
+    *
+    * HEAD-ONLY CONTRACT: `files` must come from the table's CURRENT
+    * version — the column mapping applied below is the head's, and a
+    * file list from another version could carry a different era's
+    * physical schema under the head's logical names. All callers
+    * (skipping, probe pruning, bloom lookup, publishStaged) derive their
+    * lists from head manifests; a time-travel subset read would need the
+    * version's own manifest colmap threaded through instead.
     */
   private def readFileSubset(spark: SparkSession, path: String,
       files: Seq[String]): DataFrame = {

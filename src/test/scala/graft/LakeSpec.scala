@@ -2098,7 +2098,11 @@ class LakeSpec extends SparkSpec {
         Seq((1L, 5L)).toDF("key", "v"), Seq("key"))),
       ("optimizeVersioned", () => Lake.optimizeVersioned(spark, t)),
       ("writeStats", () => Lake.writeStats(spark, t, Seq("key"))),
-      ("readChangeFeed", () => Lake.readChangeFeed(spark, t, 1L, 2L)))) {
+      ("readChangeFeed", () => Lake.readChangeFeed(spark, t, 1L, 2L)),
+      // a snapshot overwrite would publish a manifest with NO colmap,
+      // silently discarding the rename — it refuses like the rest
+      ("writeVersioned", () => Lake.writeVersioned(spark,
+        Seq((1L, 2L)).toDF("key", "v"), t)))) {
       val e = intercept[IllegalArgumentException](op())
       assert(e.getMessage.contains("column mapping"), s"$name: ${e.getMessage}")
     }
@@ -2185,6 +2189,32 @@ class LakeSpec extends SparkSpec {
     val id2 = Lake.stageAppend(spark, Seq((7L, 14L)).toDF("id", "twice"), t)
     Lake.publishStaged(spark, t, id2)
     assert(Lake.readVersioned(spark, t).count() == 6)
+  }
+
+  test("restore refuses a version violating current generated/check specs") {
+    val t = tmp() + "/genrestore"
+    // v1 carries a wrong derivation; v2 snapshots valid rows over it
+    Lake.writeVersioned(spark, Seq((1L, 3L), (2L, 4L)).toDF("id", "twice"), t)
+    Lake.writeVersioned(spark,
+      (1L to 5L).map(i => (i, i * 2L)).toDF("id", "twice"), t)
+    // the spec validates HEAD (v2, all correct) and sticks — but restoring
+    // v1 would re-publish pre-spec rows where twice != id*2 at head,
+    // breaking the no-commit-publishes-a-violating-row invariant
+    Lake.addGeneratedColumn(spark, t, "twice", "id * 2")
+    val e = intercept[IllegalArgumentException](
+      Lake.restoreVersion(spark, t, 1L))
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    assert(Lake.readVersioned(spark, t).count() == 5, "refusal publishes nothing")
+    // CHECK constraints gate restore the same way: v1's twice=3 is odd
+    Lake.dropGeneratedColumn(spark, t, "twice")
+    Lake.addCheckConstraint(spark, t, "twice_even", "twice % 2 = 0")
+    val e2 = intercept[IllegalArgumentException](
+      Lake.restoreVersion(spark, t, 1L))
+    assert(e2.getMessage.contains("CHECK"), e2.getMessage)
+    // a restore target that satisfies the specs still restores
+    Lake.appendVersioned(spark, Seq((6L, 12L)).toDF("id", "twice"), t)
+    val restored = Lake.restoreVersion(spark, t, 2L)
+    assert(Lake.readVersioned(spark, t, Some(restored)).count() == 5)
   }
 
   test("symlink export lists exactly the live files; snapshot + refusal contracts") {

@@ -72,7 +72,11 @@ def main() -> int:
             ("BASELINE.md", "SCALE.md", "COVERAGE.md")}
     missing = []
     for name in sorted(new):
-        lacks = [p for p, txt in docs.items() if name not in txt]
+        # word-boundary match: plain substring would let a new row whose
+        # name is a prefix of an existing documented row (q_avro after
+        # q_avro_source) false-pass all three checks
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        lacks = [p for p, txt in docs.items() if not pat.search(txt)]
         if lacks:
             missing.append((name, lacks))
     if missing:
