@@ -1532,6 +1532,176 @@ object StreamQueries {
       |SELECT k, v, cts AS commit_ts FROM r
       |WHERE rn = 1 AND op <> 'd' ORDER BY k""".stripMargin
 
+  // ---- stream_cdf_equiv: the Lake change feed as a STREAMING source -----
+  //
+  // The composition every production incremental pipeline runs, and the
+  // one the engine had both halves of without joining them: a versioned
+  // table takes three commits (v1 snapshot of days ≤ Jan-15, v2 append of
+  // (Jan-15, Jan-25], v3 COW delete of the Jan-08..14 week),
+  // [[graft.sources.Lake.exportChangeFeedLanding]] bridges the change
+  // feed into an immutable JSON landing in commit order, and a STATEFUL
+  // windowed aggregate consumes it as a stream — inserts weigh +1,
+  // deletes −1, so the v3 micro-batch RETRACTS v1 state in place (the
+  // COW rewrite's surviving rows cancel exactly: −1 from each removed
+  // file's row, +1 from its rewrite). Nothing emits until the sentinels
+  // close the window, so the single flush is the NET state — hash-equal
+  // to a batch recompute of the final table iff the feed carried exactly
+  // the changed rows across the stream's state boundary. One 8760 h
+  // window holds the whole span (day ≤ Jan-25 is fixture-fixed, so
+  // fixed-calendar sentinels are replica-safe — the sessions regime).
+
+  private val cdfStreamLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfStreamLandingFor(spark: SparkSession, dir: String): String =
+    cdfStreamLandings.computeIfAbsent(dir, _ => {
+      val root = Scratch.dir("stream_cdf_src")
+      val table = s"$root/t"
+      val base = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.sources.Lake.writeVersioned(spark,
+        base.filter(col("day") <= lit("2024-01-15").cast("date"))
+          .repartitionByRange(2, col("day")), table)
+      graft.sources.Lake.appendVersioned(spark,
+        base.filter(col("day") > lit("2024-01-15").cast("date") &&
+          col("day") <= lit("2024-01-25").cast("date"))
+          .repartitionByRange(2, col("day")), table)
+      graft.sources.Lake.deleteWhere(spark, table,
+        col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+      val landing = s"$root/landing"
+      graft.sources.Lake.exportChangeFeedLanding(spark, table, landing)
+      Thread.sleep(1100)
+      def sentinel(name: String, day: String): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(landing, name),
+          (s"""{"user_id":-1,"day":"$day","cents":0,""" +
+            """"_change_type":"insert","_commit_version":999}""")
+            .getBytes("UTF-8"))
+      sentinel("zz-sentinel-1.json", "2030-01-01")
+      Thread.sleep(20)
+      sentinel("zz-sentinel-2.json", "2031-01-01")
+      landing
+    })
+
+  private val cdfFeedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("day",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cents",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType)))
+
+  private def streamCdfEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val landing = cdfStreamLandingFor(spark, dir)
+    val root = Scratch.dir("stream_cdf_feed")
+    // ~7 landing files at 2/trigger → (v1,v1)(v2,v2)(v3,s1)(s2): the
+    // replay arrives in commit order across micro-batches; the sentinel
+    // batches close the window last
+    val typed = jsonStream(spark, landing, cdfFeedSchema, Some(2))
+      .select(col("user_id"), col("cents"),
+        col("day").cast("timestamp").as("ts"),
+        when(col("_change_type") === "insert", lit(1L))
+          .otherwise(lit(-1L)).as("w"))
+    val agg = typed
+      .withWatermark("ts", "720 hours")
+      .groupBy(window(col("ts"), "8760 hours").as("wnd"), col("user_id"))
+      .agg(sum(col("w")).as("n_events"),
+        sum(col("cents") * col("w")).as("total_cents"))
+      .select(col("wnd.start").as("window_start"), col("user_id"),
+        col("n_events"), col("total_cents"))
+    drainToParquet(agg, s"$root/sink", s"$root/ckpt", shards = 4)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("user_id") >= 0 && col("n_events") > 0 &&
+        col("window_start") < lit("2029-01-01").cast("timestamp"))
+      .select("user_id", "n_events", "total_cents")
+      .orderBy("user_id")
+  }
+
+  private val cdfFeedOracle =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events
+      |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+      |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- stream_restart_equiv: crash-recovery exactly-once ----------------
+  //
+  // A32's strongest form: the stateful dedup drain is STOPPED mid-run
+  // right after its first committed micro-batch — stop() interrupts
+  // whatever batch is in flight, which is exactly the state a crashed
+  // driver leaves behind (offsets logged, maybe sink files written, no
+  // commit) — and a second start from the same checkpoint must land on
+  // the batch answer with no dups or losses. Three replay mechanisms
+  // compose under test: the file source re-reads the uncommitted batch
+  // from its offset log, the state store resumes from the last COMMITTED
+  // batch's version, and the parquet sink's _spark_metadata manifest
+  // hides any orphan files the kill left (spark.read.parquet consults
+  // it, so a replayed batch's second write wins and the first is
+  // invisible). The output SET is stop-point-independent — duplicates
+  // are identical rows and the horizon outlives the span, so
+  // first-occurrence == any-occurrence — which is what makes the row
+  // hash-exact wherever the stop lands; StreamingOpsSpec holds the
+  // mid-drain evidence (stop strictly before the drain finishes).
+
+  /** Start the dedup drain at 1 file/trigger, stop it after the first
+    * progress event that committed rows, then resume from the same
+    * checkpoint to completion. Public so StreamingOpsSpec can assert the
+    * mid-drain case (committed > 0 and < total) reproduces. `landing`
+    * must hold [[dedupSchema]]-shaped JSON.
+    * @return sink rows visible at the stop point (what the kill left
+    *         committed)
+    */
+  def runKilledThenResumedDedup(spark: SparkSession, landing: String,
+      root: String): Long = {
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    def dedup = StreamAggs.dedupWithinWatermark(
+      jsonStream(spark, landing, dedupSchema, Some(1))
+        .withColumn("ts", col("ts").cast("timestamp")),
+      horizon = "8760 hours")
+    def start() = dedup.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = start()
+      // stop as soon as one micro-batch committed: a ~25 ms poll against
+      // ~500 ms batches lands the stop mid-drain with several of the 5+
+      // single-file batches still unread (if the drain still wins the
+      // race the resume is a no-op and the equivalence holds trivially —
+      // the spec retries until the mid-drain case is the one proven)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (q.isActive &&
+          !q.recentProgress.exists(_.numInputRows > 0) &&
+          System.nanoTime() < deadline) Thread.sleep(25)
+      q.stop()
+      q.awaitTermination()
+      val committed =
+        try spark.read.parquet(sink).count()
+        catch { case _: Throwable => 0L } // stopped before any sink commit
+      val q2 = start()
+      q2.awaitTermination()
+      committed
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamRestartEquiv(spark: SparkSession, dir: String): DataFrame = {
+    val landing = dedupLandingFor(spark, dir)
+    val root = Scratch.dir("stream_restart")
+    runKilledThenResumedDedup(spark, landing, root)
+    spark.read.parquet(s"$root/sink")
+      .orderBy("event_id", "ts", "user_id", "value")
+  }
+
   /** Bench prebuild hook for the stateful-row landings. */
   def prebuildStatefulLandings(spark: SparkSession, dir: String): Unit = {
     dedupLandingFor(spark, dir)
@@ -1544,6 +1714,7 @@ object StreamQueries {
     chainedLandingsFor(spark, dir)
     cdcLandingFor(spark, dir)
     debeziumLandingFor(spark, dir)
+    cdfStreamLandingFor(spark, dir)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -1574,5 +1745,9 @@ object StreamQueries {
       Some(chainedOracle)),
     QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
     QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),
+    QueryDef("stream_cdf_equiv", streamCdfEquiv, Some(cdfFeedOracle)),
+    // same oracle as stream_dedup_equiv: the restart protocol must land
+    // on the identical distinct-event set
+    QueryDef("stream_restart_equiv", streamRestartEquiv, Some(dedupOracle)),
   )
 }

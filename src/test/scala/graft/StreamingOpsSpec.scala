@@ -439,6 +439,45 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("mid-drain kill + checkpoint resume lands on the exact batch answer") {
+    // The crash-recovery differential behind stream_restart_equiv: the
+    // registered row is hash-exact WHEREVER the stop lands (including
+    // after the drain already finished), so this spec holds the evidence
+    // that the MID-DRAIN case — stop after ≥1 committed batch with work
+    // remaining — is the one actually exercised: retry with a fresh
+    // checkpoint until the stop beats the drain, then assert the resumed
+    // sink equals the distinct set with no dups and no losses.
+    import java.nio.file.{Files, Paths}
+    val root0 = Files.createTempDirectory("graft-restart").toString
+    val landing = s"$root0/landing"; new java.io.File(landing).mkdirs()
+    // 12 one-row files at 1 file/trigger → 12 micro-batches; files 9..11
+    // replay events 0..2 byte-identically (the dedup must drop them
+    // ACROSS the kill: state for the originals is restored from the
+    // checkpoint, not rebuilt from the already-committed sink)
+    def row(i: Long) =
+      s"""{"event_id":$i,"ts":"2024-01-01 10:${"%02d".format(i)}:00.000000",""" +
+        s""""user_id":${100 + i},"value":$i.5}"""
+    (0L to 8L).foreach(i =>
+      Files.write(Paths.get(landing, s"f$i.json"), row(i).getBytes("UTF-8")))
+    (0L to 2L).foreach(i =>
+      Files.write(Paths.get(landing, s"g$i.json"), row(i).getBytes("UTF-8")))
+    val expected = (0L to 8L).toSeq
+    val midDrain = (1 to 5).exists { attempt =>
+      val root = s"$root0/a$attempt"
+      val committed = graft.stream.StreamQueries
+        .runKilledThenResumedDedup(spark, landing, root)
+      val got = spark.read.parquet(s"$root/sink")
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(got == expected,
+        s"attempt $attempt (stopped at $committed rows): resumed sink " +
+          s"diverged — got $got")
+      committed > 0 && committed < expected.size
+    }
+    assert(midDrain,
+      "5 attempts never stopped mid-drain (first batch committed, work " +
+        "remaining) — the kill raced the 12-batch drain and lost every time")
+  }
+
   test("WAP-gated stream: no version ever held an unaudited row; quarantine exact") {
     import graft.sources.Lake
     // run the WAP-gated drain end-to-end on the smallest SF, rooted here
