@@ -496,4 +496,55 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"no equi join found:\n$p")
   }
+
+  test("AQE splits a skewed fact-fact join (skew=true) without changing rows") {
+    // The 100 TB skew story the salted rows hand-roll and the de-hinted
+    // TPC-H plans assume: when one key holds most of a shuffle, AQE's
+    // OptimizeSkewedJoin must split that partition across tasks instead
+    // of serializing the stage behind one straggler. Deliberate skew —
+    // key 0 carries 80% of half a million left rows — with the detection
+    // thresholds scaled to test-sized bytes (production defaults are
+    // 256 MB partitions; the MECHANISM is what's pinned, the thresholds
+    // are sizing). Broadcast is disabled so the join is the SMJ shape a
+    // fact-fact join has at scale.
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.shuffle.partitions" -> "8")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def joined() = {
+        val left = spark.range(500000).select(
+          expr("CASE WHEN id % 10 < 8 THEN 0 ELSE id % 997 END").as("k"),
+          expr("id").as("v"),
+          // bulk the rows so the skewed partition clears the byte threshold
+          expr("lpad(CAST(id AS STRING), 48, 'x')").as("pad"))
+        val right = spark.range(997).select(
+          col("id").as("k"), (col("id") * 3 + 1).as("w"))
+        left.join(right, "k").agg(
+          sum(col("v") * col("w")).as("s"), sum(expr("length(pad)")).as("b"))
+      }
+      val df = joined()
+      val got = df.collect().head
+      // the FINAL adaptive plan (isFinalPlan=true after the action) must
+      // carry the skew-split SMJ — ShuffledJoin prints "(skew=true)"
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("skew=true"),
+        s"AQE never split the 80%-key partition:\n$fin")
+      // and the split must not change the answer: same join, skew
+      // handling off, same single-row aggregate
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val base = joined().collect().head
+      assert(got == base, s"skew split changed the answer: $got vs $base")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

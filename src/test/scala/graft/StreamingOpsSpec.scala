@@ -508,4 +508,118 @@ class StreamingOpsSpec extends SparkSpec {
     // no stage left dangling after the drain
     assert(Lake.listStaged(spark, table).isEmpty)
   }
+
+  test("transformWithState ADDITIVE state evolution: old checkpoint, new encoder") {
+    // The first processor upgrade every real pipeline hits: a field is
+    // added to the state case class and the query restarts over the OLD
+    // checkpoint. Spark 4 supports this when state rides the Avro
+    // encoding (the UnsafeRow default is layout-frozen): the added field
+    // must be nullable (Option), old entries read it as None, and the
+    // upgraded processor writes the extended shape thereafter. This is
+    // the upgrade path for DeviceIdleProcessor/TtlCountProcessor state
+    // (IdleState/KeyCount) — proven here on a V1→V2 count-state pair so
+    // the production classes keep their registered-row shapes.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val saved = Seq(provKey, encKey).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(encKey, "avro")
+    val root = java.nio.file.Files.createTempDirectory("graft-evo")
+      .toFile.getAbsolutePath
+    val landing = s"$root/landing"; new java.io.File(landing).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    def land(name: String, keys: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(landing, name),
+        keys.map(k => s"""{"k":"$k"}""").mkString("\n").getBytes("UTF-8"))
+    def drain(proc: org.apache.spark.sql.streaming.StatefulProcessor[
+        String, String, EvoOut]): Unit = {
+      import spark.implicits._
+      val in = spark.readStream.schema(schema).json(landing)
+        .select(col("k")).as[String]
+      val q = in.groupByKey(identity)
+        .transformWithState(proc,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EvoOut], _: Long) =>
+          b.write.mode("append").parquet(s"$root/sink"); ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def rows(): Set[(String, Long, Long)] = {
+      import spark.implicits._
+      spark.read.parquet(s"$root/sink")
+        .as[EvoOut].collect().map(o => (o.key, o.n, o.marker)).toSet
+    }
+    try {
+      land("b1.json", Seq("a", "a", "b"))
+      drain(new EvoProcessorV1) // V1 state: (n); a->2, b->1
+      assert(rows() == Set(("a", 2L, -1L), ("b", 1L, -1L)))
+      land("b2.json", Seq("a"))
+      drain(new EvoProcessorV2) // SAME checkpoint, state now (n, last_len)
+      // the count CONTINUED (a->3: V1 state decoded under the V2 schema)
+      // and the added field read as None for the pre-upgrade entry
+      assert(rows().contains(("a", 3L, -1L)),
+        s"V1 state lost or the added field misread: ${rows()}")
+      land("b3.json", Seq("a"))
+      drain(new EvoProcessorV2)
+      // the extended shape persisted: this batch sees Some(1) from b2
+      assert(rows().contains(("a", 4L, 1L)),
+        s"V2-written field did not round-trip: ${rows()}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
+
+// State-evolution fixtures (top-level: stable Encoders.product derivation).
+// V2 extends V1 by a NULLABLE field — the additive-evolution contract.
+final case class EvoCountV1(n: Long)
+final case class EvoCountV2(n: Long, last_len: Option[Long])
+final case class EvoOut(key: String, n: Long, marker: Long)
+
+class EvoProcessorV1
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, String, EvoOut] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+  @transient private var state: ValueState[EvoCountV1] = _
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[EvoCountV1](
+      "cnt", org.apache.spark.sql.Encoders.product[EvoCountV1],
+      TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[String],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[EvoOut] = {
+    val prev = Option(state.get()).getOrElse(EvoCountV1(0L))
+    val next = EvoCountV1(prev.n + rows.size)
+    state.update(next)
+    Iterator.single(EvoOut(key, next.n, -1L))
+  }
+}
+
+class EvoProcessorV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, String, EvoOut] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+  @transient private var state: ValueState[EvoCountV2] = _
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[EvoCountV2](
+      "cnt", org.apache.spark.sql.Encoders.product[EvoCountV2],
+      TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[String],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[EvoOut] = {
+    val prev = Option(state.get()).getOrElse(EvoCountV2(0L, None))
+    val n = prev.n + rows.size
+    // marker surfaces what the PREVIOUS state carried in the added field
+    val out = EvoOut(key, n, prev.last_len.getOrElse(-1L))
+    state.update(EvoCountV2(n, Some(key.length.toLong)))
+    Iterator.single(out)
+  }
 }
