@@ -180,7 +180,8 @@ object ScaleCheck {
     "q_avro_source", "lake_column_mapping", "stream_tws_timer_equiv",
     "stream_chained_equiv", "q_label_propagation", "lake_symlink_export",
     "lake_generated_column", "emb_matryoshka", "dq_benford",
-    "doc_heaps_growth", "stream_cdf_equiv", "stream_restart_equiv")
+    "doc_heaps_growth", "stream_cdf_equiv", "stream_restart_equiv",
+    "lake_vacuum")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -1694,6 +1694,105 @@ object PipelineQueries {
           |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
+    // ---- VACUUM / RETENTION as a driver-oracled row: four commits
+    //      (snapshot, append, COW delete, append), then vacuum keepLast=2
+    //      — the compliance contract in one hash: reads at head AND at
+    //      the retained v3 stay exact after files are PHYSICALLY removed
+    //      (a vacuum that deletes a shared carried-by-reference file
+    //      breaks either aggregate), while time travel past the horizon
+    //      REFUSES loudly (surfaced as the meta row's flag — silently
+    //      returning something would invent history). Files/bytes
+    //      reclaimed are asserted > 0 in-query (their exact counts hang
+    //      on range-sampling file boundaries, so they stay out of the
+    //      hash); versions removed (2) is deterministic and rides the
+    //      meta row. Fresh scratch dir per call — re-runnable, so the
+    //      bench retime pass times identical work. ----
+    QueryDef(
+      "lake_vacuum",
+      (sp, dir) => {
+        import sp.implicits._
+        val base = Tables.events(sp, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val path = s"${Scratch.dir("vac")}/t"
+        val v1 = graft.sources.Lake.writeVersioned(sp,
+          base.filter(col("day") <= lit("2024-01-10").cast("date"))
+            .repartitionByRange(3, col("day")), path)
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > lit("2024-01-10").cast("date") &&
+            col("day") <= lit("2024-01-20").cast("date"))
+            .repartitionByRange(2, col("day")), path)
+        val (v3, _) = graft.sources.Lake.deleteWhere(sp, path,
+          col("day").between(lit("2024-01-05"), lit("2024-01-07")))
+        graft.sources.Lake.appendVersioned(sp,
+          base.filter(col("day") > lit("2024-01-20").cast("date") &&
+            col("day") <= lit("2024-01-25").cast("date"))
+            .repartitionByRange(2, col("day")), path)
+        // data files + bytes on disk, metadata excluded (vacuum also
+        // rewrites manifests when it materializes checkpoints)
+        def disk(): (Long, Long) = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fs = hp.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(hp, true)
+          var n = 0L; var b = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            val segs = f.getPath.toUri.getPath.split("/")
+            if (!segs.exists(s => s.startsWith("_") || s.startsWith("."))) {
+              n += 1; b += f.getLen
+            }
+          }
+          (n, b)
+        }
+        val (f0, b0) = disk()
+        val removedVs = graft.sources.Lake.vacuum(sp, path, keepLast = 2,
+          orphanGraceMs = 0L)
+        val (f1, b1) = disk()
+        require(removedVs.size == 2,
+          s"vacuum dropped versions $removedVs, expected two")
+        require(f0 > f1 && b0 > b1,
+          s"vacuum reclaimed nothing physical (files $f0->$f1, bytes $b0->$b1)")
+        // travel past the retention horizon must refuse, never fabricate
+        val refused =
+          try {
+            graft.sources.Lake.readVersioned(sp, path, Some(v1)).count(); 0L
+          } catch { case _: IllegalArgumentException => 1L }
+        def dayAgg(df: org.apache.spark.sql.DataFrame, src: String) =
+          df.groupBy(col("day"))
+            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+            .select(lit(src).as("src"), col("day"),
+              col("n_events"), col("total_cents"))
+        dayAgg(graft.sources.Lake.readVersioned(sp, path), "head")
+          .unionByName(
+            dayAgg(graft.sources.Lake.readVersioned(sp, path, Some(v3)), "v3"))
+          .unionByName(Seq(("vacuum_meta", removedVs.size.toLong, refused))
+            .toDF("src", "n_events", "total_cents")
+            .withColumn("day", lit(null).cast("date"))
+            .select("src", "day", "n_events", "total_cents"))
+          .orderBy(col("src"), col("day").asc_nulls_last)
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(ts AS DATE) AS day,
+          |         CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events)
+          |SELECT 'head' AS src, day, count(*) AS n_events,
+          |       CAST(sum(cents) AS BIGINT) AS total_cents
+          |FROM e WHERE day <= DATE '2024-01-25'
+          |  AND day NOT BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+          |GROUP BY day
+          |UNION ALL
+          |SELECT 'v3' AS src, day, count(*) AS n_events,
+          |       CAST(sum(cents) AS BIGINT) AS total_cents
+          |FROM e WHERE day <= DATE '2024-01-20'
+          |  AND day NOT BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+          |GROUP BY day
+          |UNION ALL
+          |SELECT 'vacuum_meta', CAST(NULL AS DATE), CAST(2 AS BIGINT),
+          |       CAST(1 AS BIGINT)
+          |ORDER BY src, day""".stripMargin),
+    ),
+
     // ---- SCHEMA DRIFT through the STREAMING append path: a versioned
     //      table built from early events takes a later batch that carries
     //      a NEW column (the upstream-drift event a 24/7 stream must
