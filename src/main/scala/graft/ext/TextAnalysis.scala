@@ -215,6 +215,68 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** Corpus-wide BOILERPLATE SPAN REMOVAL — the C4/CCNet pass that strips
+    * spans repeated across many documents (nav bars, cookie banners,
+    * license footers) while `doc_cross_overlap` only MEASURES them. A
+    * token is removed iff any corpus-frequent trigram span covers it:
+    * trigram spans are hashed (md5 — fixed-width shuffle keys, never span
+    * text), spans whose DOCUMENT frequency reaches `minDf` are
+    * boilerplate (C4's rule is the same shape: an absolute occurrence
+    * count, three in the original paper — production calibrates per
+    * corpus), and covered token positions are subtracted from each
+    * document before reassembly.
+    *
+    * Scale shape: three token-grain shuffles (gram df count, covered-
+    * position distinct, final per-doc reassembly) over md5/int keys; the
+    * boilerplate gram table is vocabulary-sized and the join back is an
+    * equi-join on the hash. The gram frame is persisted across its two
+    * consumers (df count + join back) — at fixture scale trivially, at
+    * 100 TB the same two-pass either persists to fast storage or
+    * recomputes the narrow gram projection (a map-only pass) — and
+    * unpersisted before return. Document bodies cross the shuffle exactly
+    * once, at the final doc-grain reassembly, which is the pass that
+    * writes the stripped corpus anyway.
+    */
+  def boilerplateStrip(docs: DataFrame, minDf: Long = 5L): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // (doc, 1-based start, gram md5) for every trigram span
+    val grams = toks.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> md5(concat_ws(' ', slice(toks, i, 3))))")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("s"), col("gh"))
+      .persist()
+    try {
+      val boiler = grams.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= lit(minDf))
+        .select("gh")
+      // token positions covered by any boilerplate span: start s covers
+      // s, s+1, s+2 (distinct — overlapping spans mark a position once)
+      val removed = grams.join(boiler, "gh")
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("s") + lit(2))).as("pos"))
+        .distinct()
+        .withColumn("rm", lit(1))
+      val tok = toks
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      val out = tok.join(removed, Seq("doc_id", "pos"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          // kept tokens reassembled in position order (collect_list drops
+          // the CASE's nulls; struct sort orders by pos)
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
+            .as("stripped"))
+        .orderBy("doc_id")
+      // materialize before unpersisting the gram frame the plan feeds on
+      out.localCheckpoint(true)
+    } finally { grams.unpersist(); () }
+  }
+
   /** URL canonicalization — the normalization pass a crawl-dedup pipeline
     * runs before URL-level dedup (the same spelling of a page arrives as
     * `HTTP://WWW.Example.COM:80/a/?id=1&utm_source=feed#top` and
@@ -722,6 +784,42 @@ object TextAnalysis {
           |JOIN c cb ON cb.source = y.source
           |GROUP BY x.source, y.source, ca.n_sh, cb.n_sh
           |ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // ---- corpus-wide boilerplate span REMOVAL (see [[boilerplateStrip]]):
+    //      the C4/CCNet strip pass doc_cross_overlap only measures. The
+    //      hash covers the full stripped text of every document, so a
+    //      mis-marked position, an off-by-one span cover, or a reassembly
+    //      order bug all fail loudly. ----
+    QueryDef(
+      "doc_boilerplate_strip",
+      (sp, dir) => boilerplateStrip(Tables.documents(sp, dir)),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id, idx AS s,
+          |         md5(array_to_string(toks[idx : idx + 2], ' ')) AS gh
+          |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(idx)
+          |  WHERE len(toks) >= 3),
+          |b AS (SELECT gh FROM g GROUP BY gh
+          |      HAVING count(DISTINCT doc_id) >= 5),
+          |bad AS (
+          |  SELECT DISTINCT g.doc_id, g.s + k.k AS pos
+          |  FROM g JOIN b USING (gh), (VALUES (0), (1), (2)) k(k)),
+          |tok AS (
+          |  SELECT doc_id, idx AS pos, toks[idx] AS w
+          |  FROM t, unnest(generate_series(1, len(toks))) AS u(idx))
+          |SELECT tok.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tok,
+          |       CAST(sum(CASE WHEN bad.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |       coalesce(array_to_string(
+          |         list(tok.w ORDER BY tok.pos) FILTER (WHERE bad.pos IS NULL),
+          |         ' '), '') AS stripped
+          |FROM tok
+          |LEFT JOIN bad ON bad.doc_id = tok.doc_id AND bad.pos = tok.pos
+          |GROUP BY tok.doc_id
+          |ORDER BY tok.doc_id""".stripMargin),
     ),
 
     // ---- n-gram LM quality scoring (the CCNet/KenLM filter shape): a
