@@ -1969,6 +1969,53 @@ class LakeSpec extends SparkSpec {
       Lake.registerTable(spark, "cat_bad", plain, version = Some(1L)))
   }
 
+  test("exportChangeFeedLanding: resumable, idempotent, ordered, ts-free") {
+    val root = tmp() + "/cdfbridge"
+    val dir = s"$root/t"
+    val landing = s"$root/landing"
+    def mk(r: Range) = r.map(i => (i.toLong, i % 4L)).toDF("id", "k")
+    Lake.writeVersioned(spark, mk(1 to 20).repartitionByRange(2, col("id")), dir)
+    Lake.appendVersioned(spark, mk(21 to 30).repartition(1), dir)
+    def files() = new java.io.File(landing).listFiles()
+      .filter(_.getName.startsWith("cdf-")).sortBy(_.getName)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    val after2 = files()
+    assert(after2.map(_.getName.take(10)).distinct.toSeq ==
+      Seq("cdf-v00001", "cdf-v00002"), s"got ${after2.map(_.getName).toSeq}")
+    // IDEMPOTENT: a re-call with no new commits exports nothing
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    assert(files().map(_.getName).toSeq == after2.map(_.getName).toSeq &&
+      files().map(_.lastModified).toSeq == after2.map(_.lastModified).toSeq,
+      "re-call rewrote published landing files")
+    // RESUMABLE: a new commit exports ONLY its own delta
+    Lake.deleteWhere(spark, dir, col("id") <= 5L)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 3L)
+    val v3Files = files().filterNot(f => after2.exists(_.getName == f.getName))
+    assert(v3Files.nonEmpty && v3Files.forall(_.getName.startsWith("cdf-v00003")),
+      s"resume exported ${v3Files.map(_.getName).toSeq}")
+    // ORDERED: every later version's files are mtime-after every earlier
+    // version's (the file-stream replay-order contract)
+    val byV = files().groupBy(_.getName.take(10)).toSeq.sortBy(_._1)
+    byV.sliding(2).foreach {
+      case Seq((va, fa), (vb, fb)) =>
+        assert(fa.map(_.lastModified).max < fb.map(_.lastModified).min,
+          s"$vb files not strictly mtime-after $va")
+      case _ => ()
+    }
+    // TS-FREE + stamped: rows carry _change_type/_commit_version, never
+    // the wall-clock _commit_timestamp (replays must be deterministic)
+    val rows = spark.read.json(landing)
+    assert(rows.columns.sorted.toSeq ==
+      Seq("_change_type", "_commit_version", "id", "k"))
+    // and the landing replays the exact feed: v2..v3 rows match
+    val feed = Lake.readChangeFeed(spark, dir, 2L, 3L)
+      .select("id", "k", "_change_type", "_commit_version")
+    val landed = rows.filter(col("_commit_version") >= 2L)
+      .select("id", "k", "_change_type", "_commit_version")
+    assert(landed.except(feed).isEmpty && feed.except(landed).isEmpty,
+      "landing diverges from the feed it exported")
+  }
+
   test("change feed spans schema eras: pre-drift commits resolve the evolved schema") {
     val dir = tmp() + "/cdfevo"
     Lake.writeVersioned(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)
