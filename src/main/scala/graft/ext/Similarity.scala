@@ -526,6 +526,86 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** PRODUCT QUANTIZATION (Jégou et al., PAMI'11) — the codebook behind
+    * IVF-PQ, the index family that makes billion-vector ANN fit in RAM:
+    * the vector splits into M subspaces, each subspace learns its own
+    * small k-means codebook, and a vector compresses to M one-byte codes
+    * (64 dims × 4 bytes → 2 bytes here). [[kmeans]]'s integer-exact Lloyd
+    * discipline carries over whole — elements quantize once to
+    * round(x·1000)+1000, seeds are the k smallest vec_ids' subvectors
+    * (pairwise-distinct required loudly, the empty-cluster guard),
+    * distances/argmin/updates are pure BIGINT with division-free
+    * round-half-up — so the codes and the reconstruction error are exact
+    * cross-engine. Per subspace per iteration the corpus does one fused
+    * zip_with pass against k broadcast literal centroids; k·(d/M)
+    * integers come to the driver, never vectors. Output is code-PAIR
+    * grain (≤ k² rows): population and exact integer squared
+    * reconstruction error — the quantization-quality surface an ANN
+    * operator reads before committing to a codebook.
+    */
+  def pqCodes(sp: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
+      .as("q"))
+    val full = emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(full.length == k, s"corpus smaller than k=$k")
+    val dim = full.head.length
+    require(dim % 2 == 0, s"PQ(M=2) needs an even dimension, got $dim")
+    val half = dim / 2
+    // per-subspace Lloyd: identical loop to kmeans over the sliced halves
+    def train(lo: Int): Seq[Array[Long]] = {
+      val sub = emb.select(col("vec_id"),
+        slice(col("q"), lo, half).as("q"))
+      val init = full.map(_.slice(lo - 1, lo - 1 + half))
+      require(init.map(_.toSeq).distinct.length == k,
+        s"k=$k seed SUBvectors (dims $lo..${lo + half - 1}) are not " +
+          "pairwise-distinct after quantization; an empty cluster would " +
+          "diverge from the replay oracle")
+      var cents: Seq[Array[Long]] = init.toSeq
+      def dists(c: Seq[Array[Long]]) = array(c.map { cc =>
+        val lc = array(cc.map(lit): _*)
+        aggregate(zip_with(col("q"), lc, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)
+      for (_ <- 1 until iters) {
+        val sums = sub
+          .withColumn("ds", dists(cents))
+          .withColumn("cid", array_position(col("ds"), array_min(col("ds"))))
+          .select(col("cid"), posexplode(col("q")).as(Seq("j", "qv")))
+          .groupBy("cid", "j")
+          .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone()).toArray
+        sums.foreach { r =>
+          next(r.getLong(0).toInt - 1)(r.getInt(1)) =
+            (2L * r.getLong(2) + r.getLong(3)) / (2L * r.getLong(3))
+        }
+        cents = next.toSeq
+      }
+      cents
+    }
+    val cb1 = train(1)
+    val cb2 = train(half + 1)
+    def encode(lo: Int, cb: Seq[Array[Long]], code: String, err: String) = {
+      val ds = array(cb.map { cc =>
+        val lc = array(cc.map(lit): _*)
+        aggregate(zip_with(slice(col("q"), lo, half), lc,
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      }: _*)
+      Seq(array_position(ds, array_min(ds)).as(code), array_min(ds).as(err))
+    }
+    emb.select(col("vec_id") +:
+        (encode(1, cb1, "c1", "e1") ++ encode(half + 1, cb2, "c2", "e2")): _*)
+      .groupBy("c1", "c2")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("e1") + col("e2")).cast("long").as("sq_err"))
+      .select(col("c1").as("code1"), col("c2").as("code2"),
+        col("n_vecs"), col("sq_err"))
+      .orderBy("code1", "code2")
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Single-query brute-force top-10 against vec_id = 0.
     QueryDef(
@@ -1075,6 +1155,64 @@ object Similarity {
           |FROM a2 JOIN cl1 USING (cid)
           |GROUP BY a2.cid, cl1.centroid_l1
           |ORDER BY cluster_id""".stripMargin),
+    ),
+
+    // ---- PRODUCT QUANTIZATION codebooks (see [[pqCodes]]): two-subspace
+    //      PQ via the integer-exact Lloyd discipline; the oracle replays
+    //      both subspaces' two Lloyd rounds generically (UNION ALL over a
+    //      subspace id) and regroups at code-pair grain. A drifted
+    //      centroid update, a tie broken the other way, or a slice
+    //      off-by-one all break the hash. ----
+    QueryDef(
+      "emb_pq",
+      (sp, dir) => pqCodes(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |sub AS (
+          |  SELECT vec_id, 1 AS m, q[1 : 32] AS q FROM e
+          |  UNION ALL
+          |  SELECT vec_id, 2 AS m, q[33 : 64] AS q FROM e),
+          |seed AS (
+          |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS cid,
+          |         q AS c
+          |  FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 8),
+          |eg AS (SELECT m, vec_id, j, q[j] AS qv
+          |       FROM sub, generate_series(1, 32) t(j)),
+          |c0 AS (SELECT m, cid, j, c[j] AS cv
+          |       FROM seed, generate_series(1, 32) t(j)),
+          |d1 AS (SELECT eg.m, eg.vec_id, c0.cid,
+          |              sum((qv - cv) * (qv - cv)) AS d
+          |       FROM eg JOIN c0 ON c0.m = eg.m AND c0.j = eg.j
+          |       GROUP BY 1, 2, 3),
+          |a1 AS (SELECT m, vec_id, cid FROM (
+          |         SELECT m, vec_id, cid, row_number() OVER (
+          |           PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM d1)
+          |       WHERE rn = 1),
+          |c1 AS (SELECT a1.m, a1.cid, eg.j,
+          |              (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |       FROM a1 JOIN eg ON eg.m = a1.m AND eg.vec_id = a1.vec_id
+          |       GROUP BY 1, 2, 3),
+          |d2 AS (SELECT eg.m, eg.vec_id, c1.cid,
+          |              sum((qv - cv) * (qv - cv)) AS d
+          |       FROM eg JOIN c1 ON c1.m = eg.m AND c1.j = eg.j
+          |       GROUP BY 1, 2, 3),
+          |a2 AS (SELECT m, vec_id, cid, d FROM (
+          |         SELECT m, vec_id, cid, d, row_number() OVER (
+          |           PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM d2)
+          |       WHERE rn = 1)
+          |SELECT x.cid AS code1, y.cid AS code2,
+          |       count(*) AS n_vecs,
+          |       CAST(sum(x.d + y.d) AS BIGINT) AS sq_err
+          |FROM (SELECT * FROM a2 WHERE m = 1) x
+          |JOIN (SELECT * FROM a2 WHERE m = 2) y USING (vec_id)
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin),
     ),
 
     QueryDef(
