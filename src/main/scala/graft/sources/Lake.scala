@@ -799,12 +799,16 @@ object Lake {
     *     filesystems preserve commit order for order-sensitive consumers
     *     (a pure retraction-weight aggregate doesn't need it; a
     *     latest-wins CDC fold does).
+    *   - `keys` nonEmpty switches to the KEYED feed
+    *     ([[readChangeFeedKeyed]]): update pre/post classification,
+    *     carried file-rewrite pairs dropped — the export a key-driven
+    *     consumer (SCD1 fold, notification fan-out) wants.
     *
     * @return the newest exported version (head, or `upTo` if lower)
     */
   def exportChangeFeedLanding(spark: SparkSession, path: String,
       landing: String, upTo: Option[Long] = None,
-      filesPerVersion: Int = 2): Long = {
+      filesPerVersion: Int = 2, keys: Seq[String] = Nil): Long = {
     val lp = new org.apache.hadoop.fs.Path(landing)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lp)
@@ -826,7 +830,10 @@ object Lake {
       // needs none — nothing precedes it)
       if (i > 0 || exported.nonEmpty) Thread.sleep(1100)
       val stage = new org.apache.hadoop.fs.Path(landing, s".stage-v$v")
-      readChangeFeed(spark, path, v, v).drop("_commit_timestamp")
+      val feed =
+        if (keys.isEmpty) readChangeFeed(spark, path, v, v)
+        else readChangeFeedKeyed(spark, path, v, v, keys)
+      feed.drop("_commit_timestamp")
         .coalesce(filesPerVersion)
         .write.mode("overwrite").json(stage.toString)
       fs.listStatus(stage)

@@ -1630,6 +1630,108 @@ object StreamQueries {
       |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- stream_cdf_scd1: KEYED change feed -> streaming SCD1 fold --------
+  //
+  // The key-driven half of the CDF-as-stream composition: a MERGE- and
+  // DELETE-maintained keyed table exports its feed through
+  // exportChangeFeedLanding(keys = k) — update pre/post classification,
+  // carried file-rewrite pairs dropped — and the stream drops preimages
+  // and folds post-images/inserts as upserts and deletes as deletes
+  // through cdcLatestExplicit (the custom-state SCD1 operator). Event
+  // time derives from _commit_version (one day per commit — strictly
+  // increasing, deterministic), so latest-wins lands on the table's
+  // exact final state: a leaked preimage, a carried rewrite pair
+  // surviving the keyed filter, or a delete folded as upsert all break
+  // the hash. Versions are bounded (4 incl. sentinels' 900/999), so
+  // fixed sentinel versions are replica-safe.
+
+  private val cdfScd1Landings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfScd1LandingFor(spark: SparkSession, dir: String): String =
+    cdfScd1Landings.computeIfAbsent(dir, _ => {
+      val root = Scratch.dir("stream_cdfk_src")
+      val table = s"$root/t"
+      val base = Tables.events(spark, dir).select(
+        concat(lit("u"), (col("user_id") % 256).cast("string")).as("k"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val s1 = base.filter(col("day") <= lit("2024-01-10").cast("date"))
+        .groupBy("k").agg(sum(col("cents")).as("v"))
+      graft.sources.Lake.writeVersioned(spark,
+        s1.repartitionByRange(2, col("k")), table)
+      val s2 = base.filter(col("day") > lit("2024-01-10").cast("date") &&
+        col("day") <= lit("2024-01-20").cast("date"))
+        .groupBy("k").agg(sum(col("cents")).as("v"))
+      graft.sources.Lake.mergeInto(spark, table, s2, Seq("k"))
+      // modulus 7, NOT 5: the x10 replica folds all ten copies of a key
+      // onto the same k (1e10 user-id offsets are 0 mod 256) so v scales
+      // by 10 — a %5 predicate then deletes EVERY key (10v % 5 = 0) and
+      // the replica row degenerates to 0 rows; 10v % 7 = 3v % 7 keeps
+      // the kept/deleted mix live at every replication
+      graft.sources.Lake.deleteWhere(spark, table, col("v") % 7 === 0)
+      val landing = s"$root/landing"
+      // 1 file/version -> 3 data files + 2 sentinels at 2/trigger:
+      // (d,d)(d,s1)(s2), the proven cdc batching
+      graft.sources.Lake.exportChangeFeedLanding(spark, table, landing,
+        filesPerVersion = 1, keys = Seq("k"))
+      Thread.sleep(1100)
+      def sentinel(name: String, cv: Long): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(landing, name),
+          (s"""{"k":"zz-sentinel","v":0,"_change_type":"insert",""" +
+            s""""_commit_version":$cv}""").getBytes("UTF-8"))
+      sentinel("zz-sentinel-1.json", 900L)
+      Thread.sleep(20)
+      sentinel("zz-sentinel-2.json", 999L)
+      landing
+    })
+
+  private val cdfKeyedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType)))
+
+  private def streamCdfScd1(spark: SparkSession, dir: String): DataFrame = {
+    val landing = cdfScd1LandingFor(spark, dir)
+    val root = Scratch.dir("stream_cdfk")
+    val typed = jsonStream(spark, landing, cdfKeyedSchema, Some(2))
+      .filter(col("_change_type") =!= "update_preimage")
+      .select(col("k"), col("v"),
+        when(col("_change_type") === "delete", "d").otherwise("u").as("_op"),
+        timestamp_millis(lit(1704067200000L) +
+          col("_commit_version") * lit(86400000L)).as("_commit_ts"))
+    // lateness 720 h: sentinel versions 900/999 put the flush watermark
+    // ~2.4 years past the 3 real commit days
+    drainToParquet(
+      StreamAggs.cdcLatestExplicit(typed, lateness = "720 hours").toDF(),
+      s"$root/sink", s"$root/ckpt", shards = 4)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("k") =!= "zz-sentinel")
+      .select(col("k"), col("v"))
+      .orderBy("k")
+  }
+
+  private val cdfScd1Oracle =
+    """WITH b AS (
+      |  SELECT 'u' || CAST(user_id % 256 AS VARCHAR) AS k,
+      |         CAST(ts AS DATE) AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |s1 AS (SELECT k, CAST(sum(cents) AS BIGINT) AS v FROM b
+      |       WHERE day <= DATE '2024-01-10' GROUP BY k),
+      |s2 AS (SELECT k, CAST(sum(cents) AS BIGINT) AS v FROM b
+      |       WHERE day > DATE '2024-01-10' AND day <= DATE '2024-01-20'
+      |       GROUP BY k),
+      |m AS (SELECT coalesce(s2.k, s1.k) AS k, coalesce(s2.v, s1.v) AS v
+      |      FROM s1 FULL JOIN s2 ON s1.k = s2.k)
+      |SELECT k, v FROM m WHERE v % 7 <> 0 ORDER BY k""".stripMargin
+
   // ---- stream_restart_equiv: crash-recovery exactly-once ----------------
   //
   // A32's strongest form: the stateful dedup drain is STOPPED mid-run
@@ -1715,6 +1817,7 @@ object StreamQueries {
     cdcLandingFor(spark, dir)
     debeziumLandingFor(spark, dir)
     cdfStreamLandingFor(spark, dir)
+    cdfScd1LandingFor(spark, dir)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -1746,6 +1849,7 @@ object StreamQueries {
     QueryDef("stream_cdc_equiv", streamCdcEquiv, Some(cdcOracle)),
     QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),
     QueryDef("stream_cdf_equiv", streamCdfEquiv, Some(cdfFeedOracle)),
+    QueryDef("stream_cdf_scd1", streamCdfScd1, Some(cdfScd1Oracle)),
     // same oracle as stream_dedup_equiv: the restart protocol must land
     // on the identical distinct-event set
     QueryDef("stream_restart_equiv", streamRestartEquiv, Some(dedupOracle)),
