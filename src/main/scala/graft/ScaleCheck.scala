@@ -181,7 +181,8 @@ object ScaleCheck {
     "stream_chained_equiv", "q_label_propagation", "lake_symlink_export",
     "lake_generated_column", "emb_matryoshka", "dq_benford",
     "doc_heaps_growth", "stream_cdf_equiv", "stream_restart_equiv",
-    "lake_vacuum", "doc_boilerplate_strip", "emb_pq", "stream_cdf_scd1")
+    "lake_vacuum", "doc_boilerplate_strip", "emb_pq", "stream_cdf_scd1",
+    "emb_pq_adc")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

@@ -543,8 +543,11 @@ object Similarity {
     * reconstruction error — the quantization-quality surface an ANN
     * operator reads before committing to a codebook.
     */
-  def pqCodes(sp: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 2): DataFrame = {
+  /** Trained two-subspace PQ model: the quantized corpus frame plus both
+    * subspace codebooks (see [[pqCodes]] for the discipline).
+    */
+  private def pqModel(sp: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, Seq[Array[Long]], Seq[Array[Long]], Int) = {
     val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
       .as("q"))
@@ -586,14 +589,24 @@ object Similarity {
       }
       cents
     }
-    val cb1 = train(1)
-    val cb2 = train(half + 1)
+    (emb, train(1), train(half + 1), half)
+  }
+
+  /** Per-subspace squared-distance array vs `k` broadcast literal
+    * centroids, for the subvector at dims [lo, lo+half).
+    */
+  private def pqDists(lo: Int, half: Int, cb: Seq[Array[Long]]) =
+    array(cb.map { cc =>
+      val lc = array(cc.map(lit): _*)
+      aggregate(zip_with(slice(col("q"), lo, half), lc,
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    }: _*)
+
+  def pqCodes(sp: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val (emb, cb1, cb2, half) = pqModel(sp, dir, k, iters)
     def encode(lo: Int, cb: Seq[Array[Long]], code: String, err: String) = {
-      val ds = array(cb.map { cc =>
-        val lc = array(cc.map(lit): _*)
-        aggregate(zip_with(slice(col("q"), lo, half), lc,
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-      }: _*)
+      val ds = pqDists(lo, half, cb)
       Seq(array_position(ds, array_min(ds)).as(code), array_min(ds).as(err))
     }
     emb.select(col("vec_id") +:
@@ -604,6 +617,48 @@ object Similarity {
       .select(col("c1").as("code1"), col("c2").as("code2"),
         col("n_vecs"), col("sq_err"))
       .orderBy("code1", "code2")
+  }
+
+  /** ADC (asymmetric distance computation) top-k over the PQ codes — the
+    * SEARCH half of IVF-PQ: the query stays full-precision, each subspace
+    * precomputes its k query-to-centroid distances ONCE on the driver
+    * (k·M integers), and every corpus vector scores as a pure two-element
+    * TABLE LOOKUP on its codes — no vector arithmetic per row, which is
+    * why PQ search streams billions of codes per node. Distances are the
+    * same exact integers as [[pqCodes]], the cut breaks ties on vec_id
+    * (the ann_topk discipline), and orderBy+limit plans as TakeOrdered —
+    * per-partition heaps, no global sort, k·partitions rows to the
+    * driver at any corpus size.
+    */
+  def pqAdcTopK(sp: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, topK: Int = 10): DataFrame = {
+    val (emb, cb1, cb2, half) = pqModel(sp, dir, k, iters)
+    val qv = emb.filter(col("vec_id") === 0).collect()
+    require(qv.length == 1, "query vector vec_id=0 missing")
+    val q = qv.head.getSeq[Long](1).toArray
+    def table(lo: Int, cb: Seq[Array[Long]]): Array[Long] = cb.map { c =>
+      var s = 0L; var j = 0
+      while (j < half) {
+        val d = q(lo - 1 + j) - c(j); s += d * d; j += 1
+      }
+      s
+    }.toArray
+    val dt1 = array(table(1, cb1).map(lit): _*)
+    val dt2 = array(table(half + 1, cb2).map(lit): _*)
+    def code(lo: Int, cb: Seq[Array[Long]]) = {
+      val ds = pqDists(lo, half, cb)
+      array_position(ds, array_min(ds))
+    }
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (element_at(dt1, code(1, cb1).cast("int")) +
+          element_at(dt2, code(half + 1, cb2).cast("int"))).as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.orderBy(col("adc_dist"), col("vec_id")).limit(topK)
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("vec_id"), col("adc_dist"))
+      .orderBy("rn")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1213,6 +1268,70 @@ object Similarity {
           |JOIN (SELECT * FROM a2 WHERE m = 2) y USING (vec_id)
           |GROUP BY 1, 2
           |ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // ---- ADC top-k over the PQ codes (see [[pqAdcTopK]]): the search
+    //      half of IVF-PQ — per-row cost is a two-element table lookup.
+    //      The oracle replays the same codebooks, builds the query's
+    //      k-per-subspace distance table, and scores via the codes; all
+    //      integer, ties on vec_id. ----
+    QueryDef(
+      "emb_pq_adc",
+      (sp, dir) => pqAdcTopK(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |sub AS (
+          |  SELECT vec_id, 1 AS m, q[1 : 32] AS q FROM e
+          |  UNION ALL
+          |  SELECT vec_id, 2 AS m, q[33 : 64] AS q FROM e),
+          |seed AS (
+          |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS cid,
+          |         q AS c
+          |  FROM sub
+          |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 8),
+          |eg AS (SELECT m, vec_id, j, q[j] AS qv
+          |       FROM sub, generate_series(1, 32) t(j)),
+          |c0 AS (SELECT m, cid, j, c[j] AS cv
+          |       FROM seed, generate_series(1, 32) t(j)),
+          |d1 AS (SELECT eg.m, eg.vec_id, c0.cid,
+          |              sum((qv - cv) * (qv - cv)) AS d
+          |       FROM eg JOIN c0 ON c0.m = eg.m AND c0.j = eg.j
+          |       GROUP BY 1, 2, 3),
+          |a1 AS (SELECT m, vec_id, cid FROM (
+          |         SELECT m, vec_id, cid, row_number() OVER (
+          |           PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM d1)
+          |       WHERE rn = 1),
+          |c1 AS (SELECT a1.m, a1.cid, eg.j,
+          |              (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |       FROM a1 JOIN eg ON eg.m = a1.m AND eg.vec_id = a1.vec_id
+          |       GROUP BY 1, 2, 3),
+          |d2 AS (SELECT eg.m, eg.vec_id, c1.cid,
+          |              sum((qv - cv) * (qv - cv)) AS d
+          |       FROM eg JOIN c1 ON c1.m = eg.m AND c1.j = eg.j
+          |       GROUP BY 1, 2, 3),
+          |a2 AS (SELECT m, vec_id, cid FROM (
+          |         SELECT m, vec_id, cid, row_number() OVER (
+          |           PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM d2)
+          |       WHERE rn = 1),
+          |qd AS (SELECT c1.m, c1.cid,
+          |              sum((qe.qv - c1.cv) * (qe.qv - c1.cv)) AS qdist
+          |       FROM (SELECT m, j, qv FROM eg WHERE vec_id = 0) qe
+          |       JOIN c1 ON c1.m = qe.m AND c1.j = qe.j
+          |       GROUP BY 1, 2),
+          |sc AS (SELECT a2.vec_id, CAST(sum(qd.qdist) AS BIGINT) AS adc_dist
+          |       FROM a2 JOIN qd ON qd.m = a2.m AND qd.cid = a2.cid
+          |       WHERE a2.vec_id <> 0
+          |       GROUP BY 1)
+          |SELECT rn, vec_id, adc_dist FROM (
+          |  SELECT vec_id, adc_dist,
+          |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 10 ORDER BY rn""".stripMargin),
     ),
 
     QueryDef(
