@@ -277,6 +277,58 @@ object TextAnalysis {
     } finally { grams.unpersist(); () }
   }
 
+  /** Corpus-wide EXACT-SUBSTRING DEDUP with keep-first semantics — the
+    * Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better", ACL'22) pass at window grain: every repeated 5-token window
+    * keeps its FIRST occurrence in corpus order (doc_id, then position)
+    * and strips every other one, including later repeats inside the same
+    * document. This differs from [[boilerplateStrip]] on both axes:
+    * threshold (any repeat, not a df cutoff) and semantics (one survivor
+    * kept, not all occurrences removed). Ownership is a min(struct)
+    * aggregate per window hash — never a window function over gram
+    * partitions — so a hot gram costs a skewed group, not a single-task
+    * sort; everything else follows boilerplateStrip's shuffle discipline
+    * (md5 keys, covered-position distinct, one doc-grain reassembly).
+    */
+  def substringDedup(docs: DataFrame, window: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = toks.filter(size(col("toks")) >= window)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${window - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $window))))"))
+        .as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("s"), col("gh"))
+      .persist()
+    try {
+      // first occurrence per repeated gram, by (doc_id, s) — an aggregate,
+      // broadcast back via the equi-join below
+      val own = grams.groupBy("gh")
+        .agg(min(struct(col("doc_id"), col("s"))).as("o"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("gh"), col("o.doc_id").as("odoc"), col("o.s").as("os"))
+      val removed = grams.join(own, "gh")
+        .filter(!(col("doc_id") === col("odoc") && col("s") === col("os")))
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("s") + lit(window - 1))).as("pos"))
+        .distinct()
+        .withColumn("rm", lit(1))
+      val tok = toks
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      val out = tok.join(removed, Seq("doc_id", "pos"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
+            .as("deduped"))
+        .orderBy("doc_id")
+      out.localCheckpoint(true)
+    } finally { grams.unpersist(); () }
+  }
+
   /** URL canonicalization — the normalization pass a crawl-dedup pipeline
     * runs before URL-level dedup (the same spelling of a page arrives as
     * `HTTP://WWW.Example.COM:80/a/?id=1&utm_source=feed#top` and
@@ -816,6 +868,46 @@ object TextAnalysis {
           |       coalesce(array_to_string(
           |         list(tok.w ORDER BY tok.pos) FILTER (WHERE bad.pos IS NULL),
           |         ' '), '') AS stripped
+          |FROM tok
+          |LEFT JOIN bad ON bad.doc_id = tok.doc_id AND bad.pos = tok.pos
+          |GROUP BY tok.doc_id
+          |ORDER BY tok.doc_id""".stripMargin),
+    ),
+
+    // ---- exact-substring dedup, keep-first (see [[substringDedup]]):
+    //      Lee et al. ACL'22 at 5-token window grain. The oracle ranks
+    //      each gram's occurrences by (doc_id, s) and strips rank > 1;
+    //      the hash covers the full deduped text, so a survivor stripped,
+    //      a repeat kept, or first-occurrence order broken all fail. ----
+    QueryDef(
+      "doc_substring_dedup",
+      (sp, dir) => substringDedup(Tables.documents(sp, dir)),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id, idx AS s,
+          |         md5(array_to_string(toks[idx : idx + 4], ' ')) AS gh
+          |  FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(idx)
+          |  WHERE len(toks) >= 5),
+          |o AS (
+          |  SELECT doc_id, s,
+          |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn,
+          |         count(*) OVER (PARTITION BY gh) AS n
+          |  FROM g),
+          |bad AS (
+          |  SELECT DISTINCT doc_id, s + k.k AS pos
+          |  FROM o, (VALUES (0), (1), (2), (3), (4)) k(k)
+          |  WHERE n > 1 AND rn > 1),
+          |tok AS (
+          |  SELECT doc_id, idx AS pos, toks[idx] AS w
+          |  FROM t, unnest(generate_series(1, len(toks))) AS u(idx))
+          |SELECT tok.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tok,
+          |       CAST(sum(CASE WHEN bad.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |       coalesce(array_to_string(
+          |         list(tok.w ORDER BY tok.pos) FILTER (WHERE bad.pos IS NULL),
+          |         ' '), '') AS deduped
           |FROM tok
           |LEFT JOIN bad ON bad.doc_id = tok.doc_id AND bad.pos = tok.pos
           |GROUP BY tok.doc_id
