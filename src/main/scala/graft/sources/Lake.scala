@@ -803,12 +803,21 @@ object Lake {
     *     ([[readChangeFeedKeyed]]): update pre/post classification,
     *     carried file-rewrite pairs dropped — the export a key-driven
     *     consumer (SCD1 fold, notification fan-out) wants.
+    *   - `format` "json" (default — human-greppable, the fixture
+    *     landings' convention) or "parquet" (the 100 TB choice: ~3x
+    *     fewer bytes, column pruning at the consumer's scan; the file
+    *     stream source reads either). A landing is ONE format for its
+    *     lifetime — mixing would break the consumer's schema contract,
+    *     so a resume call refuses a format switch loudly.
     *
     * @return the newest exported version (head, or `upTo` if lower)
     */
   def exportChangeFeedLanding(spark: SparkSession, path: String,
       landing: String, upTo: Option[Long] = None,
-      filesPerVersion: Int = 2, keys: Seq[String] = Nil): Long = {
+      filesPerVersion: Int = 2, keys: Seq[String] = Nil,
+      format: String = "json"): Long = {
+    require(format == "json" || format == "parquet",
+      s"exportChangeFeedLanding: format must be json or parquet, got $format")
     val lp = new org.apache.hadoop.fs.Path(landing)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lp)
@@ -818,10 +827,16 @@ object Lake {
     val versions = manifestVersions(tfs, path)
     require(versions.nonEmpty, s"exportChangeFeedLanding: no versions under $path")
     val head = upTo.map(u => math.min(u, versions.last)).getOrElse(versions.last)
-    val namePat = "cdf-v(\\d+)-.*".r
-    val exported = fs.listStatus(lp).toSeq.map(_.getPath.getName).collect {
-      case namePat(v) => v.toLong
+    val namePat = "cdf-v(\\d+)-.*\\.(json|parquet)".r
+    val published = fs.listStatus(lp).toSeq.map(_.getPath.getName).collect {
+      case namePat(v, fmt) => (v.toLong, fmt)
     }
+    published.map(_._2).distinct.foreach(f0 =>
+      require(f0 == format,
+        s"exportChangeFeedLanding($landing): landing holds $f0 files; a " +
+          s"$format resume would hand the consumer a mixed-schema dir — " +
+          "one landing, one format"))
+    val exported = published.map(_._1)
     val start = if (exported.isEmpty) versions.head else exported.max + 1
     val todo = versions.filter(v => v >= start && v <= head)
     todo.zipWithIndex.foreach { case (v, i) =>
@@ -833,14 +848,16 @@ object Lake {
       val feed =
         if (keys.isEmpty) readChangeFeed(spark, path, v, v)
         else readChangeFeedKeyed(spark, path, v, v, keys)
-      feed.drop("_commit_timestamp")
+      val w = feed.drop("_commit_timestamp")
         .coalesce(filesPerVersion)
-        .write.mode("overwrite").json(stage.toString)
+        .write.mode("overwrite")
+      if (format == "json") w.json(stage.toString)
+      else w.parquet(stage.toString)
       fs.listStatus(stage)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
         .zipWithIndex.foreach { case (f, j) =>
           require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(landing, f"cdf-v$v%05d-$j.json")),
+            new org.apache.hadoop.fs.Path(landing, f"cdf-v$v%05d-$j.$format")),
             s"exportChangeFeedLanding: rename failed for v$v part $j")
         }
       fs.delete(stage, true)

@@ -2014,6 +2014,25 @@ class LakeSpec extends SparkSpec {
       .select("id", "k", "_change_type", "_commit_version")
     assert(landed.except(feed).isEmpty && feed.except(landed).isEmpty,
       "landing diverges from the feed it exported")
+    // a resume in a DIFFERENT format refuses (one landing, one format)
+    Lake.appendVersioned(spark, mk(31 to 35).repartition(1), dir)
+    val e = intercept[IllegalArgumentException](
+      Lake.exportChangeFeedLanding(spark, dir, landing, format = "parquet"))
+    assert(e.getMessage.contains("one landing, one format"), e.getMessage)
+    // PARQUET landing (the 100 TB byte-efficiency choice): same rows,
+    // same replay contract, own directory
+    val pq = s"$root/landing_pq"
+    assert(Lake.exportChangeFeedLanding(spark, dir, pq,
+      format = "parquet") == 4L)
+    val pqRows = spark.read.parquet(s"$pq/*.parquet")
+    assert(pqRows.columns.sorted.toSeq ==
+      Seq("_change_type", "_commit_version", "id", "k"))
+    val pqLanded = pqRows.select("id", "k", "_change_type", "_commit_version")
+    val fullFeed = Lake.readChangeFeed(spark, dir, 1L, 4L)
+      .select("id", "k", "_change_type", "_commit_version")
+    assert(pqLanded.except(fullFeed).isEmpty &&
+      fullFeed.except(pqLanded).isEmpty,
+      "parquet landing diverges from the feed it exported")
   }
 
   test("change feed spans schema eras: pre-drift commits resolve the evolved schema") {
