@@ -559,37 +559,46 @@ object Similarity {
     val half = dim / 2
     // per-subspace Lloyd: identical loop to kmeans over the sliced halves
     def train(lo: Int): Seq[Array[Long]] = {
-      val sub = emb.select(col("vec_id"),
-        slice(col("q"), lo, half).as("q"))
       val init = full.map(_.slice(lo - 1, lo - 1 + half))
       require(init.map(_.toSeq).distinct.length == k,
         s"k=$k seed SUBvectors (dims $lo..${lo + half - 1}) are not " +
           "pairwise-distinct after quantization; an empty cluster would " +
           "diverge from the replay oracle")
-      var cents: Seq[Array[Long]] = init.toSeq
-      def dists(c: Seq[Array[Long]]) = array(c.map { cc =>
-        val lc = array(cc.map(lit): _*)
-        aggregate(zip_with(col("q"), lc, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-      }: _*)
-      for (_ <- 1 until iters) {
-        val sums = sub
-          .withColumn("ds", dists(cents))
-          .withColumn("cid", array_position(col("ds"), array_min(col("ds"))))
-          .select(col("cid"), posexplode(col("q")).as(Seq("j", "qv")))
-          .groupBy("cid", "j")
-          .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = cents.map(_.clone()).toArray
-        sums.foreach { r =>
-          next(r.getLong(0).toInt - 1)(r.getInt(1)) =
-            (2L * r.getLong(2) + r.getLong(3)) / (2L * r.getLong(3))
-        }
-        cents = next.toSeq
-      }
-      cents
+      lloydInt(emb, init.toSeq, lo, half, iters)
     }
     (emb, train(1), train(half + 1), half)
+  }
+
+  /** The integer-exact Lloyd loop over the subvector at dims
+    * [lo, lo+half), seeded by `init` — shared by the PQ subspace
+    * codebooks and [[ivfPqTopK]]'s full-dim coarse quantizer
+    * (lo = 1, half = dim).
+    */
+  private def lloydInt(emb: DataFrame, init: Seq[Array[Long]], lo: Int,
+      half: Int, iters: Int): Seq[Array[Long]] = {
+    val sub = emb.select(col("vec_id"), slice(col("q"), lo, half).as("q"))
+    var cents: Seq[Array[Long]] = init
+    def dists(c: Seq[Array[Long]]) = array(c.map { cc =>
+      val lc = array(cc.map(lit): _*)
+      aggregate(zip_with(col("q"), lc, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    for (_ <- 1 until iters) {
+      val sums = sub
+        .withColumn("ds", dists(cents))
+        .withColumn("cid", array_position(col("ds"), array_min(col("ds"))))
+        .select(col("cid"), posexplode(col("q")).as(Seq("j", "qv")))
+        .groupBy("cid", "j")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()).toArray
+      sums.foreach { r =>
+        next(r.getLong(0).toInt - 1)(r.getInt(1)) =
+          (2L * r.getLong(2) + r.getLong(3)) / (2L * r.getLong(3))
+      }
+      cents = next.toSeq
+    }
+    cents
   }
 
   /** Per-subspace squared-distance array vs `k` broadcast literal
@@ -617,6 +626,62 @@ object Similarity {
       .select(col("c1").as("code1"), col("c2").as("code2"),
         col("n_vecs"), col("sq_err"))
       .orderBy("code1", "code2")
+  }
+
+  /** COMPOSED IVF-PQ search — the full production billion-vector index
+    * path in one operator: a full-dimension coarse quantizer (same
+    * integer Lloyd, same seeds) routes the query to its `nprobe` nearest
+    * cells, and ONLY vectors assigned to those cells are scored, by ADC
+    * table lookup on their PQ codes. At scale the corpus is partitioned
+    * BY CELL, so the probe prunes (k − nprobe)/k of all I/O before any
+    * scoring, and the scoring that remains is the code-lookup stream —
+    * the two levers (scan pruning, per-row flops) compose
+    * multiplicatively. Everything stays in the exact-integer discipline:
+    * cell assignment, probe selection (ties to the lower cell id), ADC
+    * distances, and the vec_id-tied top-k cut.
+    */
+  def ivfPqTopK(sp: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, nprobe: Int = 2, topK: Int = 10): DataFrame = {
+    val (emb, cb1, cb2, half) = pqModel(sp, dir, k, iters)
+    val dim = 2 * half
+    val full = emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(full.map(_.toSeq).distinct.length == k,
+      s"k=$k coarse seed vectors are not pairwise-distinct after " +
+        "quantization; an empty cell would diverge from the replay oracle")
+    val coarse = lloydInt(emb, full.toSeq, 1, dim, iters)
+    val qv = emb.filter(col("vec_id") === 0).collect()
+    require(qv.length == 1, "query vector vec_id=0 missing")
+    val q = qv.head.getSeq[Long](1).toArray
+    def qDist(lo: Int, c: Array[Long], n: Int): Long = {
+      var s = 0L; var j = 0
+      while (j < n) { val d = q(lo - 1 + j) - c(j); s += d * d; j += 1 }
+      s
+    }
+    // probe cells: nprobe nearest coarse centroids to the query, ties to
+    // the lower cell id — k integers on the driver
+    val probed = coarse.zipWithIndex
+      .map { case (c, i) => (qDist(1, c, dim), (i + 1).toLong) }
+      .sorted.take(nprobe).map(_._2)
+    val dt1 = array(cb1.map(c => lit(qDist(1, c, half))): _*)
+    val dt2 = array(cb2.map(c => lit(qDist(half + 1, c, half))): _*)
+    def code(lo: Int, cb: Seq[Array[Long]]) = {
+      val ds = pqDists(lo, half, cb)
+      array_position(ds, array_min(ds))
+    }
+    val cellDs = pqDists(1, dim, coarse)
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .withColumn("cell", array_position(cellDs, array_min(cellDs)))
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell"),
+        (element_at(dt1, code(1, cb1).cast("int")) +
+          element_at(dt2, code(half + 1, cb2).cast("int"))).as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.orderBy(col("adc_dist"), col("vec_id")).limit(topK)
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("vec_id"), col("cell"), col("adc_dist"))
+      .orderBy("rn")
   }
 
   /** ADC (asymmetric distance computation) top-k over the PQ codes — the
@@ -1329,6 +1394,106 @@ object Similarity {
           |       GROUP BY 1)
           |SELECT rn, vec_id, adc_dist FROM (
           |  SELECT vec_id, adc_dist,
+          |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 10 ORDER BY rn""".stripMargin),
+    ),
+
+    // ---- composed IVF-PQ search (see [[ivfPqTopK]]): coarse routing to
+    //      nprobe=2 cells, ADC scoring only inside them. The oracle
+    //      composes the full-dim kmeans chain (f_*), the query's probe
+    //      selection, and the PQ chains (p_*) — a vector scored from an
+    //      unprobed cell, a probe tie broken the other way, or a coarse
+    //      assignment drifting all break the hash. ----
+    QueryDef(
+      "ann_ivf_pq",
+      (sp, dir) => ivfPqTopK(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |f_seed AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, q AS c
+          |  FROM e ORDER BY vec_id LIMIT 8),
+          |f_eg AS (SELECT vec_id, j, q[j] AS qv
+          |         FROM e, generate_series(1, 64) t(j)),
+          |f_c0 AS (SELECT cid, j, c[j] AS cv
+          |         FROM f_seed, generate_series(1, 64) t(j)),
+          |f_d1 AS (SELECT f_eg.vec_id, f_c0.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c0 USING (j) GROUP BY 1, 2),
+          |f_a1 AS (SELECT vec_id, cid FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d1)
+          |         WHERE rn = 1),
+          |f_c1 AS (SELECT cid, j,
+          |                (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM f_a1 JOIN f_eg USING (vec_id) GROUP BY 1, 2),
+          |f_d2 AS (SELECT f_eg.vec_id, f_c1.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c1 USING (j) GROUP BY 1, 2),
+          |f_a2 AS (SELECT vec_id, cid AS cell FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d2)
+          |         WHERE rn = 1),
+          |qc AS (SELECT f_c1.cid, sum((qe.qv - f_c1.cv) * (qe.qv - f_c1.cv)) AS d
+          |       FROM (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
+          |       JOIN f_c1 USING (j) GROUP BY 1),
+          |probes AS (SELECT cid AS cell FROM (
+          |             SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+          |             FROM qc) WHERE rn <= 2),
+          |p_sub AS (
+          |  SELECT vec_id, 1 AS m, q[1 : 32] AS q FROM e
+          |  UNION ALL
+          |  SELECT vec_id, 2 AS m, q[33 : 64] AS q FROM e),
+          |p_seed AS (
+          |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS cid,
+          |         q AS c
+          |  FROM p_sub
+          |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 8),
+          |p_eg AS (SELECT m, vec_id, j, q[j] AS qv
+          |         FROM p_sub, generate_series(1, 32) t(j)),
+          |p_c0 AS (SELECT m, cid, j, c[j] AS cv
+          |         FROM p_seed, generate_series(1, 32) t(j)),
+          |p_d1 AS (SELECT p_eg.m, p_eg.vec_id, p_c0.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM p_eg JOIN p_c0 ON p_c0.m = p_eg.m AND p_c0.j = p_eg.j
+          |         GROUP BY 1, 2, 3),
+          |p_a1 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM p_d1)
+          |         WHERE rn = 1),
+          |p_c1 AS (SELECT p_a1.m, p_a1.cid, p_eg.j,
+          |                (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM p_a1 JOIN p_eg ON p_eg.m = p_a1.m
+          |                            AND p_eg.vec_id = p_a1.vec_id
+          |         GROUP BY 1, 2, 3),
+          |p_d2 AS (SELECT p_eg.m, p_eg.vec_id, p_c1.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM p_eg JOIN p_c1 ON p_c1.m = p_eg.m AND p_c1.j = p_eg.j
+          |         GROUP BY 1, 2, 3),
+          |p_a2 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM p_d2)
+          |         WHERE rn = 1),
+          |p_qd AS (SELECT p_c1.m, p_c1.cid,
+          |                sum((qe.qv - p_c1.cv) * (qe.qv - p_c1.cv)) AS qdist
+          |         FROM (SELECT m, j, qv FROM p_eg WHERE vec_id = 0) qe
+          |         JOIN p_c1 ON p_c1.m = qe.m AND p_c1.j = qe.j
+          |         GROUP BY 1, 2),
+          |sc AS (SELECT a.vec_id, f.cell,
+          |              CAST(sum(p_qd.qdist) AS BIGINT) AS adc_dist
+          |       FROM p_a2 a
+          |       JOIN p_qd ON p_qd.m = a.m AND p_qd.cid = a.cid
+          |       JOIN f_a2 f ON f.vec_id = a.vec_id
+          |       JOIN probes pr ON pr.cell = f.cell
+          |       WHERE a.vec_id <> 0
+          |       GROUP BY 1, 2)
+          |SELECT rn, vec_id, cell, adc_dist FROM (
+          |  SELECT vec_id, cell, adc_dist,
           |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
           |  FROM sc)
           |WHERE rn <= 10 ORDER BY rn""".stripMargin),
