@@ -279,26 +279,32 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val sPerQ = if (best.nonEmpty) r3(total / best.size) else "0"
-    // LINE 1 — the full artifact (every per-query timing), truncation-
+    // LINE 1 — the compact summary FIRST (the r18 artifact's lesson: the
+    // giant per-query line preceding it ate the tail window and the
+    // headline total had to be re-derived by summing families). ~1.3 KB
+    // at the full registry, self-contained and parseable on its own —
+    // total, s/q, per-FAMILY subtotals (count + seconds: a complete
+    // coverage picture in ~15 entries however large the registry grows),
+    // the top-20 slowest timings, and the host-load context. A HEAD
+    // capture or a full parse reads this line whole. All timings are
+    // per-row best-of-two; retime_corrected carries the (first, second)
+    // pairs for rows the second pass improved >20% — empty on a quiet
+    // host, the contamination evidence on a loud one — capped at 8
+    // entries to bound line size.
+    val summaryLine = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20}"""
+    println(summaryLine)
+    // LINE 2 — the full artifact (every per-query timing), truncation-
     // tolerant from BOTH ends: summary fields lead (a head capture keeps
     // the total), the per-query map is ordered FASTEST-FIRST so the
     // slowest timings sit at the line's end, and total_sec + the load
     // fields repeat AFTER the map for tail captures.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem_start":"$psiMemStart","psi_io_start":"$psiIoStart","psi_mem_end":"$psiMemEnd","psi_io_end":"$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retimed":$retimedAll,"queries":$qs,"total_sec":${r3(total)},"failed_tail":$failJson,"warmup_failed_tail":$warmJson,"loadavg_start_tail":"$loadStart","loadavg_end_tail":"$loadEnd","n_jvms_tail":$jvms}""")
-    // LINE 2 — a compact summary emitted LAST, sized (~1.3 KB at the full
-    // registry) to sit WHOLE inside the driver's ~2 KB stdout TAIL capture:
-    // the r14 artifact kept only the slowest ~73 of 188 per-query timings
-    // and parsed as null, hiding 115 numbers from the judge. This line is
-    // self-contained and parseable on its own — total, s/q, per-FAMILY
-    // subtotals (count + seconds: a complete coverage picture in ~15
-    // entries however large the registry grows), the top-20 slowest
-    // timings, and the host-load context — so whatever the driver's tail
-    // window cuts, the LAST line always carries complete family-level
-    // data and the overall total. All timings are per-row best-of-two;
-    // retime_corrected carries the (first, second) pairs for rows the
-    // second pass improved >20% — empty on a quiet host, the contamination
-    // evidence on a loud one — capped at 8 entries to bound line size.
-    println(s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20}""")
+    // LINE 3 — the summary REPEATED as the last line, so a fixed-size
+    // TAIL capture (the driver's artifact shape) also retains the
+    // complete headline numbers whatever line 2's length grew to. A
+    // parser that keeps the last parseable line and one that keeps the
+    // first both land on identical content.
+    println(summaryLine)
     spark.stop()
   }
 }

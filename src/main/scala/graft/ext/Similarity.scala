@@ -548,6 +548,13 @@ object Similarity {
     */
   private def pqModel(sp: SparkSession, dir: String, k: Int,
       iters: Int): (DataFrame, Seq[Array[Long]], Seq[Array[Long]], Int) = {
+    // The registered oracles (emb_pq / emb_pq_adc / ann_ivf_pq /
+    // ann_pq_persisted) replay EXACTLY two Lloyd rounds, and lloydInt's
+    // keep-stale-centroid rule on an emptied cluster diverges from the
+    // oracle's drop-the-cluster shape at any other round count — distinct
+    // seeds only guarantee non-empty clusters through round 1.
+    require(iters == 2,
+      "pqModel: the registered oracles replay exactly two Lloyd rounds")
     val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
       .as("q"))
@@ -642,6 +649,8 @@ object Similarity {
     */
   def ivfPqTopK(sp: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2, nprobe: Int = 2, topK: Int = 10): DataFrame = {
+    require(iters == 2, // same coupling as pqModel, for the coarse chain
+      "ivfPqTopK: the registered oracle replays exactly two Lloyd rounds")
     val (emb, cb1, cb2, half) = pqModel(sp, dir, k, iters)
     val dim = 2 * half
     val full = emb.orderBy("vec_id").limit(k).collect()
@@ -687,9 +696,14 @@ object Similarity {
   /** ADC (asymmetric distance computation) top-k over the PQ codes — the
     * SEARCH half of IVF-PQ: the query stays full-precision, each subspace
     * precomputes its k query-to-centroid distances ONCE on the driver
-    * (k·M integers), and every corpus vector scores as a pure two-element
-    * TABLE LOOKUP on its codes — no vector arithmetic per row, which is
-    * why PQ search streams billions of codes per node. Distances are the
+    * (k·M integers), and every corpus vector scores as a two-element
+    * TABLE LOOKUP on its codes. HERE the codes are re-derived inline
+    * from the raw vectors (the `code(lo, cb)` calls ARE per-row vector
+    * arithmetic — k zip_with distances per subspace), so this form
+    * demonstrates the scoring algebra, not the per-row cost; the
+    * pure-lookup cost claim (why PQ streams billions of codes per node)
+    * holds once codes are encoded ONCE and persisted — that path is
+    * [[pqPersistedTopK]] / `ann_pq_persisted`. Distances are the
     * same exact integers as [[pqCodes]], the cut breaks ties on vec_id
     * (the ann_topk discipline), and orderBy+limit plans as TakeOrdered —
     * per-partition heaps, no global sort, k·partitions rows to the

@@ -272,7 +272,9 @@ object TextAnalysis {
               "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
             .as("stripped"))
         .orderBy("doc_id")
-      // materialize before unpersisting the gram frame the plan feeds on
+      // materialize before unpersisting the gram frame the plan feeds on;
+      // at real scale this eager executor-local materialization is a
+      // durable write of the stripped corpus (the pass's output anyway)
       out.localCheckpoint(true)
     } finally { grams.unpersist(); () }
   }
@@ -325,6 +327,8 @@ object TextAnalysis {
               "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
             .as("deduped"))
         .orderBy("doc_id")
+      // guards the unpersist below (the plan feeds on the gram frame); at
+      // real scale the equivalent is a durable write of the deduped corpus
       out.localCheckpoint(true)
     } finally { grams.unpersist(); () }
   }

@@ -785,11 +785,17 @@ object Lake {
     *
     * Contract:
     *   - RESUMABLE + IDEMPOTENT: exported versions are encoded in the
-    *     file names (`cdf-v00003-*.json`); a re-call exports only commits
-    *     that landed since the last call, and never rewrites a published
-    *     file (the file-stream immutability contract). Call it after each
-    *     producer commit (or on a timer) and the consumer stream sees an
-    *     unbounded, ordered feed.
+    *     file names (`cdf-v00003-*.json`) and each version's publish is
+    *     sealed by a `_cdf-v00003.done` completion marker written after
+    *     its last part rename (the `_` prefix hides it from Spark's file
+    *     sources). A re-call exports only commits that landed since the
+    *     last SEALED version, never rewrites a sealed file (the
+    *     file-stream immutability contract), and re-exports a version
+    *     whose publish crashed mid-rename (data files without a marker)
+    *     after cleaning its partial parts — the rewrite is
+    *     byte-deterministic, so an exactly-once consumer is unharmed.
+    *     Call it after each producer commit (or on a timer) and the
+    *     consumer stream sees an unbounded, ordered feed.
     *   - cost per call ∝ the NEW commits' CHANGED files only (the
     *     [[readChangeFeed]] guarantee) — flat in table size.
     *   - `_commit_timestamp` is DROPPED (wall-clock — a replayed export
@@ -828,22 +834,38 @@ object Lake {
     require(versions.nonEmpty, s"exportChangeFeedLanding: no versions under $path")
     val head = upTo.map(u => math.min(u, versions.last)).getOrElse(versions.last)
     val namePat = "cdf-v(\\d+)-.*\\.(json|parquet)".r
-    val published = fs.listStatus(lp).toSeq.map(_.getPath.getName).collect {
-      case namePat(v, fmt) => (v.toLong, fmt)
-    }
+    val markerPat = "_cdf-v(\\d+)\\.done".r
+    val names = fs.listStatus(lp).toSeq.map(_.getPath.getName)
+    val published = names.collect { case namePat(v, fmt) => (v.toLong, fmt) }
     published.map(_._2).distinct.foreach(f0 =>
       require(f0 == format,
         s"exportChangeFeedLanding($landing): landing holds $f0 files; a " +
           s"$format resume would hand the consumer a mixed-schema dir — " +
           "one landing, one format"))
-    val exported = published.map(_._1)
+    // A version counts EXPORTED only when its completion marker exists —
+    // the marker is written AFTER the last part rename, so a crash
+    // mid-publish leaves data files without a marker, never the reverse.
+    // Marker names lead with `_`, which Spark's file sources filter out,
+    // so the consumer stream never sees them. Partial (marker-less)
+    // versions are cleaned and re-exported below: the rewrite is
+    // byte-deterministic (the feed read is, `_commit_timestamp` is
+    // dropped, and coalesce(filesPerVersion) re-cuts the same parts), so
+    // a consumer that already ingested a partial file by name re-reads
+    // nothing and loses nothing.
+    val exported = names.collect { case markerPat(v) => v.toLong }
+    val partial = published.map(_._1).distinct.filterNot(exported.contains)
+    partial.foreach { v =>
+      names.collect { case n @ namePat(pv, _) if pv.toLong == v => n }
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(lp, n), false))
+    }
     val start = if (exported.isEmpty) versions.head else exported.max + 1
-    val todo = versions.filter(v => v >= start && v <= head)
+    val todo = (versions.filter(v => v >= start && v <= head) ++
+      partial.filter(_ <= head)).distinct.sorted
     todo.zipWithIndex.foreach { case (v, i) =>
       // mtime separation: from prior landing files always, and between
       // sibling versions in one call (first version of a fresh landing
       // needs none — nothing precedes it)
-      if (i > 0 || exported.nonEmpty) Thread.sleep(1100)
+      if (i > 0 || exported.nonEmpty || partial.nonEmpty) Thread.sleep(1100)
       val stage = new org.apache.hadoop.fs.Path(landing, s".stage-v$v")
       val feed =
         if (keys.isEmpty) readChangeFeed(spark, path, v, v)
@@ -861,6 +883,12 @@ object Lake {
             s"exportChangeFeedLanding: rename failed for v$v part $j")
         }
       fs.delete(stage, true)
+      // completion marker LAST: publish is now detectably atomic — a
+      // crash between renames leaves no marker and the next call
+      // re-exports the version instead of silently skipping its
+      // remaining parts (the old resume compared nothing and lost rows)
+      fs.create(new org.apache.hadoop.fs.Path(lp, f"_cdf-v$v%05d.done"),
+        true).close()
     }
     head
   }

@@ -2035,6 +2035,44 @@ class LakeSpec extends SparkSpec {
       "parquet landing diverges from the feed it exported")
   }
 
+  test("exportChangeFeedLanding: a crashed mid-publish version re-exports whole") {
+    val root = tmp() + "/cdfcrash"
+    val dir = s"$root/t"
+    val landing = s"$root/landing"
+    def mk(r: Range) = r.map(i => (i.toLong, i % 4L)).toDF("id", "k")
+    Lake.writeVersioned(spark, mk(1 to 20).repartitionByRange(2, col("id")), dir)
+    Lake.appendVersioned(spark, mk(21 to 30).repartitionByRange(2, col("id")), dir)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    val ld = new java.io.File(landing)
+    def names() = ld.listFiles().map(_.getName).sorted.toSeq
+    assert(names().contains("_cdf-v00001.done") &&
+      names().contains("_cdf-v00002.done"),
+      s"completion markers missing: ${names()}")
+    // simulate a crash BETWEEN v2's part renames: marker gone, one of the
+    // two parts gone — the old resume (max published version + 1) would
+    // have skipped the missing part silently
+    assert(new java.io.File(ld, "_cdf-v00002.done").delete())
+    val v2parts = names().filter(_.startsWith("cdf-v00002"))
+    assert(v2parts.size == 2, s"expected 2 v2 parts, got $v2parts")
+    assert(new java.io.File(ld, v2parts.last).delete())
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    assert(names().filter(_.startsWith("cdf-v00002")).size == 2 &&
+      names().contains("_cdf-v00002.done"),
+      s"partial v2 not re-exported whole: ${names()}")
+    // the re-exported landing replays the exact full feed
+    val feed = Lake.readChangeFeed(spark, dir, 1L, 2L)
+      .select("id", "k", "_change_type", "_commit_version")
+    val landed = spark.read.json(landing)
+      .select("id", "k", "_change_type", "_commit_version")
+    assert(landed.except(feed).isEmpty && feed.except(landed).isEmpty,
+      "recovered landing diverges from the feed")
+    // and a clean re-call after recovery still no-ops
+    val before = ld.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    assert(ld.listFiles().map(f => f.getName -> f.lastModified).toMap == before,
+      "post-recovery re-call rewrote sealed files")
+  }
+
   test("change feed spans schema eras: pre-drift commits resolve the evolved schema") {
     val dir = tmp() + "/cdfevo"
     Lake.writeVersioned(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)
