@@ -296,6 +296,23 @@ class PlanSpec extends SparkSpec {
     assert(nEx == 2, s"expected 2 exchanges (agg + order), got $nEx:\n$p")
   }
 
+  test("ann_pq_persisted: scoring scan reads codes only — no vector column") {
+    val p = plan(q("ann_pq_persisted"))
+    // the whole point of persisted PQ: after encode-once, search streams
+    // the (vec_id, code1, code2) table and NEVER re-opens the embedding
+    // column (the query vector itself is fetched eagerly before the plan
+    // is built, so the timed frame must contain no embeddings scan)
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no ReadSchema in plan:\n$p")
+    assert(schemas.forall(!_.contains("embedding")),
+      s"persisted-PQ search re-reads vectors: $schemas")
+    // per-row scoring is two element_at lookups; the cut is TakeOrdered
+    // (per-partition heaps), not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k cut is not TakeOrdered:\n$p")
+  }
+
   test("emb_corr_matrix: one partial corr_stats aggregate, cells from one row") {
     // the corpus pass must be a PARTIAL corr_stats fold (one ~17.7 KB
     // state per partition crosses the wire) — without the partial, raw
