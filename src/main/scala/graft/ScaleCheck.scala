@@ -182,7 +182,8 @@ object ScaleCheck {
     "lake_generated_column", "emb_matryoshka", "dq_benford",
     "doc_heaps_growth", "stream_cdf_equiv", "stream_restart_equiv",
     "lake_vacuum", "doc_boilerplate_strip", "emb_pq", "stream_cdf_scd1",
-    "emb_pq_adc", "doc_substring_dedup", "ann_ivf_pq", "ann_pq_persisted")
+    "emb_pq_adc", "doc_substring_dedup", "ann_ivf_pq", "ann_pq_persisted",
+    "ann_ivfadc")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

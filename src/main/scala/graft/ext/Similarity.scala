@@ -740,6 +740,125 @@ object Similarity {
       .orderBy("rn")
   }
 
+  /** RESIDUAL IVF-PQ (IVFADC — Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", PAMI'11 §IV): the production formulation
+    * [[ivfPqTopK]] approximates — PQ quantizes the RESIDUAL x − c(cell)
+    * to the coarse centroid, not the raw vector, which is what makes
+    * recall usable at small code budgets (residuals concentrate near 0,
+    * so the same k codes cover them far more densely than the raw
+    * space). Everything stays in the exact-integer discipline via an
+    * OFFSET trick: residuals are computed as q − c + 2000, which is
+    * provably non-negative on this corpus (q ∈ ~[400, 1600], centroids
+    * are means of q) — squared DIFFERENCES are offset-invariant, so
+    * training, encoding, and ADC distances in offset space equal
+    * residual space exactly, while keeping the division-free Lloyd
+    * update (2S+n)/(2n) identical between Scala's truncating and
+    * DuckDB's flooring integer division (both are floor on
+    * non-negatives; a LOUD runtime guard enforces the premise).
+    *
+    * ADC with residuals is per-CELL: the query's residual differs per
+    * probed cell, so the distance tables are (cell, subspace, code) —
+    * k·M·k integers computed once on the driver — and each corpus
+    * vector scores as two element_at lookups indexed by ITS cell and
+    * codes. Scale shape = ivfPqTopK's (probe pruning × code lookup),
+    * with the residual frame persisted across its five consumers
+    * (guard, seeds, two subspace trainings, scoring).
+    */
+  def ivfAdcResidualTopK(sp: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, nprobe: Int = 2, topK: Int = 10): DataFrame = {
+    require(iters == 2, // same oracle coupling as pqModel
+      "ivfAdcResidualTopK: the registered oracle replays exactly two " +
+        "Lloyd rounds")
+    val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
+      .as("q"))
+    val full = emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(full.length == k, s"corpus smaller than k=$k")
+    val dim = full.head.length
+    require(dim % 2 == 0, s"PQ(M=2) needs an even dimension, got $dim")
+    val half = dim / 2
+    require(full.map(_.toSeq).distinct.length == k,
+      s"k=$k coarse seed vectors are not pairwise-distinct after " +
+        "quantization; an empty cell would diverge from the replay oracle")
+    val coarse = lloydInt(emb, full.toSeq, 1, dim, iters)
+    // cell assignment + offset residuals in ONE corpus pass
+    val cellDs = pqDists(1, dim, coarse)
+    val cents2d = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    val res = emb
+      .withColumn("cell", array_position(cellDs, array_min(cellDs)))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("q"), element_at(cents2d, col("cell").cast("int")),
+          (a, b) => a - b + lit(2000L)).as("q"))
+      .persist()
+    try {
+      // the exactness premise, enforced loudly: a negative offset
+      // residual would split Scala truncation from DuckDB floor
+      val minRv = res.select(min(expr("array_min(q)"))).head().getLong(0)
+      require(minRv >= 0L, s"offset residual went negative ($minRv); " +
+        "the integer Lloyd replay is exact only on non-negatives")
+      val rseed = res.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Long](2).toArray)
+      def train(lo: Int): Seq[Array[Long]] = {
+        val init = rseed.map(_.slice(lo - 1, lo - 1 + half))
+        require(init.map(_.toSeq).distinct.length == k,
+          s"k=$k residual seed SUBvectors (dims $lo..${lo + half - 1}) " +
+            "are not pairwise-distinct; an empty cluster would diverge " +
+            "from the replay oracle")
+        lloydInt(res, init.toSeq, lo, half, iters)
+      }
+      val cb1 = train(1)
+      val cb2 = train(half + 1)
+      // probe selection on the RAW query (the coarse router sees raw
+      // vectors); driver-side k distances
+      val qv = emb.filter(col("vec_id") === 0).collect()
+      require(qv.length == 1, "query vector vec_id=0 missing")
+      val qraw = qv.head.getSeq[Long](1).toArray
+      def qDist(c: Array[Long]): Long = {
+        var s = 0L; var j = 0
+        while (j < dim) { val d = qraw(j) - c(j); s += d * d; j += 1 }
+        s
+      }
+      val probed = coarse.zipWithIndex
+        .map { case (c, i) => (qDist(c), (i + 1).toLong) }
+        .sorted.take(nprobe).map(_._2)
+      // per-cell query-residual ADC tables: k·M·k integers on the driver
+      def qres(ci: Int): Array[Long] =
+        qraw.indices.map(j => qraw(j) - coarse(ci)(j) + 2000L).toArray
+      def table(r: Array[Long], lo: Int, cb: Seq[Array[Long]]): Array[Long] =
+        cb.map { c =>
+          var s = 0L; var j = 0
+          while (j < half) {
+            val d = r(lo - 1 + j) - c(j); s += d * d; j += 1
+          }
+          s
+        }.toArray
+      val dtAll1 = array((0 until k).map(ci =>
+        array(table(qres(ci), 1, cb1).map(lit): _*)): _*)
+      val dtAll2 = array((0 until k).map(ci =>
+        array(table(qres(ci), half + 1, cb2).map(lit): _*)): _*)
+      def code(lo: Int, cb: Seq[Array[Long]]) = {
+        val ds = pqDists(lo, half, cb) // col("q") here IS the residual
+        array_position(ds, array_min(ds))
+      }
+      val scored = res.filter(col("vec_id") =!= 0)
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id"), col("cell"),
+          (element_at(element_at(dtAll1, col("cell").cast("int")),
+            code(1, cb1).cast("int")) +
+            element_at(element_at(dtAll2, col("cell").cast("int")),
+              code(half + 1, cb2).cast("int"))).as("adc_dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("adc_dist"), col("vec_id"))
+      val out = scored.orderBy(col("adc_dist"), col("vec_id")).limit(topK)
+        .withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("vec_id"), col("cell"), col("adc_dist"))
+        .orderBy("rn")
+      // materialize before unpersisting the residual frame the plan feeds on
+      out.localCheckpoint(true)
+    } finally { res.unpersist(); () }
+  }
+
   /** Fixture for `ann_pq_persisted` (cached per session+SF): the ENCODE
     * half of PQ done ONCE — the frozen subspace codebooks from
     * [[pqModel]] encode the corpus (vec_id ≠ 0) to a versioned
@@ -1653,6 +1772,115 @@ object Similarity {
           |       JOIN p_qd ON p_qd.m = a.m AND p_qd.cid = a.cid
           |       JOIN f_a2 f ON f.vec_id = a.vec_id
           |       JOIN probes pr ON pr.cell = f.cell
+          |       WHERE a.vec_id <> 0
+          |       GROUP BY 1, 2)
+          |SELECT rn, vec_id, cell, adc_dist FROM (
+          |  SELECT vec_id, cell, adc_dist,
+          |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 10 ORDER BY rn""".stripMargin),
+    ),
+
+    // ---- RESIDUAL IVF-PQ (IVFADC, see [[ivfAdcResidualTopK]]): the
+    //      production formulation — PQ codebooks train on and encode the
+    //      residual x − c(cell) in non-negative offset space, and the
+    //      query's ADC tables are PER PROBED CELL. The oracle composes
+    //      the coarse chain (f_*), the offset-residual derivation, the
+    //      residual PQ chains (r_*), and the per-cell query tables — a
+    //      residual against the wrong cell's centroid, a codebook trained
+    //      on raw vectors, or a query table shared across cells all
+    //      break the hash. ----
+    QueryDef(
+      "ann_ivfadc",
+      (sp, dir) => ivfAdcResidualTopK(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |f_seed AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, q AS c
+          |  FROM e ORDER BY vec_id LIMIT 8),
+          |f_eg AS (SELECT vec_id, j, q[j] AS qv
+          |         FROM e, generate_series(1, 64) t(j)),
+          |f_c0 AS (SELECT cid, j, c[j] AS cv
+          |         FROM f_seed, generate_series(1, 64) t(j)),
+          |f_d1 AS (SELECT f_eg.vec_id, f_c0.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c0 USING (j) GROUP BY 1, 2),
+          |f_a1 AS (SELECT vec_id, cid FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d1)
+          |         WHERE rn = 1),
+          |f_c1 AS (SELECT cid, j,
+          |                (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM f_a1 JOIN f_eg USING (vec_id) GROUP BY 1, 2),
+          |f_d2 AS (SELECT f_eg.vec_id, f_c1.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c1 USING (j) GROUP BY 1, 2),
+          |f_a2 AS (SELECT vec_id, cid AS cell FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d2)
+          |         WHERE rn = 1),
+          |qc AS (SELECT f_c1.cid, sum((qe.qv - f_c1.cv) * (qe.qv - f_c1.cv)) AS d
+          |       FROM (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
+          |       JOIN f_c1 USING (j) GROUP BY 1),
+          |probes AS (SELECT cid AS cell FROM (
+          |             SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+          |             FROM qc) WHERE rn <= 2),
+          |res AS (SELECT f_eg.vec_id, f_eg.j, f_eg.qv - f_c1.cv + 2000 AS rv
+          |        FROM f_eg
+          |        JOIN f_a2 ON f_a2.vec_id = f_eg.vec_id
+          |        JOIN f_c1 ON f_c1.cid = f_a2.cell AND f_c1.j = f_eg.j),
+          |r_sub AS (
+          |  SELECT vec_id, 1 AS m, j, rv FROM res WHERE j <= 32
+          |  UNION ALL
+          |  SELECT vec_id, 2 AS m, j - 32 AS j, rv FROM res WHERE j > 32),
+          |r_seedv AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cid
+          |            FROM e ORDER BY vec_id LIMIT 8),
+          |r_c0 AS (SELECT s.cid, r.m, r.j, r.rv AS cv
+          |         FROM r_seedv s JOIN r_sub r ON r.vec_id = s.vec_id),
+          |r_d1 AS (SELECT r.m, r.vec_id, c.cid,
+          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
+          |         FROM r_sub r JOIN r_c0 c ON c.m = r.m AND c.j = r.j
+          |         GROUP BY 1, 2, 3),
+          |r_a1 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d1)
+          |         WHERE rn = 1),
+          |r_c1 AS (SELECT a.m, a.cid, r.j,
+          |                (2 * sum(r.rv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM r_a1 a JOIN r_sub r ON r.m = a.m
+          |                                 AND r.vec_id = a.vec_id
+          |         GROUP BY 1, 2, 3),
+          |r_d2 AS (SELECT r.m, r.vec_id, c.cid,
+          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
+          |         FROM r_sub r JOIN r_c1 c ON c.m = r.m AND c.j = r.j
+          |         GROUP BY 1, 2, 3),
+          |r_a2 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d2)
+          |         WHERE rn = 1),
+          |q_res AS (SELECT pr.cell, qe.j, qe.qv - f_c1.cv + 2000 AS rv
+          |          FROM probes pr
+          |          CROSS JOIN (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
+          |          JOIN f_c1 ON f_c1.cid = pr.cell AND f_c1.j = qe.j),
+          |q_sub AS (
+          |  SELECT cell, 1 AS m, j, rv FROM q_res WHERE j <= 32
+          |  UNION ALL
+          |  SELECT cell, 2 AS m, j - 32 AS j, rv FROM q_res WHERE j > 32),
+          |dt AS (SELECT q.cell, c.m, c.cid,
+          |              sum((q.rv - c.cv) * (q.rv - c.cv)) AS qdist
+          |       FROM q_sub q JOIN r_c1 c ON c.m = q.m AND c.j = q.j
+          |       GROUP BY 1, 2, 3),
+          |sc AS (SELECT a.vec_id, f.cell,
+          |              CAST(sum(dt.qdist) AS BIGINT) AS adc_dist
+          |       FROM r_a2 a
+          |       JOIN f_a2 f ON f.vec_id = a.vec_id
+          |       JOIN probes pr ON pr.cell = f.cell
+          |       JOIN dt ON dt.cell = f.cell AND dt.m = a.m AND dt.cid = a.cid
           |       WHERE a.vec_id <> 0
           |       GROUP BY 1, 2)
           |SELECT rn, vec_id, cell, adc_dist FROM (
