@@ -183,7 +183,8 @@ object ScaleCheck {
     "doc_heaps_growth", "stream_cdf_equiv", "stream_restart_equiv",
     "lake_vacuum", "doc_boilerplate_strip", "emb_pq", "stream_cdf_scd1",
     "emb_pq_adc", "doc_substring_dedup", "ann_ivf_pq", "ann_pq_persisted",
-    "ann_ivfadc")
+    "ann_ivfadc", "stream_mv_refresh", "stream_cdf_unordered",
+    "stream_cdf_retention")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

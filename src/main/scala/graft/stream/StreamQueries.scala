@@ -1732,6 +1732,203 @@ object StreamQueries {
       |      FROM s1 FULL JOIN s2 ON s1.k = s2.k)
       |SELECT k, v FROM m WHERE v % 7 <> 0 ORDER BY k""".stripMargin
 
+  // ---- stream_mv_refresh: CDF stream → foreachBatch → merge-fold MV -----
+  //
+  // The continuous form of the reference's "automatic incremental
+  // refresh" (README_DBT.md:32,102-103) and the composition r18's verdict
+  // named as the engine's last unjoined halves: the versioned table's
+  // change feed arrives as a STREAM (the exportChangeFeedLanding bridge —
+  // the same three-commit landing stream_cdf_equiv consumes) and every
+  // micro-batch folds its retraction-weighted per-key delta into a
+  // versioned VIEW with one mergeCdc commit
+  // (Lake.foldFeedBatchIntoAggView). No watermark, no sentinels — the
+  // fold is the state, and the view is exact after EVERY batch, not just
+  // at a window flush. Exactly-once rides the commit stamp: a replayed
+  // foreachBatch (the documented crash window) sees stamp >= batchId and
+  // no-ops. The COW-delete batch must shrink n_events via the ≤0 delete
+  // rule — a lost retraction, a double fold, or a replay that re-folds
+  // all break the hash vs the batch recompute.
+
+  private def streamMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val landing = cdfStreamLandingFor(spark, dir)
+    val root = Scratch.dir("stream_mv")
+    val view = s"$root/view"
+    runMvFoldDrain(spark, landing, view, s"$root/ckpt")
+    graft.sources.Lake.readVersioned(spark, view)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        col("cents").as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  /** The foreachBatch MV-fold drain (shared by stream_mv_refresh and
+    * stream_cdf_retention): each micro-batch of the landing feed folds
+    * into the versioned aggregate view at `view`, stamped with its batch
+    * id for idempotent replay.
+    */
+  private def runMvFoldDrain(spark: SparkSession, landing: String,
+      view: String, ckpt: String): Unit = {
+    val typed = jsonStream(spark, landing, cdfFeedSchema, Some(2))
+      .select(col("user_id"), col("cents"), col("_change_type"))
+    val fold: (DataFrame, Long) => Unit = (batch, bid) => {
+      graft.sources.Lake.foldFeedBatchIntoAggView(batch, view, bid,
+        keys = Seq("user_id"), sumCols = Seq("cents"),
+        countCol = "n_events")
+      ()
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = typed.writeStream
+        .foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // ---- stream_cdf_unordered: the NO-SLEEP export lane ---------------------
+  //
+  // exportChangeFeedLanding(mtimeOrder = false) skips the 1.1 s/version
+  // mtime separation (an 18-minute pure-sleep tax on a 1,000-commit
+  // backfill), so the three commits' files may share an mtime and the
+  // file source is free to interleave versions across micro-batches
+  // (maxFilesPerTrigger = 1 maximizes the interleaving surface AND
+  // guarantees each sentinel its own batch). The consumer is the
+  // retraction-weighted windowed aggregate — commutative over commits,
+  // so ANY arrival order lands on the same net state; the watermark
+  // cannot drop data under interleaving either (max event time Jan-25 −
+  // 720 h lag < every event). Sentinels alone stay mtime-separated from
+  // the data: they must close the window LAST. Same oracle as
+  // stream_cdf_equiv — the fast-export lane must be indistinguishable.
+
+  private val cdfUnorderedLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfUnorderedLandingFor(spark: SparkSession, dir: String): String =
+    cdfUnorderedLandings.computeIfAbsent(dir, _ => {
+      val root = Scratch.dir("stream_cdfu_src")
+      val table = s"$root/t"
+      val base = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.sources.Lake.writeVersioned(spark,
+        base.filter(col("day") <= lit("2024-01-15").cast("date"))
+          .repartitionByRange(2, col("day")), table)
+      graft.sources.Lake.appendVersioned(spark,
+        base.filter(col("day") > lit("2024-01-15").cast("date") &&
+          col("day") <= lit("2024-01-25").cast("date"))
+          .repartitionByRange(2, col("day")), table)
+      graft.sources.Lake.deleteWhere(spark, table,
+        col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+      val landing = s"$root/landing"
+      graft.sources.Lake.exportChangeFeedLanding(spark, table, landing,
+        mtimeOrder = false)
+      Thread.sleep(1100) // sentinels only: they must sort after all data
+      def sentinel(name: String, day: String): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(landing, name),
+          (s"""{"user_id":-1,"day":"$day","cents":0,""" +
+            """"_change_type":"insert","_commit_version":999}""")
+            .getBytes("UTF-8"))
+      sentinel("zz-sentinel-1.json", "2030-01-01")
+      Thread.sleep(20)
+      sentinel("zz-sentinel-2.json", "2031-01-01")
+      landing
+    })
+
+  private def streamCdfUnordered(spark: SparkSession, dir: String): DataFrame = {
+    val landing = cdfUnorderedLandingFor(spark, dir)
+    val root = Scratch.dir("stream_cdfu")
+    val typed = jsonStream(spark, landing, cdfFeedSchema, Some(1))
+      .select(col("user_id"), col("cents"),
+        col("day").cast("timestamp").as("ts"),
+        when(col("_change_type") === "insert", lit(1L))
+          .otherwise(lit(-1L)).as("w"))
+    val agg = typed
+      .withWatermark("ts", "720 hours")
+      .groupBy(window(col("ts"), "8760 hours").as("wnd"), col("user_id"))
+      .agg(sum(col("w")).as("n_events"),
+        sum(col("cents") * col("w")).as("total_cents"))
+      .select(col("wnd.start").as("window_start"), col("user_id"),
+        col("n_events"), col("total_cents"))
+    drainToParquet(agg, s"$root/sink", s"$root/ckpt", shards = 4)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("user_id") >= 0 && col("n_events") > 0 &&
+        col("window_start") < lit("2029-01-01").cast("timestamp"))
+      .select("user_id", "n_events", "total_cents")
+      .orderBy("user_id")
+  }
+
+  // ---- stream_cdf_retention: prune the landing, keep exactly-once -------
+  //
+  // The lifecycle that bounds a landing (r18's verdict: "the landing
+  // appends forever"), end to end IN the driver-hashed row: three
+  // commits export → the MV-fold drain consumes them → the landing is
+  // PRUNED against the consumer's checkpoint
+  // (Lake.pruneChangeFeedLanding: only sealed versions whose every part
+  // a committed batch names; markers stay as the producer's resume
+  // watermark) → the producer appends commit 4 and the resume export
+  // publishes ONLY v4 (a re-export of a pruned version would hand the
+  // consumer duplicate rows) → the SAME checkpoint drains the new file
+  // and folds it. In-query requires pin the mechanics (3 versions
+  // pruned, post-prune landing holds only v4 data files); the final
+  // view must equal the four-commit batch recompute — a re-exported
+  // pruned version, an over-eager prune, or a fold replay all break it.
+
+  private def streamCdfRetention(spark: SparkSession, dir: String): DataFrame = {
+    val root = Scratch.dir("stream_cdfret")
+    val table = s"$root/t"
+    val landing = s"$root/landing"
+    val view = s"$root/view"
+    val ckpt = s"$root/ckpt"
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.Lake.writeVersioned(spark,
+      base.filter(col("day") <= lit("2024-01-15").cast("date"))
+        .repartitionByRange(2, col("day")), table)
+    graft.sources.Lake.appendVersioned(spark,
+      base.filter(col("day") > lit("2024-01-15").cast("date") &&
+        col("day") <= lit("2024-01-25").cast("date"))
+        .repartitionByRange(2, col("day")), table)
+    graft.sources.Lake.deleteWhere(spark, table,
+      col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+    graft.sources.Lake.exportChangeFeedLanding(spark, table, landing)
+    runMvFoldDrain(spark, landing, view, ckpt)
+    val (nv, nf) = graft.sources.Lake.pruneChangeFeedLanding(
+      spark, landing, ckpt)
+    require(nv == 3L && nf >= 3L,
+      s"retention pruned nv=$nv versions / nf=$nf files; expected all 3 " +
+        "consumed versions reclaimed")
+    graft.sources.Lake.appendVersioned(spark,
+      base.filter(col("day") > lit("2024-01-25").cast("date") &&
+        col("day") <= lit("2024-01-31").cast("date"))
+        .repartitionByRange(2, col("day")), table)
+    val head = graft.sources.Lake.exportChangeFeedLanding(
+      spark, table, landing)
+    require(head == 4L, s"resume exported to v$head, expected v4")
+    val dataFiles = new java.io.File(landing).listFiles()
+      .map(_.getName).filter(_.startsWith("cdf-")).toSeq
+    require(dataFiles.nonEmpty && dataFiles.forall(_.startsWith("cdf-v00004")),
+      s"resume after retention re-exported pruned versions: $dataFiles")
+    runMvFoldDrain(spark, landing, view, ckpt)
+    graft.sources.Lake.readVersioned(spark, view)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        col("cents").as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  private val cdfRetentionOracle =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events
+      |WHERE CAST(ts AS DATE) <= DATE '2024-01-31'
+      |  AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- stream_restart_equiv: crash-recovery exactly-once ----------------
   //
   // A32's strongest form: the stateful dedup drain is STOPPED mid-run
@@ -1818,6 +2015,7 @@ object StreamQueries {
     debeziumLandingFor(spark, dir)
     cdfStreamLandingFor(spark, dir)
     cdfScd1LandingFor(spark, dir)
+    cdfUnorderedLandingFor(spark, dir)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -1850,6 +2048,12 @@ object StreamQueries {
     QueryDef("stream_debezium_equiv", streamDebeziumEquiv, Some(debeziumOracle)),
     QueryDef("stream_cdf_equiv", streamCdfEquiv, Some(cdfFeedOracle)),
     QueryDef("stream_cdf_scd1", streamCdfScd1, Some(cdfScd1Oracle)),
+    // same oracle as stream_cdf_equiv: the continuous MV fold and the
+    // no-sleep export lane must land on the identical net state
+    QueryDef("stream_mv_refresh", streamMvRefresh, Some(cdfFeedOracle)),
+    QueryDef("stream_cdf_unordered", streamCdfUnordered, Some(cdfFeedOracle)),
+    QueryDef("stream_cdf_retention", streamCdfRetention,
+      Some(cdfRetentionOracle)),
     // same oracle as stream_dedup_equiv: the restart protocol must land
     // on the identical distinct-event set
     QueryDef("stream_restart_equiv", streamRestartEquiv, Some(dedupOracle)),

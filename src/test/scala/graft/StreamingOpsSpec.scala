@@ -359,6 +359,52 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cur == Set(("k1", 10L), ("k3", 3L)))
   }
 
+  test("foldFeedBatchIntoAggView: batch-stamp replay no-ops, retractions delete at zero") {
+    import java.nio.file.Files
+    import graft.sources.Lake
+    val view = Files.createTempDirectory("graft-mvfold").toFile
+      .getAbsolutePath + "/view"
+    def feed(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "cents", "_change_type")
+    def cur = Lake.readVersioned(spark, view)
+      .select("user_id", "n_events", "cents")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // batch 0 bootstraps the view from inserts
+    Lake.foldFeedBatchIntoAggView(
+      feed((1L, 10L, "insert"), (1L, 20L, "insert"), (2L, 5L, "insert")),
+      view, 0L, keys = Seq("user_id"), sumCols = Seq("cents"),
+      countCol = "n_events")
+    assert(cur == Set((1L, 2L, 30L), (2L, 1L, 5L)))
+
+    // batch 1: a COW delete retracts one of user 1's rows and ALL of
+    // user 2's — user 2 reaches zero and leaves the view
+    Lake.foldFeedBatchIntoAggView(
+      feed((1L, 10L, "delete"), (2L, 5L, "delete")),
+      view, 1L, keys = Seq("user_id"), sumCols = Seq("cents"),
+      countCol = "n_events")
+    assert(cur == Set((1L, 1L, 20L)))
+    val v1 = Lake.listVersions(spark, view).last
+
+    // foreachBatch REPLAY of batch 1 (the documented crash window:
+    // offsets logged, commit missing): stamp >= batchId → no-op, no
+    // double retraction, no new version
+    Lake.foldFeedBatchIntoAggView(
+      feed((1L, 10L, "delete"), (2L, 5L, "delete")),
+      view, 1L, keys = Seq("user_id"), sumCols = Seq("cents"),
+      countCol = "n_events")
+    assert(cur == Set((1L, 1L, 20L)))
+    assert(Lake.listVersions(spark, view).last == v1,
+      "replayed batch published a new view version")
+
+    // a LATER batch still folds (the stamp gate is >=, not ==)
+    Lake.foldFeedBatchIntoAggView(
+      feed((3L, 7L, "insert")),
+      view, 2L, keys = Seq("user_id"), sumCols = Seq("cents"),
+      countCol = "n_events")
+    assert(cur == Set((1L, 1L, 20L), (3L, 1L, 7L)))
+  }
+
   test("streaming CDC dedup: latest wins, deletes drop, both late contracts pinned") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, String, Timestamp)]
