@@ -333,6 +333,88 @@ object TextAnalysis {
     } finally { grams.unpersist(); () }
   }
 
+  /** MAXIMAL-SPAN exact-substring dedup — [[substringDedup]] upgraded to
+    * Lee et al.'s actual semantics (ACL'22 §3: remove maximal repeated
+    * substrings of ≥ 50 tokens; suffix-array grain): fixed 5-token
+    * windows DETECT repeats, but adjacent/overlapping duplicated windows
+    * then MERGE into maximal covered spans and only spans of at least
+    * `minSpan` tokens are stripped. The difference is corpus quality:
+    * plain window-grain dedup strips every idiomatic 5-gram collision
+    * (the length-5 islands in this corpus), while the thresholded pass
+    * keeps them and removes only genuinely duplicated passages.
+    *
+    * Scale shape: the detect half is [[substringDedup]]'s verbatim
+    * (md5 gram keys, min(struct) ownership aggregate — never a window
+    * over GRAM partitions, whose heavy hitters are corpus-hot). The
+    * merge half runs windows partitioned BY DOCUMENT ordered by start —
+    * bounded by tokens-per-document, the same grain the reassembly
+    * already groups on — using the classic interval-merge: cumulative
+    * max of span ends marks island breaks, a running sum numbers the
+    * islands, and one aggregate per (doc, island) yields the maximal
+    * span. Output adds `n_spans` (stripped spans per doc) so the span
+    * STRUCTURE is driver-hashed, not just the surviving text.
+    */
+  def substringSpanDedup(docs: DataFrame, window: Int = 5,
+      minSpan: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = toks.filter(size(col("toks")) >= window)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${window - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $window))))"))
+        .as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("s"), col("gh"))
+      .persist()
+    try {
+      val own = grams.groupBy("gh")
+        .agg(min(struct(col("doc_id"), col("s"))).as("o"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("gh"), col("o.doc_id").as("odoc"), col("o.s").as("os"))
+      val dupStarts = grams.join(own, "gh")
+        .filter(!(col("doc_id") === col("odoc") && col("s") === col("os")))
+        .select("doc_id", "s").distinct()
+      // interval merge over [s, s+w-1] per document: break where a start
+      // clears the running max end by more than adjacency
+      val byDoc = W.partitionBy("doc_id").orderBy("s")
+      val spans = dupStarts
+        .withColumn("prev_end", max(col("s") + lit(window - 1))
+          .over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("prev_end").isNull ||
+            col("s") > col("prev_end") + 1, 1L).otherwise(0L))
+        .withColumn("isle", sum(col("brk"))
+          .over(byDoc.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("doc_id", "isle")
+        .agg(min(col("s")).as("a"), (max(col("s")) + lit(window - 1)).as("b"))
+        .filter(col("b") - col("a") + lit(1) >= minSpan)
+        .persist()
+      try {
+        val removed = spans
+          .select(col("doc_id"), explode(sequence(col("a"), col("b"))).as("pos"))
+          .withColumn("rm", lit(1))
+        val nsp = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        val tok = toks
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+        val out = tok.join(removed, Seq("doc_id", "pos"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(" +
+                "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
+              .as("deduped"))
+          .join(nsp, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"), col("deduped"))
+          .orderBy("doc_id")
+        // durable-write equivalent at scale; guards both unpersists
+        out.localCheckpoint(true)
+      } finally { spans.unpersist(); () }
+    } finally { grams.unpersist(); () }
+  }
+
   /** URL canonicalization — the normalization pass a crawl-dedup pipeline
     * runs before URL-level dedup (the same spelling of a page arrives as
     * `HTTP://WWW.Example.COM:80/a/?id=1&utm_source=feed#top` and
@@ -916,6 +998,73 @@ object TextAnalysis {
           |LEFT JOIN bad ON bad.doc_id = tok.doc_id AND bad.pos = tok.pos
           |GROUP BY tok.doc_id
           |ORDER BY tok.doc_id""".stripMargin),
+    ),
+
+    // ---- MAXIMAL-SPAN substring dedup (see [[substringSpanDedup]]):
+    //      Lee et al.'s ≥-threshold semantics — duplicated windows merge
+    //      into maximal spans (interval merge per document) and only
+    //      spans ≥ 20 tokens strip; the length-5 idiomatic collisions
+    //      the window-grain pass removes stay IN the corpus here. The
+    //      oracle replays ownership, the gaps-and-islands merge
+    //      (cumulative-max break detection), the threshold, and the
+    //      reassembly; n_spans hashes the span structure itself. A
+    //      mis-merged island, an off-by-one span end, or a threshold
+    //      applied to starts instead of covered tokens all break it. ----
+    QueryDef(
+      "doc_substring_spans",
+      (sp, dir) => substringSpanDedup(Tables.documents(sp, dir)),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id, idx AS s,
+          |         md5(array_to_string(toks[idx : idx + 4], ' ')) AS gh
+          |  FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(idx)
+          |  WHERE len(toks) >= 5),
+          |o AS (
+          |  SELECT doc_id, s,
+          |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn,
+          |         count(*) OVER (PARTITION BY gh) AS n
+          |  FROM g),
+          |ds AS (SELECT DISTINCT doc_id, s FROM o WHERE n > 1 AND rn > 1),
+          |isl AS (
+          |  SELECT doc_id, s,
+          |         CASE WHEN s > coalesce(max(s + 4) OVER (
+          |                PARTITION BY doc_id ORDER BY s
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |              -1) + 1
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM ds),
+          |isl2 AS (
+          |  SELECT doc_id, s,
+          |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+          |  FROM isl),
+          |sp AS (
+          |  SELECT doc_id, isle, min(s) AS a, max(s) + 4 AS b
+          |  FROM isl2 GROUP BY 1, 2
+          |  HAVING max(s) + 4 - min(s) + 1 >= 20),
+          |bad AS (SELECT DISTINCT doc_id, u.pos
+          |        FROM sp, unnest(generate_series(a, b)) AS u(pos)),
+          |nsp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+          |        FROM sp GROUP BY 1),
+          |tok AS (
+          |  SELECT doc_id, idx AS pos, toks[idx] AS w
+          |  FROM t, unnest(generate_series(1, len(toks))) AS u(idx)),
+          |agg AS (
+          |  SELECT tok.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_tok,
+          |         CAST(sum(CASE WHEN bad.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |         coalesce(array_to_string(
+          |           list(tok.w ORDER BY tok.pos) FILTER (WHERE bad.pos IS NULL),
+          |           ' '), '') AS deduped
+          |  FROM tok
+          |  LEFT JOIN bad ON bad.doc_id = tok.doc_id AND bad.pos = tok.pos
+          |  GROUP BY tok.doc_id)
+          |SELECT agg.doc_id, agg.n_tok, agg.n_removed,
+          |       coalesce(nsp.n_spans, 0) AS n_spans, agg.deduped
+          |FROM agg LEFT JOIN nsp ON nsp.doc_id = agg.doc_id
+          |ORDER BY agg.doc_id""".stripMargin),
     ),
 
     // ---- n-gram LM quality scoring (the CCNet/KenLM filter shape): a

@@ -150,6 +150,45 @@ class TextAnalysisSpec extends SparkSpec {
     got.foreach { case (id, g, w) => assert(g == w, s"case $id: '$g' != '$w'") }
   }
 
+  test("substringSpanDedup strips long repeats, keeps short collisions, merges islands") {
+    // doc 1 owns everything (first in corpus order). doc 2 repeats a
+    // 25-token passage from doc 1 (above the threshold → stripped) AND a
+    // 5-token idiom (below → kept). doc 3 repeats nothing.
+    val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+    val idiom = "as a matter of fact"
+    val docs = Seq(
+      (1L, s"$passage $idiom"),
+      (2L, s"lead in words here $passage middle filler tokens $idiom tail"),
+      (3L, "completely unrelated text with no repeats at all"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.substringSpanDedup(docs, window = 5, minSpan = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // owner untouched
+    assert(out(1L)._2 == 0L && out(1L)._3 == 0L)
+    // doc 2: exactly one stripped span of the 25 passage tokens; the
+    // 5-token idiom survives (window-grain dedup would have stripped it)
+    val (n2, rm2, sp2, text2) = out(2L)
+    assert(sp2 == 1L, s"expected 1 stripped span, got $sp2")
+    assert(rm2 == 25L, s"expected the 25-token passage stripped, got $rm2")
+    assert(text2.contains(idiom), s"idiom must survive the threshold: $text2")
+    assert(!text2.contains("p1 p2"), s"passage must strip: $text2")
+    assert(n2 - rm2 == text2.split(" ").length)
+    // doc 3 untouched
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L)
+    // island MERGE: two overlapping repeated windows inside one doc form
+    // ONE maximal span, counted once
+    val passage2 = (1 to 30).map(i => s"q$i").mkString(" ")
+    val selfDup = Seq(
+      (1L, passage2),
+      (2L, s"x y z $passage2 w"),
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.substringSpanDedup(selfDup, window = 5, minSpan = 20)
+      .filter(col("doc_id") === 2L).collect().head
+    assert(m.getLong(3) == 1L && m.getLong(2) == 30L,
+      s"30 consecutive duplicated tokens must merge to one span: $m")
+  }
+
   test("canonicalizeUrl normalizes spelling without merging resources") {
     val cases = Seq(
       // case + www + default port + tracking + fragment all collapse
