@@ -1864,18 +1864,19 @@ object StreamQueries {
   // ---- stream_cdf_retention: prune the landing, keep exactly-once -------
   //
   // The lifecycle that bounds a landing (r18's verdict: "the landing
-  // appends forever"), end to end IN the driver-hashed row: three
-  // commits export → the MV-fold drain consumes them → the landing is
-  // PRUNED against the consumer's checkpoint
-  // (Lake.pruneChangeFeedLanding: only sealed versions whose every part
-  // a committed batch names; markers stay as the producer's resume
-  // watermark) → the producer appends commit 4 and the resume export
-  // publishes ONLY v4 (a re-export of a pruned version would hand the
-  // consumer duplicate rows) → the SAME checkpoint drains the new file
-  // and folds it. In-query requires pin the mechanics (3 versions
-  // pruned, post-prune landing holds only v4 data files); the final
-  // view must equal the four-commit batch recompute — a re-exported
-  // pruned version, an over-eager prune, or a fold replay all break it.
+  // appends forever"), end to end IN the driver-hashed row: a snapshot
+  // and a COW delete export → the MV-fold drain consumes them (the
+  // delete batch RETRACTS through the fold) → the landing is PRUNED
+  // against the consumer's checkpoint (Lake.pruneChangeFeedLanding:
+  // only sealed versions whose every part a committed batch names;
+  // markers stay as the producer's resume watermark) → the producer
+  // appends commit 3 and the resume export publishes ONLY v3 (a
+  // re-export of a pruned version would hand the consumer duplicate
+  // rows) → the SAME checkpoint drains the new file and folds it.
+  // In-query requires pin the mechanics (both consumed versions pruned,
+  // post-prune landing holds only v3 data files); the final view must
+  // equal the three-commit batch recompute — a re-exported pruned
+  // version, an over-eager prune, or a fold replay all break it.
 
   private def streamCdfRetention(spark: SparkSession, dir: String): DataFrame = {
     val root = Scratch.dir("stream_cdfret")
@@ -1887,11 +1888,7 @@ object StreamQueries {
       .select(col("user_id"), to_date(col("ts")).as("day"),
         round(col("value") * 100).cast("long").as("cents"))
     graft.sources.Lake.writeVersioned(spark,
-      base.filter(col("day") <= lit("2024-01-15").cast("date"))
-        .repartitionByRange(2, col("day")), table)
-    graft.sources.Lake.appendVersioned(spark,
-      base.filter(col("day") > lit("2024-01-15").cast("date") &&
-        col("day") <= lit("2024-01-25").cast("date"))
+      base.filter(col("day") <= lit("2024-01-25").cast("date"))
         .repartitionByRange(2, col("day")), table)
     graft.sources.Lake.deleteWhere(spark, table,
       col("day").between(lit("2024-01-08"), lit("2024-01-14")))
@@ -1899,8 +1896,8 @@ object StreamQueries {
     runMvFoldDrain(spark, landing, view, ckpt)
     val (nv, nf) = graft.sources.Lake.pruneChangeFeedLanding(
       spark, landing, ckpt)
-    require(nv == 3L && nf >= 3L,
-      s"retention pruned nv=$nv versions / nf=$nf files; expected all 3 " +
+    require(nv == 2L && nf >= 2L,
+      s"retention pruned nv=$nv versions / nf=$nf files; expected both " +
         "consumed versions reclaimed")
     graft.sources.Lake.appendVersioned(spark,
       base.filter(col("day") > lit("2024-01-25").cast("date") &&
@@ -1908,10 +1905,10 @@ object StreamQueries {
         .repartitionByRange(2, col("day")), table)
     val head = graft.sources.Lake.exportChangeFeedLanding(
       spark, table, landing)
-    require(head == 4L, s"resume exported to v$head, expected v4")
+    require(head == 3L, s"resume exported to v$head, expected v3")
     val dataFiles = new java.io.File(landing).listFiles()
       .map(_.getName).filter(_.startsWith("cdf-")).toSeq
-    require(dataFiles.nonEmpty && dataFiles.forall(_.startsWith("cdf-v00004")),
+    require(dataFiles.nonEmpty && dataFiles.forall(_.startsWith("cdf-v00003")),
       s"resume after retention re-exported pruned versions: $dataFiles")
     runMvFoldDrain(spark, landing, view, ckpt)
     graft.sources.Lake.readVersioned(spark, view)
