@@ -86,6 +86,7 @@ object Bench {
     warm("bucketed_fixture")(graft.pipeline.PipelineQueries.prebuildBucketedFixture(spark, sfDir))
     warm("ivf_index")(graft.ext.Similarity.prebuildIvfIndex(spark, sfDir))
     warm("pq_index")(graft.ext.Similarity.prebuildPqIndex(spark, sfDir))
+    warm("ivfadc_index")(graft.ext.Similarity.prebuildIvfAdcIndex(spark, sfDir))
     warm("scd2_feed_fixture")(graft.pipeline.PipelineQueries.prebuildScd2FeedFixture(spark, sfDir))
     warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
     warm("stream_stateful_landings")(

@@ -859,6 +859,136 @@ object Similarity {
     } finally { res.unpersist(); () }
   }
 
+  /** Fixture for `ann_ivfadc_persisted` (cached per session+SF): the
+    * FULL deployable IVFADC index — coarse quantizer and residual PQ
+    * codebooks trained once ([[ivfAdcResidualTopK]]'s exact integer
+    * discipline), then the corpus (vec_id ≠ 0) encoded to a versioned
+    * (vec_id, cell, code1, code2) table in three commits (snapshot +
+    * two O(batch) appends with the SAME frozen models). At a billion
+    * vectors this table IS the serving index: ~4 small ints per vector,
+    * partitionable BY CELL so the probe prunes I/O before any scoring.
+    * Returns (path, coarse, cb1, cb2, half, dim).
+    */
+  private val ivfAdcIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String),
+      (String, Seq[Array[Long]], Seq[Array[Long]], Seq[Array[Long]], Int, Int)]
+
+  def prebuildIvfAdcIndex(sp: SparkSession, dir: String)
+      : (String, Seq[Array[Long]], Seq[Array[Long]], Seq[Array[Long]], Int, Int) =
+    ivfAdcIndexCache.computeIfAbsent((sp, dir), { _ =>
+      val k = 8
+      val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
+        .as("q"))
+      val full = emb.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Long](1).toArray)
+      require(full.length == k, s"corpus smaller than k=$k")
+      val dim = full.head.length
+      val half = dim / 2
+      require(full.map(_.toSeq).distinct.length == k,
+        s"k=$k coarse seed vectors are not pairwise-distinct")
+      val coarse = lloydInt(emb, full.toSeq, 1, dim, 2)
+      val cellDs = pqDists(1, dim, coarse)
+      val cents2d = array(coarse.map(c => array(c.map(lit): _*)): _*)
+      val res = emb
+        .withColumn("cell", array_position(cellDs, array_min(cellDs)))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("q"), element_at(cents2d, col("cell").cast("int")),
+            (a, b) => a - b + lit(2000L)).as("q"))
+        .persist()
+      try {
+        val minRv = res.select(min(expr("array_min(q)"))).head().getLong(0)
+        require(minRv >= 0L, s"offset residual went negative ($minRv)")
+        val rseed = res.orderBy("vec_id").limit(k).collect()
+          .map(_.getSeq[Long](2).toArray)
+        def train(lo: Int): Seq[Array[Long]] = {
+          val init = rseed.map(_.slice(lo - 1, lo - 1 + half))
+          require(init.map(_.toSeq).distinct.length == k,
+            s"k=$k residual seed SUBvectors (dims $lo..) not distinct")
+          lloydInt(res, init.toSeq, lo, half, 2)
+        }
+        val cb1 = train(1)
+        val cb2 = train(half + 1)
+        def code(lo: Int, cb: Seq[Array[Long]]) = {
+          val ds = pqDists(lo, half, cb)
+          array_position(ds, array_min(ds))
+        }
+        def encode(df: DataFrame) = df.select(col("vec_id"), col("cell"),
+          code(1, cb1).as("code1"), code(half + 1, cb2).as("code2"))
+        val corpus = res.filter(col("vec_id") =!= 0)
+        val path = s"${graft.pipeline.Scratch.dir("ivfadcidx")}/index"
+        graft.sources.Lake.writeVersioned(sp,
+          encode(corpus.filter(col("vec_id") % 2 === 0)), path)
+        graft.sources.Lake.appendVersioned(sp,
+          encode(corpus.filter(col("vec_id") % 4 === 1)), path)
+        graft.sources.Lake.appendVersioned(sp,
+          encode(corpus.filter(col("vec_id") % 4 === 3)), path)
+        (path, coarse, cb1, cb2, half, dim)
+      } finally { res.unpersist(); () }
+    })
+
+  /** IVFADC search over the PERSISTED index — the query path a
+    * billion-vector deployment actually serves: probe selection and the
+    * per-probed-cell residual ADC tables are driver arithmetic over the
+    * frozen models; the ONLY distributed work is a scan of the
+    * (vec_id, cell, code1, code2) table with the cell probe pushed INTO
+    * the parquet reader (PushedFilters: In(cell, …) — at scale the
+    * table is partitioned by cell and the probe prunes whole files) and
+    * two element_at lookups per surviving row. No vector column is
+    * touched anywhere in the timed frame (PlanSpec pins both
+    * properties). Composes [[prebuildIvfAdcIndex]] (encode once) with
+    * [[ivfAdcResidualTopK]]'s scoring algebra (exact integers, per-cell
+    * query tables, vec_id-tied TakeOrdered cut).
+    */
+  def ivfAdcPersistedTopK(sp: SparkSession, dir: String, nprobe: Int = 2,
+      topK: Int = 10): DataFrame = {
+    val (path, coarse, cb1, cb2, half, dim) = prebuildIvfAdcIndex(sp, dir)
+    val k = coarse.length
+    val qv = Tables.embeddings(sp, dir).filter(col("vec_id") === 0)
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)"))
+      .collect()
+    require(qv.length == 1, "query vector vec_id=0 missing")
+    val q = qv.head.getSeq[Long](0).toArray
+    def qDist(c: Array[Long]): Long = {
+      var s = 0L; var j = 0
+      while (j < dim) { val d = q(j) - c(j); s += d * d; j += 1 }
+      s
+    }
+    val probed = coarse.zipWithIndex
+      .map { case (c, i) => (qDist(c), (i + 1).toLong) }
+      .sorted.take(nprobe).map(_._2)
+    def qres(ci: Int): Array[Long] =
+      q.indices.map(j => q(j) - coarse(ci)(j) + 2000L).toArray
+    def table(r: Array[Long], lo: Int, cb: Seq[Array[Long]]): Array[Long] =
+      cb.map { c =>
+        var s = 0L; var j = 0
+        while (j < half) {
+          val d = r(lo - 1 + j) - c(j); s += d * d; j += 1
+        }
+        s
+      }.toArray
+    val dtAll1 = array((0 until k).map(ci =>
+      array(table(qres(ci), 1, cb1).map(lit): _*)): _*)
+    val dtAll2 = array((0 until k).map(ci =>
+      array(table(qres(ci), half + 1, cb2).map(lit): _*)): _*)
+    val scored = graft.sources.Lake.readVersioned(sp, path)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell"), col("code1"), col("code2"),
+        (element_at(element_at(dtAll1, col("cell").cast("int")),
+          col("code1").cast("int")) +
+          element_at(element_at(dtAll2, col("cell").cast("int")),
+            col("code2").cast("int"))).as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.orderBy(col("adc_dist"), col("vec_id")).limit(topK)
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("vec_id"), col("cell"), col("code1"),
+        col("code2"), col("adc_dist"))
+      .orderBy("rn")
+  }
+
   /** Fixture for `ann_pq_persisted` (cached per session+SF): the ENCODE
     * half of PQ done ONCE — the frozen subspace codebooks from
     * [[pqModel]] encode the corpus (vec_id ≠ 0) to a versioned
@@ -1885,6 +2015,118 @@ object Similarity {
           |       GROUP BY 1, 2)
           |SELECT rn, vec_id, cell, adc_dist FROM (
           |  SELECT vec_id, cell, adc_dist,
+          |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 10 ORDER BY rn""".stripMargin),
+    ),
+
+    // ---- IVFADC over the PERSISTED index (see [[ivfAdcPersistedTopK]]):
+    //      the full deployable composition — coarse cells AND residual
+    //      codes encoded once into a versioned (vec_id, cell, code1,
+    //      code2) table (3 commits, frozen models), search scans codes
+    //      only with the cell probe pushed into the parquet reader. The
+    //      oracle is ann_ivfadc's replay with the codes riding in the
+    //      output: the persisted index must hold exactly the cells and
+    //      codes the frozen models assign — a drifted append re-encoding
+    //      with retrained models, a stale row, or an unpushed probe
+    //      scoring an unprobed cell all break the hash. ----
+    QueryDef(
+      "ann_ivfadc_persisted",
+      (sp, dir) => ivfAdcPersistedTopK(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |f_seed AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, q AS c
+          |  FROM e ORDER BY vec_id LIMIT 8),
+          |f_eg AS (SELECT vec_id, j, q[j] AS qv
+          |         FROM e, generate_series(1, 64) t(j)),
+          |f_c0 AS (SELECT cid, j, c[j] AS cv
+          |         FROM f_seed, generate_series(1, 64) t(j)),
+          |f_d1 AS (SELECT f_eg.vec_id, f_c0.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c0 USING (j) GROUP BY 1, 2),
+          |f_a1 AS (SELECT vec_id, cid FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d1)
+          |         WHERE rn = 1),
+          |f_c1 AS (SELECT cid, j,
+          |                (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM f_a1 JOIN f_eg USING (vec_id) GROUP BY 1, 2),
+          |f_d2 AS (SELECT f_eg.vec_id, f_c1.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c1 USING (j) GROUP BY 1, 2),
+          |f_a2 AS (SELECT vec_id, cid AS cell FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d2)
+          |         WHERE rn = 1),
+          |qc AS (SELECT f_c1.cid, sum((qe.qv - f_c1.cv) * (qe.qv - f_c1.cv)) AS d
+          |       FROM (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
+          |       JOIN f_c1 USING (j) GROUP BY 1),
+          |probes AS (SELECT cid AS cell FROM (
+          |             SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+          |             FROM qc) WHERE rn <= 2),
+          |res AS (SELECT f_eg.vec_id, f_eg.j, f_eg.qv - f_c1.cv + 2000 AS rv
+          |        FROM f_eg
+          |        JOIN f_a2 ON f_a2.vec_id = f_eg.vec_id
+          |        JOIN f_c1 ON f_c1.cid = f_a2.cell AND f_c1.j = f_eg.j),
+          |r_sub AS (
+          |  SELECT vec_id, 1 AS m, j, rv FROM res WHERE j <= 32
+          |  UNION ALL
+          |  SELECT vec_id, 2 AS m, j - 32 AS j, rv FROM res WHERE j > 32),
+          |r_seedv AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cid
+          |            FROM e ORDER BY vec_id LIMIT 8),
+          |r_c0 AS (SELECT s.cid, r.m, r.j, r.rv AS cv
+          |         FROM r_seedv s JOIN r_sub r ON r.vec_id = s.vec_id),
+          |r_d1 AS (SELECT r.m, r.vec_id, c.cid,
+          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
+          |         FROM r_sub r JOIN r_c0 c ON c.m = r.m AND c.j = r.j
+          |         GROUP BY 1, 2, 3),
+          |r_a1 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d1)
+          |         WHERE rn = 1),
+          |r_c1 AS (SELECT a.m, a.cid, r.j,
+          |                (2 * sum(r.rv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM r_a1 a JOIN r_sub r ON r.m = a.m
+          |                                 AND r.vec_id = a.vec_id
+          |         GROUP BY 1, 2, 3),
+          |r_d2 AS (SELECT r.m, r.vec_id, c.cid,
+          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
+          |         FROM r_sub r JOIN r_c1 c ON c.m = r.m AND c.j = r.j
+          |         GROUP BY 1, 2, 3),
+          |r_a2 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d2)
+          |         WHERE rn = 1),
+          |q_res AS (SELECT pr.cell, qe.j, qe.qv - f_c1.cv + 2000 AS rv
+          |          FROM probes pr
+          |          CROSS JOIN (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
+          |          JOIN f_c1 ON f_c1.cid = pr.cell AND f_c1.j = qe.j),
+          |q_sub AS (
+          |  SELECT cell, 1 AS m, j, rv FROM q_res WHERE j <= 32
+          |  UNION ALL
+          |  SELECT cell, 2 AS m, j - 32 AS j, rv FROM q_res WHERE j > 32),
+          |dt AS (SELECT q.cell, c.m, c.cid,
+          |              sum((q.rv - c.cv) * (q.rv - c.cv)) AS qdist
+          |       FROM q_sub q JOIN r_c1 c ON c.m = q.m AND c.j = q.j
+          |       GROUP BY 1, 2, 3),
+          |sc AS (SELECT a.vec_id, f.cell,
+          |              max(CASE WHEN a.m = 1 THEN a.cid END) AS code1,
+          |              max(CASE WHEN a.m = 2 THEN a.cid END) AS code2,
+          |              CAST(sum(dt.qdist) AS BIGINT) AS adc_dist
+          |       FROM r_a2 a
+          |       JOIN f_a2 f ON f.vec_id = a.vec_id
+          |       JOIN probes pr ON pr.cell = f.cell
+          |       JOIN dt ON dt.cell = f.cell AND dt.m = a.m AND dt.cid = a.cid
+          |       WHERE a.vec_id <> 0
+          |       GROUP BY 1, 2)
+          |SELECT rn, vec_id, cell, code1, code2, adc_dist FROM (
+          |  SELECT vec_id, cell, code1, code2, adc_dist,
           |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
           |  FROM sc)
           |WHERE rn <= 10 ORDER BY rn""".stripMargin),

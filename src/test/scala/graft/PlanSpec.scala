@@ -313,6 +313,23 @@ class PlanSpec extends SparkSpec {
       s"top-k cut is not TakeOrdered:\n$p")
   }
 
+  test("ann_ivfadc_persisted: codes-only scan with the cell probe pushed down") {
+    val p = plan(q("ann_ivfadc_persisted"))
+    // the deployable index property: search never re-opens a vector —
+    // the only distributed work is the code-table scan
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no ReadSchema in plan:\n$p")
+    assert(schemas.forall(!_.contains("embedding")),
+      s"persisted-IVFADC search re-reads vectors: $schemas")
+    // the nprobe cell filter must reach the parquet reader (at scale the
+    // index partitions by cell, so this is the file-prune lever)
+    assert("PushedFilters: \\[[^\\]]*In\\(cell".r.findFirstIn(p).isDefined,
+      s"cell probe not pushed into the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k cut is not TakeOrdered:\n$p")
+  }
+
   test("emb_corr_matrix: one partial corr_stats aggregate, cells from one row") {
     // the corpus pass must be a PARTIAL corr_stats fold (one ~17.7 KB
     // state per partition crosses the wire) — without the partial, raw
