@@ -184,7 +184,8 @@ object ScaleCheck {
     "lake_vacuum", "doc_boilerplate_strip", "emb_pq", "stream_cdf_scd1",
     "emb_pq_adc", "doc_substring_dedup", "ann_ivf_pq", "ann_pq_persisted",
     "ann_ivfadc", "stream_mv_refresh", "stream_cdf_unordered",
-    "stream_cdf_retention", "doc_substring_spans", "ann_ivfadc_persisted")
+    "stream_cdf_retention", "doc_substring_spans", "ann_ivfadc_persisted",
+    "ann_binary_rerank", "ann_recall_audit")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

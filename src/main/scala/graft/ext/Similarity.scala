@@ -859,6 +859,94 @@ object Similarity {
     } finally { res.unpersist(); () }
   }
 
+  /** BINARY (sign) QUANTIZATION + exact rerank — the 1-bit/dim ANN
+    * prefilter modern vector stores ship as "BQ" (the RaBitQ/
+    * binary-hashing lineage): each dimension contributes one SIGN bit
+    * (q_j >= 1000 ⇔ raw x_j >= 0 under the corpus quantization), the 64
+    * dims pack into TWO 32-bit halves carried in two BIGINTs (shifts
+    * stay ≤ 31 — the exact same packing replays in DuckDB, whose BIGINT
+    * left-shift refuses 63), and stage 1 scores the whole corpus by
+    * HAMMING distance: two xor + bit_count pairs per row, 16 bytes of
+    * signature per vector — a 32× memory cut that scans billions of
+    * signatures per node. Stage 2 reranks ONLY the top-`shortlist`
+    * candidates by exact integer squared L2 at full dimension (the
+    * matryoshka two-stage discipline: candidates ride a broadcast,
+    * rerank cost ∝ shortlist). Ties break on vec_id at both cuts;
+    * hamming AND l2 ride the output so both stages' arithmetic is
+    * driver-hashed.
+    */
+  def annBinaryRerank(sp: SparkSession, dir: String, shortlist: Int = 50,
+      topK: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
+      .as("q"))
+    def sig(lo: Int) = expr(
+      s"aggregate(zip_with(slice(q, $lo, 32), sequence(0, 31), " +
+        "(x, j) -> CASE WHEN x >= 1000 THEN shiftleft(CAST(1 AS BIGINT), j) " +
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a | b)")
+    val sigs = emb.select(col("vec_id"), col("q"),
+      sig(1).as("s1"), sig(33).as("s2"))
+    val qr = sigs.filter(col("vec_id") === 0)
+      .select(col("q"), col("s1"), col("s2")).collect()
+    require(qr.length == 1, "query vector vec_id=0 missing")
+    val qvec = qr.head.getSeq[Long](0).toArray
+    val (qs1, qs2) = (qr.head.getLong(1), qr.head.getLong(2))
+    val short = sigs.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (bit_count(col("s1").bitwiseXOR(lit(qs1))) +
+          bit_count(col("s2").bitwiseXOR(lit(qs2)))).cast("long")
+          .as("hamming"))
+      .orderBy(col("hamming"), col("vec_id")).limit(shortlist)
+    val ql = array(qvec.map(lit): _*)
+    val rr = emb.join(broadcast(short), "vec_id")
+      .select(col("vec_id"), col("hamming"),
+        aggregate(zip_with(col("q"), ql, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("l2_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l2_dist"), col("vec_id"))
+    rr.orderBy(col("l2_dist"), col("vec_id")).limit(topK)
+      .withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("vec_id"), col("hamming"), col("l2_dist"))
+      .orderBy("rn")
+  }
+
+  /** RECALL AUDIT of the binary prefilter — the measurement a deployment
+    * runs before trusting (or resizing) an approximate stage: exact
+    * integer-L2 top-10 is the ground truth, and the audit reports how
+    * many of those survive (a) the 50-candidate Hamming shortlist and
+    * (b) the final reranked top-10. One output row of exact integers —
+    * the shortlist knob's quality surface. recall@k measurement is
+    * itself a first-class pipeline operator (every ANN paper's table 1);
+    * keeping it IN the engine means the audit scales with the corpus
+    * (ground truth is one TakeOrdered pass, the membership checks ride
+    * 10-row broadcasts).
+    */
+  def annRecallAudit(sp: SparkSession, dir: String, shortlist: Int = 50,
+      topK: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
+      .as("q"))
+    val qv = emb.filter(col("vec_id") === 0).collect()
+    require(qv.length == 1, "query vector vec_id=0 missing")
+    val ql = array(qv.head.getSeq[Long](1).toArray.map(lit): _*)
+    val l2 = aggregate(zip_with(col("q"), ql, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), l2.as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(topK)
+      .select("vec_id")
+    val short = annBinaryRerank(sp, dir, shortlist, shortlist) // full shortlist, reranked order irrelevant
+      .select(col("vec_id"), lit(1L).as("in_short"))
+    val fin = annBinaryRerank(sp, dir, shortlist, topK)
+      .select(col("vec_id"), lit(1L).as("in_final"))
+    exact
+      .join(broadcast(short), Seq("vec_id"), "left_outer")
+      .join(broadcast(fin), Seq("vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_short"), lit(0L))).as("shortlist_hits"),
+        sum(coalesce(col("in_final"), lit(0L))).as("final_hits"))
+  }
+
   /** Fixture for `ann_ivfadc_persisted` (cached per session+SF): the
     * FULL deployable IVFADC index — coarse quantizer and residual PQ
     * codebooks trained once ([[ivfAdcResidualTopK]]'s exact integer
@@ -2130,6 +2218,118 @@ object Similarity {
           |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
           |  FROM sc)
           |WHERE rn <= 10 ORDER BY rn""".stripMargin),
+    ),
+
+    // ---- binary quantization + exact rerank (see [[annBinaryRerank]]):
+    //      sign bits packed as two 32-bit halves (identical packing both
+    //      engines), corpus-wide Hamming prefilter, shortlist-bounded
+    //      integer-L2 rerank. Hamming and l2 both ride the output — a
+    //      flipped sign bit, a shortlist cut drifting one row, or a
+    //      rerank reusing the hamming order all break the hash. ----
+    QueryDef(
+      "ann_binary_rerank",
+      (sp, dir) => annBinaryRerank(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |eg AS (SELECT vec_id, j, q[j] AS qv
+          |       FROM e, generate_series(1, 64) t(j)),
+          |sig AS (
+          |  SELECT vec_id,
+          |         bit_or(CASE WHEN j <= 32 AND qv >= 1000
+          |                     THEN (1::BIGINT << (j - 1))
+          |                     ELSE 0::BIGINT END) AS s1,
+          |         bit_or(CASE WHEN j > 32 AND qv >= 1000
+          |                     THEN (1::BIGINT << (j - 33))
+          |                     ELSE 0::BIGINT END) AS s2
+          |  FROM eg GROUP BY 1),
+          |qsig AS (SELECT s1, s2 FROM sig WHERE vec_id = 0),
+          |ham AS (SELECT s.vec_id,
+          |               CAST(bit_count(xor(s.s1, qsig.s1)) +
+          |                    bit_count(xor(s.s2, qsig.s2)) AS BIGINT)
+          |                 AS hamming
+          |        FROM sig s, qsig WHERE s.vec_id <> 0),
+          |short AS (SELECT vec_id, hamming FROM (
+          |            SELECT vec_id, hamming,
+          |                   row_number() OVER (ORDER BY hamming, vec_id) AS rn
+          |            FROM ham) WHERE rn <= 50),
+          |l2 AS (SELECT eg.vec_id,
+          |              CAST(sum((eg.qv - qe.qv) * (eg.qv - qe.qv)) AS BIGINT)
+          |                AS l2_dist
+          |       FROM eg
+          |       JOIN (SELECT j, qv FROM eg WHERE vec_id = 0) qe USING (j)
+          |       JOIN short s ON s.vec_id = eg.vec_id
+          |       GROUP BY 1)
+          |SELECT rn, vec_id, hamming, l2_dist FROM (
+          |  SELECT s.vec_id, s.hamming, l2.l2_dist,
+          |         row_number() OVER (ORDER BY l2.l2_dist, s.vec_id) AS rn
+          |  FROM short s JOIN l2 ON l2.vec_id = s.vec_id)
+          |WHERE rn <= 10 ORDER BY rn""".stripMargin),
+    ),
+
+    // ---- recall audit of the binary prefilter (see [[annRecallAudit]]):
+    //      exact-L2 ground truth vs the Hamming shortlist and the final
+    //      rerank, one row of exact integers. The oracle recomputes
+    //      ground truth, shortlist, and final set independently — an
+    //      audit that flattered the prefilter (or a prefilter that
+    //      silently lost a true neighbor the audit missed) breaks it. ----
+    QueryDef(
+      "ann_recall_audit",
+      (sp, dir) => annRecallAudit(sp, dir),
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |eg AS (SELECT vec_id, j, q[j] AS qv
+          |       FROM e, generate_series(1, 64) t(j)),
+          |sig AS (
+          |  SELECT vec_id,
+          |         bit_or(CASE WHEN j <= 32 AND qv >= 1000
+          |                     THEN (1::BIGINT << (j - 1))
+          |                     ELSE 0::BIGINT END) AS s1,
+          |         bit_or(CASE WHEN j > 32 AND qv >= 1000
+          |                     THEN (1::BIGINT << (j - 33))
+          |                     ELSE 0::BIGINT END) AS s2
+          |  FROM eg GROUP BY 1),
+          |qsig AS (SELECT s1, s2 FROM sig WHERE vec_id = 0),
+          |ham AS (SELECT s.vec_id,
+          |               bit_count(xor(s.s1, qsig.s1)) +
+          |               bit_count(xor(s.s2, qsig.s2)) AS hamming
+          |        FROM sig s, qsig WHERE s.vec_id <> 0),
+          |short AS (SELECT vec_id FROM (
+          |            SELECT vec_id,
+          |                   row_number() OVER (ORDER BY hamming, vec_id) AS rn
+          |            FROM ham) WHERE rn <= 50),
+          |l2all AS (SELECT eg.vec_id,
+          |                 CAST(sum((eg.qv - qe.qv) * (eg.qv - qe.qv)) AS BIGINT)
+          |                   AS d
+          |          FROM eg
+          |          JOIN (SELECT j, qv FROM eg WHERE vec_id = 0) qe USING (j)
+          |          WHERE eg.vec_id <> 0
+          |          GROUP BY 1),
+          |exact AS (SELECT vec_id FROM (
+          |            SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS rn
+          |            FROM l2all) WHERE rn <= 10),
+          |fin AS (SELECT vec_id FROM (
+          |          SELECT s.vec_id,
+          |                 row_number() OVER (ORDER BY l.d, s.vec_id) AS rn
+          |          FROM short s JOIN l2all l ON l.vec_id = s.vec_id)
+          |        WHERE rn <= 10)
+          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+          |       CAST(sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS shortlist_hits,
+          |       CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS final_hits
+          |FROM exact x
+          |LEFT JOIN short s ON s.vec_id = x.vec_id
+          |LEFT JOIN fin f ON f.vec_id = x.vec_id""".stripMargin),
     ),
 
     QueryDef(
