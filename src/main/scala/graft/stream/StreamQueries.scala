@@ -1788,6 +1788,67 @@ object StreamQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  // ---- stream_mv_join_refresh: CDF stream → dim-enrich → join-view fold --
+  //
+  // The streaming sibling of lake_mv_join_refresh's FACT side: the fact
+  // table's change feed streams in (the shared three-commit landing) and
+  // every micro-batch is ENRICHED with the broadcast dimension before
+  // folding into the (user, segment)-grain join view — the star-schema
+  // MV maintained continuously. Retraction weights survive the join
+  // (an enriched delete row retracts its (user, segment) group exactly),
+  // and the same batch-id stamp makes replays no-op. Dim changes are the
+  // batch row's territory (refreshJoinIncremental retracts moved
+  // groups); this row's claim is the continuous fact-side fold a
+  // production star schema runs between dim refreshes.
+
+  private def streamMvJoinRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val landing = cdfStreamLandingFor(spark, dir)
+    val root = Scratch.dir("stream_mvj")
+    val view = s"$root/view"
+    val dim = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .withColumn("segment",
+        concat(lit("S"), (col("user_id") % 3).cast("string")))
+    val typed = jsonStream(spark, landing, cdfFeedSchema, Some(2))
+      .select(col("user_id"), col("cents"), col("_change_type"))
+    val fold: (DataFrame, Long) => Unit = (batch, bid) => {
+      val enriched = batch.join(broadcast(dim), "user_id")
+      graft.sources.Lake.foldFeedBatchIntoAggView(enriched, view, bid,
+        keys = Seq("user_id", "segment"), sumCols = Seq("cents"),
+        countCol = "n_events")
+      ()
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = typed.writeStream
+        .foreachBatch(fold)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.sources.Lake.readVersioned(spark, view)
+      .select(col("user_id"), col("segment"), col("n_events"),
+        col("cents").as("total_cents"))
+      .orderBy("user_id", "segment")
+  }
+
+  private val mvJoinStreamOracle =
+    """WITH f AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+      |    AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08'
+      |                                 AND DATE '2024-01-14'),
+      |d AS (SELECT DISTINCT user_id,
+      |             'S' || CAST(user_id % 3 AS VARCHAR) AS segment
+      |      FROM events)
+      |SELECT f.user_id, d.segment,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(f.cents) AS BIGINT) AS total_cents
+      |FROM f JOIN d USING (user_id)
+      |GROUP BY 1, 2 ORDER BY user_id, segment""".stripMargin
+
   // ---- stream_cdf_unordered: the NO-SLEEP export lane ---------------------
   //
   // exportChangeFeedLanding(mtimeOrder = false) skips the 1.1 s/version
@@ -2048,6 +2109,8 @@ object StreamQueries {
     // same oracle as stream_cdf_equiv: the continuous MV fold and the
     // no-sleep export lane must land on the identical net state
     QueryDef("stream_mv_refresh", streamMvRefresh, Some(cdfFeedOracle)),
+    QueryDef("stream_mv_join_refresh", streamMvJoinRefresh,
+      Some(mvJoinStreamOracle)),
     QueryDef("stream_cdf_unordered", streamCdfUnordered, Some(cdfFeedOracle)),
     QueryDef("stream_cdf_retention", streamCdfRetention,
       Some(cdfRetentionOracle)),
