@@ -185,7 +185,8 @@ object ScaleCheck {
     "emb_pq_adc", "doc_substring_dedup", "ann_ivf_pq", "ann_pq_persisted",
     "ann_ivfadc", "stream_mv_refresh", "stream_cdf_unordered",
     "stream_cdf_retention", "doc_substring_spans", "ann_ivfadc_persisted",
-    "ann_binary_rerank", "ann_recall_audit", "stream_mv_join_refresh")
+    "ann_binary_rerank", "ann_recall_audit", "stream_mv_join_refresh",
+    "stream_mv_dim_refresh")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

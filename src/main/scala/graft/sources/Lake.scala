@@ -1160,6 +1160,22 @@ object Lake {
     v
   }
 
+  /** The stream-batch stamp the view's HEAD commit carries, if any —
+    * public so custom foreachBatch folds (e.g. the dim-side join-view
+    * maintenance in StreamQueries) can implement the same idempotent
+    * replay contract [[foldFeedBatchIntoAggView]] uses: skip the fold
+    * when the head stamp already covers the batch id.
+    */
+  def lastStreamBatchStamp(spark: SparkSession, path: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(versionsDir(path))) return None
+    readVersionPointer(fs, path)
+      .orElse(manifestVersions(fs, path).lastOption)
+      .flatMap(readRawManifest(spark, fs, path, _))
+      .flatMap(_.streamBatchId)
+  }
+
   /** CONSUMER-CHECKPOINT-AWARE landing retention — the cleanup that
     * bounds an [[exportChangeFeedLanding]] landing (r18's verdict: "the
     * landing appends forever"). A version's data files are reclaimable

@@ -1849,6 +1849,171 @@ object StreamQueries {
       |FROM f JOIN d USING (user_id)
       |GROUP BY 1, 2 ORDER BY user_id, segment""".stripMargin
 
+  // ---- stream_mv_dim_refresh: DIM-side streaming join-view maintenance ---
+  //
+  // The hard half of incremental star-schema maintenance: the DIMENSION
+  // changes, and the view must move rows BETWEEN groups without touching
+  // the fact table. The dim's KEYED change feed streams in (one version
+  // per micro-batch — filesPerVersion=1 + maxFilesPerTrigger=1, so a
+  // move and a later retirement of the same user can never collide
+  // inside one mergeCdc source) and each batch folds as:
+  //   - update pre/post pairs (segment moves): the view's (user, old)
+  //     rows re-key to (user, new) — counts come from the VIEW ITSELF,
+  //     never a fact scan (cost ∝ moved users' view rows);
+  //   - deletes (user retired from the dim): the view's rows for that
+  //     user drop (inner-join semantics);
+  //   - plain inserts are IGNORED by documented contract: a dim-insert
+  //     backfill must reconcile against facts the view excluded (cost ∝
+  //     the new users' fact history) — the batch refreshJoinIncremental's
+  //     territory; the streaming fold maintains attribute changes and
+  //     retirements, the two changes that dominate a slowly-changing
+  //     dimension (and lets the v1 snapshot batch no-op by rule).
+  // Idempotent replay rides the same stamp channel, offset to 1e6+bid so
+  // the dim drain's stamps stay above the fact drain's. The final view
+  // must equal the batch recompute against the MOVED dim — a move that
+  // lost its counts, a retirement that left rows, or an insert that
+  // double-folded all break the hash.
+
+  private val dimFeedLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** @return (dim table path, keyed-feed landing path) */
+  private def dimFeedLandingFor(spark: SparkSession,
+      dir: String): (String, String) =
+    dimFeedLandings.computeIfAbsent(dir, _ => {
+      val root = Scratch.dir("stream_dimfeed")
+      val dimT = s"$root/dim"
+      val users = Tables.events(spark, dir).select(col("user_id")).distinct()
+      graft.sources.Lake.writeVersioned(spark,
+        users.withColumn("segment",
+          concat(lit("S"), (col("user_id") % 3).cast("string")))
+          .repartitionByRange(2, col("user_id")), dimT)
+      // v2: every %5 user re-segments to S9 (the lake_mv_join_refresh
+      // move class); carried rewrite pairs drop in the keyed feed
+      graft.sources.Lake.mergeCdc(spark, dimT,
+        users.filter(col("user_id") % 5 === 0)
+          .withColumn("segment", lit("S9"))
+          .withColumn("_is_deleted", lit(false)),
+        Seq("user_id"), col("_is_deleted"))
+      // v3: %7==3 users retire from the dim entirely
+      graft.sources.Lake.deleteWhere(spark, dimT, col("user_id") % 7 === 3)
+      val landing = s"$root/landing"
+      graft.sources.Lake.exportChangeFeedLanding(spark, dimT, landing,
+        filesPerVersion = 1, keys = Seq("user_id"))
+      (dimT, landing)
+    })
+
+  private val dimFeedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("segment",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One dim-feed micro-batch folded into the join view: moves re-key
+    * view rows, retirements drop them, inserts no-op (contract above).
+    * Package-visible so StreamingOpsSpec can pin the replay no-op.
+    */
+  private[graft] def dimFoldBatch(batch: DataFrame, view: String,
+      bid: Long): Unit = {
+    val spark = batch.sparkSession
+    val tag = 1000000L + bid
+    if (graft.sources.Lake.lastStreamBatchStamp(spark, view)
+        .exists(_ >= tag)) return
+    val pre = batch.filter(col("_change_type") === "update_preimage")
+      .select(col("user_id"), col("segment").as("old_seg"))
+    val post = batch.filter(col("_change_type") === "update_postimage")
+      .select(col("user_id"), col("segment").as("new_seg"))
+    val dels = batch.filter(col("_change_type") === "delete")
+      .select(col("user_id"), col("segment").as("old_seg"))
+    val moved = pre.join(post, "user_id")
+    val cur = graft.sources.Lake.readVersioned(spark, view)
+    def viewRowsAt(keys: DataFrame) = cur.as("v")
+      .join(broadcast(keys.as("k")),
+        col("v.user_id") === col("k.user_id") &&
+          col("v.segment") === col("k.old_seg"))
+    val inserts = viewRowsAt(moved)
+      .select(col("v.user_id").as("user_id"),
+        col("k.new_seg").as("segment"),
+        col("v.n_events").as("n_events"), col("v.cents").as("cents"),
+        lit(false).as("_del"))
+    val deletes = viewRowsAt(moved.select("user_id", "old_seg")
+        .unionByName(dels))
+      .select(col("v.user_id").as("user_id"),
+        col("v.segment").as("segment"),
+        lit(0L).as("n_events"), lit(0L).as("cents"),
+        lit(true).as("_del"))
+    val source = inserts.unionByName(deletes)
+    if (source.isEmpty) return // insert-only batch: the documented no-op
+    graft.sources.Lake.mergeCdc(spark, view, source,
+      Seq("user_id", "segment"), deleteWhen = col("_del"),
+      streamBatchId = Some(tag))
+    ()
+  }
+
+  private def streamMvDimRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val factLanding = cdfStreamLandingFor(spark, dir)
+    val (dimT, dimLanding) = dimFeedLandingFor(spark, dir)
+    val root = Scratch.dir("stream_mvdim")
+    val view = s"$root/view"
+    // phase 1: fact feed folds against the dim AS OF v1 — the move and
+    // the retirement arrive ONLY through the dim feed in phase 2
+    val dimV1 = graft.sources.Lake.readVersioned(spark, dimT, Some(1L))
+      .select("user_id", "segment")
+    val typed = jsonStream(spark, factLanding, cdfFeedSchema, Some(2))
+      .select(col("user_id"), col("cents"), col("_change_type"))
+    val factFold: (DataFrame, Long) => Unit = (batch, bid) => {
+      graft.sources.Lake.foldFeedBatchIntoAggView(
+        batch.join(broadcast(dimV1), "user_id"), view, bid,
+        keys = Seq("user_id", "segment"), sumCols = Seq("cents"),
+        countCol = "n_events")
+      ()
+    }
+    val dimTyped = jsonStream(spark, dimLanding, dimFeedSchema, Some(1))
+    val dimFold: (DataFrame, Long) => Unit =
+      (batch, bid) => dimFoldBatch(batch, view, bid)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q1 = typed.writeStream.foreachBatch(factFold)
+        .option("checkpointLocation", s"$root/ckpt_fact")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+      val q2 = dimTyped.writeStream.foreachBatch(dimFold)
+        .option("checkpointLocation", s"$root/ckpt_dim")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.sources.Lake.readVersioned(spark, view)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("segment"), col("n_events"),
+        col("cents").as("total_cents"))
+      .orderBy("user_id", "segment")
+  }
+
+  private val mvDimStreamOracle =
+    """WITH f AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+      |    AND CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-08'
+      |                                 AND DATE '2024-01-14'),
+      |d AS (SELECT DISTINCT user_id,
+      |             CASE WHEN user_id % 5 = 0 THEN 'S9'
+      |                  ELSE 'S' || CAST(user_id % 3 AS VARCHAR) END AS segment
+      |      FROM events
+      |      WHERE user_id % 7 <> 3)
+      |SELECT f.user_id, d.segment,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(f.cents) AS BIGINT) AS total_cents
+      |FROM f JOIN d USING (user_id)
+      |GROUP BY 1, 2 ORDER BY user_id, segment""".stripMargin
+
   // ---- stream_cdf_unordered: the NO-SLEEP export lane ---------------------
   //
   // exportChangeFeedLanding(mtimeOrder = false) skips the 1.1 s/version
@@ -2111,6 +2276,8 @@ object StreamQueries {
     QueryDef("stream_mv_refresh", streamMvRefresh, Some(cdfFeedOracle)),
     QueryDef("stream_mv_join_refresh", streamMvJoinRefresh,
       Some(mvJoinStreamOracle)),
+    QueryDef("stream_mv_dim_refresh", streamMvDimRefresh,
+      Some(mvDimStreamOracle)),
     QueryDef("stream_cdf_unordered", streamCdfUnordered, Some(cdfFeedOracle)),
     QueryDef("stream_cdf_retention", streamCdfRetention,
       Some(cdfRetentionOracle)),

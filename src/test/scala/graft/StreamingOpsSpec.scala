@@ -405,6 +405,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cur == Set((1L, 1L, 20L), (3L, 1L, 7L)))
   }
 
+  test("dimFoldBatch: moves re-key counts, retirements drop rows, replay no-ops") {
+    import java.nio.file.Files
+    import graft.sources.Lake
+    val view = Files.createTempDirectory("graft-dimfold").toFile
+      .getAbsolutePath + "/view"
+    // a (user, segment)-grain join view maintained by the fact fold
+    Lake.foldFeedBatchIntoAggView(
+      Seq((1L, "S0", 10L, "insert"), (1L, "S0", 20L, "insert"),
+        (2L, "S1", 5L, "insert"), (3L, "S2", 7L, "insert"))
+        .toDF("user_id", "segment", "cents", "_change_type"),
+      view, 0L, keys = Seq("user_id", "segment"), sumCols = Seq("cents"),
+      countCol = "n_events")
+    def cur = Lake.readVersioned(spark, view)
+      .select("user_id", "segment", "n_events", "cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(cur == Set((1L, "S0", 2L, 30L), (2L, "S1", 1L, 5L),
+      (3L, "S2", 1L, 7L)))
+    // dim batch: user 1 moves S0→S9 (counts must ride), user 3 retires,
+    // user 4 is a plain insert (ignored by contract — no fact history)
+    def dimBatch = Seq(
+      (1L, "S0", "update_preimage"), (1L, "S9", "update_postimage"),
+      (3L, "S2", "delete"), (4L, "S1", "insert"))
+      .toDF("user_id", "segment", "_change_type")
+    graft.stream.StreamQueries.dimFoldBatch(dimBatch, view, 0L)
+    assert(cur == Set((1L, "S9", 2L, 30L), (2L, "S1", 1L, 5L)),
+      s"move/retire fold wrong: $cur")
+    val v1 = Lake.listVersions(spark, view).last
+    // foreachBatch replay of the same dim batch: stamp covers it → no-op
+    graft.stream.StreamQueries.dimFoldBatch(dimBatch, view, 0L)
+    assert(cur == Set((1L, "S9", 2L, 30L), (2L, "S1", 1L, 5L)))
+    assert(Lake.listVersions(spark, view).last == v1,
+      "replayed dim batch published a new version")
+  }
+
   test("streaming CDC dedup: latest wins, deletes drop, both late contracts pinned") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, String, Timestamp)]
