@@ -2073,6 +2073,58 @@ class LakeSpec extends SparkSpec {
       "post-recovery re-call rewrote sealed files")
   }
 
+  test("pruneChangeFeedLanding: only consumer-proven versions reclaim; markers stay") {
+    val root = tmp() + "/cdfprune"
+    val dir = s"$root/t"
+    val landing = s"$root/landing"
+    def mk(r: Range) = r.map(i => (i.toLong, i % 4L)).toDF("id", "k")
+    Lake.writeVersioned(spark, mk(1 to 20).repartitionByRange(2, col("id")), dir)
+    Lake.appendVersioned(spark, mk(21 to 30).repartition(1), dir)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    def names() = new java.io.File(landing).listFiles().map(_.getName).sorted.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    // no checkpoint at all: nothing is provably consumed, nothing prunes
+    assert(Lake.pruneChangeFeedLanding(spark, landing, s"$root/nockpt") ==
+      (0L, 0L))
+    // consumer A reads ONLY v1's files (maxFilesPerTrigger=1, stopped
+    // after the first committed batch would be racy — instead drain a
+    // glob limited to v1)
+    val ckptA = s"$root/ckptA"
+    def drain(glob: String, ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema).json(glob)
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(s"$landing/cdf-v00001-*.json", ckptA)
+    // A's checkpoint proves v1 only: v2 must survive
+    val (nv1, nf1) = Lake.pruneChangeFeedLanding(spark, landing, ckptA)
+    assert(nv1 == 1L && nf1 >= 1L, s"expected v1 pruned, got ($nv1, $nf1)")
+    assert(names().exists(_.startsWith("cdf-v00002")),
+      "prune reclaimed a version the checkpoint never named")
+    assert(names().contains("_cdf-v00001.done") &&
+      names().contains("_cdf-v00002.done"),
+      s"markers must survive pruning (resume watermark): ${names()}")
+    assert(!names().exists(_.startsWith("cdf-v00001-")),
+      s"v1 data files not reclaimed: ${names()}")
+    // resume after prune: a new commit exports as v3, never re-exports v1
+    Lake.deleteWhere(spark, dir, col("id") <= 3L)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 3L)
+    assert(!names().exists(_.startsWith("cdf-v00001-")),
+      s"resume re-exported a pruned version: ${names()}")
+    // idempotence: a second prune against the same checkpoint is a no-op
+    assert(Lake.pruneChangeFeedLanding(spark, landing, ckptA) == (0L, 0L))
+  }
+
   test("change feed spans schema eras: pre-drift commits resolve the evolved schema") {
     val dir = tmp() + "/cdfevo"
     Lake.writeVersioned(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)
