@@ -178,6 +178,103 @@ object Multimodal {
       .toDF("doc_id", "media_type", "payload", "n_bytes")
   }
 
+  /** Planted-PNG corpus for the PATCH-GRID row: like [[asImageTable]] but
+    * the pixel channels are SMALL MODULAR arithmetic in (doc_id, x, y) —
+    * R = (id + 3x + 5y) % 256, G = (id + 7x + y) % 256,
+    * B = (id + x + 11y) % 256 — so per-patch channel SUMS replay in plain
+    * SQL with no 64-bit wrap (the [[asImageTable]] plant multiplies with
+    * overflow wrap, which DuckDB's HUGEINT cannot follow at replica-scale
+    * doc ids). PNG is lossless, so the decode recovers the plant exactly.
+    */
+  def asPatchImageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 16 + (id % 13).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = (((id + 3L * x + 5L * y) % 256) + 256) % 256
+              val g = (((id + 7L * x + y) % 256) + 256) % 256
+              val b = (((id + x + 11L * y) % 256) + 256) % 256
+              img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val payload = bos.toByteArray
+          (id, "image/png", payload, payload.length.toLong)
+        }
+      }
+      .toDF("doc_id", "media_type", "payload", "n_bytes")
+  }
+
+  final case class PatchRow(doc_id: Long, patch_row: Int, patch_col: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** ViT-style PATCH-GRID extraction with a REAL decode — the
+    * preprocessing stage every vision-language pipeline runs before the
+    * encoder: each image decodes once (javax.imageio, per-partition codec
+    * setup — the mapInPandas batch shape), cuts into p×p pixel patches
+    * (ragged right/bottom edges CROP, the fixed-grid contract a ViT
+    * resize would otherwise enforce), and each patch emits one row with
+    * its exact per-channel integer sums — the "patch embedding" stand-in
+    * whose schema/grain/partitioning are the real thing (the projection
+    * matrix multiply is the model's job, not the lake's). Output is
+    * patch-grain: payload bytes never cross a shuffle; rows carry 6
+    * integers each however large the image corpus grows.
+    */
+  def patchGrid(media: DataFrame, p: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.flatMap { case (id, mt, payload) =>
+          val decoded =
+            if (mt.startsWith("image/") && payload != null && payload.nonEmpty) {
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))
+              catch { case _: java.io.IOException => None }
+            } else None
+          decoded.iterator.flatMap { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            for {
+              pr <- (0 until h / p).iterator
+              pc <- (0 until w / p).iterator
+            } yield {
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var y = pr * p
+              while (y < pr * p + p) {
+                var x = pc * p
+                while (x < pc * p + p) {
+                  val rgb = img.getRGB(x, y)
+                  rs += (rgb >> 16) & 0xFF
+                  gs += (rgb >> 8) & 0xFF
+                  bs += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              PatchRow(id, pr, pc, rs, gs, bs)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Feature extraction with a REAL image decode: `image/`-typed payloads go
     * through javax.imageio (width/height from the decoded image, channels
     * from the raster band count, checksum over DECODED pixel samples — a
@@ -502,6 +599,40 @@ object Multimodal {
           |       CAST(16 + doc_id % 31 AS INT) AS height,
           |       3 AS channels
           |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // ViT-style patch grid with a REAL decode (see [[patchGrid]]): the
+    // planted channels are small modular arithmetic in (doc_id, x, y),
+    // so every patch's exact per-channel sums are oracled in plain SQL
+    // while Spark must recover them through the actual PNG codec — a
+    // band-order mixup, an off-by-one patch bound, or a ragged edge
+    // leaking into a patch all break the hash.
+    QueryDef(
+      "mm_patch_grid",
+      (sp, dir) =>
+        patchGrid(fixture(sp, dir, "patches")(asPatchImageTable(
+          Tables.documents(sp, dir).filter(col("doc_id") % 4 === 0))))
+          .orderBy("doc_id", "patch_row", "patch_col"),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+          |         CAST(16 + doc_id % 13 AS BIGINT) AS h
+          |  FROM documents WHERE doc_id % 4 = 0),
+          |g AS (
+          |  SELECT d.doc_id, d.w, pr.pr, pc.pc
+          |  FROM d,
+          |       LATERAL unnest(generate_series(0, d.h // 8 - 1)) AS pr(pr),
+          |       LATERAL unnest(generate_series(0, d.w // 8 - 1)) AS pc(pc))
+          |SELECT g.doc_id,
+          |       CAST(g.pr AS INT) AS patch_row,
+          |       CAST(g.pc AS INT) AS patch_col,
+          |       CAST(sum((g.doc_id + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS r_sum,
+          |       CAST(sum((g.doc_id + 7 * x.x + y.y) % 256) AS BIGINT) AS g_sum,
+          |       CAST(sum((g.doc_id + x.x + 11 * y.y) % 256) AS BIGINT) AS b_sum
+          |FROM g,
+          |     LATERAL unnest(generate_series(g.pc * 8, g.pc * 8 + 7)) AS x(x),
+          |     LATERAL unnest(generate_series(g.pr * 8, g.pr * 8 + 7)) AS y(y)
+          |GROUP BY 1, 2, 3
+          |ORDER BY 1, 2, 3""".stripMargin),
     ),
     // REAL audio decode: planted genuine PCM16 WAV streams → the JDK
     // audio codec. Every output column requires the decode (format fields

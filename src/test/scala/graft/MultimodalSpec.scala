@@ -126,6 +126,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("patchGrid crops ragged edges, sums exactly, skips undecodable payloads") {
+    def png(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      // 9x17 at p=8: 1 col x 2 rows = 2 patches; col 8 and row 16 crop
+      (1L, "image/png", png(9, 17, (x, y) => (x << 16) | (y << 8) | 7)),
+      // smaller than a patch on either axis: zero patches
+      (2L, "image/png", png(7, 40, (_, _) => 0)),
+      // not an image: skipped entirely
+      (3L, "audio/wav", Array[Byte](1, 2, 3)),
+    ).toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.patchGrid(media, p = 8)
+      .orderBy("doc_id", "patch_row", "patch_col")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    // patch (0,0): x 0..7, y 0..7 → r = sum x*64 = 28*8... r sums x over
+    // 8 rows: (0+..+7)*8 = 224; g sums y likewise = 224; b = 7*64 = 448
+    // patch (1,0): x 0..7, y 8..15 → g = (8+..+15)*8 = 736
+    assert(out == Seq(
+      (1L, 0, 0, 224L, 224L, 448L),
+      (1L, 1, 0, 224L, 736L, 448L)), s"got $out")
+  }
+
   test("raw media files ingest via binaryFile and decode like the fixtures") {
     import spark.implicits._
     // land REAL PNG files (same generator as the parquet fixture) plus a
