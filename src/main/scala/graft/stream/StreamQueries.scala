@@ -2087,6 +2087,97 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  // ---- stream_cdf_parquet: the PARQUET landing as a stream ---------------
+  //
+  // The byte-efficiency lane proven end-to-end: exportChangeFeedLanding's
+  // parquet mode (the 100 TB choice — ~3× fewer bytes, column pruning at
+  // the consumer's scan) was batch-verified only; this row drives it
+  // through the STREAMING consumer. Same three commits, same retraction-
+  // weighted stateful aggregate, same oracle as stream_cdf_equiv — the
+  // landing format must be invisible to the fold. Sentinels are parquet
+  // too (a one-row DataFrame write; a landing is ONE format for its
+  // lifetime, and the file stream's schema contract covers every file).
+
+  private val cdfParquetLandings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfParquetLandingFor(spark: SparkSession, dir: String): String =
+    cdfParquetLandings.computeIfAbsent(dir, _ => {
+      val root = Scratch.dir("stream_cdfpq_src")
+      val table = s"$root/t"
+      val base = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.sources.Lake.writeVersioned(spark,
+        base.filter(col("day") <= lit("2024-01-15").cast("date"))
+          .repartitionByRange(2, col("day")), table)
+      graft.sources.Lake.appendVersioned(spark,
+        base.filter(col("day") > lit("2024-01-15").cast("date") &&
+          col("day") <= lit("2024-01-25").cast("date"))
+          .repartitionByRange(2, col("day")), table)
+      graft.sources.Lake.deleteWhere(spark, table,
+        col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+      val landing = s"$root/landing"
+      graft.sources.Lake.exportChangeFeedLanding(spark, table, landing,
+        format = "parquet")
+      Thread.sleep(1100)
+      def sentinel(name: String, day: String): Unit = {
+        import spark.implicits._
+        val stage = s"$root/stage-$name"
+        // `day` is a DATE in the parquet landing (the table's own type
+        // rides through the feed) — the sentinel must match it
+        Seq((-1L, day, 0L, "insert", 999L))
+          .toDF("user_id", "day", "cents", "_change_type", "_commit_version")
+          .withColumn("day", col("day").cast("date"))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val src = new java.io.File(stage).listFiles()
+          .filter(f => f.isFile && f.getName.startsWith("part-")).head
+        java.nio.file.Files.move(src.toPath,
+          java.nio.file.Paths.get(landing, s"$name.parquet"))
+      }
+      sentinel("zz-sentinel-1", "2030-01-01")
+      Thread.sleep(20)
+      sentinel("zz-sentinel-2", "2031-01-01")
+      landing
+    })
+
+  private val cdfParquetSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("day",
+      org.apache.spark.sql.types.DateType), // the table's own type
+    org.apache.spark.sql.types.StructField("cents",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType)))
+
+  private def streamCdfParquet(spark: SparkSession, dir: String): DataFrame = {
+    val landing = cdfParquetLandingFor(spark, dir)
+    val root = Scratch.dir("stream_cdfpq")
+    val r = spark.readStream.schema(cdfParquetSchema)
+    r.option("maxFilesPerTrigger", 2)
+    val typed = r.parquet(landing)
+      .select(col("user_id"), col("cents"),
+        col("day").cast("timestamp").as("ts"),
+        when(col("_change_type") === "insert", lit(1L))
+          .otherwise(lit(-1L)).as("w"))
+    val agg = typed
+      .withWatermark("ts", "720 hours")
+      .groupBy(window(col("ts"), "8760 hours").as("wnd"), col("user_id"))
+      .agg(sum(col("w")).as("n_events"),
+        sum(col("cents") * col("w")).as("total_cents"))
+      .select(col("wnd.start").as("window_start"), col("user_id"),
+        col("n_events"), col("total_cents"))
+    drainToParquet(agg, s"$root/sink", s"$root/ckpt", shards = 4)
+    spark.read.parquet(s"$root/sink")
+      .filter(col("user_id") >= 0 && col("n_events") > 0 &&
+        col("window_start") < lit("2029-01-01").cast("timestamp"))
+      .select("user_id", "n_events", "total_cents")
+      .orderBy("user_id")
+  }
+
   // ---- stream_cdf_retention: prune the landing, keep exactly-once -------
   //
   // The lifecycle that bounds a landing (r18's verdict: "the landing
@@ -2239,6 +2330,8 @@ object StreamQueries {
     cdfStreamLandingFor(spark, dir)
     cdfScd1LandingFor(spark, dir)
     cdfUnorderedLandingFor(spark, dir)
+    cdfParquetLandingFor(spark, dir)
+    dimFeedLandingFor(spark, dir)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -2279,6 +2372,7 @@ object StreamQueries {
     QueryDef("stream_mv_dim_refresh", streamMvDimRefresh,
       Some(mvDimStreamOracle)),
     QueryDef("stream_cdf_unordered", streamCdfUnordered, Some(cdfFeedOracle)),
+    QueryDef("stream_cdf_parquet", streamCdfParquet, Some(cdfFeedOracle)),
     QueryDef("stream_cdf_retention", streamCdfRetention,
       Some(cdfRetentionOracle)),
     // same oracle as stream_dedup_equiv: the restart protocol must land
