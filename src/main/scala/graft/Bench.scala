@@ -281,6 +281,15 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val sPerQ = if (best.nonEmpty) r3(total / best.size) else "0"
+    // SUMMARY-LINE pin_regressed is capped at the worst 8 ratios: the r19
+    // driver artifact's 21-entry map pushed the repeated summary line past
+    // the ~2000-char tail capture and truncated "value"/"metric" — the
+    // exact failure the summary line exists to prevent. The FULL map (all
+    // n_pin_regressed entries, the r17 lesson) stays on line 2; the
+    // summary keeps n_pin_regressed as the honest count of what was capped.
+    val pinRegJsonTop8 = pinRegressed.take(8).map { case (n, p, s) =>
+      s"\"" + n + "\":[" + r3(p) + "," + r3(s) + "]"
+    }.mkString("{", ",", "}")
     // LINE 1 — the compact summary FIRST (the r18 artifact's lesson: the
     // giant per-query line preceding it ate the tail window and the
     // headline total had to be re-derived by summing families). ~1.3 KB
@@ -293,7 +302,7 @@ object Bench {
     // pairs for rows the second pass improved >20% — empty on a quiet
     // host, the contamination evidence on a loud one — capped at 8
     // entries to bound line size.
-    val summaryLine = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20}"""
+    val summaryLine = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJsonTop8,"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20,"total_sec":${r3(total)}}"""
     println(summaryLine)
     // LINE 2 — the full artifact (every per-query timing), truncation-
     // tolerant from BOTH ends: summary fields lead (a head capture keeps

@@ -854,10 +854,12 @@ object Lake {
     // Marker names lead with `_`, which Spark's file sources filter out,
     // so the consumer stream never sees them. Partial (marker-less)
     // versions are cleaned and re-exported below: the rewrite is
-    // byte-deterministic (the feed read is, `_commit_timestamp` is
-    // dropped, and coalesce(filesPerVersion) re-cuts the same parts), so
-    // a consumer that already ingested a partial file by name re-reads
-    // nothing and loses nothing.
+    // byte-deterministic BY CONSTRUCTION — rows are hash-partitioned
+    // into filesPerVersion parts on their own values and sorted within
+    // each part (coalesce alone re-cuts boundaries by file-listing
+    // order, which Spark does NOT fix across JVMs), so a consumer that
+    // already ingested a partial file by name re-reads nothing and
+    // loses nothing.
     val exported = names.collect { case markerPat(v) => v.toLong }
     val partial = published.map(_._1).distinct.filterNot(exported.contains)
     partial.foreach { v =>
@@ -878,8 +880,18 @@ object Lake {
       val feed =
         if (keys.isEmpty) readChangeFeed(spark, path, v, v)
         else readChangeFeedKeyed(spark, path, v, v, keys)
-      val w = feed.drop("_commit_timestamp")
-        .coalesce(filesPerVersion)
+      // deterministic part assignment + in-file order: a crashed publish
+      // is cleaned and re-exported, and a consumer may have ingested a
+      // partial part BY NAME before the crash — the re-cut must
+      // reproduce those bytes exactly. Hash partitioning on the row's
+      // own values and a total sort within each part are pure functions
+      // of the data; coalesce's boundaries follow file-listing order,
+      // which can drift across JVMs/filesystems.
+      val bare = feed.drop("_commit_timestamp")
+      val sortCols = bare.columns.sorted.map(org.apache.spark.sql.functions.col(_))
+      val w = bare
+        .repartition(filesPerVersion, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
         .write.mode("overwrite")
       if (format == "json") w.json(stage.toString)
       else w.parquet(stage.toString)
@@ -1103,7 +1115,15 @@ object Lake {
     * landing's mtimeOrder contract): deletes retract state that earlier
     * batches inserted, and the ≤0 delete rule makes the fold
     * order-sensitive by design (the production shape — a zero-count key
-    * leaves the view).
+    * leaves the view). For the zero-sleep export lane (`mtimeOrder =
+    * false`, versions free to interleave across micro-batches) pass
+    * `retainNonPositive = true`: the fold keeps transiently-negative
+    * counts in the view instead of deleting at ≤0 — per-key addition is
+    * commutative, so ANY arrival order lands on the same net state — and
+    * the reader filters `countCol > 0` (or a final compaction drops
+    * zeros). With the delete rule, a delete arriving BEFORE its insert
+    * would drop the key at count −1 and LOSE the retraction; the next
+    * insert would then land on 0 instead of net.
     *
     * Cost per micro-batch ∝ the batch + the view files holding changed
     * keys ([[mergeCdc]]'s file-granular discipline) — never the source.
@@ -1112,9 +1132,13 @@ object Lake {
     */
   def foldFeedBatchIntoAggView(batch: DataFrame, viewPath: String,
       batchId: Long, keys: Seq[String], sumCols: Seq[String] = Seq.empty,
-      countCol: String = "n_rows"): Long = {
+      countCol: String = "n_rows",
+      retainNonPositive: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
     require(keys.nonEmpty, "foldFeedBatchIntoAggView needs key columns")
+    require(batchId >= 0 && batchId < DimStampBase,
+      s"fact-channel batch id $batchId collides with the dim stamp " +
+        s"channel (ids must be < $DimStampBase)")
     val spark = batch.sparkSession
     val vfs = new org.apache.hadoop.fs.Path(viewPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1123,11 +1147,19 @@ object Lake {
       val head = readVersionPointer(vfs, viewPath)
         .orElse(manifestVersions(vfs, viewPath).lastOption)
         .getOrElse(sys.error(s"no versions under $viewPath"))
-      val stamp = readRawManifest(spark, vfs, viewPath, head)
-        .flatMap(_.streamBatchId).getOrElse(sys.error(
-          s"$viewPath's latest commit carries no batch stamp — " +
-            "not a stream-maintained view"))
-      if (stamp >= batchId) return head // replayed batch: idempotent no-op
+      // replay guard compares ONLY against the FACT channel's latest
+      // stamp: the head commit may be a dim-side fold (stamped at
+      // 1e6+bid), and comparing a small fact batch id against a dim
+      // stamp would silently no-op every fact fold that follows a dim
+      // fold — dropping fact data in exactly the "continuous fact-side
+      // fold between dim refreshes" pattern the docs advertise.
+      val (factStamp, anyStamp) =
+        latestStampInChannel(spark, vfs, viewPath, _ < DimStampBase)
+      if (!anyStamp) sys.error(
+        s"$viewPath carries no batch stamp in any commit — " +
+          "not a stream-maintained view")
+      if (factStamp.exists(_ >= batchId))
+        return head // replayed batch: idempotent no-op
     }
     val sign = when(col("_change_type") === "insert", lit(1L))
       .otherwise(lit(-1L))
@@ -1136,10 +1168,13 @@ object Lake {
     val delta = batch.groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     if (!exists) {
-      val init = delta.select((keys.map(col) :+
+      val initAll = delta.select((keys.map(col) :+
         col("_graft_dn").as(countCol)) ++
         sumCols.map(c => col(s"_graft_d_$c").as(c)): _*)
-        .filter(col(countCol) > 0L)
+      // order-insensitive lane: a first batch that is all-deletes must
+      // SEED the view with its negative balance, not drop it
+      val init = if (retainNonPositive) initAll
+        else initAll.filter(col(countCol) > 0L)
       return writeVersioned(spark, init, viewPath,
         streamBatchId = Some(batchId))
     }
@@ -1155,10 +1190,23 @@ object Lake {
           (coalesce(col(c), lit(0).cast(viewTypes(c))) +
             coalesce(col(s"_graft_d_$c"), lit(0).cast(viewTypes(c))))
             .cast(viewTypes(c)).as(c)): _*)
+    val deleteRule = if (retainNonPositive) lit(false)
+      else col(countCol) <= 0L
     val (v, _) = mergeCdc(spark, viewPath, merged, keys,
-      deleteWhen = col(countCol) <= 0L, streamBatchId = Some(batchId))
+      deleteWhen = deleteRule, streamBatchId = Some(batchId))
     v
   }
+
+  /** The boundary between the two stamp channels packed into the one
+    * `streamBatchId` slot a manifest carries: FACT-side folds stamp the
+    * raw micro-batch id (required < 1e6) and DIM-side folds stamp
+    * `1e6 + id`. A replay guard must compare a batch id ONLY against
+    * stamps from its OWN channel — the head commit may belong to the
+    * other drain, and a cross-channel compare either silently no-ops
+    * real work (fact id vs dim stamp) or misses a replay (dim tag vs
+    * fact stamp).
+    */
+  private[graft] val DimStampBase = 1000000L
 
   /** The stream-batch stamp the view's HEAD commit carries, if any —
     * public so custom foreachBatch folds (e.g. the dim-side join-view
@@ -1176,6 +1224,44 @@ object Lake {
       .flatMap(_.streamBatchId)
   }
 
+  /** The view's latest stamp WITHIN a channel, walking commits head →
+    * tail until one matches `inChannel` — the channel-aware form of
+    * [[lastStreamBatchStamp]] that two interleaved drains (fact + dim
+    * folding the same view) must use for their replay guards. Cost ∝
+    * commits since the channel's last fold (manifests are small JSON;
+    * in an alternating fold the walk is 1–2 reads).
+    */
+  def lastStreamBatchStampInChannel(spark: SparkSession, path: String,
+      inChannel: Long => Boolean): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(versionsDir(path))) return None
+    latestStampInChannel(spark, fs, path, inChannel)._1
+  }
+
+  /** (latest stamp satisfying `inChannel`, whether ANY commit in the
+    * walked history carried a stamp at all). The second element lets
+    * [[foldFeedBatchIntoAggView]] keep refusing to fold into a view no
+    * stream ever maintained, without mistaking "head is the other
+    * channel's commit" for "not stream-maintained".
+    */
+  private def latestStampInChannel(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      inChannel: Long => Boolean): (Option[Long], Boolean) = {
+    var anyStamp = false
+    val it = manifestVersions(fs, path).sorted.reverseIterator
+    while (it.hasNext) {
+      readRawManifest(spark, fs, path, it.next())
+        .flatMap(_.streamBatchId) match {
+        case Some(s) =>
+          anyStamp = true
+          if (inChannel(s)) return (Some(s), true)
+        case None => ()
+      }
+    }
+    (None, anyStamp)
+  }
+
   /** CONSUMER-CHECKPOINT-AWARE landing retention — the cleanup that
     * bounds an [[exportChangeFeedLanding]] landing (r18's verdict: "the
     * landing appends forever"). A version's data files are reclaimable
@@ -1189,49 +1275,37 @@ object Lake {
     * the file source never re-lists a deleted path, and replay of a
     * committed batch reads from the checkpoint, not the landing.
     *
-    * Multi-consumer landings prune against EACH consumer's checkpoint
-    * and take the intersection — call once per checkpoint; a version
-    * survives until every caller has passed it.
+    * Multi-consumer landings pass EVERY consumer's checkpoint in ONE
+    * call: a version is reclaimed only when ALL of them have committed
+    * every one of its parts — true intersection semantics. (Calling the
+    * single-checkpoint form once per consumer would be a UNION: pruning
+    * against consumer A's checkpoint deletes versions consumer B has not
+    * yet read — the r19 advisor's data-loss finding.) A checkpoint that
+    * has not committed anything yet vetoes all pruning. A consumer ADDED
+    * after a prune must not start from the landing's beginning — gate it
+    * with [[requireLandingIntact]] before its first drain.
     *
     * @return (versions pruned, data files deleted)
     */
   def pruneChangeFeedLanding(spark: SparkSession, landing: String,
-      checkpointDir: String): (Long, Long) = {
+      checkpointDir: String): (Long, Long) =
+    pruneChangeFeedLanding(spark, landing, Seq(checkpointDir))
+
+  def pruneChangeFeedLanding(spark: SparkSession, landing: String,
+      checkpointDirs: Seq[String]): (Long, Long) = {
+    require(checkpointDirs.nonEmpty,
+      "pruneChangeFeedLanding: need at least one consumer checkpoint")
     val lp = new org.apache.hadoop.fs.Path(landing)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val namePat = "cdf-v(\\d+)-.*\\.(json|parquet)".r
     val markerPat = "_cdf-v(\\d+)\\.done".r
     val names = fs.listStatus(lp).toSeq.map(_.getPath.getName)
     val sealedVs = names.collect { case markerPat(v) => v.toLong }.toSet
-    val cp = new org.apache.hadoop.fs.Path(checkpointDir)
-    val cfs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val commitsDir = new org.apache.hadoop.fs.Path(cp, "commits")
-    val srcDir = new org.apache.hadoop.fs.Path(cp, "sources/0")
-    if (!cfs.exists(commitsDir) || !cfs.exists(srcDir)) return (0L, 0L)
-    def numeric(n: String): Option[Long] =
-      scala.util.Try(n.stripSuffix(".compact").toLong).toOption
-    val lastCommit = cfs.listStatus(commitsDir).toSeq
-      .flatMap(s => numeric(s.getPath.getName))
-      .sorted.lastOption.getOrElse(return (0L, 0L))
-    // batch logs (and their periodic `.compact` rollups) are `v1` + one
-    // JSON FileEntry per line; path + batchId are all we need and a
-    // per-line targeted extract avoids a JSON dependency. Entries are
-    // gated on THEIR OWN batchId ≤ the last sealed commit — a compact
-    // file can carry a logged-but-uncommitted trailing batch.
-    val entry = "\"path\":\"([^\"]+)\".*\"batchId\":(\\d+)".r.unanchored
-    val committed = cfs.listStatus(srcDir).toSeq
-      .filter(s => numeric(s.getPath.getName).isDefined)
-      .flatMap { s =>
-        val in = cfs.open(s.getPath)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toList
-          finally in.close()
-        lines.collect {
-          case entry(p, bid) if bid.toLong <= lastCommit =>
-            new org.apache.hadoop.fs.Path(new java.net.URI(p)).getName
-        }
-      }.toSet
+    // the file-name sets each consumer's checkpoint PROVES ingested;
+    // None = that consumer committed nothing yet, which vetoes pruning
+    val perConsumer = checkpointDirs.map(d => committedLandingFiles(spark, d))
+    if (perConsumer.exists(_.isEmpty)) return (0L, 0L)
+    val committed = perConsumer.flatten.reduce(_ intersect _)
     val prunable = names.collect { case n @ namePat(v, _) => (v.toLong, n) }
       .groupBy(_._1)
       .filter { case (v, parts) =>
@@ -1244,6 +1318,72 @@ object Lake {
       }
     }
     (prunable.size.toLong, nFiles)
+  }
+
+  /** The landing file names one consumer's checkpoint PROVES ingested:
+    * the file source's offset log (`sources/0/<batch>`) names every file
+    * each batch read, gated on the batches `commits/` sealed. None when
+    * the checkpoint has no committed batch at all (a brand-new consumer
+    * must veto pruning, not permit everything).
+    */
+  private def committedLandingFiles(spark: SparkSession,
+      checkpointDir: String): Option[Set[String]] = {
+    val cp = new org.apache.hadoop.fs.Path(checkpointDir)
+    val cfs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitsDir = new org.apache.hadoop.fs.Path(cp, "commits")
+    val srcDir = new org.apache.hadoop.fs.Path(cp, "sources/0")
+    if (!cfs.exists(commitsDir) || !cfs.exists(srcDir)) return None
+    def numeric(n: String): Option[Long] =
+      scala.util.Try(n.stripSuffix(".compact").toLong).toOption
+    val lastCommit = cfs.listStatus(commitsDir).toSeq
+      .flatMap(s => numeric(s.getPath.getName))
+      .sorted.lastOption.getOrElse(return None)
+    // batch logs (and their periodic `.compact` rollups) are `v1` + one
+    // JSON FileEntry per line; path + batchId are all we need and a
+    // per-line targeted extract avoids a JSON dependency. Entries are
+    // gated on THEIR OWN batchId ≤ the last sealed commit — a compact
+    // file can carry a logged-but-uncommitted trailing batch.
+    val entry = "\"path\":\"([^\"]+)\".*\"batchId\":(\\d+)".r.unanchored
+    Some(cfs.listStatus(srcDir).toSeq
+      .filter(s => numeric(s.getPath.getName).isDefined)
+      .flatMap { s =>
+        val in = cfs.open(s.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList
+          finally in.close()
+        lines.collect {
+          case entry(p, bid) if bid.toLong <= lastCommit =>
+            new org.apache.hadoop.fs.Path(new java.net.URI(p)).getName
+        }
+      }.toSet)
+  }
+
+  /** Gate for a consumer STARTING FRESH on a landing: refuses loudly if
+    * any sealed version's data files were already reclaimed by
+    * [[pruneChangeFeedLanding]] — a new consumer with an empty
+    * checkpoint would silently fold a PARTIAL history (the pruned
+    * versions' rows are gone from disk; only their `_cdf-v*.done`
+    * markers remain as the producer's resume watermark). Existing
+    * consumers resuming from their own checkpoint are unaffected — they
+    * replay from the checkpoint, not the landing. Recovery for a late
+    * consumer: export a fresh landing from the source table (or start
+    * it from a snapshot + the surviving feed tail).
+    */
+  def requireLandingIntact(spark: SparkSession, landing: String): Unit = {
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val namePat = "cdf-v(\\d+)-.*\\.(json|parquet)".r
+    val markerPat = "_cdf-v(\\d+)\\.done".r
+    val names = fs.listStatus(lp).toSeq.map(_.getPath.getName)
+    val sealedVs = names.collect { case markerPat(v) => v.toLong }
+    val withData = names.collect { case namePat(v, _) => v.toLong }.toSet
+    val gutted = sealedVs.filterNot(withData).sorted
+    require(gutted.isEmpty,
+      s"landing $landing is not intact from the start: version(s) " +
+        s"${gutted.mkString(", ")} were pruned after earlier consumers " +
+        "passed them — a fresh consumer would fold a partial history. " +
+        "Export a new landing from the source table instead.")
   }
 
   // The join-view watermark packs BOTH source versions into the one

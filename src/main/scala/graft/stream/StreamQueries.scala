@@ -1767,13 +1767,14 @@ object StreamQueries {
     * id for idempotent replay.
     */
   private def runMvFoldDrain(spark: SparkSession, landing: String,
-      view: String, ckpt: String): Unit = {
+      view: String, ckpt: String,
+      retainNonPositive: Boolean = false): Unit = {
     val typed = jsonStream(spark, landing, cdfFeedSchema, Some(2))
       .select(col("user_id"), col("cents"), col("_change_type"))
     val fold: (DataFrame, Long) => Unit = (batch, bid) => {
       graft.sources.Lake.foldFeedBatchIntoAggView(batch, view, bid,
         keys = Seq("user_id"), sumCols = Seq("cents"),
-        countCol = "n_events")
+        countCol = "n_events", retainNonPositive = retainNonPositive)
       ()
     }
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1868,8 +1869,11 @@ object StreamQueries {
   //     territory; the streaming fold maintains attribute changes and
   //     retirements, the two changes that dominate a slowly-changing
   //     dimension (and lets the v1 snapshot batch no-op by rule).
-  // Idempotent replay rides the same stamp channel, offset to 1e6+bid so
-  // the dim drain's stamps stay above the fact drain's. The final view
+  // Idempotent replay rides a PER-CHANNEL stamp compare: dim folds stamp
+  // 1e6+bid and check only dim-channel stamps, fact folds stamp the raw
+  // bid and check only fact-channel stamps (Lake.DimStampBase), so the
+  // two drains can interleave into one view without either guard
+  // mistaking the other's head commit for its own replay. The final view
   // must equal the batch recompute against the MOVED dim — a move that
   // lost its counts, a retirement that left rows, or an insert that
   // double-folded all break the hash.
@@ -1920,9 +1924,13 @@ object StreamQueries {
   private[graft] def dimFoldBatch(batch: DataFrame, view: String,
       bid: Long): Unit = {
     val spark = batch.sparkSession
-    val tag = 1000000L + bid
-    if (graft.sources.Lake.lastStreamBatchStamp(spark, view)
-        .exists(_ >= tag)) return
+    val tag = graft.sources.Lake.DimStampBase + bid
+    // replay guard against the DIM channel's latest stamp only: the head
+    // commit may be a fact-side fold (small stamp), and a head-only
+    // compare would miss a dim replay that a fact fold followed —
+    // double-applying the move (the mirror of the fact-side channel bug)
+    if (graft.sources.Lake.lastStreamBatchStampInChannel(spark, view,
+        _ >= graft.sources.Lake.DimStampBase).exists(_ >= tag)) return
     val pre = batch.filter(col("_change_type") === "update_preimage")
       .select(col("user_id"), col("segment").as("old_seg"))
     val post = batch.filter(col("_change_type") === "update_postimage")
@@ -2156,9 +2164,8 @@ object StreamQueries {
   private def streamCdfParquet(spark: SparkSession, dir: String): DataFrame = {
     val landing = cdfParquetLandingFor(spark, dir)
     val root = Scratch.dir("stream_cdfpq")
-    val r = spark.readStream.schema(cdfParquetSchema)
-    r.option("maxFilesPerTrigger", 2)
-    val typed = r.parquet(landing)
+    val typed = spark.readStream.schema(cdfParquetSchema)
+      .option("maxFilesPerTrigger", 2).parquet(landing)
       .select(col("user_id"), col("cents"),
         col("day").cast("timestamp").as("ts"),
         when(col("_change_type") === "insert", lit(1L))
@@ -2209,8 +2216,14 @@ object StreamQueries {
         .repartitionByRange(2, col("day")), table)
     graft.sources.Lake.deleteWhere(spark, table,
       col("day").between(lit("2024-01-08"), lit("2024-01-14")))
-    graft.sources.Lake.exportChangeFeedLanding(spark, table, landing)
-    runMvFoldDrain(spark, landing, view, ckpt)
+    // the ZERO-SLEEP export lane (no 1.1 s/version mtime separation):
+    // versions may interleave across micro-batches, so the fold runs
+    // order-insensitive (retainNonPositive — per-key addition commutes;
+    // the ≤0-delete fold would LOSE a retraction that arrived before its
+    // insert) and the read filters the zeros a final compaction would drop
+    graft.sources.Lake.exportChangeFeedLanding(spark, table, landing,
+      mtimeOrder = false)
+    runMvFoldDrain(spark, landing, view, ckpt, retainNonPositive = true)
     val (nv, nf) = graft.sources.Lake.pruneChangeFeedLanding(
       spark, landing, ckpt)
     require(nv == 2L && nf >= 2L,
@@ -2221,15 +2234,15 @@ object StreamQueries {
         col("day") <= lit("2024-01-31").cast("date"))
         .repartitionByRange(2, col("day")), table)
     val head = graft.sources.Lake.exportChangeFeedLanding(
-      spark, table, landing)
+      spark, table, landing, mtimeOrder = false)
     require(head == 3L, s"resume exported to v$head, expected v3")
     val dataFiles = new java.io.File(landing).listFiles()
       .map(_.getName).filter(_.startsWith("cdf-")).toSeq
     require(dataFiles.nonEmpty && dataFiles.forall(_.startsWith("cdf-v00003")),
       s"resume after retention re-exported pruned versions: $dataFiles")
-    runMvFoldDrain(spark, landing, view, ckpt)
+    runMvFoldDrain(spark, landing, view, ckpt, retainNonPositive = true)
     graft.sources.Lake.readVersioned(spark, view)
-      .filter(col("user_id") >= 0)
+      .filter(col("user_id") >= 0 && col("n_events") > 0)
       .select(col("user_id"), col("n_events"),
         col("cents").as("total_cents"))
       .orderBy("user_id")

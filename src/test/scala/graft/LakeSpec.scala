@@ -2125,6 +2125,97 @@ class LakeSpec extends SparkSpec {
     assert(Lake.pruneChangeFeedLanding(spark, landing, ckptA) == (0L, 0L))
   }
 
+  test("pruneChangeFeedLanding: multi-consumer intersection protects the laggard") {
+    // The r19 advisor's data-loss finding, closed: per-consumer prune
+    // calls are a UNION (pruning against A deletes what B still needs).
+    // The Seq form takes the INTERSECTION of what every checkpoint
+    // proves, and a consumer added after a prune is refused by the
+    // intact gate instead of silently folding a partial history.
+    val root = tmp() + "/cdfmulti"
+    val dir = s"$root/t"
+    val landing = s"$root/landing"
+    def mk(r: Range) = r.map(i => (i.toLong, i % 4L)).toDF("id", "k")
+    Lake.writeVersioned(spark, mk(1 to 20).repartitionByRange(2, col("id")), dir)
+    Lake.appendVersioned(spark, mk(21 to 30).repartition(1), dir)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    def names() = new java.io.File(landing).listFiles().map(_.getName).sorted.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    def drain(glob: String, ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema).json(glob)
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ckptA = s"$root/ckptA"
+    val ckptB = s"$root/ckptB"
+    // A consumes everything; B lags at v1
+    drain(s"$landing/cdf-*.json", ckptA)
+    drain(s"$landing/cdf-v00001-*.json", ckptB)
+    // a consumer with NO commits yet vetoes everything
+    assert(Lake.pruneChangeFeedLanding(spark, landing,
+      Seq(ckptA, s"$root/ckptFresh")) == (0L, 0L))
+    // intersection: v1 reclaims (both proved it), v2 survives for B
+    val (nv, _) = Lake.pruneChangeFeedLanding(spark, landing,
+      Seq(ckptA, ckptB))
+    assert(nv == 1L, s"expected only v1 pruned, got $nv versions")
+    assert(names().exists(_.startsWith("cdf-v00002-")),
+      s"intersection prune deleted the laggard's unread v2: ${names()}")
+    // B catches up (same checkpoint, widened glob lists the v2 files);
+    // now the intersection covers v2 and it reclaims
+    drain(s"$landing/cdf-*.json", ckptB)
+    val (nv2, _) = Lake.pruneChangeFeedLanding(spark, landing,
+      Seq(ckptA, ckptB))
+    assert(nv2 == 1L, s"expected v2 pruned after B caught up, got $nv2")
+    assert(!names().exists(_.startsWith("cdf-")), s"data left: ${names()}")
+    // a consumer ADDED after the prune: the landing's sealed versions
+    // have no data — the intact gate refuses instead of a partial fold
+    val e = intercept[IllegalArgumentException] {
+      Lake.requireLandingIntact(spark, landing)
+    }
+    assert(e.getMessage.contains("pruned"), e.getMessage)
+  }
+
+  test("crashed-publish re-export is byte-identical to the first cut") {
+    // The r19 advisor's determinism finding, closed: the export now
+    // hash-partitions rows on their own values and sorts within each
+    // part — a pure function of the data — so the re-cut after a crash
+    // reproduces EXACTLY the bytes a consumer may have already ingested
+    // from a partial part it saw by name (coalesce's boundaries follow
+    // file-listing order, which nothing fixes across JVMs).
+    val root = tmp() + "/cdfdet"
+    val dir = s"$root/t"
+    val landing = s"$root/landing"
+    def mk(r: Range) = r.map(i => (i.toLong, i % 4L)).toDF("id", "k")
+    Lake.writeVersioned(spark, mk(1 to 20).repartitionByRange(2, col("id")), dir)
+    Lake.appendVersioned(spark, mk(21 to 40).repartitionByRange(3, col("id")), dir)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    val ld = new java.io.File(landing)
+    def bytesOf(n: String) =
+      java.nio.file.Files.readAllBytes(new java.io.File(ld, n).toPath).toSeq
+    val v2parts = ld.listFiles().map(_.getName)
+      .filter(_.startsWith("cdf-v00002-")).sorted.toSeq
+    assert(v2parts.size == 2, s"expected 2 v2 parts, got $v2parts")
+    val firstCut = v2parts.map(n => n -> bytesOf(n)).toMap
+    // crash window: marker gone, SECOND part gone — the first part was
+    // already ingested by a consumer under its name
+    assert(new java.io.File(ld, "_cdf-v00002.done").delete())
+    assert(new java.io.File(ld, v2parts.last).delete())
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 2L)
+    v2parts.foreach { n =>
+      assert(bytesOf(n) == firstCut(n),
+        s"re-exported $n diverged from the bytes the consumer already saw")
+    }
+  }
+
   test("change feed spans schema eras: pre-drift commits resolve the evolved schema") {
     val dir = tmp() + "/cdfevo"
     Lake.writeVersioned(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)

@@ -439,6 +439,84 @@ class StreamingOpsSpec extends SparkSpec {
       "replayed dim batch published a new version")
   }
 
+  test("interleaved fact/dim folds: replay guards compare per stamp channel") {
+    // The r19 advisor's finding: with ONE shared stamp channel, a dim
+    // fold's 1e6+bid stamp at the view head made every later fact fold
+    // (small batchId) read stamp >= batchId and silently no-op — dropping
+    // fact data in exactly the "continuous fact-side fold between dim
+    // refreshes" pattern the docs advertise. The guards now walk back to
+    // the latest stamp IN THEIR OWN channel (Lake.DimStampBase boundary).
+    import java.nio.file.Files
+    import graft.sources.Lake
+    val view = Files.createTempDirectory("graft-chanfold").toFile
+      .getAbsolutePath + "/view"
+    def factFold(bid: Long, rows: (Long, String, Long, String)*): Unit =
+      Lake.foldFeedBatchIntoAggView(
+        rows.toSeq.toDF("user_id", "segment", "cents", "_change_type"),
+        view, bid, keys = Seq("user_id", "segment"),
+        sumCols = Seq("cents"), countCol = "n_events")
+    def cur = Lake.readVersioned(spark, view)
+      .select("user_id", "segment", "n_events", "cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+
+    factFold(0L, (1L, "S0", 10L, "insert"), (2L, "S1", 5L, "insert"))
+    // dim fold between fact batches: user 1 moves S0→S9 (stamp 1e6+0)
+    graft.stream.StreamQueries.dimFoldBatch(
+      Seq((1L, "S0", "update_preimage"), (1L, "S9", "update_postimage"))
+        .toDF("user_id", "segment", "_change_type"), view, 0L)
+    assert(cur == Set((1L, "S9", 1L, 10L), (2L, "S1", 1L, 5L)))
+
+    // the fact fold AFTER the dim fold must APPLY (head stamp is the dim
+    // channel's 1e6 — the pre-fix guard no-opped here and lost the batch)
+    factFold(1L, (2L, "S1", 7L, "insert"))
+    assert(cur == Set((1L, "S9", 1L, 10L), (2L, "S1", 2L, 12L)),
+      s"fact fold after a dim fold was dropped: $cur")
+
+    // fact REPLAY of batch 1 still no-ops (fact-channel stamp covers it)
+    val vAfterFact = Lake.listVersions(spark, view).last
+    factFold(1L, (2L, "S1", 7L, "insert"))
+    assert(cur == Set((1L, "S9", 1L, 10L), (2L, "S1", 2L, 12L)))
+    assert(Lake.listVersions(spark, view).last == vAfterFact,
+      "replayed fact batch folded twice")
+
+    // dim REPLAY after an intervening fact fold no-ops too: the head is
+    // now a fact-channel stamp, and a head-only compare would MISS the
+    // replay and re-apply the move's re-key against the current view
+    val vAfterAll = Lake.listVersions(spark, view).last
+    graft.stream.StreamQueries.dimFoldBatch(
+      Seq((1L, "S0", "update_preimage"), (1L, "S9", "update_postimage"))
+        .toDF("user_id", "segment", "_change_type"), view, 0L)
+    assert(cur == Set((1L, "S9", 1L, 10L), (2L, "S1", 2L, 12L)))
+    assert(Lake.listVersions(spark, view).last == vAfterAll,
+      "replayed dim batch folded twice")
+  }
+
+  test("foldFeedBatchIntoAggView(retainNonPositive): delete-before-insert commutes") {
+    // The zero-sleep export lane's contract: with versions free to
+    // interleave, a retraction can precede its insert. The ≤0-delete fold
+    // would drop the key at −1 and LOSE the balance; retainNonPositive
+    // keeps it so per-key addition commutes to the same net state.
+    import java.nio.file.Files
+    import graft.sources.Lake
+    val view = Files.createTempDirectory("graft-npfold").toFile
+      .getAbsolutePath + "/view"
+    def fold(bid: Long, rows: (Long, Long, String)*): Unit =
+      Lake.foldFeedBatchIntoAggView(
+        rows.toSeq.toDF("user_id", "cents", "_change_type"),
+        view, bid, keys = Seq("user_id"), sumCols = Seq("cents"),
+        countCol = "n_events", retainNonPositive = true)
+    def cur = Lake.readVersioned(spark, view)
+      .select("user_id", "n_events", "cents")
+      .as[(Long, Long, Long)].collect().toSet
+    // deletes arrive FIRST (interleaved order): negative balance is seeded
+    fold(0L, (1L, 10L, "delete"), (2L, 5L, "delete"))
+    assert(cur == Set((1L, -1L, -10L), (2L, -1L, -5L)))
+    // inserts arrive later: user 1 nets to +1 row, user 2 to exactly zero
+    fold(1L, (1L, 10L, "insert"), (1L, 20L, "insert"), (2L, 5L, "insert"))
+    assert(cur == Set((1L, 1L, 20L), (2L, 0L, 0L)),
+      s"commutative fold lost a retraction: $cur")
+  }
+
   test("streaming CDC dedup: latest wins, deletes drop, both late contracts pinned") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, String, Timestamp)]

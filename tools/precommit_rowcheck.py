@@ -89,6 +89,40 @@ def main() -> int:
               "COVERAGE.md row for each (or GRAFT_SKIP_ROWCHECK=1 for WIP).",
               file=sys.stderr)
         return 1
+    return check_prose_counts()
+
+
+# "All NNN registered queries" style claims that go stale when rows land
+# (README.md:243 said 252 while the registry was 254 — r19 verdict item).
+# Any staged prose count of "registered queries" must equal the staged
+# registry's QueryDef count.
+PROSE_RE = re.compile(r"\b(\d+)\s+registered\s+quer(?:y|ies)", re.I)
+
+
+def check_prose_counts() -> int:
+    actual = len(names_at(":0"))
+    if actual == 0:
+        return 0
+    bad = []
+    for doc in ("README.md", "SURVEY.md", "COVERAGE.md"):
+        txt = staged_doc(doc)
+        if not txt:
+            # fall back to the working tree: a src-only commit must still
+            # fail if the checked-in prose is stale
+            try:
+                with open(doc, encoding="utf-8") as f:
+                    txt = f.read()
+            except OSError:
+                continue
+        for m in PROSE_RE.finditer(txt):
+            if int(m.group(1)) != actual:
+                bad.append((doc, m.group(0)))
+    if bad:
+        print(f"precommit_rowcheck: stale prose registry counts "
+              f"(registry has {actual} QueryDefs):", file=sys.stderr)
+        for doc, claim in bad:
+            print(f"  {doc}: '{claim}'", file=sys.stderr)
+        return 1
     return 0
 
 
