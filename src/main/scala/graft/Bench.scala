@@ -87,6 +87,8 @@ object Bench {
     warm("ivf_index")(graft.ext.Similarity.prebuildIvfIndex(spark, sfDir))
     warm("pq_index")(graft.ext.Similarity.prebuildPqIndex(spark, sfDir))
     warm("ivfadc_index")(graft.ext.Similarity.prebuildIvfAdcIndex(spark, sfDir))
+    warm("ivfadc_part_index")(
+      graft.ext.Similarity.prebuildIvfAdcPartitionedIndex(spark, sfDir))
     warm("scd2_feed_fixture")(graft.pipeline.PipelineQueries.prebuildScd2FeedFixture(spark, sfDir))
     warm("stream_landing")(graft.stream.StreamQueries.prebuildLanding(spark, sfDir))
     warm("stream_stateful_landings")(

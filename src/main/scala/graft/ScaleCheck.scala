@@ -186,7 +186,9 @@ object ScaleCheck {
     "ann_ivfadc", "stream_mv_refresh", "stream_cdf_unordered",
     "stream_cdf_retention", "doc_substring_spans", "ann_ivfadc_persisted",
     "ann_binary_rerank", "ann_recall_audit", "stream_mv_join_refresh",
-    "stream_mv_dim_refresh", "mm_patch_grid", "stream_cdf_parquet")
+    "stream_mv_dim_refresh", "mm_patch_grid", "stream_cdf_parquet",
+    "lake_vacuum_cdf", "stream_mv_dim_backfill", "ann_ivfadc_partitioned",
+    "ann_ivfadc_recall", "stream_cdf_multiconsumer")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir) = (args(0), args(1))

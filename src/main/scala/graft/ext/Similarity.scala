@@ -947,6 +947,41 @@ object Similarity {
         sum(coalesce(col("in_final"), lit(0L))).as("final_hits"))
   }
 
+  /** The nprobe QUALITY surface of the residual IVFADC stack — recall@k
+    * vs exact integer-L2 ground truth at nprobe ∈ {1, 2, 4}, the audit a
+    * deployment runs to size its probe budget (the same shape
+    * [[annRecallAudit]] gives the binary prefilter). Ground truth is ONE
+    * TakeOrdered pass over the corpus; each probed ranking comes from
+    * the persisted-index serve path ([[ivfAdcPersistedTopK]]) and its
+    * 10-row result rides a broadcast into the membership join. Output is
+    * a single row of exact integers.
+    */
+  def ivfAdcRecallAudit(sp: SparkSession, dir: String,
+      topK: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
+      .as("q"))
+    val qv = emb.filter(col("vec_id") === 0).collect()
+    require(qv.length == 1, "query vector vec_id=0 missing")
+    val ql = array(qv.head.getSeq[Long](1).toArray.map(lit): _*)
+    val l2 = aggregate(zip_with(col("q"), ql, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), l2.as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(topK)
+      .select("vec_id")
+    def probedHits(n: Int) = ivfAdcPersistedTopK(sp, dir, nprobe = n,
+      topK = topK).select(col("vec_id"), lit(1L).as(s"in_p$n"))
+    exact
+      .join(broadcast(probedHits(1)), Seq("vec_id"), "left_outer")
+      .join(broadcast(probedHits(2)), Seq("vec_id"), "left_outer")
+      .join(broadcast(probedHits(4)), Seq("vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_p1"), lit(0L))).as("hits_nprobe1"),
+        sum(coalesce(col("in_p2"), lit(0L))).as("hits_nprobe2"),
+        sum(coalesce(col("in_p4"), lit(0L))).as("hits_nprobe4"))
+  }
+
   /** Fixture for `ann_ivfadc_persisted` (cached per session+SF): the
     * FULL deployable IVFADC index — coarse quantizer and residual PQ
     * codebooks trained once ([[ivfAdcResidualTopK]]'s exact integer
@@ -1021,8 +1056,9 @@ object Similarity {
     * per-probed-cell residual ADC tables are driver arithmetic over the
     * frozen models; the ONLY distributed work is a scan of the
     * (vec_id, cell, code1, code2) table with the cell probe pushed INTO
-    * the parquet reader (PushedFilters: In(cell, …) — at scale the
-    * table is partitioned by cell and the probe prunes whole files) and
+    * the parquet reader (PushedFilters: In(cell, …); the FILE-prune form
+    * of the same lever is [[ivfAdcPartitionedTopK]] over the
+    * cell-clustered index) and
     * two element_at lookups per surviving row. No vector column is
     * touched anywhere in the timed frame (PlanSpec pins both
     * properties). Composes [[prebuildIvfAdcIndex]] (encode once) with
@@ -1031,22 +1067,28 @@ object Similarity {
     */
   def ivfAdcPersistedTopK(sp: SparkSession, dir: String, nprobe: Int = 2,
       topK: Int = 10): DataFrame = {
-    val (path, coarse, cb1, cb2, half, dim) = prebuildIvfAdcIndex(sp, dir)
+    val idx = prebuildIvfAdcIndex(sp, dir)
+    ivfAdcServe(sp, dir, idx, nprobe, topK,
+      (path, probed) => graft.sources.Lake.readVersioned(sp, path)
+        .filter(col("cell").isin(probed: _*)))
+  }
+
+  /** The shared IVFADC serving algebra over a persisted code table:
+    * probe selection + per-probed-cell residual ADC tables are driver
+    * arithmetic (k·M·k integers); `scan(path, probed)` supplies the
+    * codes frame (versioned read with the probe as a pushed filter, or
+    * the stats-manifest file-pruned read); scoring is two element_at
+    * lookups per row and the cut is a vec_id-tied TakeOrdered.
+    */
+  private def ivfAdcServe(sp: SparkSession, dir: String,
+      index: (String, Seq[Array[Long]], Seq[Array[Long]],
+        Seq[Array[Long]], Int, Int),
+      nprobe: Int, topK: Int,
+      scan: (String, Seq[Long]) => DataFrame): DataFrame = {
+    val (path, coarse, cb1, cb2, half, dim) = index
     val k = coarse.length
-    val qv = Tables.embeddings(sp, dir).filter(col("vec_id") === 0)
-      .select(expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)"))
-      .collect()
-    require(qv.length == 1, "query vector vec_id=0 missing")
-    val q = qv.head.getSeq[Long](0).toArray
-    def qDist(c: Array[Long]): Long = {
-      var s = 0L; var j = 0
-      while (j < dim) { val d = q(j) - c(j); s += d * d; j += 1 }
-      s
-    }
-    val probed = coarse.zipWithIndex
-      .map { case (c, i) => (qDist(c), (i + 1).toLong) }
-      .sorted.take(nprobe).map(_._2)
+    val q = ivfAdcQueryVector(sp, dir)
+    val probed = ivfAdcProbes(q, coarse, dim, nprobe)
     def qres(ci: Int): Array[Long] =
       q.indices.map(j => q(j) - coarse(ci)(j) + 2000L).toArray
     def table(r: Array[Long], lo: Int, cb: Seq[Array[Long]]): Array[Long] =
@@ -1061,8 +1103,7 @@ object Similarity {
       array(table(qres(ci), 1, cb1).map(lit): _*)): _*)
     val dtAll2 = array((0 until k).map(ci =>
       array(table(qres(ci), half + 1, cb2).map(lit): _*)): _*)
-    val scored = graft.sources.Lake.readVersioned(sp, path)
-      .filter(col("cell").isin(probed: _*))
+    val scored = scan(path, probed)
       .select(col("vec_id"), col("cell"), col("code1"), col("code2"),
         (element_at(element_at(dtAll1, col("cell").cast("int")),
           col("code1").cast("int")) +
@@ -1075,6 +1116,103 @@ object Similarity {
       .select(col("rn"), col("vec_id"), col("cell"), col("code1"),
         col("code2"), col("adc_dist"))
       .orderBy("rn")
+  }
+
+  private def ivfAdcQueryVector(sp: SparkSession, dir: String): Array[Long] = {
+    val qv = Tables.embeddings(sp, dir).filter(col("vec_id") === 0)
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)"))
+      .collect()
+    require(qv.length == 1, "query vector vec_id=0 missing")
+    qv.head.getSeq[Long](0).toArray
+  }
+
+  private def ivfAdcProbes(q: Array[Long], coarse: Seq[Array[Long]],
+      dim: Int, nprobe: Int): Seq[Long] = {
+    def qDist(c: Array[Long]): Long = {
+      var s = 0L; var j = 0
+      while (j < dim) { val d = q(j) - c(j); s += d * d; j += 1 }
+      s
+    }
+    coarse.zipWithIndex
+      .map { case (c, i) => (qDist(c), (i + 1).toLong) }
+      .sorted.take(nprobe).map(_._2)
+  }
+
+  /** Fixture for `ann_ivfadc_partitioned`: the persisted IVFADC index
+    * PHYSICALLY ORGANIZED BY CELL — the re-cluster step (Delta's
+    * OPTIMIZE ZORDER analog for a vector index) that makes the nprobe
+    * probe a FILE-prune, not just a pushed row-group filter. The code
+    * table from [[prebuildIvfAdcIndex]] is rewritten range-clustered on
+    * (cell, vec_id) into one commit, and a per-file min/max stats
+    * manifest on `cell` is published ([[graft.sources.Lake.writeStats]])
+    * — at 100 TB the serving scan then opens (≈ nprobe/k) of the index's
+    * files instead of every footer. Returns the same tuple as the
+    * unclustered prebuild, pointing at the clustered table.
+    */
+  private val ivfAdcPartCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String),
+      (String, Seq[Array[Long]], Seq[Array[Long]], Seq[Array[Long]], Int, Int)]
+
+  def prebuildIvfAdcPartitionedIndex(sp: SparkSession, dir: String)
+      : (String, Seq[Array[Long]], Seq[Array[Long]], Seq[Array[Long]], Int, Int) =
+    ivfAdcPartCache.computeIfAbsent((sp, dir), { _ =>
+      val (srcPath, coarse, cb1, cb2, half, dim) =
+        prebuildIvfAdcIndex(sp, dir)
+      val path = s"${graft.pipeline.Scratch.dir("ivfadcpart")}/index"
+      // range-partition on cell ALONE: equal values never split across
+      // range partitions, so every cell lands whole in exactly ONE file
+      // (a probe therefore keeps ≤ nprobe files however the sampled
+      // boundaries fall); vec_id rides only in the in-file sort
+      graft.sources.Lake.writeVersioned(sp,
+        graft.sources.Lake.readVersioned(sp, srcPath)
+          .repartitionByRange(coarse.length, col("cell"))
+          .sortWithinPartitions(col("cell"), col("vec_id")),
+        path)
+      graft.sources.Lake.writeStats(sp, path, Seq("cell"))
+      (path, coarse, cb1, cb2, half, dim)
+    })
+
+  /** (files the probe keeps, total index files) from the stats manifest
+    * alone — the file-prune evidence `ann_ivfadc_partitioned` requires
+    * in-query and PlanSpec pins. Metadata-proportional: one manifest row
+    * per file.
+    */
+  def ivfAdcPartitionedPruneStats(sp: SparkSession, dir: String,
+      nprobe: Int = 2): (Long, Long) = {
+    val (path, coarse, _, _, _, dim) = prebuildIvfAdcPartitionedIndex(sp, dir)
+    val probed = ivfAdcProbes(ivfAdcQueryVector(sp, dir), coarse, dim, nprobe)
+    val manifest = sp.read.json(s"$path/_graft_stats")
+    val keep = probed.map(c =>
+      graft.sources.Lake.skipRange("cell", lit(c), lit(c))).reduce(_ || _)
+    (manifest.filter(keep).count(), manifest.count())
+  }
+
+  /** IVFADC search where the nprobe probe prunes FILES: the scan reads
+    * only index files whose stats-manifest [min_cell, max_cell] touches
+    * a probed cell ([[graft.sources.Lake.readSkipping]]) — the literal
+    * (k − nprobe)/k I/O cut SCALE.md claims, instead of opening every
+    * footer and relying on pushed row-group filters. The in-row require
+    * proves pruning actually happened (kept < total); scoring and output
+    * are identical to [[ivfAdcPersistedTopK]], so the same oracle hashes
+    * both.
+    */
+  def ivfAdcPartitionedTopK(sp: SparkSession, dir: String, nprobe: Int = 2,
+      topK: Int = 10): DataFrame = {
+    val idx = prebuildIvfAdcPartitionedIndex(sp, dir)
+    val (kept, total) = ivfAdcPartitionedPruneStats(sp, dir, nprobe)
+    require(kept >= 1 && kept < total,
+      s"cell probe did not prune index files (kept $kept of $total) — " +
+        "the clustered layout or the stats manifest is broken")
+    ivfAdcServe(sp, dir, idx, nprobe, topK,
+      (path, probed) => graft.sources.Lake.readSkipping(sp, path,
+          probed.map(c => graft.sources.Lake.skipRange("cell",
+            lit(c), lit(c))).reduce(_ || _))
+        // belt over the manifest's braces: files can straddle two cells
+        // at a range boundary, so the row-level probe still applies (and
+        // still pushes into the reader)
+        .filter(col("cell").isin(probed: _*)))
   }
 
   /** Fixture for `ann_pq_persisted` (cached per session+SF): the ENCODE
@@ -1153,6 +1291,153 @@ object Similarity {
       .select(col("rn"), col("vec_id"), col("code1"), col("code2"),
         col("adc_dist"))
       .orderBy("rn")
+  }
+
+  /** DuckDB replay of the persisted-IVFADC search (coarse chain,
+    * residual chains, probe selection, per-cell ADC) -- shared by
+    * ann_ivfadc_persisted and ann_ivfadc_partitioned, whose outputs
+    * are identical by construction (same models, same codes; only
+    * the physical file layout differs).
+    */
+  private val ivfAdcPersistedOracle =
+    """WITH e AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          |                + 1000) AS q
+          |  FROM embeddings),
+          |f_seed AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, q AS c
+          |  FROM e ORDER BY vec_id LIMIT 8),
+          |f_eg AS (SELECT vec_id, j, q[j] AS qv
+          |         FROM e, generate_series(1, 64) t(j)),
+          |f_c0 AS (SELECT cid, j, c[j] AS cv
+          |         FROM f_seed, generate_series(1, 64) t(j)),
+          |f_d1 AS (SELECT f_eg.vec_id, f_c0.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c0 USING (j) GROUP BY 1, 2),
+          |f_a1 AS (SELECT vec_id, cid FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d1)
+          |         WHERE rn = 1),
+          |f_c1 AS (SELECT cid, j,
+          |                (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM f_a1 JOIN f_eg USING (vec_id) GROUP BY 1, 2),
+          |f_d2 AS (SELECT f_eg.vec_id, f_c1.cid,
+          |                sum((qv - cv) * (qv - cv)) AS d
+          |         FROM f_eg JOIN f_c1 USING (j) GROUP BY 1, 2),
+          |f_a2 AS (SELECT vec_id, cid AS cell FROM (
+          |           SELECT vec_id, cid, row_number() OVER (
+          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d2)
+          |         WHERE rn = 1),
+          |qc AS (SELECT f_c1.cid, sum((qe.qv - f_c1.cv) * (qe.qv - f_c1.cv)) AS d
+          |       FROM (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
+          |       JOIN f_c1 USING (j) GROUP BY 1),
+          |probes AS (SELECT cid AS cell FROM (
+          |             SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+          |             FROM qc) WHERE rn <= 2),
+          |res AS (SELECT f_eg.vec_id, f_eg.j, f_eg.qv - f_c1.cv + 2000 AS rv
+          |        FROM f_eg
+          |        JOIN f_a2 ON f_a2.vec_id = f_eg.vec_id
+          |        JOIN f_c1 ON f_c1.cid = f_a2.cell AND f_c1.j = f_eg.j),
+          |r_sub AS (
+          |  SELECT vec_id, 1 AS m, j, rv FROM res WHERE j <= 32
+          |  UNION ALL
+          |  SELECT vec_id, 2 AS m, j - 32 AS j, rv FROM res WHERE j > 32),
+          |r_seedv AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cid
+          |            FROM e ORDER BY vec_id LIMIT 8),
+          |r_c0 AS (SELECT s.cid, r.m, r.j, r.rv AS cv
+          |         FROM r_seedv s JOIN r_sub r ON r.vec_id = s.vec_id),
+          |r_d1 AS (SELECT r.m, r.vec_id, c.cid,
+          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
+          |         FROM r_sub r JOIN r_c0 c ON c.m = r.m AND c.j = r.j
+          |         GROUP BY 1, 2, 3),
+          |r_a1 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d1)
+          |         WHERE rn = 1),
+          |r_c1 AS (SELECT a.m, a.cid, r.j,
+          |                (2 * sum(r.rv) + count(*)) // (2 * count(*)) AS cv
+          |         FROM r_a1 a JOIN r_sub r ON r.m = a.m
+          |                                 AND r.vec_id = a.vec_id
+          |         GROUP BY 1, 2, 3),
+          |r_d2 AS (SELECT r.m, r.vec_id, c.cid,
+          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
+          |         FROM r_sub r JOIN r_c1 c ON c.m = r.m AND c.j = r.j
+          |         GROUP BY 1, 2, 3),
+          |r_a2 AS (SELECT m, vec_id, cid FROM (
+          |           SELECT m, vec_id, cid, row_number() OVER (
+          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d2)
+          |         WHERE rn = 1),
+          |q_res AS (SELECT pr.cell, qe.j, qe.qv - f_c1.cv + 2000 AS rv
+          |          FROM probes pr
+          |          CROSS JOIN (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
+          |          JOIN f_c1 ON f_c1.cid = pr.cell AND f_c1.j = qe.j),
+          |q_sub AS (
+          |  SELECT cell, 1 AS m, j, rv FROM q_res WHERE j <= 32
+          |  UNION ALL
+          |  SELECT cell, 2 AS m, j - 32 AS j, rv FROM q_res WHERE j > 32),
+          |dt AS (SELECT q.cell, c.m, c.cid,
+          |              sum((q.rv - c.cv) * (q.rv - c.cv)) AS qdist
+          |       FROM q_sub q JOIN r_c1 c ON c.m = q.m AND c.j = q.j
+          |       GROUP BY 1, 2, 3),
+          |sc AS (SELECT a.vec_id, f.cell,
+          |              max(CASE WHEN a.m = 1 THEN a.cid END) AS code1,
+          |              max(CASE WHEN a.m = 2 THEN a.cid END) AS code2,
+          |              CAST(sum(dt.qdist) AS BIGINT) AS adc_dist
+          |       FROM r_a2 a
+          |       JOIN f_a2 f ON f.vec_id = a.vec_id
+          |       JOIN probes pr ON pr.cell = f.cell
+          |       JOIN dt ON dt.cell = f.cell AND dt.m = a.m AND dt.cid = a.cid
+          |       WHERE a.vec_id <> 0
+          |       GROUP BY 1, 2)
+          |SELECT rn, vec_id, cell, code1, code2, adc_dist FROM (
+          |  SELECT vec_id, cell, code1, code2, adc_dist,
+          |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+          |  FROM sc)
+          |WHERE rn <= 10 ORDER BY rn""".stripMargin
+
+  /** ann_ivfadc_recall's oracle, DERIVED from [[ivfAdcPersistedOracle]]
+    * by surgery instead of a third hand-copied CTE chain: widen the
+    * probe list to rank 4 carrying each cell's probe rank (`crank`),
+    * ride the rank into the scored rows, then rank the survivors under
+    * crank ≤ {1,2,4} and count overlaps with the exact-L2 top-10. The
+    * two engines must agree on every intermediate (coarse chain,
+    * residual chains, per-cell ADC) — a probe-order tie broken the
+    * other way at ANY nprobe breaks one of the three counts.
+    */
+  private val ivfAdcRecallOracle: String = {
+    val base = ivfAdcPersistedOracle
+    val cut = base.indexOf("SELECT rn, vec_id, cell, code1, code2, adc_dist")
+    require(cut > 0, "ivfAdcPersistedOracle tail changed; recall surgery stale")
+    base.substring(0, cut)
+      .replace("probes AS (SELECT cid AS cell FROM (",
+        "probes AS (SELECT cid AS cell, rn AS crank FROM (")
+      .replace("FROM qc) WHERE rn <= 2),", "FROM qc) WHERE rn <= 4),")
+      .replace("CAST(sum(dt.qdist) AS BIGINT) AS adc_dist",
+        "CAST(sum(dt.qdist) AS BIGINT) AS adc_dist,\n" +
+          "              max(pr.crank) AS crank") +
+      """,
+        |ex_d AS (SELECT g.vec_id, sum((g.qv - q0.qv) * (g.qv - q0.qv)) AS d
+        |         FROM f_eg g
+        |         JOIN (SELECT j, qv FROM f_eg WHERE vec_id = 0) q0 USING (j)
+        |         WHERE g.vec_id <> 0 GROUP BY 1),
+        |exact AS (SELECT vec_id FROM (
+        |            SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS rn
+        |            FROM ex_d) WHERE rn <= 10),
+        |t1 AS (SELECT vec_id FROM (
+        |         SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        |         FROM sc WHERE crank <= 1) WHERE rn <= 10),
+        |t2 AS (SELECT vec_id FROM (
+        |         SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        |         FROM sc WHERE crank <= 2) WHERE rn <= 10),
+        |t4 AS (SELECT vec_id FROM (
+        |         SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        |         FROM sc WHERE crank <= 4) WHERE rn <= 10)
+        |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+        |       CAST((SELECT count(*) FROM exact JOIN t1 USING (vec_id)) AS BIGINT) AS hits_nprobe1,
+        |       CAST((SELECT count(*) FROM exact JOIN t2 USING (vec_id)) AS BIGINT) AS hits_nprobe2,
+        |       CAST((SELECT count(*) FROM exact JOIN t4 USING (vec_id)) AS BIGINT) AS hits_nprobe4""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -2121,104 +2406,30 @@ object Similarity {
     QueryDef(
       "ann_ivfadc_persisted",
       (sp, dir) => ivfAdcPersistedTopK(sp, dir),
-      Some(
-        """WITH e AS (
-          |  SELECT vec_id,
-          |         list_transform(embedding,
-          |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-          |                + 1000) AS q
-          |  FROM embeddings),
-          |f_seed AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, q AS c
-          |  FROM e ORDER BY vec_id LIMIT 8),
-          |f_eg AS (SELECT vec_id, j, q[j] AS qv
-          |         FROM e, generate_series(1, 64) t(j)),
-          |f_c0 AS (SELECT cid, j, c[j] AS cv
-          |         FROM f_seed, generate_series(1, 64) t(j)),
-          |f_d1 AS (SELECT f_eg.vec_id, f_c0.cid,
-          |                sum((qv - cv) * (qv - cv)) AS d
-          |         FROM f_eg JOIN f_c0 USING (j) GROUP BY 1, 2),
-          |f_a1 AS (SELECT vec_id, cid FROM (
-          |           SELECT vec_id, cid, row_number() OVER (
-          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d1)
-          |         WHERE rn = 1),
-          |f_c1 AS (SELECT cid, j,
-          |                (2 * sum(qv) + count(*)) // (2 * count(*)) AS cv
-          |         FROM f_a1 JOIN f_eg USING (vec_id) GROUP BY 1, 2),
-          |f_d2 AS (SELECT f_eg.vec_id, f_c1.cid,
-          |                sum((qv - cv) * (qv - cv)) AS d
-          |         FROM f_eg JOIN f_c1 USING (j) GROUP BY 1, 2),
-          |f_a2 AS (SELECT vec_id, cid AS cell FROM (
-          |           SELECT vec_id, cid, row_number() OVER (
-          |             PARTITION BY vec_id ORDER BY d, cid) AS rn FROM f_d2)
-          |         WHERE rn = 1),
-          |qc AS (SELECT f_c1.cid, sum((qe.qv - f_c1.cv) * (qe.qv - f_c1.cv)) AS d
-          |       FROM (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
-          |       JOIN f_c1 USING (j) GROUP BY 1),
-          |probes AS (SELECT cid AS cell FROM (
-          |             SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
-          |             FROM qc) WHERE rn <= 2),
-          |res AS (SELECT f_eg.vec_id, f_eg.j, f_eg.qv - f_c1.cv + 2000 AS rv
-          |        FROM f_eg
-          |        JOIN f_a2 ON f_a2.vec_id = f_eg.vec_id
-          |        JOIN f_c1 ON f_c1.cid = f_a2.cell AND f_c1.j = f_eg.j),
-          |r_sub AS (
-          |  SELECT vec_id, 1 AS m, j, rv FROM res WHERE j <= 32
-          |  UNION ALL
-          |  SELECT vec_id, 2 AS m, j - 32 AS j, rv FROM res WHERE j > 32),
-          |r_seedv AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cid
-          |            FROM e ORDER BY vec_id LIMIT 8),
-          |r_c0 AS (SELECT s.cid, r.m, r.j, r.rv AS cv
-          |         FROM r_seedv s JOIN r_sub r ON r.vec_id = s.vec_id),
-          |r_d1 AS (SELECT r.m, r.vec_id, c.cid,
-          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
-          |         FROM r_sub r JOIN r_c0 c ON c.m = r.m AND c.j = r.j
-          |         GROUP BY 1, 2, 3),
-          |r_a1 AS (SELECT m, vec_id, cid FROM (
-          |           SELECT m, vec_id, cid, row_number() OVER (
-          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d1)
-          |         WHERE rn = 1),
-          |r_c1 AS (SELECT a.m, a.cid, r.j,
-          |                (2 * sum(r.rv) + count(*)) // (2 * count(*)) AS cv
-          |         FROM r_a1 a JOIN r_sub r ON r.m = a.m
-          |                                 AND r.vec_id = a.vec_id
-          |         GROUP BY 1, 2, 3),
-          |r_d2 AS (SELECT r.m, r.vec_id, c.cid,
-          |                sum((r.rv - c.cv) * (r.rv - c.cv)) AS d
-          |         FROM r_sub r JOIN r_c1 c ON c.m = r.m AND c.j = r.j
-          |         GROUP BY 1, 2, 3),
-          |r_a2 AS (SELECT m, vec_id, cid FROM (
-          |           SELECT m, vec_id, cid, row_number() OVER (
-          |             PARTITION BY m, vec_id ORDER BY d, cid) AS rn FROM r_d2)
-          |         WHERE rn = 1),
-          |q_res AS (SELECT pr.cell, qe.j, qe.qv - f_c1.cv + 2000 AS rv
-          |          FROM probes pr
-          |          CROSS JOIN (SELECT j, qv FROM f_eg WHERE vec_id = 0) qe
-          |          JOIN f_c1 ON f_c1.cid = pr.cell AND f_c1.j = qe.j),
-          |q_sub AS (
-          |  SELECT cell, 1 AS m, j, rv FROM q_res WHERE j <= 32
-          |  UNION ALL
-          |  SELECT cell, 2 AS m, j - 32 AS j, rv FROM q_res WHERE j > 32),
-          |dt AS (SELECT q.cell, c.m, c.cid,
-          |              sum((q.rv - c.cv) * (q.rv - c.cv)) AS qdist
-          |       FROM q_sub q JOIN r_c1 c ON c.m = q.m AND c.j = q.j
-          |       GROUP BY 1, 2, 3),
-          |sc AS (SELECT a.vec_id, f.cell,
-          |              max(CASE WHEN a.m = 1 THEN a.cid END) AS code1,
-          |              max(CASE WHEN a.m = 2 THEN a.cid END) AS code2,
-          |              CAST(sum(dt.qdist) AS BIGINT) AS adc_dist
-          |       FROM r_a2 a
-          |       JOIN f_a2 f ON f.vec_id = a.vec_id
-          |       JOIN probes pr ON pr.cell = f.cell
-          |       JOIN dt ON dt.cell = f.cell AND dt.m = a.m AND dt.cid = a.cid
-          |       WHERE a.vec_id <> 0
-          |       GROUP BY 1, 2)
-          |SELECT rn, vec_id, cell, code1, code2, adc_dist FROM (
-          |  SELECT vec_id, cell, code1, code2, adc_dist,
-          |         row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
-          |  FROM sc)
-          |WHERE rn <= 10 ORDER BY rn""".stripMargin),
-    ),
+      Some(ivfAdcPersistedOracle)),
+
+    // ---- IVFADC over the CELL-CLUSTERED index (see
+    //      [[ivfAdcPartitionedTopK]]): same frozen models, same codes,
+    //      same scoring -- the difference is PHYSICAL. The code table is
+    //      range-clustered by (cell, vec_id) with a per-file min/max
+    //      stats manifest, so the nprobe probe prunes FILES (the in-row
+    //      require proves kept < total; PlanSpec pins the ratio) instead
+    //      of opening every footer and relying on pushed row-group
+    //      filters. Identical output => identical oracle. ----
+    QueryDef(
+      "ann_ivfadc_partitioned",
+      (sp, dir) => ivfAdcPartitionedTopK(sp, dir),
+      Some(ivfAdcPersistedOracle)),
+
+    // ---- IVFADC nprobe quality surface (see [[ivfAdcRecallAudit]]):
+    //      recall@10 vs exact integer-L2 ground truth at nprobe 1/2/4 —
+    //      the probe-budget sizing audit, one row of exact integers.
+    //      Oracle derived from the persisted oracle by surgery (same
+    //      chains, probe rank carried through the scoring). ----
+    QueryDef(
+      "ann_ivfadc_recall",
+      (sp, dir) => ivfAdcRecallAudit(sp, dir),
+      Some(ivfAdcRecallOracle)),
 
     // ---- binary quantization + exact rerank (see [[annBinaryRerank]]):
     //      sign bits packed as two 32-bit halves (identical packing both

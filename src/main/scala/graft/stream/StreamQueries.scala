@@ -1863,12 +1863,12 @@ object StreamQueries {
   //     never a fact scan (cost ∝ moved users' view rows);
   //   - deletes (user retired from the dim): the view's rows for that
   //     user drop (inner-join semantics);
-  //   - plain inserts are IGNORED by documented contract: a dim-insert
-  //     backfill must reconcile against facts the view excluded (cost ∝
-  //     the new users' fact history) — the batch refreshJoinIncremental's
-  //     territory; the streaming fold maintains attribute changes and
-  //     retirements, the two changes that dominate a slowly-changing
-  //     dimension (and lets the v1 snapshot batch no-op by rule).
+  //   - plain inserts no-op in THIS row (no `backfillFrom`): the v1
+  //     snapshot batch must not double-fold, and attribute changes +
+  //     retirements dominate a slowly-changing dimension. The completed
+  //     contract lives in stream_mv_dim_backfill: pass the fact table as
+  //     `backfillFrom` and post-snapshot inserts reconcile against fact
+  //     history (cost ∝ the new users' fact rows).
   // Idempotent replay rides a PER-CHANNEL stamp compare: dim folds stamp
   // 1e6+bid and check only dim-channel stamps, fact folds stamp the raw
   // bid and check only fact-channel stamps (Lake.DimStampBase), so the
@@ -1918,11 +1918,20 @@ object StreamQueries {
       org.apache.spark.sql.types.LongType)))
 
   /** One dim-feed micro-batch folded into the join view: moves re-key
-    * view rows, retirements drop them, inserts no-op (contract above).
-    * Package-visible so StreamingOpsSpec can pin the replay no-op.
+    * view rows, retirements drop them, inserts no-op (contract above) —
+    * UNLESS `backfillFrom` supplies the fact table, in which case insert
+    * rows PAST the v1 snapshot (`_commit_version > 1`, i.e. genuinely
+    * new dim members, not the bootstrap) RECONCILE against fact history:
+    * one broadcast-semi-join of the fact frame against the new members'
+    * keys + a per-(user, segment) aggregate — cost ∝ the new users' fact
+    * rows, never a full fact scan joined to a full dim. All three change
+    * classes land in ONE mergeCdc source, so a batch mixing moves,
+    * retirements, and inserts commits atomically under one stamp and
+    * replays as one no-op. Package-visible so StreamingOpsSpec can pin
+    * the replay no-op.
     */
   private[graft] def dimFoldBatch(batch: DataFrame, view: String,
-      bid: Long): Unit = {
+      bid: Long, backfillFrom: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val tag = graft.sources.Lake.DimStampBase + bid
     // replay guard against the DIM channel's latest stamp only: the head
@@ -1954,8 +1963,19 @@ object StreamQueries {
         col("v.segment").as("segment"),
         lit(0L).as("n_events"), lit(0L).as("cents"),
         lit(true).as("_del"))
-    val source = inserts.unionByName(deletes)
-    if (source.isEmpty) return // insert-only batch: the documented no-op
+    val backfill = backfillFrom.map { fact =>
+      val newMembers = batch.filter(col("_change_type") === "insert" &&
+        col("_commit_version") > 1L)
+        .select(col("user_id"), col("segment"))
+      fact.join(broadcast(newMembers), "user_id")
+        .groupBy(col("user_id"), col("segment"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+        .select(col("user_id"), col("segment"), col("n_events"),
+          col("cents"), lit(false).as("_del"))
+    }
+    val moveRetire = inserts.unionByName(deletes)
+    val source = backfill.fold(moveRetire)(moveRetire.unionByName(_))
+    if (source.isEmpty) return // nothing actionable: the documented no-op
     graft.sources.Lake.mergeCdc(spark, view, source,
       Seq("user_id", "segment"), deleteWhen = col("_del"),
       streamBatchId = Some(tag))
@@ -1991,6 +2011,101 @@ object StreamQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q1.awaitTermination()
+      val q2 = dimTyped.writeStream.foreachBatch(dimFold)
+        .option("checkpointLocation", s"$root/ckpt_dim")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.sources.Lake.readVersioned(spark, view)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("segment"), col("n_events"),
+        col("cents").as("total_cents"))
+      .orderBy("user_id", "segment")
+  }
+
+  // ---- stream_mv_dim_backfill: dim-INSERT reconciliation (r19 #6) --------
+  //
+  // The half of dim-side maintenance streamMvDimRefresh scoped out: a NEW
+  // dim member arrives mid-stream, and the view must adopt the member's
+  // ENTIRE fact history — rows the fact-side fold already dropped because
+  // the inner join excluded the user. The fold (dimFoldBatch with
+  // `backfillFrom`) reconciles post-snapshot insert rows against the fact
+  // table: broadcast the new members' keys into a semi-join + aggregate,
+  // cost ∝ the new users' fact rows — never a full fact×dim recompute —
+  // folded in the SAME single mergeCdc commit (and stamp) as any moves or
+  // retirements sharing the batch. In-query requires pin the mechanics:
+  // the late cohort is ABSENT after the fact drain and complete after the
+  // dim drain; the v1 snapshot batch no-ops by the _commit_version > 1
+  // rule. The final view must equal the batch recompute over ALL users.
+
+  private val dimInsertFeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** @return (dim table path, keyed-feed landing path): v1 = the dim
+    * WITHOUT the late cohort (user_id % 4 == 1), v2 = the cohort joins.
+    */
+  private def dimInsertFeedFor(spark: SparkSession,
+      dir: String): (String, String) =
+    dimInsertFeeds.computeIfAbsent(dir, _ => {
+      val root = Scratch.dir("stream_dimins")
+      val dimT = s"$root/dim"
+      val users = Tables.events(spark, dir).select(col("user_id")).distinct()
+        .withColumn("segment",
+          concat(lit("S"), (col("user_id") % 3).cast("string")))
+      graft.sources.Lake.writeVersioned(spark,
+        users.filter(col("user_id") % 4 =!= 1)
+          .repartitionByRange(2, col("user_id")), dimT)
+      graft.sources.Lake.mergeCdc(spark, dimT,
+        users.filter(col("user_id") % 4 === 1)
+          .withColumn("_is_deleted", lit(false)),
+        Seq("user_id"), col("_is_deleted"))
+      val landing = s"$root/landing"
+      // sleepless: batch order is immaterial here — the v1 batch no-ops
+      // whatever position it drains in (_commit_version == 1), and the
+      // v2 insert batch reconciles the same history either way
+      graft.sources.Lake.exportChangeFeedLanding(spark, dimT, landing,
+        filesPerVersion = 1, keys = Seq("user_id"), mtimeOrder = false)
+      (dimT, landing)
+    })
+
+  private def streamMvDimBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val factLanding = cdfStreamLandingFor(spark, dir)
+    // fixture-internal layout: the landing's sibling `t` is the table it
+    // was exported from (cdfStreamLandingFor writes root/t + root/landing)
+    val factTable = factLanding.stripSuffix("/landing") + "/t"
+    val (dimT, dimLanding) = dimInsertFeedFor(spark, dir)
+    val root = Scratch.dir("stream_mvbf")
+    val view = s"$root/view"
+    val dimV1 = graft.sources.Lake.readVersioned(spark, dimT, Some(1L))
+      .select("user_id", "segment")
+    val typed = jsonStream(spark, factLanding, cdfFeedSchema, Some(2))
+      .select(col("user_id"), col("cents"), col("_change_type"))
+    val factFold: (DataFrame, Long) => Unit = (batch, bid) => {
+      graft.sources.Lake.foldFeedBatchIntoAggView(
+        batch.join(broadcast(dimV1), "user_id"), view, bid,
+        keys = Seq("user_id", "segment"), sumCols = Seq("cents"),
+        countCol = "n_events")
+      ()
+    }
+    val factHead = graft.sources.Lake.readVersioned(spark, factTable)
+      .select(col("user_id"), col("cents"))
+    val dimTyped = jsonStream(spark, dimLanding, dimFeedSchema, Some(1))
+    val dimFold: (DataFrame, Long) => Unit = (batch, bid) =>
+      dimFoldBatch(batch, view, bid, backfillFrom = Some(factHead))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q1 = typed.writeStream.foreachBatch(factFold)
+        .option("checkpointLocation", s"$root/ckpt_fact")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+      // the late cohort must be MISSING here — its facts were dropped by
+      // the inner join against the v1 dim; only the backfill can add it
+      require(graft.sources.Lake.readVersioned(spark, view)
+        .filter(col("user_id") >= 0 && col("user_id") % 4 === 1)
+        .isEmpty, "late cohort present before the dim-insert backfill")
       val q2 = dimTyped.writeStream.foreachBatch(dimFold)
         .option("checkpointLocation", s"$root/ckpt_dim")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2248,6 +2363,155 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  // ---- lake_vacuum_cdf: vacuum × change feed, the production data-loss
+  // window driven end to end (r18 #8 / r19 #3) -----------------------------
+  //
+  // Retention deleting what the feed still needs is the classic lakehouse
+  // hazard. The composed proof, all inside the driver-hashed row:
+  //   1. snapshot + COW delete export to a landing; the consumer drains
+  //      and folds both versions;
+  //   2. the producer appends v3, then VACUUMS to keepLast=2 — v1's
+  //      unshared files are gone and v2 becomes the materialized horizon
+  //      (its delta feed is uncomputable: the predecessor vanished);
+  //   3. the RESUMED export is exact anyway — markers say v1..v2 already
+  //      published, so it exports ONLY v3's delta (never touching the
+  //      vacuumed range), and the same checkpoint folds it;
+  //   4. a FRESH export over the vacuumed range REFUSES loudly (in-query
+  //      intercept): silently skipping v1..v2 would hand a new consumer
+  //      a table-sized hole. The recovery path for a late consumer is a
+  //      snapshot + the surviving feed tail, never a partial feed.
+  // The final view must equal the three-commit batch recompute — an
+  // over-eager vacuum, a resume that re-fed the horizon as inserts, or a
+  // fresh export that "succeeded" all break the hash or the requires.
+
+  private def lakeVacuumCdf(spark: SparkSession, dir: String): DataFrame = {
+    val root = Scratch.dir("lake_vac_cdf")
+    val table = s"$root/t"
+    val landing = s"$root/landing"
+    val view = s"$root/view"
+    val ckpt = s"$root/ckpt"
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.Lake.writeVersioned(spark,
+      base.filter(col("day") <= lit("2024-01-15").cast("date"))
+        .repartitionByRange(2, col("day")), table)
+    graft.sources.Lake.deleteWhere(spark, table,
+      col("day").between(lit("2024-01-08"), lit("2024-01-14")))
+    graft.sources.Lake.exportChangeFeedLanding(spark, table, landing,
+      mtimeOrder = false)
+    runMvFoldDrain(spark, landing, view, ckpt, retainNonPositive = true)
+    graft.sources.Lake.appendVersioned(spark,
+      base.filter(col("day") > lit("2024-01-15").cast("date") &&
+        col("day") <= lit("2024-01-25").cast("date"))
+        .repartitionByRange(2, col("day")), table)
+    // vacuum past the exported range: v1 drops, v2 is the materialized
+    // horizon — the feed for 1..2 is now uncomputable from the table
+    val dropped = graft.sources.Lake.vacuum(spark, table, keepLast = 2,
+      orphanGraceMs = 0L)
+    require(dropped == Seq(1L), s"vacuum dropped $dropped, expected v1")
+    // the landing already COVERS the vacuumed versions: the resume export
+    // consults the markers, exports only v3's delta, and the consumer's
+    // checkpoint folds exactly the new file
+    val head = graft.sources.Lake.exportChangeFeedLanding(spark, table,
+      landing, mtimeOrder = false)
+    require(head == 3L, s"resume exported to v$head, expected v3")
+    val post = new java.io.File(landing).listFiles().map(_.getName)
+      .filter(n => n.startsWith("cdf-") && !n.startsWith("cdf-v00001") &&
+        !n.startsWith("cdf-v00002"))
+    require(post.nonEmpty && post.forall(_.startsWith("cdf-v00003")),
+      s"resume after vacuum exported unexpected versions: ${post.toSeq}")
+    runMvFoldDrain(spark, landing, view, ckpt, retainNonPositive = true)
+    // a FRESH landing over the vacuumed range must refuse, not fabricate
+    val refusal =
+      try { graft.sources.Lake.exportChangeFeedLanding(spark, table,
+        s"$root/fresh", mtimeOrder = false); None }
+      catch { case e: Throwable => Some(e) }
+    require(refusal.isDefined,
+      "fresh change-feed export over a vacuumed range must refuse")
+    graft.sources.Lake.readVersioned(spark, view)
+      .filter(col("user_id") >= 0 && col("n_events") > 0)
+      .select(col("user_id"), col("n_events"),
+        col("cents").as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  // ---- stream_cdf_multiconsumer: intersection retention, driver-hashed --
+  //
+  // Two consumers at DIFFERENT offsets share one landing — the shape the
+  // r19 advisor flagged: pruning per-consumer is a union and loses the
+  // laggard's data. The row drives the whole contract:
+  //   1. v1 exports; consumers A and B both drain and fold it;
+  //   2. v2 exports; only A drains it — B now lags a full version;
+  //   3. prune(Seq(A, B)) reclaims ONLY v1 (both proved it) and must
+  //      leave v2's files for B (in-query require — deleting them here
+  //      is exactly the advisor's data-loss scenario);
+  //   4. B catches up from the SAME checkpoint, folds v2;
+  //   5. a second intersection prune now reclaims v2;
+  //   6. a consumer ADDED after the prunes is refused by the intact gate
+  //      (in-query intercept — a fresh checkpoint would fold a partial
+  //      history).
+  // The returned view is B's — the LAGGARD's fold must equal the batch
+  // recompute; a premature prune surfaces as missing v2 rows (hash), an
+  // over-retentive prune as the in-query requires failing.
+
+  private def streamCdfMultiConsumer(spark: SparkSession, dir: String): DataFrame = {
+    val root = Scratch.dir("stream_cdfmc")
+    val table = s"$root/t"
+    val landing = s"$root/landing"
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.Lake.writeVersioned(spark,
+      base.filter(col("day") <= lit("2024-01-15").cast("date"))
+        .repartitionByRange(2, col("day")), table)
+    graft.sources.Lake.appendVersioned(spark,
+      base.filter(col("day") > lit("2024-01-15").cast("date") &&
+        col("day") <= lit("2024-01-25").cast("date"))
+        .repartitionByRange(2, col("day")), table)
+    // v1 publishes alone; both consumers fold it
+    graft.sources.Lake.exportChangeFeedLanding(spark, table, landing,
+      upTo = Some(1L), mtimeOrder = false)
+    def drain(view: String, ckpt: String): Unit =
+      runMvFoldDrain(spark, landing, view, ckpt, retainNonPositive = true)
+    drain(s"$root/viewA", s"$root/ckptA"); drain(s"$root/viewB", s"$root/ckptB")
+    // v2 publishes; only A drains — B lags
+    graft.sources.Lake.exportChangeFeedLanding(spark, table, landing,
+      mtimeOrder = false)
+    drain(s"$root/viewA", s"$root/ckptA")
+    val (nv1, _) = graft.sources.Lake.pruneChangeFeedLanding(spark, landing,
+      Seq(s"$root/ckptA", s"$root/ckptB"))
+    require(nv1 == 1L, s"intersection prune reclaimed $nv1 versions, want v1 only")
+    val survivors = new java.io.File(landing).listFiles().map(_.getName)
+      .filter(_.startsWith("cdf-")).toSeq
+    require(survivors.nonEmpty && survivors.forall(_.startsWith("cdf-v00002")),
+      s"prune must keep exactly the laggard's unread v2: $survivors")
+    // B catches up from its own checkpoint; the second intersection
+    // prune may now reclaim v2
+    drain(s"$root/viewB", s"$root/ckptB")
+    val (nv2, _) = graft.sources.Lake.pruneChangeFeedLanding(spark, landing,
+      Seq(s"$root/ckptA", s"$root/ckptB"))
+    require(nv2 == 1L, s"post-catch-up prune reclaimed $nv2 versions, want v2")
+    // a consumer added NOW must refuse, not fold the gutted history
+    val refusal =
+      try { graft.sources.Lake.requireLandingIntact(spark, landing); None }
+      catch { case e: Throwable => Some(e) }
+    require(refusal.isDefined,
+      "intact gate passed a landing whose sealed versions were pruned")
+    graft.sources.Lake.readVersioned(spark, s"$root/viewB")
+      .filter(col("user_id") >= 0 && col("n_events") > 0)
+      .select(col("user_id"), col("n_events"),
+        col("cents").as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  private val cdfMultiConsumerOracle =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events
+      |WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private val cdfRetentionOracle =
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
@@ -2345,6 +2609,7 @@ object StreamQueries {
     cdfUnorderedLandingFor(spark, dir)
     cdfParquetLandingFor(spark, dir)
     dimFeedLandingFor(spark, dir)
+    dimInsertFeedFor(spark, dir)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -2382,10 +2647,15 @@ object StreamQueries {
     QueryDef("stream_mv_refresh", streamMvRefresh, Some(cdfFeedOracle)),
     QueryDef("stream_mv_join_refresh", streamMvJoinRefresh,
       Some(mvJoinStreamOracle)),
+    QueryDef("stream_mv_dim_backfill", streamMvDimBackfill,
+      Some(mvJoinStreamOracle)),
     QueryDef("stream_mv_dim_refresh", streamMvDimRefresh,
       Some(mvDimStreamOracle)),
     QueryDef("stream_cdf_unordered", streamCdfUnordered, Some(cdfFeedOracle)),
     QueryDef("stream_cdf_parquet", streamCdfParquet, Some(cdfFeedOracle)),
+    QueryDef("lake_vacuum_cdf", lakeVacuumCdf, Some(cdfFeedOracle)),
+    QueryDef("stream_cdf_multiconsumer", streamCdfMultiConsumer,
+      Some(cdfMultiConsumerOracle)),
     QueryDef("stream_cdf_retention", streamCdfRetention,
       Some(cdfRetentionOracle)),
     // same oracle as stream_dedup_equiv: the restart protocol must land

@@ -322,8 +322,33 @@ class PlanSpec extends SparkSpec {
     assert(schemas.nonEmpty, s"no ReadSchema in plan:\n$p")
     assert(schemas.forall(!_.contains("embedding")),
       s"persisted-IVFADC search re-reads vectors: $schemas")
-    // the nprobe cell filter must reach the parquet reader (at scale the
-    // index partitions by cell, so this is the file-prune lever)
+    // the nprobe cell filter must reach the parquet reader (the literal
+    // file-prune lives in ann_ivfadc_partitioned's clustered index)
+    assert("PushedFilters: \\[[^\\]]*In\\(cell".r.findFirstIn(p).isDefined,
+      s"cell probe not pushed into the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k cut is not TakeOrdered:\n$p")
+  }
+
+  test("ann_ivfadc_partitioned: the probe prunes FILES, not just row groups") {
+    // the cell-clustered index's whole point (r19 verdict #1): the nprobe
+    // probe must drop index FILES at planning time via the stats
+    // manifest, making the (k - nprobe)/k I/O cut literal — not just a
+    // pushed row-group filter inside every opened footer
+    val (kept, total) =
+      graft.ext.Similarity.ivfAdcPartitionedPruneStats(spark, dir)
+    assert(kept >= 1 && kept < total,
+      s"probe kept $kept of $total index files — no file pruning")
+    // nprobe=2 of k=8 cells, each cell whole in ONE file (range
+    // partitioning never splits equal values): kept ≤ nprobe exactly
+    assert(kept <= 2, s"probe kept $kept of $total files (want <= nprobe)")
+    val p = plan(q("ann_ivfadc_partitioned"))
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding")),
+      s"partitioned-IVFADC search re-reads vectors: $schemas")
+    // the row-level probe still pushes into the (already file-pruned)
+    // scan — belt over the manifest's braces at range boundaries
     assert("PushedFilters: \\[[^\\]]*In\\(cell".r.findFirstIn(p).isDefined,
       s"cell probe not pushed into the scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),

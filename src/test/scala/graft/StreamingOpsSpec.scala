@@ -575,6 +575,140 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("cdcLatestExplicit on RocksDB state: fold, mid-drain kill, resume exact") {
+    // r18 #7 / r19 #2: at 100 TB the CDC latest-wins fold is exactly the
+    // operator whose state outgrows executor heap — its disk-backed-state
+    // claim needs RocksDB coverage incl. a kill+resume (state reloads
+    // from the checkpoint's RocksDB snapshot, not from heap).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft-rockscdc")
+      .toFile.getAbsolutePath
+    val landing = s"$root/landing"; new java.io.File(landing).mkdirs()
+    // explicit mtimes: the file source batches by MODIFICATION TIME, and
+    // four files landed in the same millisecond drain in arbitrary order
+    // — the sentinel first, whose watermark then drops every data row
+    var mt = System.currentTimeMillis() - 60000L
+    def land(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(landing, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      mt += 2000L
+      assert(new java.io.File(landing, name).setLastModified(mt))
+    }
+    // three data files + a far-future sentinel that flushes every key's
+    // event-time timeout during the final no-data batch
+    land("b1.json", Seq(
+      """{"k":"k1","v":1,"_op":"c","_commit_ts":"2024-01-01T10:00:00"}""",
+      """{"k":"k2","v":2,"_op":"c","_commit_ts":"2024-01-01T10:30:00"}"""))
+    land("b2.json", Seq(
+      """{"k":"k1","v":10,"_op":"u","_commit_ts":"2024-01-01T11:00:00"}""",
+      """{"k":"k3","v":3,"_op":"c","_commit_ts":"2024-01-01T10:15:00"}"""))
+    land("b3.json", Seq(
+      """{"k":"k2","v":0,"_op":"d","_commit_ts":"2024-01-01T11:30:00"}"""))
+    land("b4.json", Seq(
+      """{"k":"zz","v":0,"_op":"c","_commit_ts":"2024-02-01T00:00:00"}"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_ts",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamAggs.cdcLatestExplicit(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .withColumn("_commit_ts", col("_commit_ts").cast("timestamp")))
+      .toDF()
+      .writeStream.format("parquet").option("path", s"$root/sink")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // kill after the FIRST committed micro-batch (the crash window:
+      // offsets logged, RocksDB snapshot at batch 0, no final commit)
+      val q = start()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!q.recentProgress.exists(_.numInputRows > 0) &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+      q.stop()
+      assert(q.recentProgress.nonEmpty, "first drain never committed")
+      // resume from the checkpoint: RocksDB state reloads, the remaining
+      // files fold, the sentinel's watermark flushes every key
+      val q2 = start()
+      q2.awaitTermination()
+      val got = spark.read.parquet(s"$root/sink")
+        .filter(col("k") =!= "zz")
+        .select("k", "v").as[(String, Long)].collect().toSet
+      assert(got == Set(("k1", 10L), ("k3", 3L)),
+        s"RocksDB-backed fold after kill+resume diverged: $got")
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("stream_cdf_scd1 row is provider-agnostic: RocksDB run equals default") {
+    // the registered keyed-feed SCD1 drain, executed end-to-end under
+    // RocksDB and compared set-exact against the default-provider run
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    val sf = "/root/testdata/sf0.001"
+    val base = graft.SparkEntry.queries("stream_cdf_scd1")(spark, sf)
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(base.nonEmpty)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = graft.SparkEntry.queries("stream_cdf_scd1")(spark, sf)
+        .select("k", "v").as[(String, Long)].collect().toSet
+      assert(rocks == base,
+        s"RocksDB SCD1 diverged: only-default=${base.diff(rocks).take(5)} " +
+          s"only-rocks=${rocks.diff(base).take(5)}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("dimFoldBatch(backfillFrom): post-snapshot inserts adopt fact history; replay no-ops") {
+    import java.nio.file.Files
+    import graft.sources.Lake
+    val view = Files.createTempDirectory("graft-bffold").toFile
+      .getAbsolutePath + "/view"
+    // fact-side fold against a dim that lacks user 4 entirely
+    Lake.foldFeedBatchIntoAggView(
+      Seq((1L, "S0", 10L, "insert"), (2L, "S1", 5L, "insert"))
+        .toDF("user_id", "segment", "cents", "_change_type"),
+      view, 0L, keys = Seq("user_id", "segment"), sumCols = Seq("cents"),
+      countCol = "n_events")
+    def cur = Lake.readVersioned(spark, view)
+      .select("user_id", "segment", "n_events", "cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // user 4's fact history, invisible to the view so far
+    val fact = Seq((1L, 10L), (2L, 5L), (4L, 7L), (4L, 9L))
+      .toDF("user_id", "cents")
+    // dim batch: v1-snapshot insert for user 1 (must NO-OP — it is the
+    // bootstrap, not a new member) and a v2 insert for user 4 (backfills)
+    val batch = Seq((1L, "S0", "insert", 1L), (4L, "S1", "insert", 2L))
+      .toDF("user_id", "segment", "_change_type", "_commit_version")
+    graft.stream.StreamQueries.dimFoldBatch(batch, view, 0L,
+      backfillFrom = Some(fact))
+    assert(cur == Set((1L, "S0", 1L, 10L), (2L, "S1", 1L, 5L),
+      (4L, "S1", 2L, 16L)), s"backfill fold wrong: $cur")
+    // replay of the same dim batch no-ops (dim-channel stamp covers it)
+    val v1 = Lake.listVersions(spark, view).last
+    graft.stream.StreamQueries.dimFoldBatch(batch, view, 0L,
+      backfillFrom = Some(fact))
+    assert(cur == Set((1L, "S0", 1L, 10L), (2L, "S1", 1L, 5L),
+      (4L, "S1", 2L, 16L)))
+    assert(Lake.listVersions(spark, view).last == v1,
+      "replayed backfill batch published a new version")
+  }
+
   test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
