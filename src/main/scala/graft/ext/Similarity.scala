@@ -961,9 +961,7 @@ object Similarity {
     val emb = Tables.embeddings(sp, dir).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)")
       .as("q"))
-    val qv = emb.filter(col("vec_id") === 0).collect()
-    require(qv.length == 1, "query vector vec_id=0 missing")
-    val ql = array(qv.head.getSeq[Long](1).toArray.map(lit): _*)
+    val ql = array(ivfAdcQueryVector(sp, dir).map(lit): _*)
     val l2 = aggregate(zip_with(col("q"), ql, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
     val exact = emb.filter(col("vec_id") =!= 0)
@@ -1068,27 +1066,28 @@ object Similarity {
   def ivfAdcPersistedTopK(sp: SparkSession, dir: String, nprobe: Int = 2,
       topK: Int = 10): DataFrame = {
     val idx = prebuildIvfAdcIndex(sp, dir)
-    ivfAdcServe(sp, dir, idx, nprobe, topK,
-      (path, probed) => graft.sources.Lake.readVersioned(sp, path)
+    val q = ivfAdcQueryVector(sp, dir)
+    val probed = ivfAdcProbes(q, idx._2, idx._6, nprobe)
+    ivfAdcServeWith(idx, q, probed, topK,
+      graft.sources.Lake.readVersioned(sp, idx._1)
         .filter(col("cell").isin(probed: _*)))
   }
 
   /** The shared IVFADC serving algebra over a persisted code table:
-    * probe selection + per-probed-cell residual ADC tables are driver
-    * arithmetic (k·M·k integers); `scan(path, probed)` supplies the
-    * codes frame (versioned read with the probe as a pushed filter, or
-    * the stats-manifest file-pruned read); scoring is two element_at
+    * the query vector and probe set arrive PRECOMPUTED (each caller
+    * collects vec_id=0 exactly once), the per-probed-cell residual ADC
+    * tables are driver arithmetic (k·M·k integers), `codes` is the
+    * already-narrowed index frame (versioned read with the probe pushed,
+    * or the stats-manifest file-pruned read); scoring is two element_at
     * lookups per row and the cut is a vec_id-tied TakeOrdered.
     */
-  private def ivfAdcServe(sp: SparkSession, dir: String,
+  private def ivfAdcServeWith(
       index: (String, Seq[Array[Long]], Seq[Array[Long]],
         Seq[Array[Long]], Int, Int),
-      nprobe: Int, topK: Int,
-      scan: (String, Seq[Long]) => DataFrame): DataFrame = {
-    val (path, coarse, cb1, cb2, half, dim) = index
+      q: Array[Long], probed: Seq[Long], topK: Int,
+      codes: DataFrame): DataFrame = {
+    val (_, coarse, cb1, cb2, half, dim) = index
     val k = coarse.length
-    val q = ivfAdcQueryVector(sp, dir)
-    val probed = ivfAdcProbes(q, coarse, dim, nprobe)
     def qres(ci: Int): Array[Long] =
       q.indices.map(j => q(j) - coarse(ci)(j) + 2000L).toArray
     def table(r: Array[Long], lo: Int, cb: Seq[Array[Long]]): Array[Long] =
@@ -1103,7 +1102,7 @@ object Similarity {
       array(table(qres(ci), 1, cb1).map(lit): _*)): _*)
     val dtAll2 = array((0 until k).map(ci =>
       array(table(qres(ci), half + 1, cb2).map(lit): _*)): _*)
-    val scored = scan(path, probed)
+    val scored = codes
       .select(col("vec_id"), col("cell"), col("code1"), col("code2"),
         (element_at(element_at(dtAll1, col("cell").cast("int")),
           col("code1").cast("int")) +
@@ -1183,6 +1182,11 @@ object Similarity {
       nprobe: Int = 2): (Long, Long) = {
     val (path, coarse, _, _, _, dim) = prebuildIvfAdcPartitionedIndex(sp, dir)
     val probed = ivfAdcProbes(ivfAdcQueryVector(sp, dir), coarse, dim, nprobe)
+    pruneStatsFor(sp, path, probed)
+  }
+
+  private def pruneStatsFor(sp: SparkSession, path: String,
+      probed: Seq[Long]): (Long, Long) = {
     val manifest = sp.read.json(s"$path/_graft_stats")
     val keep = probed.map(c =>
       graft.sources.Lake.skipRange("cell", lit(c), lit(c))).reduce(_ || _)
@@ -1201,12 +1205,16 @@ object Similarity {
   def ivfAdcPartitionedTopK(sp: SparkSession, dir: String, nprobe: Int = 2,
       topK: Int = 10): DataFrame = {
     val idx = prebuildIvfAdcPartitionedIndex(sp, dir)
-    val (kept, total) = ivfAdcPartitionedPruneStats(sp, dir, nprobe)
+    // one query-vector collect + one probe selection feed the prune
+    // evidence AND the serve path
+    val q = ivfAdcQueryVector(sp, dir)
+    val probed = ivfAdcProbes(q, idx._2, idx._6, nprobe)
+    val (kept, total) = pruneStatsFor(sp, idx._1, probed)
     require(kept >= 1 && kept < total,
       s"cell probe did not prune index files (kept $kept of $total) — " +
         "the clustered layout or the stats manifest is broken")
-    ivfAdcServe(sp, dir, idx, nprobe, topK,
-      (path, probed) => graft.sources.Lake.readSkipping(sp, path,
+    ivfAdcServeWith(idx, q, probed, topK,
+      graft.sources.Lake.readSkipping(sp, idx._1,
           probed.map(c => graft.sources.Lake.skipRange("cell",
             lit(c), lit(c))).reduce(_ || _))
         // belt over the manifest's braces: files can straddle two cells

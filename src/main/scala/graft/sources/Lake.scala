@@ -895,8 +895,15 @@ object Lake {
         .write.mode("overwrite")
       if (format == "json") w.json(stage.toString)
       else w.parquet(stage.toString)
+      // SORT BY NAME before indexing: listStatus order is filesystem-
+      // dependent (RawLocalFileSystem delegates to File.list, unsorted),
+      // and the landing index j decides which rows a consumer already
+      // ingested under cdf-vN-j — an unsorted re-cut could swap the two
+      // parts' contents under their names. The part-NNNNN prefix IS the
+      // deterministic hash-partition id, so name order = partition order.
       fs.listStatus(stage)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
         .zipWithIndex.foreach { case (f, j) =>
           require(fs.rename(f.getPath,
             new org.apache.hadoop.fs.Path(landing, f"cdf-v$v%05d-$j.$format")),
@@ -1208,28 +1215,17 @@ object Lake {
     */
   private[graft] val DimStampBase = 1000000L
 
-  /** The stream-batch stamp the view's HEAD commit carries, if any —
-    * public so custom foreachBatch folds (e.g. the dim-side join-view
-    * maintenance in StreamQueries) can implement the same idempotent
-    * replay contract [[foldFeedBatchIntoAggView]] uses: skip the fold
-    * when the head stamp already covers the batch id.
-    */
-  def lastStreamBatchStamp(spark: SparkSession, path: String): Option[Long] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(versionsDir(path))) return None
-    readVersionPointer(fs, path)
-      .orElse(manifestVersions(fs, path).lastOption)
-      .flatMap(readRawManifest(spark, fs, path, _))
-      .flatMap(_.streamBatchId)
-  }
-
   /** The view's latest stamp WITHIN a channel, walking commits head →
-    * tail until one matches `inChannel` — the channel-aware form of
-    * [[lastStreamBatchStamp]] that two interleaved drains (fact + dim
-    * folding the same view) must use for their replay guards. Cost ∝
-    * commits since the channel's last fold (manifests are small JSON;
-    * in an alternating fold the walk is 1–2 reads).
+    * tail until one matches `inChannel` — the replay-guard primitive for
+    * custom foreachBatch folds (e.g. the dim-side join-view maintenance
+    * in StreamQueries): skip the fold when the channel's latest stamp
+    * already covers the batch id. There is deliberately NO head-only
+    * variant — comparing against whatever stamp happens to sit at the
+    * head is exactly the cross-channel bug this replaced (a foreign
+    * channel's big stamp silently no-ops real work; a replay hides
+    * behind a foreign commit and double-applies). Cost ∝ commits since
+    * the channel's last fold (manifests are small JSON; in an
+    * alternating fold the walk is 1–2 reads).
     */
   def lastStreamBatchStampInChannel(spark: SparkSession, path: String,
       inChannel: Long => Boolean): Option[Long] = {
@@ -1311,11 +1307,17 @@ object Lake {
       .filter { case (v, parts) =>
         sealedVs(v) && parts.forall(p => committed(p._2)) }
     var nFiles = 0L
-    prunable.toSeq.sortBy(_._1).foreach { case (_, parts) =>
+    prunable.toSeq.sortBy(_._1).foreach { case (v, parts) =>
       parts.foreach { case (_, n) =>
         if (fs.delete(new org.apache.hadoop.fs.Path(lp, n), false))
           nFiles += 1
       }
+      // tombstone the reclaim: [[requireLandingIntact]] must distinguish
+      // "pruned after consumers passed it" from "sealed with a
+      // legitimately empty delta" (an empty feed writes zero part files
+      // but still seals its .done marker) — absence of data alone cannot
+      fs.create(new org.apache.hadoop.fs.Path(lp, f"_cdf-v$v%05d.pruned"),
+        true).close()
     }
     (prunable.size.toLong, nFiles)
   }
@@ -1373,12 +1375,12 @@ object Lake {
   def requireLandingIntact(spark: SparkSession, landing: String): Unit = {
     val lp = new org.apache.hadoop.fs.Path(landing)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val namePat = "cdf-v(\\d+)-.*\\.(json|parquet)".r
-    val markerPat = "_cdf-v(\\d+)\\.done".r
-    val names = fs.listStatus(lp).toSeq.map(_.getPath.getName)
-    val sealedVs = names.collect { case markerPat(v) => v.toLong }
-    val withData = names.collect { case namePat(v, _) => v.toLong }.toSet
-    val gutted = sealedVs.filterNot(withData).sorted
+    val prunedPat = "_cdf-v(\\d+)\\.pruned".r
+    // the prune's own tombstones are the evidence — a sealed version with
+    // zero data files may simply have had an EMPTY delta (an empty feed
+    // writes no part files), which a fresh consumer can skip harmlessly
+    val gutted = fs.listStatus(lp).toSeq.map(_.getPath.getName)
+      .collect { case prunedPat(v) => v.toLong }.sorted
     require(gutted.isEmpty,
       s"landing $landing is not intact from the start: version(s) " +
         s"${gutted.mkString(", ")} were pruned after earlier consumers " +

@@ -1975,11 +1975,18 @@ object StreamQueries {
     }
     val moveRetire = inserts.unionByName(deletes)
     val source = backfill.fold(moveRetire)(moveRetire.unionByName(_))
-    if (source.isEmpty) return // nothing actionable: the documented no-op
-    graft.sources.Lake.mergeCdc(spark, view, source,
-      Seq("user_id", "segment"), deleteWhen = col("_del"),
-      streamBatchId = Some(tag))
-    ()
+    // persist across the emptiness probe + the merge: isEmpty is an
+    // action, and without the cache every actionable batch would pay the
+    // backfill semi-join and the view joins TWICE (once here, once inside
+    // mergeCdc) — doubling the very cost the fold's contract bounds
+    source.persist()
+    try {
+      if (source.isEmpty) return // nothing actionable: the documented no-op
+      graft.sources.Lake.mergeCdc(spark, view, source,
+        Seq("user_id", "segment"), deleteWhen = col("_del"),
+        streamBatchId = Some(tag))
+      ()
+    } finally { source.unpersist(); () }
   }
 
   private def streamMvDimRefresh(spark: SparkSession, dir: String): DataFrame = {

@@ -58,6 +58,13 @@ def staged_doc(path: str) -> str:
 def main() -> int:
     if os.environ.get("GRAFT_SKIP_ROWCHECK") == "1":
         return 0
+    # prose counts are checked UNCONDITIONALLY: the stale-count commit
+    # shapes are exactly the ones the evidence-kit gate skips (doc-only
+    # edits, and src commits that REMOVE a QueryDef — 'new' is empty for
+    # both), so this must run before any early return
+    prose = check_prose_counts()
+    if prose != 0:
+        return prose
     # anything staged under src/main? (cheap early exit for doc-only commits)
     staged = subprocess.run(
         ["git", "diff", "--cached", "--name-only"],
@@ -89,7 +96,7 @@ def main() -> int:
               "COVERAGE.md row for each (or GRAFT_SKIP_ROWCHECK=1 for WIP).",
               file=sys.stderr)
         return 1
-    return check_prose_counts()
+    return 0
 
 
 # "All NNN registered queries" style claims that go stale when rows land
