@@ -2184,6 +2184,48 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("pruned"), e.getMessage)
   }
 
+  test("requireLandingIntact: keyed on prune tombstones, not missing data") {
+    // a version sealed with a legitimately EMPTY delta (an empty feed
+    // writes zero part files but still seals its marker) must NOT read
+    // as gutted — only pruneChangeFeedLanding's own tombstones refuse a
+    // fresh consumer
+    val root = tmp() + "/cdfintact"
+    val dir = s"$root/t"
+    val landing = s"$root/landing"
+    def mk(r: Range) = r.map(i => (i.toLong, i % 4L)).toDF("id", "k")
+    Lake.writeVersioned(spark, mk(1 to 20).repartitionByRange(2, col("id")), dir)
+    assert(Lake.exportChangeFeedLanding(spark, dir, landing) == 1L)
+    // simulate the empty-delta publish: sealed marker, zero data files
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "_cdf-v00002.done"),
+      Array.emptyByteArray)
+    Lake.requireLandingIntact(spark, landing) // must pass
+    // a real prune leaves a tombstone — and THAT refuses
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema).json(s"$landing/cdf-*.json")
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (nv, _) = Lake.pruneChangeFeedLanding(spark, landing, s"$root/ckpt")
+    assert(nv == 1L)
+    assert(new java.io.File(landing, "_cdf-v00001.pruned").exists(),
+      "prune left no tombstone")
+    val e = intercept[IllegalArgumentException] {
+      Lake.requireLandingIntact(spark, landing)
+    }
+    assert(e.getMessage.contains("pruned"), e.getMessage)
+  }
+
   test("crashed-publish re-export is byte-identical to the first cut") {
     // The r19 advisor's determinism finding, closed: the export now
     // hash-partitions rows on their own values and sorts within each
