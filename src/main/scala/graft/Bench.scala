@@ -27,6 +27,22 @@ object Bench {
       } catch { case _: Throwable => "" }
     val psiMemStart = psi("memory")
     val psiIoStart = psi("io")
+    // Hypervisor-steal jiffies (field 9 of the aggregate cpu line in
+    // /proc/stat): the r20 closing runs degraded 273→600 s on identical
+    // binaries with loadavg ~0.2 and zero PSI — the diagnosis (15% of
+    // requested CPU withheld by the host) needed a manual busy-burn
+    // experiment. Sampling the counter at start/end turns that into a
+    // field read: steal_cs is the jiffies (10ms units) the hypervisor
+    // withheld across the run; compare against elapsed × ncpu × 100 for
+    // the stolen fraction. Zero on bare metal / quiet hosts.
+    def stealJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    val stealStart = stealJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -220,6 +236,9 @@ object Bench {
     val jvms = nJvms()
     val psiMemEnd = psi("memory")
     val psiIoEnd = psi("io")
+    val stealEnd = stealJiffies()
+    val stealCs =
+      if (stealStart < 0 || stealEnd < 0) -1L else stealEnd - stealStart
     // One JSON line, COMPACT (ms precision), truncation-proof from BOTH
     // ends: summary fields lead (a head capture keeps the total), the
     // per-query map is ordered FASTEST-FIRST so the slowest ~50 timings
@@ -304,14 +323,14 @@ object Bench {
     // pairs for rows the second pass improved >20% — empty on a quiet
     // host, the contamination evidence on a loud one — capped at 8
     // entries to bound line size.
-    val summaryLine = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJsonTop8,"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20,"total_sec":${r3(total)}}"""
+    val summaryLine = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"s_per_q":$sPerQ,"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"steal_cs":$stealCs,"psi_mem":"$psiMemStart>$psiMemEnd","psi_io":"$psiIoStart>$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJsonTop8,"retime_corrected":$retimedCorrected,"families":$famJson,"top20":$top20,"total_sec":${r3(total)}}"""
     println(summaryLine)
     // LINE 2 — the full artifact (every per-query timing), truncation-
     // tolerant from BOTH ends: summary fields lead (a head capture keeps
     // the total), the per-query map is ordered FASTEST-FIRST so the
     // slowest timings sit at the line's end, and total_sec + the load
     // fields repeat AFTER the map for tail captures.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"psi_mem_start":"$psiMemStart","psi_io_start":"$psiIoStart","psi_mem_end":"$psiMemEnd","psi_io_end":"$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retimed":$retimedAll,"queries":$qs,"total_sec":${r3(total)},"failed_tail":$failJson,"warmup_failed_tail":$warmJson,"loadavg_start_tail":"$loadStart","loadavg_end_tail":"$loadEnd","n_jvms_tail":$jvms}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_failed":${failed.size},"failed":$failJson,"warmup_failed":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_jvms":$jvms,"steal_cs":$stealCs,"psi_mem_start":"$psiMemStart","psi_io_start":"$psiIoStart","psi_mem_end":"$psiMemEnd","psi_io_end":"$psiIoEnd","n_retimed":${secondPass.size},"retime_saved_sec":${r3(retimeSaved)},"n_pin_regressed":${pinRegressed.size},"pin_regressed":$pinRegJson,"retimed":$retimedAll,"queries":$qs,"total_sec":${r3(total)},"failed_tail":$failJson,"warmup_failed_tail":$warmJson,"loadavg_start_tail":"$loadStart","loadavg_end_tail":"$loadEnd","n_jvms_tail":$jvms}""")
     // LINE 3 — the summary REPEATED as the last line, so a fixed-size
     // TAIL capture (the driver's artifact shape) also retains the
     // complete headline numbers whatever line 2's length grew to. A

@@ -21,6 +21,48 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Lake {
 
+  /** Phase timer for the optimization rounds: wraps the commit-path
+    * phases (discovery join, rewrite, footer reads, manifest publish)
+    * and prints wall times when `-Dgraft.lake.prof` is set. Inert (no
+    * timestamp read) when the property is absent, so production paths
+    * pay one branch.
+    */
+  @inline private def prof[A](name: String)(body: => A): A =
+    if (!profEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[lake-prof] $name%-28s ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+      r
+    }
+  private val profEnabled = sys.props.contains("graft.lake.prof") ||
+    sys.env.contains("GRAFT_LAKE_PROF")
+
+  /** Target rows per data file for SIZE-ADAPTIVE commit writes (guide §6:
+    * files in the 128 MB – 1 GB band; at the lake's ~30–100 B rows, 4 Mi
+    * rows ≈ 128–400 MB). A rewrite commit whose expected output is far
+    * below this coalesces to ceil(rows / target) files instead of
+    * inheriting one file per upstream task — the per-file open + footer +
+    * manifest-entry cost is what melts small-commit paths (a streaming MV
+    * fold otherwise publishes ~10 KB-sized files per micro-batch, and
+    * every later scan pays per-file overhead). The SAME rule derives many
+    * files for a big rewrite, so it is scale-adaptive, not a local-mode
+    * constant; override via GRAFT_TARGET_FILE_ROWS. Tables carrying a
+    * `_graft_stats` manifest are exempt — their file boundaries encode
+    * clustering (z-order, range cells) that a coalesce would smear.
+    */
+  private val targetCommitFileRows: Long =
+    sys.env.get("GRAFT_TARGET_FILE_ROWS").map(_.trim.toLong)
+      .getOrElse(4L * 1024 * 1024)
+
+  /** ceil(estRows / target) as a coalesce width — never below 1. Callers
+    * apply it only when the estimate is sound and the layout is free-form
+    * (no stats manifest).
+    */
+  private def commitFileParts(estRows: Long): Int =
+    math.max(1L, (estRows + targetCommitFileRows - 1) / targetCommitFileRows)
+      .min(Int.MaxValue.toLong).toInt
+
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
@@ -1836,10 +1878,16 @@ object Lake {
       // reads through any live tombstones, so it PURGES them for the
       // matched files (their dv coverage drops with the remove) instead
       // of resurrecting dv-deleted rows.
-      val (_, rewritten) = writeClaimedDir(spark, fs, path,
-        readFilesWithDv(spark, fs, path, m0, matched.toSeq)
-          .filter(!coalesce(pred, lit(false))))
       val matchedEntries = m0.entries.filter(e => matched(resolveRef(root, e._1)))
+      // size-adaptive rewrite (same rule as mergeInto): the survivors are
+      // bounded by the matched files' manifest row counts, so shape the
+      // output file count from that bound instead of one-file-per-task.
+      // Stats-manifest tables keep natural boundaries (clustering).
+      val survivors = readFilesWithDv(spark, fs, path, m0, matched.toSeq)
+        .filter(!coalesce(pred, lit(false)))
+      val (_, rewritten) = writeClaimedDir(spark, fs, path,
+        if (fs.exists(statsDir)) survivors
+        else survivors.coalesce(commitFileParts(matchedEntries.map(_._2).sum)))
       // an evolved rewrite lands latest-LOGICAL-schema files (compact's
       // invariant); the manifest schema follows
       val ddl =
@@ -2331,17 +2379,27 @@ object Lake {
     // counts + the joins below, released even when a require throws
     val src = source.persist()
     try {
-      // multi-match guard: a key mapping to two source rows has no defined
-      // outcome (Delta errors on multi-matches the same way)
-      val srcKeys = src.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("_graft_n"))
-      require(srcKeys.filter(col("_graft_n") > 1).isEmpty,
-        s"mergeInto source is not unique on (${keyCols.mkString(",")})")
       val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
         .getOrElse(lit(false))
-      val nSrc = src.count()
+      // ONE pass over the persisted source computes the multi-match guard
+      // (a key mapping to two source rows has no defined outcome — Delta
+      // errors the same way), the row count, and the delete-arm count.
+      // These were three separate actions (guard isEmpty / count /
+      // filter.count); each action re-launches a job over the source, and
+      // on a micro-batch fold the per-job overhead dwarfed the data.
+      val guardRow = prof("merge:src-stats")(src
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_graft_n"),
+          sum(when(delFlag, lit(1L)).otherwise(lit(0L))).as("_graft_ndel"))
+        .agg(sum(col("_graft_n")), org.apache.spark.sql.functions
+          .max(col("_graft_n")), sum(col("_graft_ndel")))
+        .head())
+      val nSrc = if (guardRow.isNullAt(0)) 0L else guardRow.getLong(0)
+      require(guardRow.isNullAt(1) || guardRow.getLong(1) <= 1L,
+        s"mergeInto source is not unique on (${keyCols.mkString(",")})")
       val nDel =
-        if (deleteWhen.isEmpty) 0L else src.filter(delFlag).count()
+        if (deleteWhen.isEmpty || guardRow.isNullAt(2)) 0L
+        else guardRow.getLong(2)
       val nUp = nSrc - nDel
       val probe = hintedProbe(src.select(
         (keyCols.map(col) :+ delFlag.as("_graft_del")): _*),
@@ -2358,7 +2416,7 @@ object Lake {
       // and how many target rows does each merge arm touch? (file name
       // bound AT THE SCAN — after the join the row has two sources and
       // input_file_name is undefined)
-      val fileArms: Seq[(String, Long, Long)] =
+      val fileArms: Seq[(String, Long, Long)] = prof("merge:discovery")(
         if (candidates.isEmpty) Seq.empty
         else readSomeFiles(spark, fs, path, candidates, m0.schemaDdl)
           .withColumn("_graft_file", input_file_name())
@@ -2372,7 +2430,7 @@ object Lake {
               .as("n_del"))
           .collect().toSeq.map(r => (
             new java.net.URI(r.getString(0)).getPath,
-            r.getLong(1), r.getLong(2)))
+            r.getLong(1), r.getLong(2))))
       val matched: Set[String] = fileArms.map(_._1).toSet
       // target-row tallies per arm, exact whatever the target's key shape
       val updated = fileArms.map(_._2).sum
@@ -2393,10 +2451,21 @@ object Lake {
       val keptOld = readSomeFiles(spark, fs, path, matched.toSeq, m0.schemaDdl)
         .join(probe, keyCols, "left_anti")
         .select(prior.fieldNames.map(col): _*)
-      val (_, rewritten) = writeClaimedDir(spark, fs, path,
-        keptOld.unionByName(
-          src.filter(!delFlag).select(prior.fieldNames.map(col): _*)))
       val matchedEntries = m0.entries.filter(e => matched(resolveRef(root, e._1)))
+      // size-adaptive output: the rewrite's row count is KNOWN before the
+      // write (matched files' manifest n_rows minus replaced/deleted rows
+      // plus the upsert arm) — shape the file count to the data instead of
+      // inheriting ~one tiny file per upstream task. Stats-manifest tables
+      // keep their natural boundaries (file-level clustering).
+      val rewriteAll = keptOld.unionByName(
+        src.filter(!delFlag).select(prior.fieldNames.map(col): _*))
+      val estRows =
+        matchedEntries.map(_._2).sum - updated - deleted + (nSrc - nDel)
+      val rewriteDf =
+        if (fs.exists(statsDir)) rewriteAll
+        else rewriteAll.coalesce(commitFileParts(estRows))
+      val (_, rewritten) =
+        prof("merge:rewrite")(writeClaimedDir(spark, fs, path, rewriteDf))
       // a constraint may have landed since the gate: re-enforce the NEW
       // ones against the upsert arm (src is persisted — one cheap pass)
       val csNow = checkConstraints(spark, path).filterNot(cs0.contains)
@@ -2412,16 +2481,17 @@ object Lake {
       // duplicate). Delta draws the same line: ConcurrentAppendException
       // for merges that read the table, rebase only for blind appends.
       val next = v0 + 1
-      writeVersionDelta(spark, fs, path, next, m0.schemaDdl,
+      prof("merge:manifest")(writeVersionDelta(spark, fs, path, next,
+        m0.schemaDdl,
         base = v0, add = rewritten, remove = matchedEntries.map(_._1),
-        streamBatchId = streamBatchId, op = Some("merge"))
+        streamBatchId = streamBatchId, op = Some("merge")))
       writeVersionPointer(spark, fs, path, next)
-      if (fs.exists(statsDir)) {
+      prof("merge:stats")(if (fs.exists(statsDir)) {
         val tracked = spark.read.json(statsDir.toString).schema.fieldNames.toSeq
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         if (tracked.nonEmpty) appendStats(spark, path, tracked)
-      }
-      refreshBloomIndexes(spark, fs, path)
+      })
+      prof("merge:bloom")(refreshBloomIndexes(spark, fs, path))
       // inserted = upsert rows whose key matched nothing; with a
       // key-unique target (the normal state of a merge-maintained table)
       // `updated` counts exactly the matched upsert keys, so the split is
@@ -3561,8 +3631,10 @@ object Lake {
       if (claimed) {
         // Append, not ErrorIfExists: the dir exists now (it holds our
         // claim marker) and is exclusively ours
-        df.write.mode(SaveMode.Append).parquet(dirPath.toString)
-        return (d, fileEntries(spark, fs, path, listDataFiles(fs, dirPath)))
+        prof("claimed:write")(
+          df.write.mode(SaveMode.Append).parquet(dirPath.toString))
+        return (d, prof("claimed:footers")(
+          fileEntries(spark, fs, path, listDataFiles(fs, dirPath))))
       }
     }
     sys.error("unreachable")
