@@ -390,14 +390,31 @@ object Dedup {
             expr("concat_ws(' ', slice(split(text, ' '), 1, " +
               "greatest((size(split(text, ' ')) * 3) div 5, 8)))").as("text"))
         val dd = base.unionByName(excerpts)
+        // persist(): the shingle explode (split + md5 per 8-gram) is the
+        // expensive leg and SEVEN downstream subtrees reference it (df
+        // aggregate, both rare-gram candidate sides, sizes, and the two
+        // exact-verify joins) — Catalyst duplicates unpersisted subtrees
+        // per consumer, so without the cache the corpus is re-shingled
+        // ~8×. 16-byte md5 + id rows, corpus-linear — the same persisted-
+        // fingerprint discipline as the simhash rows above.
+        // gram keys are grouping-only (never output): xxhash64 longs
+        // instead of md5 strings — cheaper hashing in the explode and
+        // 8-byte join/shuffle keys throughout the candidate build
         val sh = dd.filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"),
+            expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
           .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(0, size(split(text,' ')) - 8)," +
-              " i -> md5(concat_ws(' ', slice(split(text,' '), i + 1, 8)))))"))
+            "array_distinct(transform(sequence(1, size(th) - 7), i -> " +
+              (0 until 8).map(k => s"element_at(th, i + $k)")
+                .mkString("xxhash64(", ", ", ")") + "))"))
             .as("m"))
+          .persist()
+        // persist(): both candidate sides below reuse the rare-filtered
+        // shingles; without it the df-aggregate join runs twice.
         val rare = sh.join(
           sh.groupBy("m").agg(count(lit(1)).as("df"))
             .filter(col("df") <= 24), "m")
+          .persist()
         val cand = rare.select(col("m"), col("doc_id").as("a"))
           .join(rare.select(col("m"), col("doc_id").as("b")), "m")
           .filter(col("a") =!= col("b"))

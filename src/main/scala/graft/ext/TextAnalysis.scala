@@ -239,11 +239,21 @@ object TextAnalysis {
     */
   def boilerplateStrip(docs: DataFrame, minDf: Long = 5L): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    // (doc, 1-based start, gram md5) for every trigram span
+    // (doc, 1-based start, gram xxhash64) for every trigram span. The gram
+    // key never leaves the pipeline (grouping/equality only), so the
+    // 8-byte xxhash64 long replaces the old 32-char md5 string: the hash
+    // itself is ~3× cheaper per gram and every downstream shuffle/agg
+    // keys on a fixed 8-byte word instead of a 32-byte string.
     val grams = toks.filter(size(col("toks")) >= 3)
+      // per-token hash once, then the gram key hashes three fixed-width
+      // longs — avoids re-concatenating (and re-hashing) the span text at
+      // every position
+      .select(col("doc_id"),
+        expr("transform(toks, t -> xxhash64(t))").as("th"))
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "i -> md5(concat_ws(' ', slice(toks, i, 3))))")).as(Seq("p0", "gh")))
+        "transform(sequence(1, size(th) - 2), i -> xxhash64(" +
+          "element_at(th, i), element_at(th, i + 1), element_at(th, i + 2)))"))
+        .as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).as("s"), col("gh"))
       .persist()
     try {
@@ -251,25 +261,28 @@ object TextAnalysis {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= lit(minDf))
         .select("gh")
-      // token positions covered by any boilerplate span: start s covers
-      // s, s+1, s+2 (distinct — overlapping spans mark a position once)
-      val removed = grams.join(boiler, "gh")
-        .select(col("doc_id"),
-          explode(sequence(col("s"), col("s") + lit(2))).as("pos"))
-        .distinct()
-        .withColumn("rm", lit(1))
-      val tok = toks
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
-      val out = tok.join(removed, Seq("doc_id", "pos"), "left_outer")
+      // covered token positions AS A PER-DOC ARRAY: start s covers s, s+1,
+      // s+2; collect_set dedups starts, the array transform expands them,
+      // array_distinct collapses overlaps. One doc-grain shuffle replaces
+      // the old global (doc, pos)-grain distinct PLUS the token-grain
+      // join + collect_list reassembly — document bodies now cross no
+      // shuffle at all (guide §2.3/§2.4): the strip below runs inside the
+      // scan's own partitions.
+      val rmpos = grams.join(boiler, "gh")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-          // kept tokens reassembled in position order (collect_list drops
-          // the CASE's nulls; struct sort orders by pos)
-          concat_ws(" ", expr(
-            "transform(array_sort(collect_list(" +
-              "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
+        .agg(collect_set(col("s")).as("starts"))
+        .select(col("doc_id"), expr(
+          "array_distinct(flatten(transform(starts, " +
+            "s -> sequence(s, s + 2))))").as("rmpos"))
+      val out = toks.join(rmpos, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          coalesce(size(col("rmpos")), lit(0)).cast("long").as("n_removed"),
+          // kept tokens in position order: filter-with-index preserves the
+          // array's own order, so no sort is needed
+          when(col("rmpos").isNull, concat_ws(" ", col("toks")))
+            .otherwise(concat_ws(" ", expr(
+              "filter(toks, (w, i) -> NOT array_contains(rmpos, i + 1))")))
             .as("stripped"))
         .orderBy("doc_id")
       // materialize before unpersisting the gram frame the plan feeds on;
@@ -294,11 +307,20 @@ object TextAnalysis {
     */
   def substringDedup(docs: DataFrame, window: Int = 5): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // gram keys are grouping-only (never output): xxhash64 longs, not md5
+    // strings — cheaper to compute and 8-byte shuffle keys (see
+    // boilerplateStrip)
+    val gramHash = (0 until window)
+      .map(k => s"element_at(th, i + $k)")
+      .mkString("xxhash64(", ", ", ")")
     val grams = toks.filter(size(col("toks")) >= window)
+      // per-token hash once, gram key over fixed-width longs (see
+      // boilerplateStrip)
+      .select(col("doc_id"),
+        expr("transform(toks, t -> xxhash64(t))").as("th"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${window - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i, $window))))"))
-        .as(Seq("p0", "gh")))
+        s"transform(sequence(1, size(th) - ${window - 1}), " +
+          s"i -> $gramHash)")).as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).as("s"), col("gh"))
       .persist()
     try {
@@ -309,22 +331,22 @@ object TextAnalysis {
           count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .select(col("gh"), col("o.doc_id").as("odoc"), col("o.s").as("os"))
-      val removed = grams.join(own, "gh")
+      // covered positions per doc as an array (same shape as
+      // boilerplateStrip): one doc-grain shuffle, bodies never shuffled
+      val rmpos = grams.join(own, "gh")
         .filter(!(col("doc_id") === col("odoc") && col("s") === col("os")))
-        .select(col("doc_id"),
-          explode(sequence(col("s"), col("s") + lit(window - 1))).as("pos"))
-        .distinct()
-        .withColumn("rm", lit(1))
-      val tok = toks
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
-      val out = tok.join(removed, Seq("doc_id", "pos"), "left_outer")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-          concat_ws(" ", expr(
-            "transform(array_sort(collect_list(" +
-              "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
+        .agg(collect_set(col("s")).as("starts"))
+        .select(col("doc_id"), expr(
+          "array_distinct(flatten(transform(starts, " +
+            s"s -> sequence(s, s + ${window - 1}))))").as("rmpos"))
+      val out = toks.join(rmpos, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          coalesce(size(col("rmpos")), lit(0)).cast("long").as("n_removed"),
+          when(col("rmpos").isNull, concat_ws(" ", col("toks")))
+            .otherwise(concat_ws(" ", expr(
+              "filter(toks, (w, i) -> NOT array_contains(rmpos, i + 1))")))
             .as("deduped"))
         .orderBy("doc_id")
       // guards the unpersist below (the plan feeds on the gram frame); at
@@ -358,11 +380,17 @@ object TextAnalysis {
       minSpan: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // grouping-only gram keys: xxhash64 longs over per-token hashes (see
+    // boilerplateStrip)
+    val gramHash = (0 until window)
+      .map(k => s"element_at(th, i + $k)")
+      .mkString("xxhash64(", ", ", ")")
     val grams = toks.filter(size(col("toks")) >= window)
+      .select(col("doc_id"),
+        expr("transform(toks, t -> xxhash64(t))").as("th"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${window - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i, $window))))"))
-        .as(Seq("p0", "gh")))
+        s"transform(sequence(1, size(th) - ${window - 1}), " +
+          s"i -> $gramHash)")).as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).as("s"), col("gh"))
       .persist()
     try {
@@ -390,24 +418,26 @@ object TextAnalysis {
         .filter(col("b") - col("a") + lit(1) >= minSpan)
         .persist()
       try {
-        val removed = spans
-          .select(col("doc_id"), explode(sequence(col("a"), col("b"))).as("pos"))
-          .withColumn("rm", lit(1))
-        val nsp = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-        val tok = toks
-          .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
-        val out = tok.join(removed, Seq("doc_id", "pos"), "left_outer")
+        // spans are disjoint by construction (interval merge), so the
+        // per-doc covered-position array needs no distinct; one doc-grain
+        // aggregate carries both the positions and the span count, and
+        // the reassembly below is array-native (bodies never shuffled)
+        val rmpos = spans
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"),
-            sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-            concat_ws(" ", expr(
-              "transform(array_sort(collect_list(" +
-                "CASE WHEN rm IS NULL THEN struct(pos, w) END)), x -> x.w)"))
+          .agg(collect_list(struct(col("a"), col("b"))).as("sp"))
+          .select(col("doc_id"),
+            expr("flatten(transform(sp, x -> sequence(x.a, x.b)))")
+              .as("rmpos"),
+            size(col("sp")).cast("long").as("n_spans"))
+        val out = toks.join(rmpos, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok"),
+            coalesce(size(col("rmpos")), lit(0)).cast("long").as("n_removed"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            when(col("rmpos").isNull, concat_ws(" ", col("toks")))
+              .otherwise(concat_ws(" ", expr(
+                "filter(toks, (w, i) -> NOT array_contains(rmpos, i + 1))")))
               .as("deduped"))
-          .join(nsp, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("n_tok"), col("n_removed"),
-            coalesce(col("n_spans"), lit(0L)).as("n_spans"), col("deduped"))
           .orderBy("doc_id")
         // durable-write equivalent at scale; guards both unpersists
         out.localCheckpoint(true)

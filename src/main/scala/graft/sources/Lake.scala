@@ -911,6 +911,21 @@ object Lake {
     val start = if (exported.isEmpty) versions.head else exported.max + 1
     val todo = (versions.filter(v => v >= start && v <= head) ++
       partial.filter(_ <= head)).distinct.sorted
+    // ZERO-SLEEP LANE, FUSED: with no mtime-order contract the versions
+    // need no wall-clock separation, so exporting them one job per
+    // version pays (versions − 1) avoidable job launches + stage writes.
+    // One pass reads the whole todo range, tags every row with the SAME
+    // part index the per-version path computes — HashPartitioning's
+    // pmod(murmur3(sortCols), filesPerVersion), available as the SQL
+    // hash() — and writes all (version, part) groups in a single
+    // dynamic-partitioned job. Per-file rows and order are therefore
+    // byte-identical to the per-version path (same membership rule, same
+    // within-part sort, same writer); ExportFusionSpec pins that.
+    if (!mtimeOrder && todo.size > 1) {
+      fusedExport(spark, path, landing, fs, lp, todo, filesPerVersion,
+        keys, format)
+      return head
+    }
     todo.zipWithIndex.foreach { case (v, i) =>
       // mtime separation: from prior landing files always, and between
       // sibling versions in one call (first version of a fresh landing
@@ -960,6 +975,70 @@ object Lake {
         true).close()
     }
     head
+  }
+
+  /** One-job export of every pending version (zero-sleep lane only — the
+    * mtime-order contract needs per-version wall-clock separation, which
+    * forces the loop). Rows are tagged with `_graft_p =
+    * pmod(hash(sortCols…), filesPerVersion)` — exactly the part index
+    * HashPartitioning assigns in the per-version path — and written with
+    * dynamic partitioning on (version, part); each group lands whole in
+    * one task, so the rename pass below finds exactly one file per
+    * (version, part). Markers are written ascending AFTER all renames:
+    * a crash mid-publish leaves marker-less versions that the next call
+    * cleans and re-exports, same as the per-version path.
+    */
+  private def fusedExport(spark: SparkSession, path: String,
+      landing: String, fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path, todo: Seq[Long], filesPerVersion: Int,
+      keys: Seq[String], format: String): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val feedAll =
+      (if (keys.isEmpty) readChangeFeed(spark, path, todo.min, todo.max)
+       else readChangeFeedKeyed(spark, path, todo.min, todo.max, keys))
+        .filter(col("_commit_version").isin(todo: _*))
+        .drop("_commit_timestamp")
+    val sortCols = feedAll.columns.sorted
+    val stage = new org.apache.hadoop.fs.Path(landing, ".stage-fused")
+    val staged = feedAll
+      .withColumn("_graft_v", col("_commit_version"))
+      .withColumn("_graft_p",
+        pmod(hash(sortCols.map(col): _*), lit(filesPerVersion)))
+      .repartition(col("_graft_v"), col("_graft_p"))
+      .sortWithinPartitions(
+        (Seq("_graft_v", "_graft_p") ++ sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy("_graft_v", "_graft_p")
+    if (format == "json") staged.json(stage.toString)
+    else staged.parquet(stage.toString)
+    val vDirPat = "_graft_v=(\\d+)".r
+    val pDirPat = "_graft_p=(\\d+)".r
+    fs.listStatus(stage).filter(_.isDirectory).foreach { vd =>
+      val v = vd.getPath.getName match {
+        case vDirPat(x) => x.toLong
+        case other => sys.error(s"fusedExport: unexpected stage dir $other")
+      }
+      fs.listStatus(vd.getPath).filter(_.isDirectory).foreach { pd =>
+        val p = pd.getPath.getName match {
+          case pDirPat(x) => x.toInt
+          case other => sys.error(s"fusedExport: unexpected part dir $other")
+        }
+        val parts = fs.listStatus(pd.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"fusedExport: (v$v, p$p) produced ${parts.length} files — the " +
+            "(version, part) repartition should land each group whole")
+        require(fs.rename(parts.head.getPath,
+          new org.apache.hadoop.fs.Path(landing, f"cdf-v$v%05d-$p.$format")),
+          s"fusedExport: rename failed for v$v part $p")
+      }
+    }
+    fs.delete(stage, true)
+    // markers ascending, after every part is in place (an empty delta
+    // version has no stage dir but still seals its marker)
+    todo.foreach { v =>
+      fs.create(new org.apache.hadoop.fs.Path(lp, f"_cdf-v$v%05d.done"),
+        true).close()
+    }
   }
 
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the change feed —
@@ -1350,16 +1429,23 @@ object Lake {
         sealedVs(v) && parts.forall(p => committed(p._2)) }
     var nFiles = 0L
     prunable.toSeq.sortBy(_._1).foreach { case (v, parts) =>
+      // tombstone BEFORE the deletes: [[requireLandingIntact]] must
+      // distinguish "pruned after consumers passed it" from "sealed with
+      // a legitimately empty delta" (an empty feed writes zero part files
+      // but still seals its .done marker) — absence of data alone cannot.
+      // Ordering is load-bearing (r20 advisor): a crash BETWEEN the
+      // deletes and a trailing tombstone create would leave a gutted
+      // version that reads as a harmless empty delta, silently admitting
+      // a fresh consumer to a partial history. Tombstone-first fails the
+      // other way — a crash before any delete leaves an intact version
+      // marked pruned, which refuses fresh consumers (safe) and is
+      // finished by the next prune call.
+      fs.create(new org.apache.hadoop.fs.Path(lp, f"_cdf-v$v%05d.pruned"),
+        true).close()
       parts.foreach { case (_, n) =>
         if (fs.delete(new org.apache.hadoop.fs.Path(lp, n), false))
           nFiles += 1
       }
-      // tombstone the reclaim: [[requireLandingIntact]] must distinguish
-      // "pruned after consumers passed it" from "sealed with a
-      // legitimately empty delta" (an empty feed writes zero part files
-      // but still seals its .done marker) — absence of data alone cannot
-      fs.create(new org.apache.hadoop.fs.Path(lp, f"_cdf-v$v%05d.pruned"),
-        true).close()
     }
     (prunable.size.toLong, nFiles)
   }
