@@ -551,13 +551,6 @@ object TextAnalysis {
           .repartition(sp.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(graft.functions.TextFunctions
             .word_shingle_hashes(col("text"), 3, distinct = true)).as("gh"))
-        def gramsMd5(docs: DataFrame) = docs
-          .filter(size(split(col("text"), " ")) >= 3)
-          .repartition(sp.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions
-              .word_shingles(col("text"), 3, distinct = true)).as("gram"))
-          .select(col("doc_id"), md5(col("gram")).as("gh"))
         val doc = Tables.documents(sp, dir)
         // the merged filter is ~10 KB: collected ONCE to the driver and
         // shipped as a constant — the same driver-resident broadcast
@@ -574,10 +567,12 @@ object TextAnalysis {
           .select("doc_id").distinct()
         // stage 2 — exact verify, restricted to the candidate slice (at
         // scale this is the point: the expensive gram join runs over the
-        // bloom-surviving fraction, not the corpus)
-        val bench = gramsMd5(doc.filter(col("doc_id") % 97 === 0))
+        // bloom-surviving fraction, not the corpus). Grams stay the native
+        // 64-bit shingle hashes end-to-end (grouping-only keys — the old
+        // md5-string re-shingle of both slices is gone).
+        val bench = gramHashes(doc.filter(col("doc_id") % 97 === 0))
           .select(col("gh").as("bh")).distinct()
-        gramsMd5(doc.filter(col("doc_id") % 97 =!= 0)
+        gramHashes(doc.filter(col("doc_id") % 97 =!= 0)
             .join(candidates, Seq("doc_id"), "left_semi"))
           .join(broadcast(bench), col("gh") === col("bh"))
           .groupBy("doc_id")
@@ -688,13 +683,15 @@ object TextAnalysis {
         // by filtering a materialized full gram table — the training leg
         // then runs as one fused scan→explode→join→agg pass, nothing
         // cached, nothing computed twice.
+        // grouping-only gram keys: the native 64-bit shingle hashes skip
+        // materializing gram strings and the md5 per gram — 8-byte join
+        // keys instead of 32-char strings (the key never leaves the
+        // pipeline; only the per-doc overlap count is output)
         def grams(docs: DataFrame) = docs
           .filter(size(split(col("text"), " ")) >= 3)
           .repartition(sp.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions
-              .word_shingles(col("text"), 3, distinct = true)).as("gram"))
-          .select(col("doc_id"), md5(col("gram")).as("gh"))
+          .select(col("doc_id"), explode(graft.functions.TextFunctions
+            .word_shingle_hashes(col("text"), 3, distinct = true)).as("gh"))
         val doc = Tables.documents(sp, dir)
         val bench = grams(doc.filter(col("doc_id") % 97 === 0))
           .select(col("gh").as("bh")).distinct()

@@ -214,13 +214,24 @@ object SpatialTemporal {
           .select(lit("P").as("typ"), col("p").as("id"))
         // localCheckpoint (the ConnectedComponents idiom) — persist()
         // alone truncates EXECUTION but not the analyzed plan, and
-        // visited_h's plan contains visited_{h-1} twice (directly and
-        // under next_h's anti-join): without a lineage cut the plan is
-        // O(2^hops) and analysis OOMs the driver before any data moves
-        var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint(true)
-        var frontier = visited
+        // next_h's plan references the visited set twice (via the
+        // anti-join): without a lineage cut at each LEVEL the plan is
+        // O(2^hops) and analysis OOMs the driver before any data moves.
+        // Only the LEVELS are checkpointed: levels are disjoint by
+        // construction (the anti-join), so `visited` stays a flat union
+        // of already-materialized level scans — linear plan growth, and
+        // none of the old per-hop eager re-checkpoints of the whole
+        // visited set (which re-wrote all prior levels every hop). A
+        // dead frontier exits the loop early instead of running empty
+        // joins for the remaining hops (isEmpty on a checkpointed level
+        // is a metadata-cheap probe).
+        val seedLevel = seeds.withColumn("hop", lit(0L)).localCheckpoint(true)
+        var levels = List(seedLevel)
+        var frontier = seedLevel
         val maxHops = 6
-        for (h <- 1 to maxHops) {
+        var h = 1
+        while (h <= maxHops && !frontier.isEmpty) {
+          val visited = levels.reduce(_ union _)
           // bipartite: a P-frontier expands over p->s, an S-frontier over
           // s->p; both legs run (one is empty each level by parity)
           val viaP = frontier.filter(col("typ") === "P")
@@ -232,11 +243,13 @@ object SpatialTemporal {
           val next = viaP.union(viaS).distinct()
             .join(visited, Seq("typ", "id"), "left_anti")
             .withColumn("hop", lit(h.toLong)).localCheckpoint(true)
-          visited = visited.union(next).localCheckpoint(true)
+          levels = next :: levels
           frontier = next
+          h += 1
         }
         edges.unpersist(false)
-        visited.groupBy(col("hop"), col("typ").as("node_type"))
+        levels.reduce(_ union _)
+          .groupBy(col("hop"), col("typ").as("node_type"))
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy("hop", "node_type")
       },
