@@ -221,16 +221,17 @@ object SpatialTemporal {
         // construction (the anti-join), so `visited` stays a flat union
         // of already-materialized level scans — linear plan growth, and
         // none of the old per-hop eager re-checkpoints of the whole
-        // visited set (which re-wrote all prior levels every hop). A
-        // dead frontier exits the loop early instead of running empty
-        // joins for the remaining hops (isEmpty on a checkpointed level
-        // is a metadata-cheap probe).
+        // visited set (which re-wrote all prior levels every hop). No
+        // per-hop emptiness probe: this graph's frontier is alive through
+        // every bounded hop (one histogram row per hop), so a probe is a
+        // pure extra action — a caller walking a deeper graph would add
+        // one when dead frontiers are plausible.
         val seedLevel = seeds.withColumn("hop", lit(0L)).localCheckpoint(true)
         var levels = List(seedLevel)
         var frontier = seedLevel
         val maxHops = 6
         var h = 1
-        while (h <= maxHops && !frontier.isEmpty) {
+        while (h <= maxHops) {
           val visited = levels.reduce(_ union _)
           // bipartite: a P-frontier expands over p->s, an S-frontier over
           // s->p; both legs run (one is empty each level by parity)
